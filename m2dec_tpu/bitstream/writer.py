@@ -1,0 +1,81 @@
+"""Bitstream writing.
+
+Used by the test-stream generators (tests/streamgen) and by golden-bitstream
+unit fixtures — the TPU-build analog of the reference's `txt2bin` text-pattern
+fixtures (reference: src/lib/txt2bin.c:26+, test usage mpeg2.cpp:1736-1795).
+The reference has no encoder; streams here exist to exercise the decoder.
+"""
+
+from __future__ import annotations
+
+
+class BitWriter:
+    """MSB-first bit writer."""
+
+    def __init__(self) -> None:
+        self._bits: int = 0
+        self._nbits: int = 0
+
+    def put_bits(self, value: int, n: int) -> "BitWriter":
+        if n < 0 or (n and value < 0) or (value >> n):
+            raise ValueError(f"put_bits: value {value} does not fit in {n} bits")
+        self._bits = (self._bits << n) | value
+        self._nbits += n
+        return self
+
+    def put_bitstring(self, s: str) -> "BitWriter":
+        """Write a '0101 1..' pattern string (spaces/underscores ignored)."""
+        for ch in s:
+            if ch in "01":
+                self.put_bits(int(ch), 1)
+            elif ch not in " _":
+                raise ValueError(f"bad bit char {ch!r}")
+        return self
+
+    def ue(self, k: int) -> "BitWriter":
+        """Unsigned Exp-Golomb."""
+        if k < 0:
+            raise ValueError("ue(v) must be >= 0")
+        x = k + 1
+        n = x.bit_length()
+        self.put_bits(0, n - 1)
+        return self.put_bits(x, n)
+
+    def se(self, k: int) -> "BitWriter":
+        """Signed Exp-Golomb: k>0 -> 2k-1, k<=0 -> -2k."""
+        return self.ue(2 * k - 1 if k > 0 else -2 * k)
+
+    def byte_align(self, bit: int = 0) -> "BitWriter":
+        while self._nbits % 8:
+            self.put_bits(bit, 1)
+        return self
+
+    def rbsp_trailing_bits(self) -> "BitWriter":
+        self.put_bits(1, 1)
+        return self.byte_align(0)
+
+    @property
+    def nbits(self) -> int:
+        return self._nbits
+
+    def tobytes(self) -> bytes:
+        pad = (-self._nbits) % 8
+        v = self._bits << pad
+        return v.to_bytes((self._nbits + pad) // 8, "big")
+
+
+def escape_nal(payload: bytes) -> bytes:
+    """Insert H.264/H.265 `emulation_prevention_three_byte`s.
+
+    Inverse of reader.unescape_nal: any 00 00 0x (x<=3) in the raw RBSP gets
+    a 03 inserted after the 00 00.
+    """
+    out = bytearray()
+    zeros = 0
+    for b in payload:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)

@@ -1,0 +1,35 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths
+(m2dec_tpu/parallel) compile and execute without TPU hardware. Must run
+before the first `import jax` anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import subprocess
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+REF_BUILD = REPO / "build" / "ref"
+
+
+@pytest.fixture(scope="session")
+def reference_bins():
+    """Build (if needed) and return paths of the reference oracle binaries."""
+    h264dec = REF_BUILD / "h264dec"
+    m2dec = REF_BUILD / "m2dec"
+    if not (h264dec.exists() and m2dec.exists()):
+        if not pathlib.Path("/root/reference").exists():
+            pytest.skip("reference tree not available")
+        subprocess.run(["bash", str(REPO / "tools" / "build_reference.sh")], check=True)
+    return {"h264dec": h264dec, "m2dec": m2dec}

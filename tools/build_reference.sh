@@ -1,0 +1,21 @@
+#!/bin/bash
+# Build the reference m2dec decoder binaries (the bit-exactness oracle and
+# the single-core fps baseline denominator; see BASELINE.md).
+# Reference tree (read-only) is expected at /root/reference.
+# Outputs: build/ref/h264dec, build/ref/m2dec
+set -e
+REF=${REF:-/root/reference}
+OUT=${OUT:-$(dirname "$0")/../build/ref}
+mkdir -p "$OUT"
+cd "$OUT"
+printf '#define HAVE_CONFIG_H 1\n' > config.h
+# System-getopt shim (the bundled my_getopt conflicts with glibc declarations).
+printf '#ifndef SHIM_GETOPT_H\n#define SHIM_GETOPT_H\n#include <unistd.h>\n#include_next <getopt.h>\n#endif\n' > getopt.h
+# App sources are copied next to the shim so that #include "getopt.h" resolves here.
+cp "$REF"/src/app/{h264dec.cpp,m2dec.cpp,md5.c,md5.h,m2decoder.h,frames.h,filewrite.h,display.h,display.cpp,optparser.h,module.h,module.cpp,unithread.h} .
+LIB="$REF/src/lib"
+CORE="$LIB/bitio.c $LIB/m2d.cpp $LIB/mpeg2.cpp $LIB/idct.cpp $LIB/motioncomp.cpp $LIB/mpeg_demux.cpp $LIB/txt2bin.c"
+g++ -O2 -w -DNDEBUG -DUNIT_TEST -I. -I"$LIB" -o h264dec h264dec.cpp md5.c \
+    $CORE "$LIB/h264.cpp" "$LIB/h265.cpp" "$LIB/h265_x86.cpp"
+g++ -O2 -w -DNDEBUG -DUNIT_TEST -I. -I"$LIB" -o m2dec m2dec.cpp display.cpp md5.c $CORE
+echo "built: $OUT/h264dec $OUT/m2dec"
