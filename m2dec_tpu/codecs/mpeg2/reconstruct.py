@@ -1,0 +1,132 @@
+"""MPEG-1/2 Phase-B reconstruction: batched IDCT + MC + assembly.
+
+Consumes a PicturePlan (codecs/mpeg2/entropy.py) and the two reference
+frames, reconstructs the full picture with dense batched integer kernels —
+the TPU-native replacement for the reference's per-macroblock interleaved
+reconstruction (reference: src/lib/mpeg2.cpp:1136-1396 block parse+idct+MC
+call sites; kernels in idct.cpp / motioncomp.cpp).
+
+Everything here is shape-static per sequence (N = mb_w*mb_h macroblocks),
+runs under `jax.jit`, and is bit-exact with the reference:
+* IDCT semantics from kernels/mpeg2_idct.py;
+* half-pel MC semantics from kernels/mpeg2_mc.py;
+* store rules: intra = clip(idct) (ClipStore, idct.cpp:364-370), inter =
+  clip(pred + idct) (AddStore, idct.cpp:375-382); non-coded inter blocks
+  have all-zero coefficients, whose IDCT is identically zero, so a single
+  fused formula covers coded and non-coded blocks;
+* field-DCT luma row interleave (LUMA_BLOCK_OFFSET, mpeg2.cpp:1120).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from m2dec_tpu.kernels.mpeg2_idct import idct8x8
+from m2dec_tpu.kernels import mpeg2_mc as mc
+
+
+def reconstruct_arrays(
+    intra, fwd, bwd, mvf, mvb, dct_type, coef,
+    ref0_y, ref0_cb, ref0_cr, ref1_y, ref1_cb, ref1_cr,
+    *, mb_w, mb_h, xp,
+):
+    """Pure-array reconstruction; runs under numpy or jax.numpy.
+
+    Frame planes are uint8 [H, W] (luma) / [H/2, W/2] (chroma), already
+    padded to macroblock multiples. Returns (y, cb, cr) uint8 planes.
+    """
+    n = mb_w * mb_h
+    i32 = xp.int32
+    idx = xp.arange(n, dtype=i32)
+    mbx = idx % mb_w
+    mby = idx // mb_w
+
+    def pad1(p):
+        return xp.pad(p.astype(i32), ((0, 1), (0, 1)), mode="edge")
+
+    r0y, r0cb, r0cr = pad1(ref0_y), pad1(ref0_cb), pad1(ref0_cr)
+    r1y, r1cb, r1cr = pad1(ref1_y), pad1(ref1_cb), pad1(ref1_cr)
+
+    fwd3 = fwd[:, None, None]
+    bwd3 = bwd[:, None, None]
+
+    def pred_plane(rf, rb, predfn):
+        pf = predfn(rf, mvf[:, 0], mvf[:, 1], mbx, mby, xp)
+        pb = predfn(rb, mvb[:, 0], mvb[:, 1], mbx, mby, xp)
+        both = mc.combine_bidir(pf, pb)
+        return xp.where(
+            fwd3 & bwd3, both, xp.where(bwd3, pb, pf)
+        )
+
+    pred_y = pred_plane(r0y, r1y, mc.luma_pred)
+    pred_cb = pred_plane(r0cb, r1cb, mc.chroma_pred)
+    pred_cr = pred_plane(r0cr, r1cr, mc.chroma_pred)
+
+    # --- residuals ---------------------------------------------------------
+    res = idct8x8(coef.reshape(n, 6, 8, 8), xp)  # [N, 6, 8, 8] int32
+
+    # luma assembly: frame DCT = 2x2 block grid; field DCT interleaves rows
+    # of the top (blocks 0,1) and bottom (blocks 2,3) half-MB pairs
+    # (LUMA_BLOCK_OFFSET semantics, mpeg2.cpp:1120, :1144-1146)
+    lb = res[:, :4]  # [N, 4, 8, 8]
+    frame_asm = (
+        lb.reshape(n, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
+    )
+    top = lb[:, 0:2].transpose(0, 2, 1, 3).reshape(n, 8, 16)
+    bot = lb[:, 2:4].transpose(0, 2, 1, 3).reshape(n, 8, 16)
+    field_asm = xp.stack([top, bot], axis=2).reshape(n, 16, 16)
+    res_y = xp.where((dct_type == 1)[:, None, None], field_asm, frame_asm)
+    res_cb = res[:, 4]
+    res_cr = res[:, 5]
+
+    # --- combine -----------------------------------------------------------
+    def clip(v):
+        return xp.clip(v, 0, 255)
+
+    intra3 = intra[:, None, None]
+    out_y = xp.where(intra3, clip(res_y), clip(pred_y + res_y))
+    out_cb = xp.where(intra3, clip(res_cb), clip(pred_cb + res_cb))
+    out_cr = xp.where(intra3, clip(res_cr), clip(pred_cr + res_cr))
+
+    # --- scatter MBs into planes ------------------------------------------
+    def assemble(mbs, blk):
+        return (
+            mbs.reshape(mb_h, mb_w, blk, blk)
+            .transpose(0, 2, 1, 3)
+            .reshape(mb_h * blk, mb_w * blk)
+            .astype(xp.uint8)
+        )
+
+    return assemble(out_y, 16), assemble(out_cb, 8), assemble(out_cr, 8)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted(mb_w, mb_h):
+    import jax
+    import jax.numpy as jnp
+
+    fn = functools.partial(reconstruct_arrays, mb_w=mb_w, mb_h=mb_h, xp=jnp)
+    return jax.jit(fn)
+
+
+def reconstruct_picture(plan, ref0, ref1, backend="jax"):
+    """Reconstruct one picture from its plan.
+
+    plan: PicturePlan. ref0/ref1: dicts with 'y', 'cb', 'cr' uint8 planes
+    (forward/backward references per the reference's diff_to_ref rotation,
+    mpeg2.cpp:159-194). Returns dict of planes.
+    """
+    args = (
+        plan.intra, plan.fwd, plan.bwd,
+        plan.mvf.astype(np.int32), plan.mvb.astype(np.int32),
+        plan.dct_type.astype(np.int32), plan.coef,
+        ref0["y"], ref0["cb"], ref0["cr"],
+        ref1["y"], ref1["cb"], ref1["cr"],
+    )
+    if backend == "numpy":
+        y, cb, cr = reconstruct_arrays(*args, mb_w=plan.mb_w, mb_h=plan.mb_h, xp=np)
+        return {"y": y, "cb": cb, "cr": cr}
+    y, cb, cr = _jitted(plan.mb_w, plan.mb_h)(*args)
+    return {"y": np.asarray(y), "cb": np.asarray(cb), "cr": np.asarray(cr)}

@@ -1,0 +1,119 @@
+"""MPEG-1/2 end-to-end bit-exactness: our decoder vs the reference binary.
+
+Randomized conformance streams (tests/streamgen/mpeg2_enc.py) are decoded by
+the compiled reference (`h264dec -m -o`, the oracle) and by m2dec_tpu; raw
+cropped NV12 output must match byte-for-byte (the reference test.sh
+methodology with generated streams instead of a conformance corpus).
+
+Streams carry one trailing dummy picture: the reference CLI longjmps through
+a dead frame at end-of-stream (mpeg2.cpp:666 setjmp armed per NAL, invalid
+at the final refill) and crashes after flushing all prior frames, so goldens
+are validated as a prefix covering every real frame.
+"""
+
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+
+from streamgen.mpeg2_enc import Mpeg2StreamGen  # noqa: E402
+
+from m2dec_tpu.codecs.mpeg2.decoder import Mpeg2Decoder  # noqa: E402
+from m2dec_tpu.runtime.output import cropped_nv12_bytes, frame_md5_line  # noqa: E402
+
+
+def oracle_decode(reference_bins, data: bytes, tmp_path, md5=False) -> bytes:
+    src = tmp_path / "in.m2v"
+    src.write_bytes(data)
+    subprocess.run(
+        [str(reference_bins["h264dec"]), "-m", "-O" if md5 else "-o", "in.m2v"],
+        cwd=tmp_path,
+        capture_output=True,
+    )
+    return (tmp_path / "in.out").read_bytes()
+
+
+def run_case(reference_bins, tmp_path, gen, pattern, backend="numpy"):
+    n_real = len(pattern)
+    data = gen.generate(pattern + "I")  # dummy tail flushes real frames
+    golden = oracle_decode(reference_bins, data, tmp_path)
+    dec = Mpeg2Decoder(backend=backend)
+    dec.set_data(data)
+    frames = dec.decode_all()
+    ours = b"".join(cropped_nv12_bytes(f) for f in frames)
+    frame_size = gen.w * gen.h * 3 // 2
+    assert len(golden) >= n_real * frame_size, (
+        f"oracle produced {len(golden) // frame_size} frames, wanted {n_real}"
+    )
+    assert ours[: len(golden)] == golden
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_intra_only(reference_bins, tmp_path, seed):
+    run_case(reference_bins, tmp_path, Mpeg2StreamGen(48, 32, seed=seed), "III")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_ipb(reference_bins, tmp_path, seed):
+    run_case(
+        reference_bins, tmp_path, Mpeg2StreamGen(48, 32, seed=seed), "IPBBPBBP"
+    )
+
+
+def test_cif_gop(reference_bins, tmp_path):
+    run_case(reference_bins, tmp_path, Mpeg2StreamGen(176, 144, seed=9), "IPBBP")
+
+
+def test_custom_qmat(reference_bins, tmp_path):
+    run_case(
+        reference_bins, tmp_path,
+        Mpeg2StreamGen(48, 32, seed=5, custom_qmat=True), "IPBP",
+    )
+
+
+def test_fcode3(reference_bins, tmp_path):
+    run_case(
+        reference_bins, tmp_path, Mpeg2StreamGen(80, 64, seed=6, f_code=3), "IPPBP"
+    )
+
+
+@pytest.mark.parametrize("flags", [
+    dict(intra_vlc_format=1, alternate_scan=1),
+    dict(q_scale_type=1, intra_dc_precision=2),
+])
+def test_coding_flag_combos(reference_bins, tmp_path, flags):
+    run_case(
+        reference_bins, tmp_path, Mpeg2StreamGen(64, 48, seed=7, **flags), "IPB"
+    )
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_mpeg1(reference_bins, tmp_path, seed):
+    run_case(
+        reference_bins, tmp_path,
+        Mpeg2StreamGen(48, 32, seed=seed, mpeg1=True), "IPBBP",
+    )
+
+
+def test_jax_backend(reference_bins, tmp_path):
+    """The jit Phase-B path must match the oracle exactly too."""
+    run_case(
+        reference_bins, tmp_path,
+        Mpeg2StreamGen(48, 32, seed=13), "IPBBP", backend="jax",
+    )
+
+
+def test_md5_writer_format(reference_bins, tmp_path):
+    """Our MD5 text output matches the reference FileWriterMd5 format."""
+    gen = Mpeg2StreamGen(48, 32, seed=2)
+    data = gen.generate("II" + "I")
+    golden = oracle_decode(reference_bins, data, tmp_path, md5=True)
+    dec = Mpeg2Decoder(backend="numpy")
+    dec.set_data(data)
+    frames = dec.decode_all()
+    ours = b"".join(frame_md5_line(f) for f in frames)
+    assert ours[: len(golden)] == golden and len(golden) >= 2 * 34
