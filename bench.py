@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Decode benchmark: frames/s vs the reference decoder's single-core fps.
+
+Headline metric (BASELINE.json): frames/s/chip on 1080p decode. Until the
+H.264 path lands, this benches the most complete codec (MPEG-2 1080p).
+The denominator is the compiled reference decoder's single-core fps on the
+same generated stream (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+informational extras.
+"""
+
+import hashlib
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO / "tests"))
+
+CACHE = REPO / "build" / "bench"
+
+W, H = 1920, 1080
+PATTERN = "I" + "PPB" * 4  # 13 pictures + dummy tail
+SEED = 42
+
+
+def get_stream():
+    CACHE.mkdir(parents=True, exist_ok=True)
+    key = hashlib.md5(f"{W}x{H}:{PATTERN}:{SEED}:v1".encode()).hexdigest()[:12]
+    path = CACHE / f"m2v_{key}.bin"
+    if not path.exists():
+        from streamgen.mpeg2_enc import Mpeg2StreamGen
+
+        gen = Mpeg2StreamGen(W, H, seed=SEED)
+        path.write_bytes(gen.generate(PATTERN + "I"))
+    return path
+
+
+def bench_reference(stream_path):
+    ref = REPO / "build" / "ref" / "h264dec"
+    if not ref.exists():
+        if not pathlib.Path("/root/reference").exists():
+            return None
+        subprocess.run(["bash", str(REPO / "tools" / "build_reference.sh")], check=True)
+    out = stream_path.with_suffix(".out")
+    t0 = time.perf_counter()
+    subprocess.run(
+        [str(ref), "-m", "-O", stream_path.name],
+        cwd=stream_path.parent,
+        capture_output=True,
+    )
+    dt = time.perf_counter() - t0
+    n = len(out.read_bytes()) // 34
+    return n / dt if n else None
+
+
+def bench_ours(stream_path):
+    from m2dec_tpu.codecs.mpeg2.decoder import Mpeg2Decoder
+    from m2dec_tpu.runtime.output import frame_md5_line
+
+    data = stream_path.read_bytes()
+    # warmup (includes XLA compile)
+    dec = Mpeg2Decoder(backend="jax")
+    dec.set_data(data)
+    dec.decode_data()
+    dec.decode_data()
+    t0 = time.perf_counter()
+    dec = Mpeg2Decoder(backend="jax")
+    dec.set_data(data)
+    frames = dec.decode_all()
+    for f in frames:
+        frame_md5_line(f)
+    dt = time.perf_counter() - t0
+    return len(frames) / dt, len(frames)
+
+
+def main():
+    stream = get_stream()
+    ref_fps = bench_reference(stream)
+    fps, n = bench_ours(stream)
+    result = {
+        "metric": "mpeg2_1080p_decode_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / ref_fps, 4) if ref_fps else None,
+        "reference_fps": round(ref_fps, 2) if ref_fps else None,
+        "frames": n,
+        "resolution": f"{W}x{H}",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

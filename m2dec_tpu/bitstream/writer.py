@@ -10,17 +10,26 @@ from __future__ import annotations
 
 
 class BitWriter:
-    """MSB-first bit writer."""
+    """MSB-first bit writer.
+
+    Accumulates into a small integer and flushes completed bytes into a
+    bytearray so writing N bits is O(N), not O(N^2).
+    """
 
     def __init__(self) -> None:
-        self._bits: int = 0
-        self._nbits: int = 0
+        self._out = bytearray()
+        self._acc: int = 0  # pending bits, MSB-first
+        self._acc_n: int = 0
 
     def put_bits(self, value: int, n: int) -> "BitWriter":
         if n < 0 or (n and value < 0) or (value >> n):
             raise ValueError(f"put_bits: value {value} does not fit in {n} bits")
-        self._bits = (self._bits << n) | value
-        self._nbits += n
+        self._acc = (self._acc << n) | value
+        self._acc_n += n
+        while self._acc_n >= 8:
+            self._acc_n -= 8
+            self._out.append((self._acc >> self._acc_n) & 0xFF)
+        self._acc &= (1 << self._acc_n) - 1
         return self
 
     def put_bitstring(self, s: str) -> "BitWriter":
@@ -46,7 +55,7 @@ class BitWriter:
         return self.ue(2 * k - 1 if k > 0 else -2 * k)
 
     def byte_align(self, bit: int = 0) -> "BitWriter":
-        while self._nbits % 8:
+        while self._acc_n % 8:
             self.put_bits(bit, 1)
         return self
 
@@ -56,12 +65,14 @@ class BitWriter:
 
     @property
     def nbits(self) -> int:
-        return self._nbits
+        return len(self._out) * 8 + self._acc_n
 
     def tobytes(self) -> bytes:
-        pad = (-self._nbits) % 8
-        v = self._bits << pad
-        return v.to_bytes((self._nbits + pad) // 8, "big")
+        if self._acc_n == 0:
+            return bytes(self._out)
+        pad = (-self._acc_n) % 8
+        tail = (self._acc << pad).to_bytes((self._acc_n + pad) // 8, "big")
+        return bytes(self._out) + tail
 
 
 def escape_nal(payload: bytes) -> bytes:

@@ -1,0 +1,92 @@
+"""Multi-chip decode sharding over a jax.sharding.Mesh.
+
+The scale-out model (SURVEY.md §2.4/§5.8): video decode parallelism lives at
+three levels —
+
+1. **GOP/frame data-parallelism** ("frame" mesh axis): independent pictures
+   (different streams, or B pictures sharing the same two references, or
+   GOPs split at IDR/closed-GOP boundaries) reconstruct on different chips.
+   Reference frames needed by a remote picture travel by collective
+   (all-gather of DPB pages over ICI).
+2. **Spatial tile parallelism** (future "tile" axis): slices/tile rows of
+   one picture across chips with halo exchange for MC windows.
+3. **Wavefront entropy parallelism**: Phase A engines per slice/row (host
+   now, native/Pallas later).
+
+This module implements level 1: a pjit'd batched reconstruction step where
+the picture batch is sharded across the mesh and reference planes are
+replicated (broadcast once per GOP, amortized across its B pictures).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from m2dec_tpu.codecs.mpeg2.reconstruct import reconstruct_arrays
+
+
+def make_mesh(n_devices=None, axis="frame"):
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def batched_reconstruct(mb_w, mb_h):
+    """Reconstruction over a batch of pictures: vmap of the single-picture
+    Phase-B kernel. All arrays gain a leading batch axis; reference planes
+    are per-picture (callers may broadcast shared refs)."""
+    single = functools.partial(reconstruct_arrays, mb_w=mb_w, mb_h=mb_h, xp=jnp)
+    return jax.vmap(single)
+
+
+def sharded_decode_step(mesh, mb_w, mb_h, axis="frame"):
+    """pjit'd multi-chip batched reconstruction: batch axis sharded over the
+    mesh, outputs sharded the same way. The jitted function is the
+    multi-chip "decode step" used by __graft_entry__.dryrun_multichip."""
+    fn = batched_reconstruct(mb_w, mb_h)
+    shard = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        fn,
+        in_shardings=(shard,) * 7 + (shard,) * 6,
+        out_shardings=(shard, shard, shard),
+    )
+
+
+def example_batch(n, mb_w, mb_h, seed=0):
+    """Synthetic plan batch + refs for compile checks and benchmarks."""
+    rng = np.random.default_rng(seed)
+    nmb = mb_w * mb_h
+    h, w = mb_h * 16, mb_w * 16
+    plans = dict(
+        intra=rng.random((n, nmb)) < 0.2,
+        fwd=np.ones((n, nmb), bool),
+        bwd=rng.random((n, nmb)) < 0.5,
+        mvf=rng.integers(-8, 8, (n, nmb, 2)).astype(np.int32),
+        mvb=rng.integers(-8, 8, (n, nmb, 2)).astype(np.int32),
+        dct_type=np.zeros((n, nmb), np.int32),
+        coef=(rng.integers(-64, 64, (n, nmb, 6, 64)) *
+              (rng.random((n, nmb, 6, 64)) < 0.1)).astype(np.int16),
+    )
+    # keep MV interpolation windows inside the frame: zero MVs on border MBs
+    mbx = np.arange(nmb) % mb_w
+    mby = np.arange(nmb) // mb_w
+    interior = (mbx >= 1) & (mbx < mb_w - 1) & (mby >= 1) & (mby < mb_h - 1)
+    plans["mvf"] *= interior[None, :, None]
+    plans["mvb"] *= interior[None, :, None]
+    refs = [
+        rng.integers(0, 256, (n, h, w)).astype(np.uint8),
+        rng.integers(0, 256, (n, h // 2, w // 2)).astype(np.uint8),
+        rng.integers(0, 256, (n, h // 2, w // 2)).astype(np.uint8),
+    ] * 2
+    args = (
+        plans["intra"], plans["fwd"], plans["bwd"],
+        plans["mvf"], plans["mvb"], plans["dct_type"], plans["coef"],
+        *refs,
+    )
+    return args

@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# This image's sitecustomize force-registers the axon TPU platform and wins
+# over the env var; override through the config API before any backend use.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 import subprocess
 

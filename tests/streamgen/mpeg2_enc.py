@@ -495,6 +495,10 @@ class Mpeg2StreamGen:
         return coef
 
     def _idct_ok(self, coef, rng_bounds):
+        # linearity bound: |idct out| <= 0.5 * sum|coef| + rounding slack,
+        # so small blocks are provably in-domain without running the IDCT
+        if np.abs(coef).sum() + 8 <= 2 * min(-rng_bounds[0], rng_bounds[1]):
+            return True
         out = idct8x8(np.asarray(coef, np.int16).reshape(1, 8, 8), np)[0]
         return rng_bounds[0] <= out.min() and out.max() <= rng_bounds[1]
 
