@@ -1,0 +1,1058 @@
+"""H.264 decoder driver and macroblock layer (CAVLC path).
+
+Behavioral mirror of the reference's decode flow (reference:
+src/lib/h264.cpp): NAL dispatch (:871-900), slice header (:1417-1581),
+slice_data loop (:10210-10251), macroblock layer dispatch (:9589-9734),
+in-place per-MB reconstruction, whole-frame deblocking post-pass
+(:10540-10663), reference marking + POC-ordered DPB output (:10665-11050).
+
+Neighbor-context caches replicate the reference's packed per-column state
+(left/top prediction modes, nC counts, prev-MB info, deblock strength
+records) as plain Python/numpy structures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from m2dec_tpu.bitstream import BitReader
+from m2dec_tpu.bitstream.reader import find_start_codes, unescape_nal
+from . import cavlc, dpb as dpb_mod, headers, pred, tables as T, transforms as X
+from .dpb import (
+    LONG_TERM,
+    NOT_IN_USE,
+    SHORT_TERM,
+    Dpb,
+    RefFrame,
+    marking_mmco,
+    marking_sliding_window,
+    ref_pic_init_b,
+    ref_pic_init_p,
+    ref_pic_list_reordering,
+)
+from .headers import (
+    B_SLICE,
+    I_SLICE,
+    P_SLICE,
+    PPS_NAL,
+    SEI_NAL,
+    SLICE_IDR_NAL,
+    SLICE_NONIDR_NAL,
+    SPS_NAL,
+    parse_pps,
+    parse_sps,
+)
+
+MB_INxN, MB_I16x16, MB_IPCM = 0, 1, 25
+MB_P16x16, MB_P16x8, MB_P8x16, MB_P8x8, MB_P8x8REF0 = 26, 27, 28, 29, 30
+MB_PSKIP = MB_BDIRECT16x16 = 31
+
+
+@dataclasses.dataclass
+class PrevMb:
+    """Neighbor cache entry (reference prev_mb_t, h264.h:330-342)."""
+
+    type: int = 0
+    cbp: int = 0
+    cbf: int = 0
+    chroma_pred_mode: int = 0
+    transform8x8: int = 0
+    mb_skip: int = 0
+    direct8x8: int = 0
+    ref: np.ndarray = None
+    frmidx: np.ndarray = None
+    mov: np.ndarray = None  # [4][2][2] int32
+    mvd: np.ndarray = None
+
+    def __post_init__(self):
+        self.ref = np.zeros((2, 2), np.int32)
+        self.frmidx = np.zeros((2, 2), np.int32)
+        self.mov = np.zeros((4, 2, 2), np.int32)
+        self.mvd = np.zeros((4, 2, 2), np.int32)
+
+
+@dataclasses.dataclass
+class DeblockInfo:
+    """deblock_info_t (h264.h:344-348)."""
+
+    idc: int = 0
+    qpy: int = 0
+    qpc: tuple = (0, 0)
+    slicehdr: tuple = (0, 0)  # (alpha_offset, beta_offset), pre-decoded
+    str4_vert: int = 0
+    str4_horiz: int = 0
+    str_vert: int = 0
+    str_horiz: int = 0
+
+
+class Frame:
+    def __init__(self, w, h):
+        self.y = np.zeros((h, w), np.uint8)
+        self.cb = np.zeros((h // 2, w // 2), np.uint8)
+        self.cr = np.zeros((h // 2, w // 2), np.uint8)
+        self.cnt = 0
+
+
+@dataclasses.dataclass
+class SliceHeader:
+    slice_type: int = 0
+    pps_id: int = 0
+    frame_num: int = 0
+    prev_frame_num: int = 0
+    first_mb_in_slice: int = 0
+    idr: int = 0
+    idr_pic_id: int = 0
+    poc: int = 0
+    poc_lsb: int = 0
+    poc_msb: int = 0
+    poc1_num_offset: int = 0
+    poc2_prev_frameoffset: int = 0
+    num_ref_idx_active: tuple = (0, 0)
+    qp_delta: int = 0
+    disable_deblocking_filter_idc: int = 0
+    alpha_c0_offset: int = 0
+    beta_offset: int = 0
+    mmco5: int = 0
+    long_term_reference_flag: int = 0
+    adaptive_marking: int = 0
+    mmcos: tuple = ()
+    direct_spatial_mv_pred_flag: int = 0
+
+
+class H264Decoder:
+    """H.264 Annex-B elementary stream decoder (CAVLC I slices onward)."""
+
+    def __init__(self, num_frames=None, dpb_max=-1):
+        self.sps_store: dict = {}
+        self.pps_store: dict = {}
+        self.hdr = SliceHeader()
+        self.dpb = Dpb(dpb_max)
+        self.num_frames_cfg = num_frames
+        self.frames: list[Frame] = []
+        self.lru: list[int] = []
+        self.refs = [[RefFrame() for _ in range(16)] for _ in range(2)]
+        self.cur_idx = -1
+        self.data = b""
+        self.nal_units: list = []
+        self.nal_i = 0
+        self.inited = False
+        self.nal_id = 0
+
+    # ------------------------------------------------------------ input --
+    def set_data(self, data: bytes):
+        self.data = bytes(data)
+        offs = find_start_codes(self.data)
+        self.nal_units = []
+        for k, off in enumerate(offs):
+            start = int(off) + 3
+            end = int(offs[k + 1]) if k + 1 < len(offs) else len(self.data)
+            # trim trailing zero_bytes before the next start code
+            while end > start and self.data[end - 1] == 0:
+                end -= 1
+            if end > start:
+                self.nal_units.append((self.data[start] & 31, self.data[start], start, end))
+        self.nal_i = 0
+
+    # ------------------------------------------------------- allocation --
+    def _alloc(self, sps):
+        n = self.num_frames_cfg or (sps.num_ref_frames + 1 + 2)
+        n = min(n + 16, 64) if self.num_frames_cfg is None else n
+        self.frames = [Frame(sps.pic_width, sps.pic_height) for _ in range(n)]
+        self.lru = [0] * n
+        self.max_x = sps.pic_width >> 4
+        self.max_y = sps.pic_height >> 4
+        nmb = self.max_x * self.max_y
+        self.deblock = [DeblockInfo() for _ in range(nmb)]
+        # colocated motion pages: [frame slot] -> dict arrays
+        self.col_pages = [self._new_col_page(nmb) for _ in range(n)]
+        self.curr_col = self._new_col_page(nmb)
+        self.col_of_frame = list(range(n))
+        self.inited = True
+
+    @staticmethod
+    def _new_col_page(nmb):
+        return {
+            "type": np.zeros(nmb, np.int32),
+            "ref": np.zeros((nmb, 4), np.int32),
+            "mv": np.zeros((nmb, 16, 2), np.int32),
+            "map_col_frameidx": np.zeros(16, np.int32),
+        }
+
+    # ---------------------------------------------------------- decode --
+    def decode_picture(self):
+        """h264d_decode_picture (h264.cpp:663-693): decode NALs until one
+        picture completes. Returns 1 on completion, -1 at end of stream."""
+        self.hdr.first_mb_in_slice = 1 << 30
+        while self.nal_i < len(self.nal_units):
+            nal_type, nal_byte, start, end = self.nal_units[self.nal_i]
+            self.nal_i += 1
+            payload = unescape_nal(self.data[start + 1 : end])
+            r = BitReader(payload)
+            if nal_type in (SLICE_NONIDR_NAL, SLICE_IDR_NAL):
+                self.nal_id = nal_byte
+                done = self._read_slice(r)
+                if done:
+                    return 1
+            elif nal_type == SPS_NAL:
+                sid = parse_sps(r, self.sps_store)
+                if not self.inited:
+                    self._alloc(self.sps_store[sid])
+            elif nal_type == PPS_NAL:
+                parse_pps(r, self.pps_store)
+            # SEI / AUD / others skipped
+        return -1
+
+    # -------------------------------------------------------- POC calc --
+    def _calc_poc(self, r, sps, pps):
+        hdr = self.hdr
+        if sps.poc_type == 0:
+            lsb = r.get_bits(sps.log2_max_poc_lsb)
+            if pps.pic_order_present_flag:
+                r.se()  # delta_pic_order_cnt_bottom (frame coding only)
+            if hdr.first_mb_in_slice != 0:
+                return
+            if hdr.idr or hdr.mmco5:
+                prev_msb = prev_lsb = 0
+            else:
+                prev_lsb, prev_msb = hdr.poc_lsb, hdr.poc_msb
+            hdr.poc_lsb = lsb
+            half = (1 << sps.log2_max_poc_lsb) >> 1
+            if lsb < prev_lsb and half <= prev_lsb - lsb:
+                msb = prev_msb + half * 2
+            elif prev_lsb < lsb and half < lsb - prev_lsb:
+                msb = prev_msb - half * 2
+            else:
+                msb = prev_msb
+            hdr.poc_msb = msb
+            hdr.poc = msb + lsb
+        elif sps.poc_type == 1:
+            d0 = d1 = 0
+            if not sps.delta_pic_order_always_zero_flag:
+                d0 = r.se()
+                if pps.pic_order_present_flag:
+                    d1 = r.se()
+            if hdr.first_mb_in_slice != 0:
+                return
+            frame_num = hdr.frame_num
+            if not hdr.idr and not hdr.mmco5:
+                if frame_num < hdr.prev_frame_num:
+                    hdr.poc1_num_offset += 1 << sps.log2_max_frame_num
+            else:
+                hdr.poc1_num_offset = 0
+            ncyc = sps.num_ref_frames_in_pic_order_cnt_cycle
+            if ncyc:
+                fn = frame_num + hdr.poc1_num_offset
+                if fn != 0:
+                    cycle_sum = sps.offset_for_ref_frame[ncyc - 1]
+                    fn -= 1
+                    if fn != 0 and not (self.nal_id & 0x60):
+                        fn -= 1
+                    cycle_cnt = 0
+                    while cycle_sum <= fn:
+                        fn -= cycle_sum
+                        cycle_cnt += 1
+                    poc = cycle_cnt * cycle_sum + sps.offset_for_ref_frame[fn & 255]
+                else:
+                    poc = sps.offset_for_ref_frame[0]
+                if (self.nal_id & 0x60) == 0:
+                    poc += sps.offset_for_non_ref_pic
+            else:
+                poc = 0
+            hdr.poc = poc + d0
+        else:
+            if hdr.first_mb_in_slice != 0:
+                return
+            frame_num = hdr.frame_num
+            if hdr.idr or hdr.mmco5:
+                hdr.poc2_prev_frameoffset = 0
+            elif frame_num < hdr.prev_frame_num:
+                hdr.poc2_prev_frameoffset += 1 << sps.log2_max_frame_num
+            hdr.poc = (frame_num + hdr.poc2_prev_frameoffset) * 2 - (
+                (self.nal_id & 0x60) == 0
+            )
+
+    # ---------------------------------------------------- frame choice --
+    def _find_empty_frame(self):
+        """find_empty_frame (h264.cpp:924-962)."""
+        for i in range(len(self.frames)):
+            if self.dpb.exists(i):
+                self.lru[i] = 0
+            else:
+                self.lru[i] += 1
+        for lx in range(2):
+            for rf in self.refs[lx]:
+                if rf.in_use:
+                    self.lru[rf.frame_idx] = 0
+        max_idx = int(np.argmax(self.lru))
+        self.lru[max_idx] = 0
+        self.cur_idx = max_idx
+
+    # -------------------------------------------------------- slice hdr --
+    def _read_slice(self, r):
+        hdr = self.hdr
+        prev_first_mb = hdr.first_mb_in_slice
+        first_mb = r.ue()
+        hdr.first_mb_in_slice = first_mb
+        new_picture = first_mb <= prev_first_mb
+        if new_picture and prev_first_mb != 1 << 30:
+            return False  # invalid ordering (reference returns -2)
+        slice_type = r.ue()
+        slice_type = slice_type - 5 if slice_type > 4 else slice_type
+        hdr.slice_type = slice_type
+        if slice_type > 2:
+            raise NotImplementedError("SP/SI slices")
+        hdr.pps_id = r.ue()
+        pps = self.pps_store[hdr.pps_id]
+        sps = self.sps_store[pps.seq_parameter_set_id]
+        if pps.entropy_coding_mode_flag:
+            raise NotImplementedError("CABAC (coming)")
+        if new_picture:
+            self._find_empty_frame()
+            for d in self.deblock:
+                d.idc = 0
+                d.str_vert = d.str_horiz = 0
+                d.str4_vert = d.str4_horiz = 0
+        hdr.frame_num = r.get_bits(sps.log2_max_frame_num)
+        if not sps.frame_mbs_only_flag:
+            if r.get_onebit():
+                raise NotImplementedError("field pictures")
+        if (self.nal_id & 31) == SLICE_IDR_NAL:
+            hdr.idr = 1
+            hdr.idr_pic_id = r.ue()
+        else:
+            hdr.idr = 0
+        self.dpb.set_max(sps)
+        self.sps, self.pps = sps, pps
+        self._set_mb_pos(first_mb)
+        self._calc_poc(r, sps, pps)
+        self.frames[self.cur_idx].cnt = hdr.poc
+        if pps.redundant_pic_cnt_present_flag:
+            r.ue()
+        max_frame_num = 1 << sps.log2_max_frame_num
+        if slice_type == B_SLICE:
+            hdr.direct_spatial_mv_pred_flag = r.get_onebit()
+        if slice_type in (P_SLICE, B_SLICE):
+            if r.get_onebit():  # num_ref_idx_active_override
+                n0 = r.ue()
+                n1 = r.ue() if slice_type == B_SLICE else pps.num_ref_idx_l1_active_minus1
+            else:
+                n0 = pps.num_ref_idx_l0_active_minus1
+                n1 = pps.num_ref_idx_l1_active_minus1
+            hdr.num_ref_idx_active = (n0, n1)
+            if slice_type == P_SLICE:
+                ref_pic_init_p(self.refs[0], hdr.frame_num, max_frame_num,
+                               sps.num_ref_frames)
+            else:
+                ref_pic_init_b(self.refs[0], self.refs[1], hdr.poc,
+                               sps.num_ref_frames)
+            ref_pic_list_reordering(r, self.refs[0], sps.num_ref_frames,
+                                    hdr.frame_num, max_frame_num)
+            if slice_type == B_SLICE:
+                ref_pic_list_reordering(r, self.refs[1], sps.num_ref_frames,
+                                        hdr.frame_num, max_frame_num)
+                if pps.weighted_bipred_idc:
+                    raise NotImplementedError("weighted bipred")
+            elif pps.weighted_pred_flag:
+                raise NotImplementedError("weighted pred")
+        if self.nal_id & 0x60:
+            self._dec_ref_pic_marking(r)
+        else:
+            hdr.mmco5 = 0
+        hdr.qp_delta = r.se()
+        self._set_qp(pps.pic_init_qp + hdr.qp_delta)
+        firstmb_deb = self.deblock[first_mb]
+        if pps.deblocking_filter_control_present_flag:
+            idc = r.ue()
+            hdr.disable_deblocking_filter_idc = idc
+            if idc != 1:
+                hdr.alpha_c0_offset = r.se() * 2
+                hdr.beta_offset = r.se() * 2
+            else:
+                hdr.alpha_c0_offset = hdr.beta_offset = 0
+            firstmb_deb.slicehdr = (hdr.alpha_c0_offset, hdr.beta_offset)
+        else:
+            hdr.disable_deblocking_filter_idc = 0
+            hdr.alpha_c0_offset = hdr.beta_offset = 0
+            firstmb_deb.slicehdr = (0, 0)
+        firstmb_deb.idc = hdr.disable_deblocking_filter_idc + 1
+        return self._slice_data(r)
+
+    def _dec_ref_pic_marking(self, r):
+        """dec_ref_pic_marking (h264.cpp:1697-1737)."""
+        hdr = self.hdr
+        t = r.get_onebit()
+        op5 = 0
+        mmcos = []
+        if (self.nal_id & 31) == SLICE_IDR_NAL:
+            hdr.long_term_reference_flag = r.get_onebit()
+        else:
+            hdr.adaptive_marking = t
+            if t:
+                for _ in range(16):
+                    op = r.ue()
+                    if op == 0:
+                        break
+                    if op == 5:
+                        op5 = 1
+                        mmcos.append((5, 0, 0))
+                    else:
+                        a1 = r.ue()
+                        a2 = r.ue() if op == 3 else 0
+                        mmcos.append((op, a1, a2))
+        hdr.mmcos = tuple(mmcos)
+        hdr.mmco5 = op5
+
+    # ------------------------------------------------------- QP / qmats --
+    def _set_qp(self, qpy):
+        """set_qp (h264.cpp:1092-1119)."""
+        if qpy < 0:
+            qpy += 52
+        elif qpy >= 52:
+            qpy -= 52
+        self.qp = qpy
+        self.qmaty = X.qmat4(qpy)
+        if self.pps.transform_8x8_mode_flag:
+            self.qmaty8 = X.qmat8(qpy)
+        self.qp_chroma = [0, 0]
+        self.qmatc = [None, None]
+        for i in range(2):
+            qpc = X.qpc_from_qpy(qpy, self.pps.chroma_qp_index[i])
+            self.qp_chroma[i] = qpc
+            self.qmatc[i] = self.qmaty if qpc == qpy else X.qmat4(qpc)
+
+    # ------------------------------------------------- MB position ctx ---
+    def _set_mb_pos(self, mbpos):
+        """set_mb_pos (h264.cpp:556-579)."""
+        self.mb_y, self.mb_x = divmod(mbpos, self.max_x)
+        self.firstline = self.max_x
+        self.prev_qp_delta = 0
+        self.mb_pos = mbpos
+        # neighbor caches
+        self.top_pred = [[2] * 4 for _ in range(self.max_x)]  # 0x22222222
+        self.left_pred = [0] * 4
+        self.top_pred[self.mb_x] = [0] * 4
+        self.top_coef = getattr(self, "top_coef", None)
+        if self.top_coef is None or len(self.top_coef) != self.max_x:
+            self.top_coef = [[0] * 8 for _ in range(self.max_x)]
+        self.left_coef = [0] * 8  # [luma0..3, cb0, cb1, cr0, cr1]
+        self.mbtop = getattr(self, "mbtop", None)
+        if self.mbtop is None or len(self.mbtop) != self.max_x + 2:
+            self.mbtop = [PrevMb() for _ in range(self.max_x + 2)]
+        self.mbleft = PrevMb()
+        self.lefttop_ref = [0, 0]
+        self.lefttop_mv = np.zeros((2, 2), np.int32)
+        self.cbf = 0
+        self.cbp = 0
+        self.mb_type = 0
+        self.chroma_pred_mode = 0
+
+    def _avail(self):
+        """get_availability (h264.cpp:9704-9715)."""
+        mbx, fl = self.mb_x, self.firstline
+        return (
+            ((mbx != 0 and fl < 0) << 3)
+            | ((mbx != self.max_x - 1 and fl <= 1) << 2)
+            | ((fl <= 0) << 1)
+            | (mbx != 0 and fl != self.max_x)
+        )
+
+    def _top(self):
+        return self.mbtop[1 + self.mb_x]
+
+    def _topright(self):
+        return self.mbtop[2 + self.mb_x]
+
+    def _increment_mb_pos(self):
+        """increment_mb_pos (h264.cpp:591-635)."""
+        t, l = self._top(), self.mbleft
+        for n in (t, l):
+            n.type = self.mb_type
+            n.cbp = self.cbp
+            n.chroma_pred_mode = self.chroma_pred_mode
+        t.cbf = _cbf_top(self.cbf)
+        l.cbf = _cbf_left(self.cbf)
+        self.cbf = 0
+        self.mb_pos += 1
+        x = self.mb_x + 1
+        if x >= self.max_x:
+            x = 0
+            self.mb_y += 1
+            if self.mb_y >= self.max_y:
+                self.mb_x = x
+                return -1
+        self.mb_x = x
+        self.deblock[self.mb_pos].idc = 0
+        if self.firstline >= 0:
+            self.firstline -= 1
+        return 0
+
+    # -------------------------------------------------------- slice data --
+    def _slice_data(self, r):
+        """slice_data (h264.cpp:10210-10251), CAVLC path."""
+        hdr = self.hdr
+        while True:
+            if hdr.slice_type != I_SLICE:
+                skip_num = r.ue()
+                if skip_num:
+                    if self._skip_mbs(skip_num) < 0:
+                        break
+                if not r.more_rbsp_data():
+                    break
+            self._macroblock_layer(r)
+            self.mbleft.mb_skip = 0
+            self._top().mb_skip = 0
+            if self._increment_mb_pos() < 0:
+                break
+            if not r.more_rbsp_data():
+                break
+        return self._post_process()
+
+    # --------------------------------------------------------- mb layer --
+    def _macroblock_layer(self, r):
+        mbtype = r.ue()
+        st = self.hdr.slice_type
+        # adjust_mb_type (h264.cpp:9685-9702)
+        if st == P_SLICE:
+            mbtype -= 5
+            if mbtype < 0:
+                mbtype += MB_BDIRECT16x16
+        elif st == B_SLICE:
+            mbtype -= 23
+            if mbtype < 0:
+                mbtype += 23 + MB_BDIRECT16x16
+        self.mb_type = mbtype
+        avail = self._avail()
+        self._mb_dispatch(r, mbtype, avail)
+
+    def _mb_dispatch(self, r, mbtype, avail):
+        if mbtype == MB_INxN:
+            self._mb_intra4x4(r, avail)
+        elif mbtype < MB_IPCM:
+            self._mb_intra16x16(r, mbtype, avail)
+        elif mbtype == MB_IPCM:
+            self._mb_intrapcm(r)
+        else:
+            raise NotImplementedError(f"mb type {mbtype}")
+
+    # ------------------------------------------------------------- IPCM --
+    def _mb_intrapcm(self, r):
+        """mb_intrapcm (h264.cpp:4736-4761)."""
+        f = self.frames[self.cur_idx]
+        x0, y0 = self.mb_x * 16, self.mb_y * 16
+        r.byte_align()
+        luma = np.array(
+            [[r.get_bits(8) for _ in range(16)] for _ in range(16)], np.uint8
+        )
+        f.y[y0 : y0 + 16, x0 : x0 + 16] = luma
+        cx, cy = x0 // 2, y0 // 2
+        # bitstream order: all Cb samples then all Cr samples
+        # (reference reads the NV12 plane in two strided passes,
+        # h264.cpp:4743-4744 — same stream order)
+        for pl in (f.cb, f.cr):
+            blk = np.array(
+                [[r.get_bits(8) for _ in range(8)] for _ in range(8)], np.uint8
+            )
+            pl[cy : cy + 8, cx : cx + 8] = blk
+        self.left_coef[:] = [15] * 4 + [15] * 4
+        self.top_coef[self.mb_x][:] = [15] * 4 + [15] * 4
+        self.left_pred[:] = [2] * 4
+        self.top_pred[self.mb_x][:] = [2] * 4
+        deb = self.deblock[self.mb_pos]
+        deb.qpy = 0
+        deb.qpc = (self.qp_chroma[0] - self.qp, self.qp_chroma[1] - self.qp)
+        deb.str4_vert = deb.str4_horiz = 1
+        deb.str_vert = deb.str_horiz = 0xFF00FF
+        self.prev_qp_delta = 0
+        self.cbp = 0x3F
+        self.cbf = 0x7FFFFFF
+        self._intra_save_info()
+
+    def _intra_save_info(self, transform8x8=0):
+        """mb_intra_save_info (h264.cpp:3076-3096)."""
+        t, l = self._top(), self.mbleft
+        self.lefttop_ref[0] = int(t.ref[1][0])
+        self.lefttop_ref[1] = int(t.ref[1][1])
+        self.lefttop_mv[0] = t.mov[3][0]
+        self.lefttop_mv[1] = t.mov[3][1]
+        for n in (t, l):
+            n.transform8x8 = transform8x8
+            n.direct8x8 = 0
+            n.mov[:] = 0
+            n.mvd[:] = 0
+            n.ref[:] = -1
+            n.frmidx[:] = -1
+        cc = self.curr_col
+        cc["type"][self.mb_pos] = 0  # COL_MB16x16
+        cc["ref"][self.mb_pos] = -1
+
+    # ----------------------------------------------------- intra common --
+    def _avail_intra(self, avail):
+        if self.pps.constrained_intra_pred_flag:
+            clear = 0
+            if MB_IPCM < self._topright().type:
+                clear |= 4
+            if MB_IPCM < self._top().type:
+                clear |= 2
+            if MB_IPCM < self.mbleft.type:
+                clear |= 1
+            avail &= ~clear
+        return avail
+
+    def _store_strength_intra(self, str_all):
+        deb = self.deblock[self.mb_pos]
+        deb.qpy = self.qp
+        deb.qpc = (self.qp_chroma[0], self.qp_chroma[1])
+        deb.str4_vert = deb.str4_horiz = 1
+        deb.str_vert = deb.str_horiz = str_all
+
+    def _read_qp_delta(self, r):
+        delta = r.se()
+        return max(-26, min(25, delta))
+
+    def _intra_chroma_pred(self, r, avail_intra):
+        mode = r.ue()
+        mode = mode if mode <= 3 else 0
+        self.chroma_pred_mode = mode
+        f = self.frames[self.cur_idx]
+        cx, cy = self.mb_x * 8, self.mb_y * 8
+        pred.INTRA_CHROMA_PRED[mode](f.cb, cy, cx, avail_intra)
+        pred.INTRA_CHROMA_PRED[mode](f.cr, cy, cx, avail_intra)
+
+    # -------------------------------------------------- residual chroma --
+    def _residual_chroma(self, r, cbp, avail):
+        """residual_chroma (h264.cpp:2373-2461)."""
+        f = self.frames[self.cur_idx]
+        cx, cy = self.mb_x * 8, self.mb_y * 8
+        cbp_c = cbp >> 4
+        if not cbp_c:
+            self.left_coef[4:] = [0, 0, 0, 0]
+            self.top_coef[self.mb_x][4:] = [0, 0, 0, 0]
+            return
+        coeff = np.zeros(64, np.int64)
+        dc = [None, None]
+        for i in range(2):
+            if cavlc.residual_block(r, 0, 0, coeff, self.qmatc[i], 3):
+                dc[i] = X.chroma_dc_transform(coeff)
+            else:
+                dc[i] = [0, 0, 0, 0]
+        planes = (f.cb, f.cr)
+        if cbp_c & 2:
+            left = list(self.left_coef[4:])
+            top = list(self.top_coef[self.mb_x][4:])
+            new_left = [0, 0, 0, 0]
+            new_top = [0, 0, 0, 0]
+            pos = [(0, 0), (0, 4), (4, 0), (4, 4)]
+            for i in range(2):
+                # per-component neighbor wiring (h264.cpp:2398-2444):
+                # c0=(c0left,c0top) c1=(c0,c1top) c2=(c2left,c0) c3=(c2,c1)
+                pl = planes[i]
+                c0l = left[i * 2] if avail & 1 else -1
+                c2l = left[i * 2 + 1] if avail & 1 else -1
+                c0t = top[i * 2] if avail & 2 else -1
+                c1t = top[i * 2 + 1] if avail & 2 else -1
+                nc = [0] * 4
+                wiring = [(c0l, c0t), (None, c1t), (c2l, None), (None, None)]
+                for b in range(4):
+                    na = wiring[b][0]
+                    nb_ = wiring[b][1]
+                    if b == 1:
+                        na = nc[0]
+                    elif b == 2:
+                        nb_ = nc[0]
+                    elif b == 3:
+                        na, nb_ = nc[2], nc[1]
+                    cnum = cavlc.residual_block(r, na, nb_, coeff, self.qmatc[i], 4)
+                    nc[b] = cnum
+                    by, bx = pos[b]
+                    if cnum:
+                        coeff[0] = dc[i][b]
+                        X.idct4x4_add(pl, cy + by, cx + bx, coeff[:16])
+                    else:
+                        X.idct4x4_dconly_add(pl, cy + by, cx + bx, dc[i][b])
+                new_left[i * 2] = nc[1]
+                new_left[i * 2 + 1] = nc[3]
+                new_top[i * 2] = nc[2]
+                new_top[i * 2 + 1] = nc[3]
+            self.left_coef[4:] = new_left
+            self.top_coef[self.mb_x][4:] = new_top
+        else:
+            for i in range(2):
+                pl = planes[i]
+                for b, (by, bx) in enumerate([(0, 0), (0, 4), (4, 0), (4, 4)]):
+                    X.idct4x4_dconly_add(pl, cy + by, cx + bx, dc[i][b])
+            self.left_coef[4:] = [0, 0, 0, 0]
+            self.top_coef[self.mb_x][4:] = [0, 0, 0, 0]
+
+    # --------------------------------------------------- intra 16x16 -----
+    def _mb_intra16x16(self, r, mbtype, avail):
+        """mb_intra16x16_* (h264.cpp:4406-4557)."""
+        k = mbtype - 1
+        pred_mode = k & 3
+        cbp = (0, 0x10, 0x20)[(k >> 2) % 3] | (0x0F if k >= 12 else 0)
+        f = self.frames[self.cur_idx]
+        x0, y0 = self.mb_x * 16, self.mb_y * 16
+        avail_intra = self._avail_intra(avail)
+        pred.INTRA16_PRED[pred_mode](f.y, y0, x0, avail_intra)
+        self._intra_chroma_pred(r, avail_intra)
+        qp_delta = self._read_qp_delta(r)
+        if qp_delta:
+            self._set_qp(self.qp + qp_delta)
+        na = self.left_coef[0] if avail & 1 else -1
+        nb = self.top_coef[self.mb_x][0] if avail & 2 else -1
+        coeff = np.zeros(64, np.int64)
+        dc = np.zeros(16, np.int64)
+        if cavlc.residual_block(r, na, nb, coeff, self.qmaty, 0):
+            dc = X.luma_dc_transform(coeff[:16])
+
+        # spatial (by, bx) of coding-order block i (Z-order)
+        def blkpos(i):
+            by = ((i >> 1) & 1) * 4 + ((i >> 3) & 1) * 8
+            bx = (i & 1) * 4 + ((i >> 2) & 1) * 8
+            return by, bx
+
+        if cbp & 0x0F:
+            nc = [0] * 16
+            # neighbor nC wiring mirrors mb_intra16x16_acdc (h264.cpp:4500-4542)
+            lc, tc = self.left_coef, self.top_coef[self.mb_x]
+            wiring = _LUMA_NC_WIRING
+            new_left, new_top = [0] * 4, [0] * 4
+            for i in range(16):
+                na_s, nb_s = wiring[i]
+                na = _nc_resolve(na_s, nc, lc, avail, True)
+                nb = _nc_resolve(nb_s, nc, tc, avail, False)
+                cnum = cavlc.residual_block(r, na, nb, coeff, self.qmaty, 1)
+                nc[i] = cnum
+                by, bx = blkpos(i)
+                dci = (by >> 2) * 4 + (bx >> 2)
+                if cnum:
+                    coeff[0] = dc[dci]
+                    X.idct4x4_add(f.y, y0 + by, x0 + bx, coeff[:16])
+                else:
+                    X.idct4x4_dconly_add(f.y, y0 + by, x0 + bx, dc[dci])
+            new_left = [nc[5], nc[7], nc[13], nc[15]]
+            new_top = [nc[10], nc[11], nc[14], nc[15]]
+            self.left_coef[:4] = new_left
+            self.top_coef[self.mb_x][:4] = new_top
+        else:
+            for i in range(16):
+                by, bx = blkpos(i)
+                dci = (by >> 2) * 4 + (bx >> 2)
+                X.idct4x4_dconly_add(f.y, y0 + by, x0 + bx, dc[dci])
+            self.left_coef[:4] = [0] * 4
+            self.top_coef[self.mb_x][:4] = [0] * 4
+        self.left_pred[:] = [2] * 4
+        self.top_pred[self.mb_x][:] = [2] * 4
+        self._store_strength_intra(0xFFFFFFFF)
+        self._intra_save_info()
+        self.cbp = cbp
+        self._residual_chroma(r, cbp, avail)
+
+    # ---------------------------------------------------- intra 4x4 ------
+    def _mb_intra4x4(self, r, avail):
+        """mb_intra4x4 (h264.cpp:3256-3299)."""
+        avail_intra = self._avail_intra(avail)
+        if not avail_intra & 1:
+            self.left_pred[:] = [2] * 4
+        if not avail_intra & 2:
+            self.top_pred[self.mb_x][:] = [2] * 4
+        pr = self._pred_intra4x4_modes(r, avail_intra)
+        self._intra_chroma_pred(r, avail_intra)
+        cbp = T.ME_CBP[0][_read_me(r)]
+        if cbp:
+            qp_delta = self._read_qp_delta(r)
+            if qp_delta:
+                self._set_qp(self.qp + qp_delta)
+        else:
+            self.prev_qp_delta = 0
+        f = self.frames[self.cur_idx]
+        x0, y0 = self.mb_x * 16, self.mb_y * 16
+        coeff = np.zeros(64, np.int64)
+        # per-block avail flags mirror luma_intra4x4_with_residual
+        # (h264.cpp:3120-3254)
+        blk_avail = _intra4x4_block_avail(avail_intra)
+        nc = [0] * 16
+        lc, tc = self.left_coef, self.top_coef[self.mb_x]
+        new_left, new_top = [0] * 4, [0] * 4
+        for i in range(16):
+            by = ((i >> 1) & 1) * 4 + ((i >> 3) & 1) * 8
+            bx = (i & 1) * 4 + ((i >> 2) & 1) * 8
+            pred.INTRA4x4_PRED[pr[i]](f.y, y0 + by, x0 + bx, blk_avail[i])
+            if cbp & (1 << (i >> 2)):
+                na_s, nb_s = _LUMA_NC_WIRING[i]
+                na = _nc_resolve(na_s, nc, lc, avail, True)
+                nb = _nc_resolve(nb_s, nc, tc, avail, False)
+                cnum = cavlc.residual_block(r, na, nb, coeff, self.qmaty, 2)
+                nc[i] = cnum
+                if cnum:
+                    X.idct4x4_add(f.y, y0 + by, x0 + bx, coeff[:16])
+        self.left_coef[:4] = [nc[5], nc[7], nc[13], nc[15]]
+        self.top_coef[self.mb_x][:4] = [nc[10], nc[11], nc[14], nc[15]]
+        self._store_strength_intra(0xFFFFFFFF)
+        self._intra_save_info()
+        self.cbp = cbp
+        self._residual_chroma(r, cbp, avail)
+
+    def _pred_intra4x4_modes(self, r, avail_intra):
+        """mb_pred_intra4x4 (h264.cpp:2999-3025), including the reference's
+        availability-bit gating exactly as written."""
+        left = self.left_pred
+        top = self.top_pred[self.mb_x]
+        a = avail_intra
+
+        def m(pa, pb):
+            p = min(pa, pb)
+            if not r.get_onebit():
+                rem = r.get_bits(3)
+                p = rem if rem < p else rem + 1
+            return p
+
+        pr = [0] * 16
+        pr[0] = m(left[0] if a & 2 else 2, top[0] if a & 1 else 2)
+        pr[1] = m(pr[0] if a & 2 else 2, top[1])
+        pr[2] = m(left[1], pr[0] if a & 1 else 2)
+        pr[3] = m(pr[2], pr[1])
+        pr[4] = m(pr[1] if a & 2 else 2, top[2])
+        pr[5] = m(pr[4] if a & 2 else 2, top[3])
+        pr[6] = m(pr[3], pr[4])
+        pr[7] = m(pr[6], pr[5])
+        pr[8] = m(left[2], pr[2] if a & 1 else 2)
+        pr[9] = m(pr[8], pr[3])
+        pr[10] = m(left[3], pr[8] if a & 1 else 2)
+        pr[11] = m(pr[10], pr[9])
+        pr[12] = m(pr[9], pr[6])
+        pr[13] = m(pr[12], pr[7])
+        pr[14] = m(pr[11], pr[12])
+        pr[15] = m(pr[14], pr[13])
+        self.left_pred[:] = [pr[5], pr[7], pr[13], pr[15]]
+        self.top_pred[self.mb_x][:] = [pr[10], pr[11], pr[14], pr[15]]
+        return pr
+
+    # ------------------------------------------------------ skip (P/B) ---
+    def _skip_mbs(self, skip_num):
+        raise NotImplementedError("P/B slices")
+
+    # ------------------------------------------------------ post process --
+    def _post_process(self):
+        """post_process (h264.cpp:11022-11050)."""
+        is_filled = self.mb_y >= self.max_y
+        if not is_filled:
+            return 0
+        from .deblock import deblock_picture
+
+        hdr = self.hdr
+        sps = self.sps
+        deblock_picture(self)
+        max_frame_num = 1 << sps.log2_max_frame_num
+        if self.nal_id & 0x60:
+            for lx in range(2):
+                self._post_marking(lx, max_frame_num)
+            # record colocated map + swap col page to the L1 current pic
+            self.curr_col["map_col_frameidx"][: sps.num_ref_frames] = [
+                self.refs[0][i].frame_idx for i in range(sps.num_ref_frames)
+            ]
+            self.curr_col["map_col_frameidx"][sps.num_ref_frames :] = (
+                self.refs[0][0].frame_idx
+            )
+            self._swap_col_page()
+            self.dpb.insert(hdr.poc, self.cur_idx, hdr.idr | hdr.mmco5)
+        else:
+            self.dpb.insert_non_idr(hdr.poc, self.cur_idx)
+        hdr.prev_frame_num = hdr.frame_num
+        hdr.first_mb_in_slice = self.max_x * self.max_x
+        return 1
+
+    def _post_marking(self, lx, max_frame_num):
+        """post_ref_pic_marking (h264.cpp:10837-10864)."""
+        hdr = self.hdr
+        refs = self.refs[lx]
+        sps = self.sps
+        if (self.nal_id & 31) == SLICE_IDR_NAL:
+            refs[0].in_use = LONG_TERM if hdr.long_term_reference_flag else SHORT_TERM
+            refs[0].frame_idx = self.cur_idx
+            refs[0].num = hdr.frame_num
+            refs[0].poc = hdr.poc
+            for i in range(1, 16):
+                refs[i].in_use = NOT_IN_USE
+        else:
+            if not hdr.idr and not hdr.mmco5:
+                self._gap_mbs(refs, max_frame_num)
+            if hdr.adaptive_marking:
+                if marking_mmco(hdr.mmcos, refs, self.cur_idx, hdr.frame_num,
+                                max_frame_num, sps.num_ref_frames, hdr.poc):
+                    hdr.frame_num = 0
+            else:
+                marking_sliding_window(refs, self.cur_idx, hdr.frame_num,
+                                       max_frame_num, sps.num_ref_frames,
+                                       hdr.poc)
+
+    def _gap_mbs(self, refs, max_frame_num):
+        """gap_mbs (h264.cpp:10814-10835)."""
+        hdr = self.hdr
+        gap = hdr.frame_num - hdr.prev_frame_num
+        while gap < 0:
+            gap += max_frame_num
+        gap -= 1
+        if gap <= 0:
+            return
+        prev = hdr.prev_frame_num
+        if gap > 16:
+            gap = 16
+            prev = hdr.frame_num - 17
+        while gap:
+            prev += 1
+            if prev >= max_frame_num:
+                prev -= max_frame_num
+            marking_sliding_window(refs, self.cur_idx, prev, max_frame_num,
+                                   self.sps.num_ref_frames, hdr.poc)
+            gap -= 1
+
+    def _swap_col_page(self):
+        """std::swap(curr_col, l1-current .col) (h264.cpp:11041)."""
+        poc = 0 if self.hdr.mmco5 else self.hdr.poc
+        target = None
+        for rf in self.refs[1]:
+            if rf.in_use:
+                if rf.poc == poc:
+                    target = rf
+                    break
+                if target is None:
+                    target = rf
+        if target is None:
+            target = self.refs[1][0]
+        target.col, self.curr_col = self.curr_col, (
+            target.col if target.col is not None
+            else self._new_col_page(self.max_x * self.max_y)
+        )
+
+    # ---------------------------------------------------------- output ---
+    def peek_decoded_frame(self, bypass_dpb=False):
+        frm = None
+        if not bypass_dpb and not self.dpb.is_ready:
+            idx = self.dpb.output
+        else:
+            idx = self.dpb.force_peek()
+        if idx < 0:
+            return 0, None
+        return 1, self._frame_out(idx)
+
+    def get_decoded_frame(self, bypass_dpb=False):
+        if not bypass_dpb and not self.dpb.is_ready:
+            idx = self.dpb.output
+            self.dpb.output = -1
+        else:
+            idx = self.dpb.force_pop()
+        if idx < 0:
+            return 0, None
+        return 1, self._frame_out(idx)
+
+    def _frame_out(self, idx):
+        from m2dec_tpu.codecs.mpeg2.decoder import DecodedFrame
+
+        f = self.frames[idx]
+        sps = self.sps_store[
+            self.pps_store[self.hdr.pps_id].seq_parameter_set_id
+        ]
+        crop = sps.frame_crop  # (left, right, top, bottom)
+        return DecodedFrame(
+            y=f.y, cb=f.cb, cr=f.cr,
+            width=sps.pic_width, height=sps.pic_height,
+            crop=(crop[0], crop[1], crop[2], crop[3]),
+            cnt=f.cnt,
+        )
+
+    def decode_all(self):
+        """h264dec-style loop: decode + drain (m2decoder.h:132-157)."""
+        frames = []
+        while True:
+            ready, frm = self.peek_decoded_frame()
+            while ready:
+                self.get_decoded_frame()
+                frames.append(frm)
+                ready, frm = self.peek_decoded_frame()
+            err = self.decode_picture()
+            if err < 0:
+                ready, frm = self.peek_decoded_frame(True)
+                while ready:
+                    self.get_decoded_frame(True)
+                    frames.append(frm)
+                    ready, frm = self.peek_decoded_frame(True)
+                return frames
+
+
+# -- small helpers ------------------------------------------------------
+
+
+def _read_me(r):
+    return min(r.ue(), 47)
+
+
+def _cbf_top(cbf):
+    """cbf_top (h264.cpp:581-584)."""
+    return ((cbf >> 16) & 0x700) | ((cbf >> 14) & 0xC0) | ((cbf >> 12) & 0x3C) | ((cbf >> 10) & 3)
+
+
+def _cbf_left(cbf):
+    """cbf_left (h264.cpp:586-589)."""
+    return (
+        ((cbf >> 16) & 0x600) | ((cbf >> 15) & 0x100) | ((cbf >> 14) & 0x80)
+        | ((cbf >> 13) & 0x40) | ((cbf >> 12) & 0x38) | ((cbf >> 11) & 4)
+        | ((cbf >> 6) & 2) | ((cbf >> 5) & 1)
+    )
+
+
+# nC neighbor wiring for the 16 luma blocks in coding (Z) order:
+# entries are ('L', k) left-cache nibble, ('T', k) top-cache nibble, or
+# ('B', i) previously-decoded block i of this MB
+# (mirrors h264.cpp:3131-3228 / :4500-4541).
+_LUMA_NC_WIRING = [
+    (("L", 0), ("T", 0)),
+    (("B", 0), ("T", 1)),
+    (("L", 1), ("B", 0)),
+    (("B", 2), ("B", 1)),
+    (("B", 1), ("T", 2)),
+    (("B", 4), ("T", 3)),
+    (("B", 3), ("B", 4)),
+    (("B", 6), ("B", 5)),
+    (("L", 2), ("B", 2)),
+    (("B", 8), ("B", 3)),
+    (("L", 3), ("B", 8)),
+    (("B", 10), ("B", 9)),
+    (("B", 9), ("B", 6)),
+    (("B", 12), ("B", 7)),
+    (("B", 11), ("B", 12)),
+    (("B", 14), ("B", 13)),
+]
+
+
+def _nc_resolve(spec, nc, cache, avail, is_left):
+    kind, k = spec
+    if kind == "B":
+        return nc[k]
+    if is_left:
+        return cache[k] if avail & 1 else -1
+    return cache[k] if avail & 2 else -1
+
+
+def _intra4x4_block_avail(ai):
+    """Per-4x4-block availability flags, mirroring the hardcoded values in
+    luma_intra4x4_with_residual (h264.cpp:3131-3226)."""
+    return [
+        ai | (4 if ai & 2 else 0),
+        ai | (5 if ai & 2 else 1),
+        ai | 6,
+        3,
+        ai | (5 if ai & 2 else 1),
+        ai | 1,
+        7,
+        3,
+        ai | 6,
+        7,
+        ai | 6,
+        3,
+        7,
+        3,
+        7,
+        3,
+    ]
