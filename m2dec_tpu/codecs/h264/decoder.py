@@ -985,7 +985,9 @@ class H264Decoder:
 
 
 def _read_me(r):
-    return min(r.ue(), 47)
+    # me_golomb (h264.cpp:88-92): out-of-range codeNum indexes entry 0
+    v = r.ue()
+    return v if v < 48 else 0
 
 
 def _cbf_top(cbf):

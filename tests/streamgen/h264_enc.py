@@ -126,9 +126,14 @@ class H264StreamGen:
         if self.disable_deblock:
             w.ue(1)
         else:
+            # keep every edge's indexB >= 16: the reference indexes its beta
+            # predicate table with qp+ofs-16 WITHOUT a lower clamp
+            # (h264.cpp:10253-10257 + beta_offset_base[b] negative index =
+            # out-of-bounds read). Real encoders avoid this region; so do we:
+            # beta offset >= 0 and qp floor 24 (see _qp_floor).
             w.ue(0)
-            w.se(rng.randint(-6, 6))
-            w.se(rng.randint(-6, 6))
+            w.se(rng.randint(-3, 3))
+            w.se(rng.randint(0, 3))
         # state for intra pred mode prediction and nC tracking
         self._init_slice_state()
         for mb in range(self.mb_w * self.mb_h):
@@ -156,4 +161,417 @@ class H264StreamGen:
         self.top_pred[mbx][:] = [2] * 4
         self.left_coef[:] = [15] * 8
         self.top_coef[mbx][:] = [15] * 8
+        self.mb_count += 1
+
+
+# ======================================================================
+# CAVLC encoding + intra MB emission
+# ======================================================================
+
+class CavlcEncoder:
+    """Inverse of cavlc.residual_block: encodes a sparse coefficient list
+    [(rel_scan_pos, level)] (ascending positions, levels nonzero)."""
+
+    @staticmethod
+    def nc_class(nc):
+        if nc >= 8:
+            return 3
+        if nc >= 4:
+            return 2
+        if nc >= 2:
+            return 1
+        return 0
+
+    @staticmethod
+    def encode(w, coefs, num_coeff, nc):
+        n = len(coefs)
+        positions = [p for p, _ in coefs]
+        levels_rev = [lv for _, lv in reversed(coefs)]  # last coeff first
+        t1 = 0
+        while t1 < min(3, n) and abs(levels_rev[t1]) == 1:
+            t1 += 1
+        tok_tbl = (
+            ENC_COEFF_TOKEN[4] if num_coeff <= 4
+            else ENC_COEFF_TOKEN[CavlcEncoder.nc_class(nc)]
+        )
+        w.put_bitstring(tok_tbl[(n, t1)])
+        if n == 0:
+            return 0
+        for i in range(t1):
+            w.put_bits(1 if levels_rev[i] < 0 else 0, 1)
+        suffix_len = 1 if (n > 10 and t1 < 3) else 0
+        for i in range(t1, n):
+            v = levels_rev[i]
+            lvl = 2 * v - 2 if v > 0 else -2 * v - 1
+            if i == t1 and t1 < 3:
+                lvl -= 2
+            CavlcEncoder._put_level(w, lvl, suffix_len)
+            if suffix_len == 0:
+                suffix_len = 1
+            if suffix_len < 6 and (3 << (suffix_len - 1)) ** 2 < v * v:
+                suffix_len += 1
+        if n < num_coeff:
+            total_zeros = positions[-1] - (n - 1)
+            if num_coeff > 4:
+                w.put_bitstring(ENC_TOTAL_ZEROS[n][total_zeros])
+            else:
+                w.put_bitstring(ENC_TOTAL_ZEROS_C[n][total_zeros])
+            zeros_left = total_zeros
+        else:
+            zeros_left = 0
+        for i in range(n - 1):
+            if zeros_left == 0:
+                break
+            run = positions[n - 1 - i] - positions[n - 2 - i] - 1
+            w.put_bitstring(ENC_RUN_BEFORE[min(zeros_left, 7)][run])
+            zeros_left -= run
+        return min(n, 15)
+
+    @staticmethod
+    def _put_level(w, lvl, sl):
+        if sl == 0:
+            if lvl < 14:
+                w.put_bits(0, lvl).put_bits(1, 1)
+            elif lvl < 30:
+                w.put_bits(0, 14).put_bits(1, 1)
+                w.put_bits(lvl - 14, 4)
+            else:
+                assert lvl - 30 < 4096
+                w.put_bits(0, 15).put_bits(1, 1)
+                w.put_bits(lvl - 30, 12)
+        else:
+            if lvl < (15 << sl):
+                prefix = lvl >> sl
+                w.put_bits(0, prefix).put_bits(1, 1)
+                w.put_bits(lvl & ((1 << sl) - 1), sl)
+            else:
+                rem = lvl - (15 << sl)
+                assert rem < 4096
+                w.put_bits(0, 15).put_bits(1, 1)
+                w.put_bits(rem, 12)
+
+
+# neighbor nC wiring identical to the decoder's
+from m2dec_tpu.codecs.h264.decoder import _LUMA_NC_WIRING, _nc_resolve
+from m2dec_tpu.codecs.h264 import transforms as _X
+
+
+def _zpos(i):
+    by = ((i >> 1) & 1) * 4 + ((i >> 3) & 1) * 8
+    bx = (i & 1) * 4 + ((i >> 2) & 1) * 8
+    return by, bx
+
+
+class H264IntraGen(H264StreamGen):
+    """Adds real intra-coded macroblocks (I_NxN / I_16x16 / IPCM mix)."""
+
+    def __init__(self, *args, ipcm_prob=0.05, max_coefs=6, **kwargs):
+        super().__init__(*args, **kwargs)
+        # IPCM records deblock qpy=0 (h264.cpp:4749) whose averaged edge QP
+        # re-enters the reference's unclamped-indexB UB region; keep IPCM
+        # out of deblock-enabled streams
+        self.ipcm_prob = 0.0 if not self.disable_deblock else ipcm_prob
+        self.max_coefs = max_coefs
+        self.qp_floor = 24 if not self.disable_deblock else 0
+        if not self.disable_deblock:
+            assert self.chroma_qp_index >= -4
+
+    # -- residual helpers ------------------------------------------------
+    def _rand_coefs(self, num_coeff, maxn=None, lvl_hi=6):
+        rng = self.rng
+        maxn = maxn if maxn is not None else self.max_coefs
+        n = rng.randrange(0, maxn + 1)
+        if n == 0:
+            return []
+        pos = sorted(rng.sample(range(num_coeff), min(n, num_coeff)))
+        out = []
+        for p in pos:
+            lv = rng.choice([1, -1, 1, -1, 2, -2, 3, -3]) if rng.random() < 0.8 \
+                else rng.randrange(-lvl_hi * 4, lvl_hi * 4 + 1)
+            if lv == 0:
+                lv = 1
+            out.append((p, lv))
+        return out
+
+    def _residual_ok_4x4(self, coefs, qmat, dc=None, zigzag=None, rng_hi=500):
+        """Bound the reconstruction residual to the reference's LUT-safe
+        domain [-256, 511] (see mpeg2_enc.py note on CLIP255C)."""
+        zz = zigzag or list(T.ZIGZAG4x4)
+        arr = np.zeros(16, np.int64)
+        for p, lv in coefs:
+            zi = zz[p]
+            arr[zi] = lv * int(qmat[zi & 15])
+        if dc is not None:
+            arr[0] = dc
+        res = _X.idct4x4(arr)
+        return -256 <= res.min() and res.max() <= rng_hi
+
+    def _shrink(self, coefs):
+        return [(p, lv // 2) for p, lv in coefs if abs(lv) >= 2]
+
+    # -- macroblock ------------------------------------------------------
+    def _macroblock_I(self, w, mb_idx):
+        rng = self.rng
+        mbx = mb_idx % self.mb_w
+        self.mbx = mbx
+        mby = mb_idx // self.mb_w
+        self.avail = ((mbx != 0) | 0) | ((mby != 0) << 1) \
+            | ((mby != 0 and mbx != self.mb_w - 1) << 2) \
+            | ((mby != 0 and mbx != 0) << 3)
+        u = rng.random()
+        if u < self.ipcm_prob:
+            self._emit_ipcm(w)
+        elif u < 0.5 + self.ipcm_prob:
+            self._emit_i16x16(w)
+        else:
+            self._emit_i4x4(w)
+
+    def _pick_chroma_mode(self):
+        rng = self.rng
+        avail = self.avail
+        modes = [0]
+        if avail & 1:
+            modes.append(1)
+        if avail & 2:
+            modes.append(2)
+        if (avail & 3) == 3:
+            modes.append(3)
+        return rng.choice(modes)
+
+    # -- chroma residual -------------------------------------------------
+    def _emit_chroma_residual(self, w, cbp):
+        rng = self.rng
+        mbx = self.mbx
+        cbp_c = cbp >> 4
+        if not cbp_c:
+            self.left_coef[4:] = [0] * 4
+            self.top_coef[mbx][4:] = [0] * 4
+            return
+        # DC blocks (cat 3): always present when cbp_c != 0
+        for i in range(2):
+            while True:
+                coefs = self._rand_coefs(4, maxn=4, lvl_hi=4)
+                # chroma DC feeds (dc+32)>>6 adds; bound |dc| via transform
+                arr = np.zeros(4, np.int64)
+                for p, lv in coefs:
+                    arr[p] = lv * int(self.qmatc_now[i][0])
+                dcs = _X.chroma_dc_transform(arr)
+                if all(-256 * 32 <= d <= 511 * 32 for d in dcs):
+                    break
+                coefs = self._shrink(coefs)
+            CavlcEncoder.encode(w, coefs, 4, 0)
+            self.chroma_dc_vals = getattr(self, "chroma_dc_vals", [None, None])
+            self.chroma_dc_vals[i] = dcs
+        if cbp_c & 2:
+            left = list(self.left_coef[4:])
+            top = list(self.top_coef[mbx][4:])
+            new_left, new_top = [0] * 4, [0] * 4
+            for i in range(2):
+                c0l = left[i * 2] if self.avail & 1 else -1
+                c2l = left[i * 2 + 1] if self.avail & 1 else -1
+                c0t = top[i * 2] if self.avail & 2 else -1
+                c1t = top[i * 2 + 1] if self.avail & 2 else -1
+                nc = [0] * 4
+                wiring = [(c0l, c0t), (None, c1t), (c2l, None), (None, None)]
+                for b in range(4):
+                    na, nb_ = wiring[b]
+                    if b == 1:
+                        na = nc[0]
+                    elif b == 2:
+                        nb_ = nc[0]
+                    elif b == 3:
+                        na, nb_ = nc[2], nc[1]
+                    while True:
+                        coefs = self._rand_coefs(15, maxn=5, lvl_hi=4)
+                        dc = self.chroma_dc_vals[i][b]
+                        zz = [T.ZIGZAG4x4[k] for k in range(1, 16)]
+                        if self._residual_ok_4x4(
+                            [(p, lv) for p, lv in coefs], self.qmatc_now[i],
+                            dc=dc, zigzag=zz,
+                        ):
+                            break
+                        coefs = self._shrink(coefs)
+                    nc[b] = CavlcEncoder.encode(
+                        w, coefs, 15,
+                        0 if na < 0 and nb_ < 0 else self._nc(na, nb_),
+                    )
+                new_left[i * 2] = nc[1]
+                new_left[i * 2 + 1] = nc[3]
+                new_top[i * 2] = nc[2]
+                new_top[i * 2 + 1] = nc[3]
+            self.left_coef[4:] = new_left
+            self.top_coef[mbx][4:] = new_top
+        else:
+            self.left_coef[4:] = [0] * 4
+            self.top_coef[mbx][4:] = [0] * 4
+
+    @staticmethod
+    def _nc(na, nb):
+        if na >= 0:
+            return (na + nb + 1) >> 1 if nb >= 0 else na
+        return nb if nb >= 0 else 0
+
+    def _update_qmats(self):
+        self.qmaty_now = _X.qmat4(self.qp_cur)
+        self.qmatc_now = [
+            _X.qmat4(_X.qpc_from_qpy(self.qp_cur, self.chroma_qp_index)),
+            _X.qmat4(_X.qpc_from_qpy(self.qp_cur, self.chroma_qp_index)),
+        ]
+
+    # -- I_16x16 ---------------------------------------------------------
+    def _emit_i16x16(self, w):
+        rng = self.rng
+        avail = self.avail
+        mbx = self.mbx
+        modes = [2]
+        if avail & 2:
+            modes.append(0)
+        if avail & 1:
+            modes.append(1)
+        if (avail & 3) == 3:
+            modes.append(3)
+        pred_mode = rng.choice(modes)
+        cbp_chroma = rng.choice([0, 1, 2])
+        ac = rng.random() < 0.6
+        mb_type = 1 + pred_mode + cbp_chroma * 4 + (12 if ac else 0)
+        w.ue(mb_type)
+        chroma_mode = self._pick_chroma_mode()
+        w.ue(chroma_mode)
+        qp_delta = rng.choice([0, 0, 0, 1, -1, 2, -2])
+        if not (self.qp_floor <= self.qp_cur + qp_delta <= 45):
+            qp_delta = 0
+        w.se(qp_delta)
+        self.qp_cur += qp_delta
+        self._update_qmats()
+        # luma DC (cat 0)
+        na = self.left_coef[0] if avail & 1 else -1
+        nb = self.top_coef[mbx][0] if avail & 2 else -1
+        while True:
+            dc_coefs = self._rand_coefs(16, maxn=6, lvl_hi=4)
+            arr = np.zeros(16, np.int64)
+            for p, lv in dc_coefs:
+                arr[T.ZIGZAG4x4[p]] = lv * int(self.qmaty_now[0])
+            dcs = _X.luma_dc_transform(arr)
+            if -256 * 16 <= dcs.min() and dcs.max() <= 400 * 16:
+                break
+            dc_coefs = self._shrink(dc_coefs)
+        CavlcEncoder.encode(w, dc_coefs, 16, self._nc(na, nb))
+        self.luma_dcs = dcs
+        nc = [0] * 16
+        if ac:
+            lc, tc = self.left_coef, self.top_coef[mbx]
+            for i in range(16):
+                na_s, nb_s = _LUMA_NC_WIRING[i]
+                na = _nc_resolve(na_s, nc, lc, avail, True)
+                nb = _nc_resolve(nb_s, nc, tc, avail, False)
+                by, bx = _zpos(i)
+                dci = (by >> 2) * 4 + (bx >> 2)
+                zz = [T.ZIGZAG4x4[k] for k in range(1, 16)]
+                while True:
+                    coefs = self._rand_coefs(15, maxn=5, lvl_hi=4)
+                    if self._residual_ok_4x4(coefs, self.qmaty_now,
+                                             dc=int(self.luma_dcs[dci]),
+                                             zigzag=zz):
+                        break
+                    coefs = self._shrink(coefs)
+                nc[i] = CavlcEncoder.encode(w, coefs, 15, self._nc(na, nb))
+        self.left_coef[:4] = [nc[5], nc[7], nc[13], nc[15]]
+        self.top_coef[mbx][:4] = [nc[10], nc[11], nc[14], nc[15]]
+        self.left_pred[:] = [2] * 4
+        self.top_pred[mbx][:] = [2] * 4
+        cbp = (0, 0x10, 0x20)[cbp_chroma] | (0x0F if ac else 0)
+        self._emit_chroma_residual(w, cbp)
+        self.mb_count += 1
+
+    # -- I_NxN (4x4) -----------------------------------------------------
+    _MODE_REQ = {0: 2, 1: 1, 2: 0, 3: 2, 4: 3, 5: 3, 6: 3, 7: 2, 8: 1}
+
+    def _emit_i4x4(self, w):
+        rng = self.rng
+        avail = self.avail
+        mbx = self.mbx
+        w.ue(0)  # I_NxN
+        # choose modes + encode predictions, mirroring the decoder's
+        # quirky availability gating (decoder._pred_intra4x4_modes)
+        from m2dec_tpu.codecs.h264.decoder import _intra4x4_block_avail
+
+        blk_avail = _intra4x4_block_avail(avail)
+        left = self.left_pred
+        top = self.top_pred[mbx]
+        pr = [0] * 16
+        bits = []
+
+        def emit_mode(pa, pb, ba):
+            pred_m = min(pa, pb)
+            legal = [m for m in range(9)
+                     if (ba & self._MODE_REQ[m]) == self._MODE_REQ[m]]
+            mode = rng.choice(legal)
+            if mode == pred_m:
+                bits.append(("f", 1))
+            else:
+                rem = mode if mode < pred_m else mode - 1
+                if rem == pred_m:  # cannot encode mode > pred via rem path
+                    bits.append(("f", 1))
+                    mode = pred_m
+                else:
+                    bits.append(("f", 0))
+                    bits.append(("r", rem))
+            return mode
+
+        pr[0] = emit_mode(left[0] if avail & 2 else 2,
+                          top[0] if avail & 1 else 2, blk_avail[0])
+        pr[1] = emit_mode(pr[0] if avail & 2 else 2, top[1], blk_avail[1])
+        pr[2] = emit_mode(left[1], pr[0] if avail & 1 else 2, blk_avail[2])
+        pr[3] = emit_mode(pr[2], pr[1], blk_avail[3])
+        pr[4] = emit_mode(pr[1] if avail & 2 else 2, top[2], blk_avail[4])
+        pr[5] = emit_mode(pr[4] if avail & 2 else 2, top[3], blk_avail[5])
+        pr[6] = emit_mode(pr[3], pr[4], blk_avail[6])
+        pr[7] = emit_mode(pr[6], pr[5], blk_avail[7])
+        pr[8] = emit_mode(left[2], pr[2] if avail & 1 else 2, blk_avail[8])
+        pr[9] = emit_mode(pr[8], pr[3], blk_avail[9])
+        pr[10] = emit_mode(left[3], pr[8] if avail & 1 else 2, blk_avail[10])
+        pr[11] = emit_mode(pr[10], pr[9], blk_avail[11])
+        pr[12] = emit_mode(pr[9], pr[6], blk_avail[12])
+        pr[13] = emit_mode(pr[12], pr[7], blk_avail[13])
+        pr[14] = emit_mode(pr[11], pr[12], blk_avail[14])
+        pr[15] = emit_mode(pr[14], pr[13], blk_avail[15])
+        for kind, v in bits:
+            if kind == "f":
+                w.put_bits(v, 1)
+            else:
+                w.put_bits(v, 3)
+        self.left_pred[:] = [pr[5], pr[7], pr[13], pr[15]]
+        self.top_pred[mbx][:] = [pr[10], pr[11], pr[14], pr[15]]
+
+        chroma_mode = self._pick_chroma_mode()
+        w.ue(chroma_mode)
+        # cbp: luma groups random, chroma 0..2
+        cbp_luma = rng.randrange(16)
+        cbp_chroma = rng.choice([0, 1, 2])
+        cbp = cbp_luma | (cbp_chroma << 4)
+        w.ue(ENC_ME_CBP[0][cbp])
+        if cbp:
+            qp_delta = rng.choice([0, 0, 1, -1])
+            if not (self.qp_floor <= self.qp_cur + qp_delta <= 45):
+                qp_delta = 0
+            w.se(qp_delta)
+            self.qp_cur += qp_delta
+        self._update_qmats()
+        nc = [0] * 16
+        lc, tc = self.left_coef, self.top_coef[mbx]
+        for i in range(16):
+            if not cbp & (1 << (i >> 2)):
+                continue
+            na_s, nb_s = _LUMA_NC_WIRING[i]
+            na = _nc_resolve(na_s, nc, lc, avail, True)
+            nb = _nc_resolve(nb_s, nc, tc, avail, False)
+            while True:
+                coefs = self._rand_coefs(16, maxn=6, lvl_hi=4)
+                if self._residual_ok_4x4(coefs, self.qmaty_now):
+                    break
+                coefs = self._shrink(coefs)
+            nc[i] = CavlcEncoder.encode(w, coefs, 16, self._nc(na, nb))
+        self.left_coef[:4] = [nc[5], nc[7], nc[13], nc[15]]
+        self.top_coef[mbx][:4] = [nc[10], nc[11], nc[14], nc[15]]
+        self._emit_chroma_residual(w, cbp)
         self.mb_count += 1
