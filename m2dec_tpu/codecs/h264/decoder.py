@@ -1058,3 +1058,339 @@ def _intra4x4_block_avail(ai):
         7,
         3,
     ]
+
+
+# ======================================================================
+# P-slice extension (CAVLC): parse + reconstruction
+# (reference: mb_inter16x16/16x8/8x16/8x8 h264.cpp:7336-9164,
+#  skip_mbs :10128-10183, p_skip_mb :9736-9766)
+# ======================================================================
+from . import inter as I  # noqa: E402
+
+
+def _te(r, rng):
+    """te(v) (h264.cpp:94-102)."""
+    if rng == 1:
+        return r.get_onebit() ^ 1
+    v = r.ue()
+    return v if v <= rng else rng
+
+
+def _transposition(a):
+    """h264.cpp:6408-6418: transpose 4x4 grid of 2-bit fields."""
+    b = 0
+    for y in range(0, 8, 2):
+        for x in range(0, 32, 8):
+            b |= (a & 3) << (x + y)
+            a >>= 2
+    return b
+
+
+_EXPAND_STR8x8 = (
+    0x00000000, 0x000A000A, 0x00A000A0, 0x00AA00AA,
+    0x000A0000, 0x000A000A, 0x00AA00A0, 0x00AA00AA,
+    0x00A00000, 0x00AA000A, 0x00A000A0, 0x00AA00AA,
+    0x00AA0000, 0x00AA000A, 0x00AA00A0, 0x00AA00AA,
+)
+
+_CBP_TRANS8x8 = (0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15)
+
+_STR_MAP_BIT = [
+    0x2, 0x8, 0x200, 0x800, 0x20, 0x80, 0x2000, 0x8000,
+    0x20000, 0x80000, 0x2000000, 0x8000000, 0x200000, 0x800000,
+    0x20000000, 0x80000000,
+]
+
+
+def _zblkpos(i):
+    by = ((i >> 1) & 1) * 4 + ((i >> 3) & 1) * 8
+    bx = (i & 1) * 4 + ((i >> 2) & 1) * 8
+    return by, bx
+
+
+class _PSliceMixin:
+    def _no_residual_inter(self):
+        """no_residual_inter (h264.cpp:7324-7333)."""
+        self.prev_qp_delta = 0
+        self.left_coef[:] = [0] * 8
+        self.top_coef[self.mb_x][:] = [0] * 8
+        self.mbleft.transform8x8 = 0
+        self._top().transform8x8 = 0
+        deb = self.deblock[self.mb_pos]
+        deb.str_horiz = 0
+        deb.str_vert = 0
+
+    def _residual_luma_inter4x4(self, r, cbp):
+        """residual_luma_inter4x4 (h264.cpp:6420-6544)."""
+        f = self.frames[self.cur_idx]
+        x0, y0 = self.mb_x * 16, self.mb_y * 16
+        coeff = np.zeros(64, np.int64)
+        avail = self._avail_saved
+        nc = [0] * 16
+        lc, tc = self.left_coef, self.top_coef[self.mb_x]
+        str_map = 0
+        for i in range(16):
+            if not cbp & (1 << (i >> 2)):
+                continue
+            na_s, nb_s = _LUMA_NC_WIRING[i]
+            na = _nc_resolve(na_s, nc, lc, avail, True)
+            nb = _nc_resolve(nb_s, nc, tc, avail, False)
+            cnum = cavlc.residual_block(r, na, nb, coeff, self.qmaty, 2)
+            nc[i] = cnum
+            if cnum:
+                by, bx = _zblkpos(i)
+                X.idct4x4_add(f.y, y0 + by, x0 + bx, coeff[:16])
+                str_map |= _STR_MAP_BIT[i]
+        self.left_coef[:4] = [nc[5], nc[7], nc[13], nc[15]]
+        self.top_coef[self.mb_x][:4] = [nc[10], nc[11], nc[14], nc[15]]
+        str_h = _transposition(str_map)
+        deb = self.deblock[self.mb_pos]
+        deb.str_vert = ((str_map << 8) | str_map) & 0xFFFFFFFF
+        deb.str_horiz = ((str_h << 8) | str_h) & 0xFFFFFFFF
+
+    def _residual_luma_inter(self, r, cbp):
+        """residual_luma_inter functor (h264.cpp:6546-6558): qp_delta then
+        4x4 residual (8x8 transform comes with High profile)."""
+        qp_delta = self._read_qp_delta(r)
+        if qp_delta:
+            self._set_qp(self.qp + qp_delta)
+        self._residual_luma_inter4x4(r, cbp)
+
+    # -- P macroblocks ----------------------------------------------------
+    def _mb_inter16x16(self, r, avail, refmap=1):
+        self._avail_saved = avail
+        n_active = self.hdr.num_ref_idx_active
+        ref_idx = [-1, -1]
+        for lx in range(2):
+            if refmap & (1 << lx):
+                t = n_active[lx]
+                ref_idx[lx] = _te(r, t) if t else 0
+        mvs = np.zeros((2, 2), np.int32)
+        mvds = np.zeros((2, 2), np.int32)
+        for lx in range(2):
+            if refmap & (1 << lx):
+                (pmx, pmy), _, _ = I.calc_mv16x16(self, lx, ref_idx[lx], avail)
+                dx, dy = r.se(), r.se()
+                mvds[lx] = (dx, dy)
+                mvs[lx] = (pmx + dx, pmy + dy)
+        I.inter_pred_basic(self, ref_idx, mvs, 16, 16, 0, 0)
+        left4x4 = list(self.left_coef[:4])
+        top4x4 = list(self.top_coef[self.mb_x][:4])
+        self.cbp = cbp = T.ME_CBP[1][_read_me(r)]
+        if cbp:
+            self._residual_luma_inter(r, cbp)
+        else:
+            self._no_residual_inter()
+        I.store_info_inter16x16(self, mvs, mvds, ref_idx, left4x4, top4x4)
+        self._residual_chroma(r, cbp, avail)
+
+    def _mb_inter16x8(self, r, avail, vertical):
+        """16x8 (vertical=False) / 8x16 (vertical=True) with refmap from
+        the mb_decode table (always 3 in P)."""
+        self._avail_saved = avail
+        n_active = self.hdr.num_ref_idx_active
+        refmap = 3
+        ref_idx = [-1, -1, -1, -1]
+        for lx in range(2):
+            t = n_active[lx]
+            m = refmap >> (lx * 2)
+            ref_idx[lx] = (_te(r, t) if t else 0) if m & 1 else -1
+            ref_idx[lx + 2] = (_te(r, t) if t else 0) if m & 2 else -1
+        mv_sets = np.zeros((2, 2, 2), np.int32)
+        mvd_sets = np.zeros((2, 2, 2), np.int32)
+        for lx in range(2):
+            m = refmap >> (lx * 2)
+            if m & 1:
+                if vertical:
+                    (px, py), _, _ = I.calc_mv8x16left(self, lx, ref_idx[lx], avail)
+                else:
+                    (px, py), _, _ = I.calc_mv16x8top(self, lx, ref_idx[lx], avail)
+                dx, dy = r.se(), r.se()
+                mvd_sets[0][lx] = (dx, dy)
+                mv_sets[0][lx] = (px + dx, py + dy)
+            if m & 2:
+                if vertical:
+                    (px, py), _, _ = I.calc_mv8x16right(
+                        self, lx, ref_idx[lx + 2], avail, ref_idx[lx],
+                        mv_sets[0], mvd_sets[0])
+                else:
+                    (px, py), _, _ = I.calc_mv16x8bottom(
+                        self, lx, ref_idx[lx + 2], avail, ref_idx[lx],
+                        mv_sets[0], mvd_sets[0])
+                dx, dy = r.se(), r.se()
+                mvd_sets[1][lx] = (dx, dy)
+                mv_sets[1][lx] = (px + dx, py + dy)
+        if vertical:
+            I.inter_pred_basic(self, ref_idx[:2], mv_sets[0], 8, 16, 0, 0)
+            I.inter_pred_basic(self, ref_idx[2:], mv_sets[1], 8, 16, 8, 0)
+        else:
+            I.inter_pred_basic(self, ref_idx[:2], mv_sets[0], 16, 8, 0, 0)
+            I.inter_pred_basic(self, ref_idx[2:], mv_sets[1], 16, 8, 0, 8)
+        left4x4 = list(self.left_coef[:4])
+        top4x4 = list(self.top_coef[self.mb_x][:4])
+        self.cbp = cbp = T.ME_CBP[1][_read_me(r)]
+        if cbp:
+            self._residual_luma_inter(r, cbp)
+        else:
+            self._no_residual_inter()
+        if vertical:
+            I.store_info_inter8x16(self, mv_sets, mvd_sets, ref_idx, left4x4, top4x4)
+        else:
+            I.store_info_inter16x8(self, mv_sets, mvd_sets, ref_idx, left4x4, top4x4)
+        self._residual_chroma(r, cbp, avail)
+
+    # sub_mb: sizes per type (P: 0=8x8, 1=8x4, 2=4x8, 3=4x4)
+    def _mb_inter8x8p(self, r, avail, ref0=False):
+        self._avail_saved = avail
+        pblk = [I.Prev8x8() for _ in range(4)]
+        sub_mb_type = [r.ue() for _ in range(4)]
+        if max(sub_mb_type) > 3:
+            raise ValueError("bad P sub_mb_type")
+        n_active = self.hdr.num_ref_idx_active
+        # ref idx (lx 0 only for P)
+        t = 0 if ref0 else n_active[0]
+        for i in range(4):
+            pblk[i].ref[0] = _te(r, t) if t else 0
+        for i in range(4):
+            self._sub_mb_mv(r, avail, i, pblk, 0, sub_mb_type[i])
+        for i in range(4):
+            self._sub_mb_dec(i, pblk, sub_mb_type[i])
+        left4x4 = list(self.left_coef[:4])
+        top4x4 = list(self.top_coef[self.mb_x][:4])
+        self.cbp = cbp = T.ME_CBP[1][_read_me(r)]
+        if cbp:
+            self._residual_luma_inter(r, cbp)
+        else:
+            self._no_residual_inter()
+        I.store_info_intermb8x8(self, pblk, left4x4, top4x4)
+        self.mbleft.direct8x8 = 0
+        self._top().direct8x8 = 0
+        self._residual_chroma(r, cbp, avail)
+
+    def _sub_mb_mv(self, r, avail, blk_idx, pblk, lx, sub_type):
+        """sub_mb8x8/8x4/4x8/4x4_mv (h264.cpp:8558-8652)."""
+        p = pblk[blk_idx]
+        if p.ref[lx] < 0:
+            return
+        idx = int(p.ref[lx])
+        if sub_type == 0:
+            (px, py), _, _ = I.calc_mv8x8(self, 0, lx, idx, avail, blk_idx, pblk, 0)
+            dx, dy = r.se(), r.se()
+            for k in range(4):
+                p.mv[k][lx] = (px + dx, py + dy)
+                p.mvd[k][lx] = (dx, dy)
+        elif sub_type == 1:  # 8x4
+            for y in range(2):
+                (px, py), _, _ = I.calc_mv8x8(self, 1, lx, idx, avail, blk_idx, pblk, y)
+                dx, dy = r.se(), r.se()
+                p.mv[y * 2][lx] = (px + dx, py + dy)
+                p.mvd[y * 2][lx] = (dx, dy)
+                p.mv[y * 2 + 1][lx] = (px + dx, py + dy)
+                p.mvd[y * 2 + 1][lx] = (dx, dy)
+        elif sub_type == 2:  # 4x8
+            for x in range(2):
+                (px, py), _, _ = I.calc_mv8x8(self, 2, lx, idx, avail, blk_idx, pblk, x)
+                dx, dy = r.se(), r.se()
+                p.mv[x][lx] = (px + dx, py + dy)
+                p.mvd[x][lx] = (dx, dy)
+                p.mv[x + 2][lx] = (px + dx, py + dy)
+                p.mvd[x + 2][lx] = (dx, dy)
+        else:  # 4x4
+            for xy in range(4):
+                (px, py), _, _ = I.calc_mv8x8(self, 3, lx, idx, avail, blk_idx, pblk, xy)
+                dx, dy = r.se(), r.se()
+                p.mv[xy][lx] = (px + dx, py + dy)
+                p.mvd[xy][lx] = (dx, dy)
+
+    def _sub_mb_dec(self, blk_idx, pblk, sub_type):
+        """sub_mb{8x8,8x4,4x8,4x4}_dec (h264.cpp:8722-8755)."""
+        p = pblk[blk_idx]
+        ox = (blk_idx & 1) * 8
+        oy = (blk_idx & 2) * 4
+        if sub_type == 0:
+            I.inter_pred_basic(self, p.ref, p.mv[0], 8, 8, ox, oy)
+        elif sub_type == 1:
+            for y in range(2):
+                I.inter_pred_basic(self, p.ref, p.mv[y * 2], 8, 4, ox, oy + y * 4)
+        elif sub_type == 2:
+            for x in range(2):
+                I.inter_pred_basic(self, p.ref, p.mv[x], 4, 8, ox + x * 4, oy)
+        else:
+            for xy in range(4):
+                I.inter_pred_basic(self, p.ref, p.mv[xy], 4, 4,
+                                   ox + (xy & 1) * 4, oy + (xy & 2) * 2)
+
+    # -- P skip -----------------------------------------------------------
+    def _p_skip_mb(self):
+        """p_skip_mb (h264.cpp:9736-9766)."""
+        avail = self._avail()
+        mv = np.zeros((2, 2), np.int32)
+        if (avail & 3) == 3:
+            left, top = self.mbleft, self._top()
+            l_zero = left.ref[0][0] == 0 and not left.mov[0][0].any()
+            t_zero = top.ref[0][0] == 0 and not top.mov[0][0].any()
+            if not l_zero and not t_zero:
+                (px, py), _, _ = I.calc_mv16x16(self, 0, 0, avail)
+                mv[0] = (px, py)
+        ref_idx = [0, -1]
+        I.inter_pred_basic(self, ref_idx, mv, 16, 16, 0, 0)
+        return mv, ref_idx
+
+    def _skip_mbs(self, skip_num):
+        """skip_mbs (h264.cpp:10128-10183), P path."""
+        max_run = self.max_x * self.max_y - self.mb_pos
+        skip_num = min(skip_num, max_run)
+        self.left_pred[:] = [2] * 4
+        left4x4 = list(self.left_coef[:4])
+        self.left_coef[:4] = [0] * 4
+        self.cbp = 0
+        self.cbf = 0
+        mvds = np.zeros((2, 2), np.int32)
+        while skip_num:
+            mvs, ref_idx = self._p_skip_mb()
+            self.top_pred[self.mb_x][:] = [2] * 4
+            top4x4 = list(self.top_coef[self.mb_x][:4])
+            self.top_coef[self.mb_x][:4] = [0] * 4
+            self._no_residual_inter()
+            I.store_info_inter16x16(self, mvs, mvds, ref_idx, left4x4, top4x4)
+            left4x4 = [0] * 4
+            self.prev_qp_delta = 0
+            self.mb_type = MB_PSKIP
+            for n in (self.mbleft, self._top()):
+                n.type = MB_PSKIP
+                n.mb_skip = 1
+                n.direct8x8 = 3
+            if self._increment_mb_pos() < 0:
+                return -1
+            skip_num -= 1
+        return 0
+
+
+# mix the P-slice methods into the decoder class
+for _name in dir(_PSliceMixin):
+    if not _name.startswith("__"):
+        setattr(H264Decoder, _name, getattr(_PSliceMixin, _name))
+
+
+def _mb_dispatch_full(self, r, mbtype, avail):
+    if mbtype == MB_INxN:
+        self._mb_intra4x4(r, avail)
+    elif mbtype < MB_IPCM:
+        self._mb_intra16x16(r, mbtype, avail)
+    elif mbtype == MB_IPCM:
+        self._mb_intrapcm(r)
+    elif mbtype == MB_P16x16:
+        self._mb_inter16x16(r, avail)
+    elif mbtype == MB_P16x8:
+        self._mb_inter16x8(r, avail, vertical=False)
+    elif mbtype == MB_P8x16:
+        self._mb_inter16x8(r, avail, vertical=True)
+    elif mbtype == MB_P8x8:
+        self._mb_inter8x8p(r, avail)
+    elif mbtype == MB_P8x8REF0:
+        self._mb_inter8x8p(r, avail, ref0=True)
+    else:
+        raise NotImplementedError(f"mb type {mbtype}")
+
+
+H264Decoder._mb_dispatch = _mb_dispatch_full

@@ -575,3 +575,220 @@ class H264IntraGen(H264StreamGen):
         self.top_coef[mbx][:4] = [nc[10], nc[11], nc[14], nc[15]]
         self._emit_chroma_residual(w, cbp)
         self.mb_count += 1
+
+
+class H264InterGen(H264IntraGen):
+    """Adds P slices: P16x16/16x8/8x16/8x8(+ref0)/skip + intra MBs in P.
+
+    Motion vector deltas are drawn directly (the decoded MV is pmv+mvd,
+    wherever that lands — unrestricted MVs are legal and both decoders
+    clamp identically), so the generator needs no MV-prediction mirror.
+    """
+
+    def __init__(self, *args, skip_prob=0.2, intra_prob=0.15, mvd_range=24,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.skip_prob = skip_prob
+        self.intra_prob = intra_prob
+        self.mvd_range = mvd_range
+        self.n_refs_avail = 0
+
+    def generate(self, pattern="IPP"):
+        out = bytearray()
+        self._nal(out, 3, 7, self._sps)
+        self._nal(out, 3, 8, self._pps)
+        self.n_refs_avail = 0
+        for c in pattern:
+            if c == "I":
+                self._idr_picture(out)
+                self.n_refs_avail = 1
+            elif c == "P":
+                self._nal(out, 2, 1, lambda w: self._slice_P(w))
+                self.frame_num = (self.frame_num + 1) % (1 << self.log2_max_frame_num)
+                self.poc_lsb = (self.poc_lsb + 2) % (1 << self.log2_max_poc_lsb)
+                self.n_refs_avail = min(self.n_refs_avail + 1, self.num_ref_frames)
+            else:
+                raise NotImplementedError(c)
+        return bytes(out)
+
+    def _slice_P(self, w):
+        rng = self.rng
+        w.ue(0)  # first_mb
+        w.ue(5)  # slice_type P (all)
+        w.ue(0)  # pps
+        w.put_bits(self.frame_num, self.log2_max_frame_num)
+        w.put_bits(self.poc_lsb, self.log2_max_poc_lsb)
+        w.put_bits(0, 1)  # num_ref_idx_active_override
+        w.put_bits(0, 1)  # ref_pic_list_reordering
+        w.put_bits(0, 1)  # adaptive_ref_pic_marking
+        self.qp_cur = self.qp
+        w.se(0)
+        if self.disable_deblock:
+            w.ue(1)
+        else:
+            w.ue(0)
+            w.se(rng.randint(-3, 3))
+            w.se(rng.randint(0, 3))
+        self._init_slice_state()
+        nmb = self.mb_w * self.mb_h
+        mb = 0
+        pending_skip = 0
+        while mb < nmb:
+            mbx = mb % self.mb_w
+            mby = mb // self.mb_w
+            if rng.random() < self.skip_prob:
+                pending_skip += 1
+                self._mark_skip_state(mbx)
+                mb += 1
+                continue
+            w.ue(pending_skip)
+            pending_skip = 0
+            self.mbx = mbx
+            self.avail = self._avail_of(mbx, mby)
+            if rng.random() < self.intra_prob:
+                u = rng.random()
+                if u < self.ipcm_prob:
+                    w.ue(25 + 5)
+                    self._emit_ipcm_body(w)
+                elif u < 0.5:
+                    self._emit_i16x16_p(w)
+                else:
+                    self._emit_i4x4_p(w)
+            else:
+                self._emit_p_mb(w)
+            mb += 1
+        if pending_skip:
+            w.ue(pending_skip)
+
+    def _avail_of(self, mbx, mby):
+        return ((mbx != 0) | 0) | ((mby != 0) << 1) \
+            | ((mby != 0 and mbx != self.mb_w - 1) << 2) \
+            | ((mby != 0 and mbx != 0) << 3)
+
+    def _mark_skip_state(self, mbx):
+        self.left_pred[:] = [2] * 4
+        self.top_pred[mbx][:] = [2] * 4
+        self.left_coef[:] = [0] * 8
+        self.top_coef[mbx][:] = [0] * 8
+        self.mb_count += 1
+
+    # intra-in-P wrappers: mb_type offset +5
+    def _emit_i16x16_p(self, w):
+        # reproduce _emit_i16x16 but with mb_type+5: easiest is to wrap the
+        # ue writer
+        real_ue = w.ue
+        first = [True]
+
+        def patched(v):
+            if first[0]:
+                first[0] = False
+                return real_ue(v + 5)
+            return real_ue(v)
+
+        w.ue = patched
+        try:
+            self._emit_i16x16(w)
+        finally:
+            w.ue = real_ue
+
+    def _emit_i4x4_p(self, w):
+        real_ue = w.ue
+        first = [True]
+
+        def patched(v):
+            if first[0]:
+                first[0] = False
+                return real_ue(v + 5)
+            return real_ue(v)
+
+        w.ue = patched
+        try:
+            self._emit_i4x4(w)
+        finally:
+            w.ue = real_ue
+
+    def _emit_ipcm_body(self, w):
+        rng = self.rng
+        w.byte_align(0)
+        for _ in range(256 + 128):
+            w.put_bits(rng.randrange(256), 8)
+        mbx = self.mbx
+        self.left_pred[:] = [2] * 4
+        self.top_pred[mbx][:] = [2] * 4
+        self.left_coef[:] = [15] * 8
+        self.top_coef[mbx][:] = [15] * 8
+        self.mb_count += 1
+
+    # -- P macroblocks ---------------------------------------------------
+    def _ref(self, w):
+        t = max(0, self.num_ref_frames - 1)
+        v = self.rng.randrange(self.n_refs_avail)
+        if t == 0:
+            return
+        if t == 1:
+            w.put_bits(v ^ 1, 1)
+        else:
+            w.ue(v)
+
+    def _mvd(self, w):
+        r = self.mvd_range
+        w.se(self.rng.randint(-r, r))
+        w.se(self.rng.randint(-r, r))
+
+    def _emit_p_mb(self, w):
+        rng = self.rng
+        mbx = self.mbx
+        kind = rng.choice([0, 0, 0, 1, 2, 3, 3, 4])
+        w.ue(kind)
+        if kind == 0:
+            self._ref(w)
+            self._mvd(w)
+        elif kind in (1, 2):
+            self._ref(w)
+            self._ref(w)
+            self._mvd(w)
+            self._mvd(w)
+        else:
+            subs = [rng.choice([0, 0, 1, 2, 3]) for _ in range(4)]
+            for s in subs:
+                w.ue(s)
+            if kind != 4:
+                for _ in range(4):
+                    self._ref(w)
+            for s in subs:
+                n = (1, 2, 2, 4)[s]
+                for _ in range(n):
+                    self._mvd(w)
+        # cbp + residual
+        cbp_luma = rng.randrange(16)
+        cbp_chroma = rng.choice([0, 0, 1, 2])
+        cbp = cbp_luma | (cbp_chroma << 4)
+        w.ue(ENC_ME_CBP[1][cbp])
+        nc = [0] * 16
+        if cbp:
+            qp_delta = rng.choice([0, 0, 1, -1])
+            if not (self.qp_floor <= self.qp_cur + qp_delta <= 45):
+                qp_delta = 0
+            w.se(qp_delta)
+            self.qp_cur += qp_delta
+        self._update_qmats()
+        lc, tc = self.left_coef, self.top_coef[mbx]
+        avail = self.avail
+        for i in range(16):
+            if not cbp & (1 << (i >> 2)):
+                continue
+            na_s, nb_s = _LUMA_NC_WIRING[i]
+            na = _nc_resolve(na_s, nc, lc, avail, True)
+            nb = _nc_resolve(nb_s, nc, tc, avail, False)
+            while True:
+                coefs = self._rand_coefs(16, maxn=6, lvl_hi=4)
+                if self._residual_ok_4x4(coefs, self.qmaty_now):
+                    break
+                coefs = self._shrink(coefs)
+            nc[i] = CavlcEncoder.encode(w, coefs, 16, self._nc(na, nb))
+        self.left_coef[:4] = [nc[5], nc[7], nc[13], nc[15]]
+        self.top_coef[mbx][:4] = [nc[10], nc[11], nc[14], nc[15]]
+        self.left_pred[:] = [2] * 4
+        self.top_pred[mbx][:] = [2] * 4
+        self._emit_chroma_residual(w, cbp)
+        self.mb_count += 1

@@ -70,3 +70,34 @@ def test_intra_qp_range(reference_bins, tmp_path, qp, qpidx):
         H264IntraGen(64, 48, seed=8, qp=qp, chroma_qp_index=qpidx,
                      disable_deblock=False), "II", 1,
     )
+
+
+from streamgen.h264_enc import H264InterGen  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_p_slices(reference_bins, tmp_path, seed):
+    run_case(reference_bins, tmp_path, H264InterGen(48, 32, seed=seed), "IPPI", 3)
+
+
+def test_p_umv(reference_bins, tmp_path):
+    run_case(
+        reference_bins, tmp_path,
+        H264InterGen(48, 32, seed=9, mvd_range=200, skip_prob=0.1,
+                     intra_prob=0), "IPPI", 3,
+    )
+
+
+def test_p_multiref(reference_bins, tmp_path):
+    run_case(
+        reference_bins, tmp_path,
+        H264InterGen(64, 48, seed=5, num_ref_frames=4), "IPPPPI", 5,
+    )
+
+
+def test_p_deblock_cif(reference_bins, tmp_path):
+    run_case(
+        reference_bins, tmp_path,
+        H264InterGen(176, 144, seed=7, num_ref_frames=2, qp=30,
+                     disable_deblock=False), "IPPI", 3,
+    )
