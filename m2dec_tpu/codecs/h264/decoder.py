@@ -165,10 +165,13 @@ class H264Decoder:
         self.max_y = sps.pic_height >> 4
         nmb = self.max_x * self.max_y
         self.deblock = [DeblockInfo() for _ in range(nmb)]
-        # colocated motion pages: [frame slot] -> dict arrays
-        self.col_pages = [self._new_col_page(nmb) for _ in range(n)]
+        # colocated motion pages: the reference gives every L1 ref slot a
+        # distinct page at init (init_mb_buffer, h264.cpp:539-544) plus a
+        # spare curr_col; pages then travel with RefFrame objects via the
+        # post_process std::swap.
+        for i in range(16):
+            self.refs[1][i].col = self._new_col_page(nmb)
         self.curr_col = self._new_col_page(nmb)
-        self.col_of_frame = list(range(n))
         self.inited = True
 
     @staticmethod
@@ -352,6 +355,13 @@ class H264Decoder:
             if slice_type == B_SLICE:
                 ref_pic_list_reordering(r, self.refs[1], sps.num_ref_frames,
                                         hdr.frame_num, max_frame_num)
+                if not sps.direct_8x8_inference_flag:
+                    raise NotImplementedError(
+                        "direct_8x8_inference_flag=0 (reference parity: "
+                        "BLOCK=4 temporal-zero path is UB, see bdirect.py)")
+                if hdr.direct_spatial_mv_pred_flag == 0:
+                    from .bdirect import create_map_col_to_list0
+                    create_map_col_to_list0(self)
                 if pps.weighted_bipred_idc:
                     raise NotImplementedError("weighted bipred")
             elif pps.weighted_pred_flag:
@@ -1394,3 +1404,241 @@ def _mb_dispatch_full(self, r, mbtype, avail):
 
 
 H264Decoder._mb_dispatch = _mb_dispatch_full
+
+
+# ======================================================================
+# B-slice extension stage 1: explicit L0/L1/Bi partitions + B8x8
+# (reference mb_decode rows 31-53, h264.cpp:9622-9633)
+# ======================================================================
+
+# adjusted mb_type -> (kind, refmap); kind: 0=direct, 1=16x16, 2=16x8,
+# 3=8x16, 4=8x8
+_B_MB_TABLE = {31: (0, 0)}
+_B_MB_TABLE[32] = (1, 1)
+_B_MB_TABLE[33] = (1, 2)
+_B_MB_TABLE[34] = (1, 3)
+for _i, _cbp in enumerate((0x3, 0xC, 0x9, 0x6, 0xB, 0xE, 0x7, 0xD, 0xF)):
+    _B_MB_TABLE[35 + _i * 2] = (2, _cbp)
+    _B_MB_TABLE[36 + _i * 2] = (3, _cbp)
+_B_MB_TABLE[53] = (4, 0)
+
+#: sub_mb_type -> (shape, dir_mask); shape 0=8x8,1=8x4,2=4x8,3=4x4;
+#: dir -1 = direct (Table 7-18 / reference sub_mb_b tables)
+_B_SUB_TABLE = (
+    (0, -1), (0, 1), (0, 2), (0, 3), (1, 1), (2, 1), (1, 2), (2, 2),
+    (1, 3), (2, 3), (3, 1), (3, 2), (3, 3),
+)
+
+
+def _mb_dispatch_b(self, r, mbtype, avail):
+    if mbtype <= MB_IPCM or self.hdr.slice_type != B_SLICE:
+        return _mb_dispatch_full(self, r, mbtype, avail)
+    kind, refmap = _B_MB_TABLE[mbtype]
+    if kind == 0:
+        self._mb_bdirect16x16(r, avail)
+    elif kind == 1:
+        self._mb_inter16x16(r, avail, refmap=refmap)
+    elif kind == 2:
+        self._mb_inter16x8_b(r, avail, refmap, vertical=False)
+    elif kind == 3:
+        self._mb_inter16x8_b(r, avail, refmap, vertical=True)
+    else:
+        self._mb_inter8x8b(r, avail)
+
+
+H264Decoder._mb_dispatch = _mb_dispatch_b
+
+
+def _mb_inter16x8_b(self, r, avail, refmap, vertical):
+    """B 16x8/8x16 with per-partition list maps (mb_inter16x8,
+    h264.cpp:7606-7655 with mbc->cbp=refmap)."""
+    self._avail_saved = avail
+    n_active = self.hdr.num_ref_idx_active
+    ref_idx = [-1, -1, -1, -1]
+    for lx in range(2):
+        t = n_active[lx]
+        m = refmap >> (lx * 2)
+        if m & 1:
+            ref_idx[lx] = _te(r, t) if t else 0
+        if m & 2:
+            ref_idx[lx + 2] = _te(r, t) if t else 0
+    mv_sets = np.zeros((2, 2, 2), np.int32)
+    mvd_sets = np.zeros((2, 2, 2), np.int32)
+    for lx in range(2):
+        m = refmap >> (lx * 2)
+        if m & 1:
+            if vertical:
+                (px, py), _, _ = I.calc_mv8x16left(self, lx, ref_idx[lx], avail)
+            else:
+                (px, py), _, _ = I.calc_mv16x8top(self, lx, ref_idx[lx], avail)
+            dx, dy = r.se(), r.se()
+            mvd_sets[0][lx] = (dx, dy)
+            mv_sets[0][lx] = (px + dx, py + dy)
+        if m & 2:
+            if vertical:
+                (px, py), _, _ = I.calc_mv8x16right(
+                    self, lx, ref_idx[lx + 2], avail, ref_idx[lx],
+                    mv_sets[0], mvd_sets[0])
+            else:
+                (px, py), _, _ = I.calc_mv16x8bottom(
+                    self, lx, ref_idx[lx + 2], avail, ref_idx[lx],
+                    mv_sets[0], mvd_sets[0])
+            dx, dy = r.se(), r.se()
+            mvd_sets[1][lx] = (dx, dy)
+            mv_sets[1][lx] = (px + dx, py + dy)
+    if vertical:
+        I.inter_pred_basic(self, ref_idx[:2], mv_sets[0], 8, 16, 0, 0)
+        I.inter_pred_basic(self, ref_idx[2:], mv_sets[1], 8, 16, 8, 0)
+    else:
+        I.inter_pred_basic(self, ref_idx[:2], mv_sets[0], 16, 8, 0, 0)
+        I.inter_pred_basic(self, ref_idx[2:], mv_sets[1], 16, 8, 0, 8)
+    left4x4 = list(self.left_coef[:4])
+    top4x4 = list(self.top_coef[self.mb_x][:4])
+    self.cbp = cbp = T.ME_CBP[1][_read_me(r)]
+    if cbp:
+        self._residual_luma_inter(r, cbp)
+    else:
+        self._no_residual_inter()
+    if vertical:
+        I.store_info_inter8x16(self, mv_sets, mvd_sets, ref_idx, left4x4, top4x4)
+    else:
+        I.store_info_inter16x8(self, mv_sets, mvd_sets, ref_idx, left4x4, top4x4)
+    self._residual_chroma(r, cbp, avail)
+
+
+def _mb_inter8x8b(self, r, avail):
+    """mb_inter8x8 B variant (h264.cpp:9118-9164)."""
+    self._avail_saved = avail
+    pblk = [I.Prev8x8() for _ in range(4)]
+    sub_mb_type = []
+    type0_cnt = 0
+    ref_blk = {}  # once-computed spatial direct ref/mv (reference ref_blk)
+    for i in range(4):
+        t = r.ue()
+        if t > 12:
+            raise ValueError("bad B sub_mb_type")
+        sub_mb_type.append(t)
+        if t == 0:
+            self._pred_direct8x8(r, avail, i, pblk, ref_blk, type0_cnt)
+            type0_cnt += 1
+    n_active = self.hdr.num_ref_idx_active
+    for lx in range(2):
+        t = n_active[lx]
+        dirbit = 1 << lx
+        for i in range(4):
+            dmask = _B_SUB_TABLE[sub_mb_type[i]][1]
+            if dmask >= 0:
+                pblk[i].ref[lx] = (_te(r, t) if t else 0) if dirbit & dmask else -1
+    for lx in range(2):
+        for i in range(4):
+            if sub_mb_type[i] != 0:
+                shape = _B_SUB_TABLE[sub_mb_type[i]][0]
+                self._sub_mb_mv(r, avail, i, pblk, lx, shape)
+    for i in range(4):
+        if sub_mb_type[i] != 0:
+            shape = _B_SUB_TABLE[sub_mb_type[i]][0]
+            self._sub_mb_dec(i, pblk, shape)
+    left4x4 = list(self.left_coef[:4])
+    top4x4 = list(self.top_coef[self.mb_x][:4])
+    self.cbp = cbp = T.ME_CBP[1][_read_me(r)]
+    if cbp:
+        self._residual_luma_inter(r, cbp)
+    else:
+        self._no_residual_inter()
+    I.store_info_intermb8x8(self, pblk, left4x4, top4x4)
+    self.mbleft.direct8x8 = ((sub_mb_type[3] == 0) * 2) | (sub_mb_type[1] == 0)
+    self._top().direct8x8 = ((sub_mb_type[3] == 0) * 2) | (sub_mb_type[2] == 0)
+    self._residual_chroma(r, cbp, avail)
+
+
+H264Decoder._mb_inter16x8_b = _mb_inter16x8_b
+H264Decoder._mb_inter8x8b = _mb_inter8x8b
+
+
+# ======================================================================
+# B-slice stage 2: direct / skip
+# ======================================================================
+from . import bdirect as BD  # noqa: E402
+
+
+def _mb_bdirect16x16(self, r, avail):
+    """mb_bdirect16x16 (h264.cpp:9402-9430)."""
+    self._avail_saved = avail
+    msets = np.zeros((16, 2, 2), np.int32)
+    ref8 = np.full(8, -1, np.int32)
+    if self.hdr.direct_spatial_mv_pred_flag:
+        BD.b_skip_mb_spatial(self, ref8, msets)
+    else:
+        BD.b_skip_mb_temporal(self, ref8, msets)
+    left4x4 = list(self.left_coef[:4])
+    top4x4 = list(self.top_coef[self.mb_x][:4])
+    self.cbp = cbp = T.ME_CBP[1][_read_me(r)]
+    if cbp:
+        self._residual_luma_inter(r, cbp)
+    else:
+        self._no_residual_inter()
+    page = self.refs[1][0].col
+    col_type = int(page["type"][self.mb_pos])
+    BD.store_info_direct(self, msets, ref8, left4x4, top4x4, col_type)
+    self.mbleft.direct8x8 = 3
+    self._top().direct8x8 = 3
+    self._residual_chroma(r, cbp, avail)
+
+
+def _pred_direct8x8(self, r, avail, blk_idx, pblk, shared, type0_cnt):
+    if self.hdr.direct_spatial_mv_pred_flag:
+        BD.pred_direct8x8_spatial(self, blk_idx, pblk, avail, shared, type0_cnt)
+    else:
+        BD.pred_direct8x8_temporal(self, blk_idx, pblk, avail, shared, type0_cnt)
+
+
+def _skip_mbs_full(self, skip_num):
+    """skip_mbs (h264.cpp:10128-10183), P and B."""
+    slice_type = self.hdr.slice_type
+    max_run = self.max_x * self.max_y - self.mb_pos
+    skip_num = min(skip_num, max_run)
+    self.left_pred[:] = [2] * 4
+    left4x4 = list(self.left_coef[:4])
+    self.left_coef[:4] = [0] * 4
+    self.cbp = 0
+    self.cbf = 0
+    mvds = np.zeros((2, 2), np.int32)
+    while skip_num:
+        if slice_type == P_SLICE:
+            mvs, ref_idx = self._p_skip_mb()
+        else:
+            msets = np.zeros((16, 2, 2), np.int32)
+            ref8 = np.full(8, -1, np.int32)
+            if self.hdr.direct_spatial_mv_pred_flag:
+                BD.b_skip_mb_spatial(self, ref8, msets)
+            else:
+                BD.b_skip_mb_temporal(self, ref8, msets)
+        self.top_pred[self.mb_x][:] = [2] * 4
+        top4x4 = list(self.top_coef[self.mb_x][:4])
+        self.top_coef[self.mb_x][:4] = [0] * 4
+        if slice_type == B_SLICE:
+            page = self.refs[1][0].col
+            col_type = int(page["type"][self.mb_pos])
+        else:
+            col_type = 0
+        self._no_residual_inter()
+        if slice_type == P_SLICE:
+            I.store_info_inter16x16(self, mvs, mvds, ref_idx, left4x4, top4x4)
+        else:
+            BD.store_info_direct(self, msets, ref8, left4x4, top4x4, col_type)
+        left4x4 = [0] * 4
+        self.prev_qp_delta = 0
+        self.mb_type = MB_PSKIP
+        for n in (self.mbleft, self._top()):
+            n.type = MB_PSKIP
+            n.mb_skip = 1
+            n.direct8x8 = 3
+        if self._increment_mb_pos() < 0:
+            return -1
+        skip_num -= 1
+    return 0
+
+
+H264Decoder._mb_bdirect16x16 = _mb_bdirect16x16
+H264Decoder._pred_direct8x8 = _pred_direct8x8
+H264Decoder._skip_mbs = _skip_mbs_full

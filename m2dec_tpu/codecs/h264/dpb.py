@@ -253,10 +253,11 @@ def ref_pic_init_b(refs0, refs1, poc, num_ref_frames):
 
     refs0[:num_ref_frames] = _merge_sort(refs0[:num_ref_frames], mk(less_l0))
     refs1[:num_ref_frames] = _merge_sort(refs1[:num_ref_frames], mk(less_l1))
-    if num_ref_frames > 1 and all(
-        refs0[i].key() == refs1[i].key() for i in range(num_ref_frames)
-    ):
-        refs1[0], refs1[1] = refs1[1], refs1[0]
+    # NOTE: the spec's "swap ref1[0]/ref1[1] if lists identical" is DEAD
+    # CODE in the reference: is_same_list (h264.cpp:10977-10980) memcmps
+    # whole structs including the col pointer, which is non-NULL only in
+    # list 1 (init_mb_buffer, h264.cpp:539-544), so it never reports
+    # equality.  We mirror the reference: no swap.
     for i in range(num_ref_frames, 16):
         refs0[i].in_use = NOT_IN_USE
         refs1[i].in_use = NOT_IN_USE

@@ -63,7 +63,7 @@ class H264StreamGen:
         w.ue(self.mb_w - 1)
         w.ue(self.mb_h - 1)
         w.put_bits(1, 1)  # frame_mbs_only
-        w.put_bits(0, 1)  # direct_8x8_inference
+        w.put_bits(1, 1)  # direct_8x8_inference (required for B parity)
         w.put_bits(0, 1)  # cropping
         w.put_bits(0, 1)  # vui
 
@@ -759,7 +759,11 @@ class H264InterGen(H264IntraGen):
                 n = (1, 2, 2, 4)[s]
                 for _ in range(n):
                     self._mvd(w)
-        # cbp + residual
+        self._emit_inter_residual(w)
+
+    def _emit_inter_residual(self, w):
+        rng = self.rng
+        mbx = self.mbx
         cbp_luma = rng.randrange(16)
         cbp_chroma = rng.choice([0, 0, 1, 2])
         cbp = cbp_luma | (cbp_chroma << 4)
@@ -792,3 +796,192 @@ class H264InterGen(H264IntraGen):
         self.top_pred[mbx][:] = [2] * 4
         self._emit_chroma_residual(w, cbp)
         self.mb_count += 1
+
+
+class H264BGen(H264InterGen):
+    """Adds B slices (non-reference, nal_ref_idc=0).
+
+    Pattern grammar: leading 'I' (IDR), then 'P'/'B' in DECODE order; each
+    run of B's after an anchor displays between the previous two anchors
+    (classic IPB reordering, POCs assigned by a pre-pass).
+
+    Staging knobs mirror how the decoder was brought up: ``b_direct_prob``
+    enables BDirect16x16 + sub-direct, ``skip_prob`` enables B-skip,
+    ``direct_spatial`` picks spatial (1) vs temporal (0) direct mode.
+    """
+
+    #: raw B mb_type -> (kind, refmap); kind 1=16x16, 2=16x8, 3=8x16
+    _B_RAW = {1: (1, 1), 2: (1, 2), 3: (1, 3)}
+    for _i, _m in enumerate((0x3, 0xC, 0x9, 0x6, 0xB, 0xE, 0x7, 0xD, 0xF)):
+        _B_RAW[4 + _i * 2] = (2, _m)
+        _B_RAW[5 + _i * 2] = (3, _m)
+    del _i, _m
+    #: sub_mb_type -> (shape, dir_mask); shape 0=8x8,1=8x4,2=4x8,3=4x4
+    _B_SUB = (
+        (0, -1), (0, 1), (0, 2), (0, 3), (1, 1), (2, 1), (1, 2), (2, 2),
+        (1, 3), (2, 3), (3, 1), (3, 2), (3, 3),
+    )
+
+    def __init__(self, *args, direct_spatial=1, b_direct_prob=0.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.direct_spatial = direct_spatial
+        self.b_direct_prob = b_direct_prob
+
+    def generate(self, pattern="IPB"):
+        assert pattern[0] == "I" and "I" not in pattern[1:], \
+            "B patterns: single leading IDR"
+        # display-order pre-pass: anchor takes slot after its trailing Bs
+        disp = [0] * len(pattern)
+        dd = 0
+        i = 0
+        while i < len(pattern):
+            if pattern[i] in "IP":
+                run = 0
+                while i + 1 + run < len(pattern) and pattern[i + 1 + run] == "B":
+                    run += 1
+                disp[i] = dd + run
+                for k in range(run):
+                    disp[i + 1 + k] = dd + k
+                dd += run + 1
+                i += run + 1
+            else:
+                raise NotImplementedError(pattern[i])
+        out = bytearray()
+        self._nal(out, 3, 7, self._sps)
+        self._nal(out, 3, 8, self._pps)
+        self.n_refs_avail = 0
+        for i, c in enumerate(pattern):
+            self.poc_lsb = (disp[i] * 2) % (1 << self.log2_max_poc_lsb)
+            if c == "I":
+                self.frame_num = 0
+                self.poc_lsb = 0
+                self._nal(out, 3, 5, lambda w: self._slice_I(w, idr=True))
+                self.frame_num = 1
+                self.n_refs_avail = 1
+            elif c == "P":
+                self._nal(out, 2, 1, lambda w: self._slice_P(w))
+                self.frame_num = (self.frame_num + 1) % (1 << self.log2_max_frame_num)
+                self.n_refs_avail = min(self.n_refs_avail + 1, self.num_ref_frames)
+            else:  # B, non-reference
+                self._nal(out, 0, 1, lambda w: self._slice_B(w))
+        return bytes(out)
+
+    def _slice_B(self, w):
+        rng = self.rng
+        w.ue(0)  # first_mb
+        w.ue(6)  # slice_type B (all)
+        w.ue(0)  # pps
+        w.put_bits(self.frame_num, self.log2_max_frame_num)
+        w.put_bits(self.poc_lsb, self.log2_max_poc_lsb)
+        w.put_bits(self.direct_spatial, 1)
+        w.put_bits(0, 1)  # num_ref_idx_active_override
+        w.put_bits(0, 1)  # ref_pic_list_reordering_l0
+        w.put_bits(0, 1)  # ref_pic_list_reordering_l1
+        # nal_ref_idc==0: no dec_ref_pic_marking
+        self.qp_cur = self.qp
+        w.se(0)
+        if self.disable_deblock:
+            w.ue(1)
+        else:
+            w.ue(0)
+            w.se(rng.randint(-3, 3))
+            w.se(rng.randint(0, 3))
+        self._init_slice_state()
+        nmb = self.mb_w * self.mb_h
+        mb = 0
+        pending_skip = 0
+        while mb < nmb:
+            mbx = mb % self.mb_w
+            mby = mb // self.mb_w
+            if rng.random() < self.skip_prob:
+                pending_skip += 1
+                self._mark_skip_state(mbx)
+                mb += 1
+                continue
+            w.ue(pending_skip)
+            pending_skip = 0
+            self.mbx = mbx
+            self.avail = self._avail_of(mbx, mby)
+            if rng.random() < self.intra_prob:
+                u = rng.random()
+                if u < self.ipcm_prob:
+                    w.ue(25 + 23)
+                    self._emit_ipcm_body(w)
+                elif u < 0.5:
+                    self._emit_intra_offset(w, self._emit_i16x16, 23)
+                else:
+                    self._emit_intra_offset(w, self._emit_i4x4, 23)
+            else:
+                self._emit_b_mb(w)
+            mb += 1
+        if pending_skip:
+            w.ue(pending_skip)
+
+    def _emit_intra_offset(self, w, fn, ofs):
+        real_ue = w.ue
+        first = [True]
+
+        def patched(v):
+            if first[0]:
+                first[0] = False
+                return real_ue(v + ofs)
+            return real_ue(v)
+
+        w.ue = patched
+        try:
+            fn(w)
+        finally:
+            w.ue = real_ue
+
+    # L1 active-1 is 0 in our PPS: te() reads no bits for L1 refs
+    def _ref_l(self, w, lx):
+        if lx == 0:
+            self._ref(w)
+
+    def _emit_b_mb(self, w):
+        rng = self.rng
+        if self.b_direct_prob and rng.random() < self.b_direct_prob:
+            w.ue(0)  # B_Direct_16x16
+            self._emit_inter_residual(w)
+            return
+        raw = rng.choice([1, 2, 3, rng.randrange(4, 22), 22, 22])
+        w.ue(raw)
+        if raw == 22:
+            lo = 0 if self.b_direct_prob else 1
+            subs = [rng.randrange(lo, 13) for _ in range(4)]
+            for s in subs:
+                w.ue(s)
+            for lx in range(2):
+                for s in subs:
+                    dmask = self._B_SUB[s][1]
+                    if dmask >= 0 and (1 << lx) & dmask:
+                        self._ref_l(w, lx)
+            for lx in range(2):
+                for s in subs:
+                    shape, dmask = self._B_SUB[s]
+                    if s != 0 and (1 << lx) & dmask:
+                        for _ in range((1, 2, 2, 4)[shape]):
+                            self._mvd(w)
+        else:
+            kind, refmap = self._B_RAW[raw]
+            if kind == 1:
+                for lx in range(2):
+                    if refmap & (1 << lx):
+                        self._ref_l(w, lx)
+                for lx in range(2):
+                    if refmap & (1 << lx):
+                        self._mvd(w)
+            else:
+                for lx in range(2):
+                    m = refmap >> (lx * 2)
+                    if m & 1:
+                        self._ref_l(w, lx)
+                    if m & 2:
+                        self._ref_l(w, lx)
+                for lx in range(2):
+                    m = refmap >> (lx * 2)
+                    if m & 1:
+                        self._mvd(w)
+                    if m & 2:
+                        self._mvd(w)
+        self._emit_inter_residual(w)

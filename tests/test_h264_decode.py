@@ -101,3 +101,122 @@ def test_p_deblock_cif(reference_bins, tmp_path):
         H264InterGen(176, 144, seed=7, num_ref_frames=2, qp=30,
                      disable_deblock=False), "IPPI", 3,
     )
+
+
+from streamgen.h264_enc import H264BGen  # noqa: E402
+
+
+def run_case_b(reference_bins, tmp_path, gen, pattern, n_real):
+    """B streams need the reference's auto DPB (h264dec ignores -d for lib
+    init, h264.cpp:1219-1226 derives dpb from the level), so decode with
+    dpb_max=-1 and compare the full reordered output prefix."""
+    data = gen.generate(pattern)
+    src = tmp_path / "in.264"
+    src.write_bytes(data)
+    subprocess.run(
+        [str(reference_bins["h264dec"]), "-o", "in.264"],
+        cwd=tmp_path, capture_output=True,
+    )
+    golden = (tmp_path / "in.out").read_bytes()
+    dec = H264Decoder()
+    dec.set_data(data)
+    frames = dec.decode_all()
+    ours = b"".join(cropped_nv12_bytes(f) for f in frames)
+    fs = gen.w * gen.h * 3 // 2
+    assert len(golden) >= n_real * fs
+    assert ours[: len(golden)] == golden
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_b_explicit_partitions(reference_bins, tmp_path, seed):
+    run_case_b(
+        reference_bins, tmp_path,
+        H264BGen(48, 32, seed=seed, skip_prob=0, intra_prob=0,
+                 num_ref_frames=2), "IPBPB", 5,
+    )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_b_direct_spatial(reference_bins, tmp_path, seed):
+    run_case_b(
+        reference_bins, tmp_path,
+        H264BGen(48, 32, seed=seed, skip_prob=0.25, intra_prob=0.15,
+                 num_ref_frames=2, b_direct_prob=0.3, direct_spatial=1),
+        "IPBPBB", 6,
+    )
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_b_direct_temporal(reference_bins, tmp_path, seed):
+    run_case_b(
+        reference_bins, tmp_path,
+        H264BGen(48, 32, seed=seed, skip_prob=0.2, intra_prob=0.1,
+                 num_ref_frames=2, b_direct_prob=0.3, direct_spatial=0),
+        "IPBPBB", 6,
+    )
+
+
+def test_b_cif_spatial(reference_bins, tmp_path):
+    run_case_b(
+        reference_bins, tmp_path,
+        H264BGen(176, 144, seed=11, skip_prob=0.2, intra_prob=0.1,
+                 num_ref_frames=4, b_direct_prob=0.3, direct_spatial=1,
+                 qp=30), "IPBBPBBPB", 9,
+    )
+
+
+def test_b_cif_temporal_umv(reference_bins, tmp_path):
+    run_case_b(
+        reference_bins, tmp_path,
+        H264BGen(176, 144, seed=12, skip_prob=0.15, intra_prob=0.05,
+                 num_ref_frames=3, b_direct_prob=0.35, direct_spatial=0,
+                 mvd_range=120), "IPBBPBB", 7,
+    )
+
+
+def test_b_after_idr(reference_bins, tmp_path):
+    """B with a single ref in both lists, straight after the IDR; also
+    covers the L1 col pages existing for every ref slot (init_mb_buffer,
+    h264.cpp:539-544)."""
+    run_case_b(
+        reference_bins, tmp_path,
+        H264BGen(48, 32, seed=3, skip_prob=0.2, intra_prob=0,
+                 num_ref_frames=2, b_direct_prob=0.3), "IB", 2,
+    )
+
+
+class _BFutureGen(H264BGen):
+    """Display order == decode order: every B's POC is above all refs, so
+    L0 and L1 sort identically — pins the reference's dead is_same_list
+    swap (h264.cpp:10977-10994)."""
+
+    def generate(self, pattern="IPB"):
+        out = bytearray()
+        self._nal(out, 3, 7, self._sps)
+        self._nal(out, 3, 8, self._pps)
+        self.n_refs_avail = 0
+        for disp, c in enumerate(pattern):
+            self.poc_lsb = (disp * 2) % (1 << self.log2_max_poc_lsb)
+            if c == "I":
+                self.frame_num = 0
+                self.poc_lsb = 0
+                self._nal(out, 3, 5, lambda w: self._slice_I(w, idr=True))
+                self.frame_num = 1
+                self.n_refs_avail = 1
+            elif c == "P":
+                self._nal(out, 2, 1, lambda w: self._slice_P(w))
+                self.frame_num = (self.frame_num + 1) % (1 << self.log2_max_frame_num)
+                self.n_refs_avail = min(self.n_refs_avail + 1, self.num_ref_frames)
+            else:
+                self._nal(out, 0, 1, lambda w: self._slice_B(w))
+        return bytes(out)
+
+
+@pytest.mark.parametrize("spatial", [0, 1])
+def test_b_identical_ref_lists(reference_bins, tmp_path, spatial):
+    run_case_b(
+        reference_bins, tmp_path,
+        _BFutureGen(48, 32, seed=2, skip_prob=0.2, intra_prob=0,
+                    num_ref_frames=2, b_direct_prob=0.3,
+                    direct_spatial=spatial), "IPBB", 4,
+    )
