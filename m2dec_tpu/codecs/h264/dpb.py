@@ -30,9 +30,25 @@ class Dpb:
         self.is_ready = 0
 
     def set_max(self, sps):
+        """set_dpb_max (h264.cpp:1219-1226) with its arithmetic quirks:
+        int16 max_dpb_in_mbs / uint32 mb-count promotes BOTH to uint32
+        (levels >= 4.0, wrapped negative, become ~4 billion => dpb 16 for
+        any frame >= 2 MBs), and the result is stored into an int8 field.
+        Single-MB frames at such levels yield max=0, where the reference
+        corrupts its own heap (data[-1] writes in dpb_insert_idr) --
+        excluded as UB."""
         if self.max < 0:
-            n = sps.max_dpb_in_mbs // ((sps.pic_width * sps.pic_height) >> 8)
-            self.max = min(16, n)
+            x = (sps.pic_width * sps.pic_height) >> 8
+            num = (sps.max_dpb_in_mbs & 0xFFFFFFFF) // x  # int/uint32 div
+            if num >= 1 << 31:
+                num -= 1 << 32
+            v = 16 if num > 16 else num
+            v &= 0xFF  # int8 store
+            self.max = v - 256 if v >= 128 else v
+            if self.max <= 0:
+                raise NotImplementedError(
+                    "dpb max <= 0 (reference heap-corruption domain: "
+                    "single-MB frame at level >= 4.0)")
 
     def insert_non_idr(self, poc, frame_idx):
         """Exact mirror of dpb_insert_non_idr (h264.cpp:713-745)."""

@@ -141,9 +141,13 @@ def parse_sps(r: BitReader, sps_store: dict) -> int:
     sps.gaps_in_frame_num_value_allowed_flag = r.get_onebit()
     sps.pic_width = (r.ue() + 1) * 16
     sps.pic_height = (r.ue() + 1) * 16
-    sps.max_dpb_in_mbs = _MAX_DPB_MBS.get(
+    # int16 store (h264.h:151): levels >= 4.0 wrap negative, which the
+    # reference's set_dpb_max then pushes through an int/uint32 division
+    # (see Dpb.set_max); replicate the narrowing here.
+    _m = _MAX_DPB_MBS.get(
         10 if (sps.level_idc == 9 and profile_idc == 100) else sps.level_idc, -1
     )
+    sps.max_dpb_in_mbs = ((_m + 0x8000) & 0xFFFF) - 0x8000
     sps.frame_mbs_only_flag = r.get_onebit()
     if not sps.frame_mbs_only_flag:
         sps.mb_adaptive_frame_field_flag = r.get_onebit()

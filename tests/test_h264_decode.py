@@ -220,3 +220,13 @@ def test_b_identical_ref_lists(reference_bins, tmp_path, spatial):
                     num_ref_frames=2, b_direct_prob=0.3,
                     direct_spatial=spatial), "IPBB", 4,
     )
+
+
+def test_single_mb_pictures(reference_bins, tmp_path):
+    """16x16 (one MB per picture) streams; needs the set_dpb_max quirk
+    chain (int16 level table x int/uint32 division x int8 store,
+    h264.cpp:1219-1226 + h264.h:151). Level 3.0 keeps the reference out
+    of its max=0 heap-corruption domain."""
+    gen = H264IntraGen(16, 16, seed=0, qp=30, disable_deblock=False)
+    gen.level_idc = 30
+    run_case_b(reference_bins, tmp_path, gen, "III", 3)
