@@ -67,6 +67,21 @@ class BitWriter:
     def nbits(self) -> int:
         return len(self._out) * 8 + self._acc_n
 
+    def truncate_to_bits(self, n: int) -> "BitWriter":
+        """Discard everything past the first ``n`` bits (n <= nbits)."""
+        if n > self.nbits:
+            raise ValueError("truncate_to_bits: beyond end")
+        nbytes, rem = divmod(n, 8)
+        if nbytes < len(self._out):
+            acc = self._out[nbytes] >> (8 - rem) if rem else 0
+            del self._out[nbytes:]
+            self._acc, self._acc_n = acc, rem
+        else:
+            keep = n - len(self._out) * 8
+            self._acc >>= self._acc_n - keep
+            self._acc_n = keep
+        return self
+
     def tobytes(self) -> bytes:
         if self._acc_n == 0:
             return bytes(self._out)

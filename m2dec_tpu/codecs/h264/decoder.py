@@ -19,7 +19,7 @@ import numpy as np
 
 from m2dec_tpu.bitstream import BitReader
 from m2dec_tpu.bitstream.reader import find_start_codes, unescape_nal
-from . import cavlc, dpb as dpb_mod, headers, pred, tables as T, transforms as X
+from . import cabac as AE, cavlc, dpb as dpb_mod, headers, pred, tables as T, transforms as X
 from .dpb import (
     LONG_TERM,
     NOT_IN_USE,
@@ -139,6 +139,8 @@ class H264Decoder:
         self.nal_i = 0
         self.inited = False
         self.nal_id = 0
+        self.cb = AE.CabacEngine()
+        self.is_cabac = False
 
     # ------------------------------------------------------------ input --
     def set_data(self, data: bytes):
@@ -309,8 +311,7 @@ class H264Decoder:
         hdr.pps_id = r.ue()
         pps = self.pps_store[hdr.pps_id]
         sps = self.sps_store[pps.seq_parameter_set_id]
-        if pps.entropy_coding_mode_flag:
-            raise NotImplementedError("CABAC (coming)")
+        self.is_cabac = bool(pps.entropy_coding_mode_flag)
         if new_picture:
             self._find_empty_frame()
             for d in self.deblock:
@@ -370,6 +371,8 @@ class H264Decoder:
             self._dec_ref_pic_marking(r)
         else:
             hdr.mmco5 = 0
+        if pps.entropy_coding_mode_flag and slice_type != I_SLICE:
+            hdr.cabac_init_idc = r.ue()
         hdr.qp_delta = r.se()
         self._set_qp(pps.pic_init_qp + hdr.qp_delta)
         firstmb_deb = self.deblock[first_mb]
@@ -500,7 +503,9 @@ class H264Decoder:
 
     # -------------------------------------------------------- slice data --
     def _slice_data(self, r):
-        """slice_data (h264.cpp:10210-10251), CAVLC path."""
+        """slice_data (h264.cpp:10210-10251)."""
+        if self.is_cabac:
+            return self._slice_data_cabac(r)
         hdr = self.hdr
         while True:
             if hdr.slice_type != I_SLICE:
@@ -518,6 +523,49 @@ class H264Decoder:
             if not r.more_rbsp_data():
                 break
         return self._post_process()
+
+    def _slice_data_cabac(self, r):
+        """slice_data CABAC arm (h264.cpp:10215-10250)."""
+        hdr = self.hdr
+        idc = 0 if hdr.slice_type == I_SLICE else hdr.cabac_init_idc + 1
+        self.cb.init_context(self.qp, idc)
+        r.byte_align()
+        self.cb.init_engine(r)
+        while True:
+            if hdr.slice_type != I_SLICE:
+                if AE.mb_skip(self, r, hdr.slice_type):
+                    if self._skip_mbs(1) < 0:
+                        break
+                    if self.cb.terminate(r):
+                        break
+                    continue
+            self._macroblock_layer_cabac(r)
+            self.mbleft.mb_skip = 0
+            self._top().mb_skip = 0
+            if self._increment_mb_pos() < 0:
+                break
+            if self.cb.terminate(r):
+                break
+        return self._post_process()
+
+    def _macroblock_layer_cabac(self, r):
+        """macroblock_layer_cabac (h264.cpp:12036-12054)."""
+        st = self.hdr.slice_type
+        avail = self._avail()
+        if st == P_SLICE:
+            mbtype = AE.mb_type_P(self, r, avail) - 5
+            if mbtype < 0:
+                mbtype += MB_BDIRECT16x16
+        elif st == B_SLICE:
+            mbtype = AE.mb_type_B(self, r, avail) - 23
+            if mbtype < 0:
+                mbtype += 23 + MB_BDIRECT16x16
+        else:
+            mbtype = AE.mb_type_I(self, r, avail, 3, st)
+        self.mb_type = mbtype
+        self._mb_dispatch(r, mbtype, avail)
+        if mbtype == MB_IPCM:
+            self.cb.init_engine(r)
 
     # --------------------------------------------------------- mb layer --
     def _macroblock_layer(self, r):
@@ -618,13 +666,93 @@ class H264Decoder:
         deb.str_vert = deb.str_horiz = str_all
 
     def _read_qp_delta(self, r):
+        if self.is_cabac:
+            return AE.qp_delta(self, r)
         delta = r.se()
         return max(-26, min(25, delta))
 
+    def _read_cbp(self, r, avail, inter):
+        if self.is_cabac:
+            return AE.cbp(self, r, avail)
+        return T.ME_CBP[1 if inter else 0][_read_me(r)]
+
+    def _read_mvd_xy(self, r, mvd_a, mvd_b):
+        if self.is_cabac:
+            return AE.mvd_xy(self, r, mvd_a, mvd_b)
+        return r.se(), r.se()
+
+    def _residual_block(self, r, na, nb, coeff, qmat, cat, pos4x4, avail):
+        if self.is_cabac:
+            return AE.residual_block(self, r, coeff, qmat, avail, pos4x4, cat)
+        return cavlc.residual_block(r, na, nb, coeff, qmat, cat)
+
+    # CABAC ref_idx context increments (ref_idx16x16/16x8/8x16/8x8_cabac,
+    # h264.cpp:11790-11876)
+    def _read_ref16x16(self, r, lx, avail):
+        t = self.hdr.num_ref_idx_active[lx]
+        if not t:
+            return 0
+        if not self.is_cabac:
+            return _te(r, t)
+        l, tp = self.mbleft, self._top()
+        inc = (int(bool(avail & 1) and not (l.direct8x8 & 1)
+                   and l.ref[0][lx] > 0)
+               + int(bool(avail & 2) and not (tp.direct8x8 & 1)
+                     and tp.ref[0][lx] > 0) * 2)
+        return AE.ref_idx_sub(self, r, inc)
+
+    def _read_ref16x8_p0(self, r, lx, avail):
+        return self._read_ref16x16(r, lx, avail)
+
+    def _read_ref16x8_p1(self, r, lx, avail, ref_idx, vertical):
+        t = self.hdr.num_ref_idx_active[lx]
+        if not t:
+            return 0
+        if not self.is_cabac:
+            return _te(r, t)
+        l, tp = self.mbleft, self._top()
+        if vertical:  # 8x16 right partition
+            inc = (int(ref_idx[lx] > 0)
+                   + int(bool(avail & 2) and not (tp.direct8x8 & 2)
+                         and tp.ref[1][lx] > 0) * 2)
+        else:  # 16x8 bottom partition
+            inc = (int(bool(avail & 1) and not (l.direct8x8 & 2)
+                       and l.ref[1][lx] > 0)
+                   + int(ref_idx[lx] > 0) * 2)
+        return AE.ref_idx_sub(self, r, inc)
+
+    def _read_ref8x8(self, r, lx, avail, i, pblk, sub_dirs, t):
+        if not t:
+            return 0
+        if not self.is_cabac:
+            return _te(r, t)
+        l, tp = self.mbleft, self._top()
+
+        def vb(b):
+            return int(sub_dirs[b] >= 0 and pblk[b].ref[lx] > 0)
+
+        if i == 0:
+            inc = (int(bool(avail & 1) and not (l.direct8x8 & 1)
+                       and l.ref[0][lx] > 0)
+                   + int(bool(avail & 2) and not (tp.direct8x8 & 1)
+                         and tp.ref[0][lx] > 0) * 2)
+        elif i == 1:
+            inc = vb(0) + int(bool(avail & 2) and not (tp.direct8x8 & 2)
+                              and tp.ref[1][lx] > 0) * 2
+        elif i == 2:
+            inc = (int(bool(avail & 1) and not (l.direct8x8 & 2)
+                       and l.ref[1][lx] > 0) + vb(0) * 2)
+        else:
+            inc = vb(2) + vb(1) * 2
+        return AE.ref_idx_sub(self, r, inc)
+
     def _intra_chroma_pred(self, r, avail_intra):
-        mode = r.ue()
-        mode = mode if mode <= 3 else 0
-        self.chroma_pred_mode = mode
+        if self.is_cabac:
+            mode = AE.intra_chroma_pred_mode(self, r, avail_intra)
+        else:
+            mode = r.ue()
+            mode = mode if mode <= 3 else 0
+            self.chroma_pred_mode = mode
         f = self.frames[self.cur_idx]
         cx, cy = self.mb_x * 8, self.mb_y * 8
         pred.INTRA_CHROMA_PRED[mode](f.cb, cy, cx, avail_intra)
@@ -643,7 +771,8 @@ class H264Decoder:
         coeff = np.zeros(64, np.int64)
         dc = [None, None]
         for i in range(2):
-            if cavlc.residual_block(r, 0, 0, coeff, self.qmatc[i], 3):
+            if self._residual_block(r, 0, 0, coeff, self.qmatc[i], 3,
+                                    16 + i, avail):
                 dc[i] = X.chroma_dc_transform(coeff)
             else:
                 dc[i] = [0, 0, 0, 0]
@@ -673,7 +802,9 @@ class H264Decoder:
                         nb_ = nc[0]
                     elif b == 3:
                         na, nb_ = nc[2], nc[1]
-                    cnum = cavlc.residual_block(r, na, nb_, coeff, self.qmatc[i], 4)
+                    cnum = self._residual_block(
+                        r, na, nb_, coeff, self.qmatc[i], 4,
+                        18 + i * 4 + b, avail)
                     nc[b] = cnum
                     by, bx = pos[b]
                     if cnum:
@@ -713,7 +844,8 @@ class H264Decoder:
         nb = self.top_coef[self.mb_x][0] if avail & 2 else -1
         coeff = np.zeros(64, np.int64)
         dc = np.zeros(16, np.int64)
-        if cavlc.residual_block(r, na, nb, coeff, self.qmaty, 0):
+        if self._residual_block(r, na, nb, coeff, self.qmaty, 0, 26,
+                                avail_intra):
             dc = X.luma_dc_transform(coeff[:16])
 
         # spatial (by, bx) of coding-order block i (Z-order)
@@ -732,7 +864,8 @@ class H264Decoder:
                 na_s, nb_s = wiring[i]
                 na = _nc_resolve(na_s, nc, lc, avail, True)
                 nb = _nc_resolve(nb_s, nc, tc, avail, False)
-                cnum = cavlc.residual_block(r, na, nb, coeff, self.qmaty, 1)
+                cnum = self._residual_block(r, na, nb, coeff, self.qmaty,
+                                            1, i, avail_intra)
                 nc[i] = cnum
                 by, bx = blkpos(i)
                 dci = (by >> 2) * 4 + (bx >> 2)
@@ -769,7 +902,7 @@ class H264Decoder:
             self.top_pred[self.mb_x][:] = [2] * 4
         pr = self._pred_intra4x4_modes(r, avail_intra)
         self._intra_chroma_pred(r, avail_intra)
-        cbp = T.ME_CBP[0][_read_me(r)]
+        cbp = self._read_cbp(r, avail, 0)
         if cbp:
             qp_delta = self._read_qp_delta(r)
             if qp_delta:
@@ -793,7 +926,8 @@ class H264Decoder:
                 na_s, nb_s = _LUMA_NC_WIRING[i]
                 na = _nc_resolve(na_s, nc, lc, avail, True)
                 nb = _nc_resolve(nb_s, nc, tc, avail, False)
-                cnum = cavlc.residual_block(r, na, nb, coeff, self.qmaty, 2)
+                cnum = self._residual_block(r, na, nb, coeff, self.qmaty,
+                                            2, i, avail_intra)
                 nc[i] = cnum
                 if cnum:
                     X.idct4x4_add(f.y, y0 + by, x0 + bx, coeff[:16])
@@ -811,12 +945,16 @@ class H264Decoder:
         top = self.top_pred[self.mb_x]
         a = avail_intra
 
-        def m(pa, pb):
-            p = min(pa, pb)
-            if not r.get_onebit():
-                rem = r.get_bits(3)
-                p = rem if rem < p else rem + 1
-            return p
+        if self.is_cabac:
+            def m(pa, pb):
+                return AE.intra4x4_pred_mode(self, r, pa, pb)
+        else:
+            def m(pa, pb):
+                p = min(pa, pb)
+                if not r.get_onebit():
+                    rem = r.get_bits(3)
+                    p = rem if rem < p else rem + 1
+                return p
 
         pr = [0] * 16
         pr[0] = m(left[0] if a & 2 else 2, top[0] if a & 1 else 2)
@@ -1145,7 +1283,8 @@ class _PSliceMixin:
             na_s, nb_s = _LUMA_NC_WIRING[i]
             na = _nc_resolve(na_s, nc, lc, avail, True)
             nb = _nc_resolve(nb_s, nc, tc, avail, False)
-            cnum = cavlc.residual_block(r, na, nb, coeff, self.qmaty, 2)
+            cnum = self._residual_block(r, na, nb, coeff, self.qmaty,
+                                        2, i, avail)
             nc[i] = cnum
             if cnum:
                 by, bx = _zblkpos(i)
@@ -1173,20 +1312,19 @@ class _PSliceMixin:
         ref_idx = [-1, -1]
         for lx in range(2):
             if refmap & (1 << lx):
-                t = n_active[lx]
-                ref_idx[lx] = _te(r, t) if t else 0
+                ref_idx[lx] = self._read_ref16x16(r, lx, avail)
         mvs = np.zeros((2, 2), np.int32)
         mvds = np.zeros((2, 2), np.int32)
         for lx in range(2):
             if refmap & (1 << lx):
-                (pmx, pmy), _, _ = I.calc_mv16x16(self, lx, ref_idx[lx], avail)
-                dx, dy = r.se(), r.se()
+                (pmx, pmy), mvd_a, mvd_b = I.calc_mv16x16(self, lx, ref_idx[lx], avail)
+                dx, dy = self._read_mvd_xy(r, mvd_a, mvd_b)
                 mvds[lx] = (dx, dy)
                 mvs[lx] = (pmx + dx, pmy + dy)
         I.inter_pred_basic(self, ref_idx, mvs, 16, 16, 0, 0)
         left4x4 = list(self.left_coef[:4])
         top4x4 = list(self.top_coef[self.mb_x][:4])
-        self.cbp = cbp = T.ME_CBP[1][_read_me(r)]
+        self.cbp = cbp = self._read_cbp(r, avail, 1)
         if cbp:
             self._residual_luma_inter(r, cbp)
         else:
@@ -1202,32 +1340,34 @@ class _PSliceMixin:
         refmap = 3
         ref_idx = [-1, -1, -1, -1]
         for lx in range(2):
-            t = n_active[lx]
             m = refmap >> (lx * 2)
-            ref_idx[lx] = (_te(r, t) if t else 0) if m & 1 else -1
-            ref_idx[lx + 2] = (_te(r, t) if t else 0) if m & 2 else -1
+            ref_idx[lx] = (self._read_ref16x8_p0(r, lx, avail)
+                           if m & 1 else -1)
+            ref_idx[lx + 2] = (self._read_ref16x8_p1(r, lx, avail, ref_idx,
+                                                     vertical)
+                               if m & 2 else -1)
         mv_sets = np.zeros((2, 2, 2), np.int32)
         mvd_sets = np.zeros((2, 2, 2), np.int32)
         for lx in range(2):
             m = refmap >> (lx * 2)
             if m & 1:
                 if vertical:
-                    (px, py), _, _ = I.calc_mv8x16left(self, lx, ref_idx[lx], avail)
+                    (px, py), mvd_a, mvd_b = I.calc_mv8x16left(self, lx, ref_idx[lx], avail)
                 else:
-                    (px, py), _, _ = I.calc_mv16x8top(self, lx, ref_idx[lx], avail)
-                dx, dy = r.se(), r.se()
+                    (px, py), mvd_a, mvd_b = I.calc_mv16x8top(self, lx, ref_idx[lx], avail)
+                dx, dy = self._read_mvd_xy(r, mvd_a, mvd_b)
                 mvd_sets[0][lx] = (dx, dy)
                 mv_sets[0][lx] = (px + dx, py + dy)
             if m & 2:
                 if vertical:
-                    (px, py), _, _ = I.calc_mv8x16right(
+                    (px, py), mvd_a, mvd_b = I.calc_mv8x16right(
                         self, lx, ref_idx[lx + 2], avail, ref_idx[lx],
                         mv_sets[0], mvd_sets[0])
                 else:
-                    (px, py), _, _ = I.calc_mv16x8bottom(
+                    (px, py), mvd_a, mvd_b = I.calc_mv16x8bottom(
                         self, lx, ref_idx[lx + 2], avail, ref_idx[lx],
                         mv_sets[0], mvd_sets[0])
-                dx, dy = r.se(), r.se()
+                dx, dy = self._read_mvd_xy(r, mvd_a, mvd_b)
                 mvd_sets[1][lx] = (dx, dy)
                 mv_sets[1][lx] = (px + dx, py + dy)
         if vertical:
@@ -1238,7 +1378,7 @@ class _PSliceMixin:
             I.inter_pred_basic(self, ref_idx[2:], mv_sets[1], 16, 8, 0, 8)
         left4x4 = list(self.left_coef[:4])
         top4x4 = list(self.top_coef[self.mb_x][:4])
-        self.cbp = cbp = T.ME_CBP[1][_read_me(r)]
+        self.cbp = cbp = self._read_cbp(r, avail, 1)
         if cbp:
             self._residual_luma_inter(r, cbp)
         else:
@@ -1253,21 +1393,25 @@ class _PSliceMixin:
     def _mb_inter8x8p(self, r, avail, ref0=False):
         self._avail_saved = avail
         pblk = [I.Prev8x8() for _ in range(4)]
-        sub_mb_type = [r.ue() for _ in range(4)]
-        if max(sub_mb_type) > 3:
-            raise ValueError("bad P sub_mb_type")
+        if self.is_cabac:
+            sub_mb_type = AE.sub_mb_types_p(self, r)
+        else:
+            sub_mb_type = [r.ue() for _ in range(4)]
+            if max(sub_mb_type) > 3:
+                raise ValueError("bad P sub_mb_type")
         n_active = self.hdr.num_ref_idx_active
-        # ref idx (lx 0 only for P)
+        # ref idx (lx 0 only for P; all P sub types are L0, sub_dir=1)
         t = 0 if ref0 else n_active[0]
         for i in range(4):
-            pblk[i].ref[0] = _te(r, t) if t else 0
+            pblk[i].ref[0] = self._read_ref8x8(r, 0, avail, i, pblk,
+                                               (1, 1, 1, 1), t)
         for i in range(4):
             self._sub_mb_mv(r, avail, i, pblk, 0, sub_mb_type[i])
         for i in range(4):
             self._sub_mb_dec(i, pblk, sub_mb_type[i])
         left4x4 = list(self.left_coef[:4])
         top4x4 = list(self.top_coef[self.mb_x][:4])
-        self.cbp = cbp = T.ME_CBP[1][_read_me(r)]
+        self.cbp = cbp = self._read_cbp(r, avail, 1)
         if cbp:
             self._residual_luma_inter(r, cbp)
         else:
@@ -1284,31 +1428,31 @@ class _PSliceMixin:
             return
         idx = int(p.ref[lx])
         if sub_type == 0:
-            (px, py), _, _ = I.calc_mv8x8(self, 0, lx, idx, avail, blk_idx, pblk, 0)
-            dx, dy = r.se(), r.se()
+            (px, py), mvd_a, mvd_b = I.calc_mv8x8(self, 0, lx, idx, avail, blk_idx, pblk, 0)
+            dx, dy = self._read_mvd_xy(r, mvd_a, mvd_b)
             for k in range(4):
                 p.mv[k][lx] = (px + dx, py + dy)
                 p.mvd[k][lx] = (dx, dy)
         elif sub_type == 1:  # 8x4
             for y in range(2):
-                (px, py), _, _ = I.calc_mv8x8(self, 1, lx, idx, avail, blk_idx, pblk, y)
-                dx, dy = r.se(), r.se()
+                (px, py), mvd_a, mvd_b = I.calc_mv8x8(self, 1, lx, idx, avail, blk_idx, pblk, y)
+                dx, dy = self._read_mvd_xy(r, mvd_a, mvd_b)
                 p.mv[y * 2][lx] = (px + dx, py + dy)
                 p.mvd[y * 2][lx] = (dx, dy)
                 p.mv[y * 2 + 1][lx] = (px + dx, py + dy)
                 p.mvd[y * 2 + 1][lx] = (dx, dy)
         elif sub_type == 2:  # 4x8
             for x in range(2):
-                (px, py), _, _ = I.calc_mv8x8(self, 2, lx, idx, avail, blk_idx, pblk, x)
-                dx, dy = r.se(), r.se()
+                (px, py), mvd_a, mvd_b = I.calc_mv8x8(self, 2, lx, idx, avail, blk_idx, pblk, x)
+                dx, dy = self._read_mvd_xy(r, mvd_a, mvd_b)
                 p.mv[x][lx] = (px + dx, py + dy)
                 p.mvd[x][lx] = (dx, dy)
                 p.mv[x + 2][lx] = (px + dx, py + dy)
                 p.mvd[x + 2][lx] = (dx, dy)
         else:  # 4x4
             for xy in range(4):
-                (px, py), _, _ = I.calc_mv8x8(self, 3, lx, idx, avail, blk_idx, pblk, xy)
-                dx, dy = r.se(), r.se()
+                (px, py), mvd_a, mvd_b = I.calc_mv8x8(self, 3, lx, idx, avail, blk_idx, pblk, xy)
+                dx, dy = self._read_mvd_xy(r, mvd_a, mvd_b)
                 p.mv[xy][lx] = (px + dx, py + dy)
                 p.mvd[xy][lx] = (dx, dy)
 
@@ -1340,7 +1484,7 @@ class _PSliceMixin:
             l_zero = left.ref[0][0] == 0 and not left.mov[0][0].any()
             t_zero = top.ref[0][0] == 0 and not top.mov[0][0].any()
             if not l_zero and not t_zero:
-                (px, py), _, _ = I.calc_mv16x16(self, 0, 0, avail)
+                (px, py), mvd_a, mvd_b = I.calc_mv16x16(self, 0, 0, avail)
                 mv[0] = (px, py)
         ref_idx = [0, -1]
         I.inter_pred_basic(self, ref_idx, mv, 16, 16, 0, 0)
@@ -1456,34 +1600,34 @@ def _mb_inter16x8_b(self, r, avail, refmap, vertical):
     n_active = self.hdr.num_ref_idx_active
     ref_idx = [-1, -1, -1, -1]
     for lx in range(2):
-        t = n_active[lx]
         m = refmap >> (lx * 2)
         if m & 1:
-            ref_idx[lx] = _te(r, t) if t else 0
+            ref_idx[lx] = self._read_ref16x8_p0(r, lx, avail)
         if m & 2:
-            ref_idx[lx + 2] = _te(r, t) if t else 0
+            ref_idx[lx + 2] = self._read_ref16x8_p1(r, lx, avail, ref_idx,
+                                                    vertical)
     mv_sets = np.zeros((2, 2, 2), np.int32)
     mvd_sets = np.zeros((2, 2, 2), np.int32)
     for lx in range(2):
         m = refmap >> (lx * 2)
         if m & 1:
             if vertical:
-                (px, py), _, _ = I.calc_mv8x16left(self, lx, ref_idx[lx], avail)
+                (px, py), mvd_a, mvd_b = I.calc_mv8x16left(self, lx, ref_idx[lx], avail)
             else:
-                (px, py), _, _ = I.calc_mv16x8top(self, lx, ref_idx[lx], avail)
-            dx, dy = r.se(), r.se()
+                (px, py), mvd_a, mvd_b = I.calc_mv16x8top(self, lx, ref_idx[lx], avail)
+            dx, dy = self._read_mvd_xy(r, mvd_a, mvd_b)
             mvd_sets[0][lx] = (dx, dy)
             mv_sets[0][lx] = (px + dx, py + dy)
         if m & 2:
             if vertical:
-                (px, py), _, _ = I.calc_mv8x16right(
+                (px, py), mvd_a, mvd_b = I.calc_mv8x16right(
                     self, lx, ref_idx[lx + 2], avail, ref_idx[lx],
                     mv_sets[0], mvd_sets[0])
             else:
-                (px, py), _, _ = I.calc_mv16x8bottom(
+                (px, py), mvd_a, mvd_b = I.calc_mv16x8bottom(
                     self, lx, ref_idx[lx + 2], avail, ref_idx[lx],
                     mv_sets[0], mvd_sets[0])
-            dx, dy = r.se(), r.se()
+            dx, dy = self._read_mvd_xy(r, mvd_a, mvd_b)
             mvd_sets[1][lx] = (dx, dy)
             mv_sets[1][lx] = (px + dx, py + dy)
     if vertical:
@@ -1494,7 +1638,7 @@ def _mb_inter16x8_b(self, r, avail, refmap, vertical):
         I.inter_pred_basic(self, ref_idx[2:], mv_sets[1], 16, 8, 0, 8)
     left4x4 = list(self.left_coef[:4])
     top4x4 = list(self.top_coef[self.mb_x][:4])
-    self.cbp = cbp = T.ME_CBP[1][_read_me(r)]
+    self.cbp = cbp = self._read_cbp(r, avail, 1)
     if cbp:
         self._residual_luma_inter(r, cbp)
     else:
@@ -1514,21 +1658,27 @@ def _mb_inter8x8b(self, r, avail):
     type0_cnt = 0
     ref_blk = {}  # once-computed spatial direct ref/mv (reference ref_blk)
     for i in range(4):
-        t = r.ue()
-        if t > 12:
-            raise ValueError("bad B sub_mb_type")
+        if self.is_cabac:
+            t = AE.sub_mb_type_b_one(self, r)
+        else:
+            t = r.ue()
+            if t > 12:
+                raise ValueError("bad B sub_mb_type")
         sub_mb_type.append(t)
         if t == 0:
             self._pred_direct8x8(r, avail, i, pblk, ref_blk, type0_cnt)
             type0_cnt += 1
     n_active = self.hdr.num_ref_idx_active
+    sub_dirs = [_B_SUB_TABLE[t][1] for t in sub_mb_type]
     for lx in range(2):
         t = n_active[lx]
         dirbit = 1 << lx
         for i in range(4):
-            dmask = _B_SUB_TABLE[sub_mb_type[i]][1]
+            dmask = sub_dirs[i]
             if dmask >= 0:
-                pblk[i].ref[lx] = (_te(r, t) if t else 0) if dirbit & dmask else -1
+                pblk[i].ref[lx] = (
+                    self._read_ref8x8(r, lx, avail, i, pblk, sub_dirs, t)
+                    if dirbit & dmask else -1)
     for lx in range(2):
         for i in range(4):
             if sub_mb_type[i] != 0:
@@ -1540,7 +1690,7 @@ def _mb_inter8x8b(self, r, avail):
             self._sub_mb_dec(i, pblk, shape)
     left4x4 = list(self.left_coef[:4])
     top4x4 = list(self.top_coef[self.mb_x][:4])
-    self.cbp = cbp = T.ME_CBP[1][_read_me(r)]
+    self.cbp = cbp = self._read_cbp(r, avail, 1)
     if cbp:
         self._residual_luma_inter(r, cbp)
     else:
@@ -1572,7 +1722,7 @@ def _mb_bdirect16x16(self, r, avail):
         BD.b_skip_mb_temporal(self, ref8, msets)
     left4x4 = list(self.left_coef[:4])
     top4x4 = list(self.top_coef[self.mb_x][:4])
-    self.cbp = cbp = T.ME_CBP[1][_read_me(r)]
+    self.cbp = cbp = self._read_cbp(r, avail, 1)
     if cbp:
         self._residual_luma_inter(r, cbp)
     else:

@@ -985,3 +985,576 @@ class H264BGen(H264InterGen):
                     if m & 2:
                         self._mvd(w)
         self._emit_inter_residual(w)
+
+
+# ======================================================================
+# CABAC encoding (spec 9.3.4 arithmetic encoder) + I-slice emission
+# ======================================================================
+
+from m2dec_tpu.codecs.h264 import cabac as _AE  # noqa: E402
+from m2dec_tpu.codecs.h264 import cabac_tables as _CT  # noqa: E402
+
+
+class CabacEncoder:
+    """H.264 arithmetic encoder (spec 9.3.4), state-compatible with the
+    decoder engine: contexts packed as state*2|valMPS, identical LPS and
+    transition tables, so encoder and decoder walk the same schedule."""
+
+    def __init__(self, w, slice_qp, idc):
+        self.w = w
+        self.low = 0
+        self.range = 510
+        self.outstanding = 0
+        self.first = True
+        #: bits the (reference) decoder consumes: 9 at init + renorm
+        #: shifts; needed because the reference does NOT rewind at IPCM
+        #: (mb_intrapcm byte-aligns its raw read position, h264.cpp:4741)
+        self.dec_consumed = self.w.nbits + 9
+        self.ctx = [0] * 460
+        for i, (m, n) in enumerate(_CT.CTX_MN[idc]):
+            pre = ((m * slice_qp) >> 4) + n
+            if pre < 64:
+                pre = 1 if pre <= 0 else pre
+                self.ctx[i] = (63 - pre) * 2
+            else:
+                pre = 126 if pre > 126 else pre
+                self.ctx[i] = (pre - 64) * 2 + 1
+
+    def _put(self, b):
+        if self.first:
+            self.first = False
+        else:
+            self.w.put_bits(b, 1)
+        while self.outstanding:
+            self.w.put_bits(1 - b, 1)
+            self.outstanding -= 1
+
+    def _renorm(self):
+        while self.range < 256:
+            self.dec_consumed += 1
+            if self.low >= 512:
+                self.low -= 512
+                self._put(1)
+            elif self.low < 256:
+                self._put(0)
+            else:
+                self.low -= 256
+                self.outstanding += 1
+            self.range <<= 1
+            self.low <<= 1
+
+    def decision(self, idx, binv):
+        c = self.ctx[idx]
+        mps = c & 1
+        st = c >> 1
+        lps = _CT.RANGE_TAB_LPS[st][(self.range >> 6) & 3]
+        self.range -= lps
+        if binv != mps:
+            self.low += self.range
+            self.range = lps
+            self.ctx[idx] = _CT.STATE_TRANS[st] ^ mps
+        else:
+            self.ctx[idx] = ((st + (st < 62)) * 2) | mps
+        self._renorm()
+
+    def bypass(self, binv):
+        self.dec_consumed += 1
+        self.low <<= 1
+        if binv:
+            self.low += self.range
+        if self.low >= 1024:
+            self.low -= 1024
+            self._put(1)
+        elif self.low < 512:
+            self._put(0)
+        else:
+            self.low -= 512
+            self.outstanding += 1
+
+    def terminate(self, binv):
+        self.range -= 2
+        if binv:
+            # the decoder consumes nothing on terminate==1
+            # (cabac_decode_terminate, h264.cpp:11057-11063)
+            save = self.dec_consumed
+            self.low += self.range
+            self.range = 2
+            self._renorm()
+            self._flush()
+            self.dec_consumed = save
+        else:
+            self._renorm()
+
+    def _flush(self):
+        save = self.dec_consumed
+        self.range = 2
+        self._renorm()
+        self.dec_consumed = save
+        self._put((self.low >> 9) & 1)
+        self.w.put_bits(((self.low >> 7) & 3) | 1, 2)
+
+    def reinit_engine(self):
+        """After IPCM: fresh arithmetic state, contexts keep adapting."""
+        self.low = 0
+        self.range = 510
+        self.outstanding = 0
+        self.first = True
+        self.dec_consumed = self.w.nbits + 9
+
+
+class _Nb:
+    """Neighbor state mirror of the decoder's PrevMb (ctx-inc inputs)."""
+
+    def __init__(self):
+        self.type = 0
+        self.cbp = 0
+        self.cbf = 0
+        self.chroma_pred_mode = 0
+        self.mb_skip = 0
+        self.direct8x8 = 0
+        self.transform8x8 = 0
+
+
+class H264CabacIGen(H264IntraGen):
+    """CABAC I-slice generator: IPCM / I16x16 / I4x4 with residuals."""
+
+    MB_INxN, MB_IPCM = 0, 25
+
+    def _pps(self, w):
+        w.ue(0)
+        w.ue(0)
+        w.put_bits(1, 1)  # entropy: CABAC
+        w.put_bits(0, 1)
+        w.ue(0)
+        w.ue(max(0, self.num_ref_frames - 1))
+        w.ue(0)
+        w.put_bits(0, 1)
+        w.put_bits(0, 2)
+        w.se(self.qp - 26)
+        w.se(0)
+        w.se(self.chroma_qp_index)
+        w.put_bits(1, 1)
+        w.put_bits(0, 1)
+        w.put_bits(0, 1)
+
+    # -- neighbor-state plumbing (adapter for AE._CTXIDXINC_CBF) --------
+    def _init_slice_state(self):
+        super()._init_slice_state()
+        self._left = _Nb()
+        self._tops = [_Nb() for _ in range(self.mb_w)]
+        self.prev_qp_delta = 0
+        self.cbf = 0
+        self.mb_type = 0
+
+    @property
+    def mbleft(self):
+        return self._left
+
+    def _top(self):
+        return self._tops[self.mbx]
+
+    def _cbf_ctx(self, pos4x4):
+        return _AE._CTXIDXINC_CBF[pos4x4](self, self.cbf, self.avail)
+
+    # -- slice ----------------------------------------------------------
+    def _slice_I(self, w, idr):
+        rng = self.rng
+        w.ue(0)
+        w.ue(7)
+        w.ue(0)
+        w.put_bits(self.frame_num, self.log2_max_frame_num)
+        if idr:
+            w.ue(0)  # idr_pic_id
+        w.put_bits(self.poc_lsb, self.log2_max_poc_lsb)
+        if idr:
+            w.put_bits(0, 2)  # no_output / long_term flags
+        else:
+            w.put_bits(0, 1)  # adaptive_ref_pic_marking
+        self.qp_cur = self.qp
+        w.se(0)
+        if self.disable_deblock:
+            w.ue(1)
+        else:
+            w.ue(0)
+            w.se(rng.randint(-3, 3))
+            w.se(rng.randint(0, 3))
+        self._init_slice_state()
+        self._update_qmats()
+        w.byte_align(1)  # cabac_alignment_one_bit
+        enc = CabacEncoder(w, self.qp_cur, 0)
+        nmb = self.mb_w * self.mb_h
+        for mb in range(nmb):
+            self.mbx = mb % self.mb_w
+            mby = mb // self.mb_w
+            self.avail = self._avail_of(self.mbx, mby)
+            self.cbf = 0
+            self._cab_macroblock(enc, w)
+            enc.terminate(mb == nmb - 1)
+        # rbsp stop bit came from the flush; pad to byte with zeros
+        w.byte_align(0)
+
+    def _avail_of(self, mbx, mby):
+        return ((mbx != 0) | 0) | ((mby != 0) << 1) \
+            | ((mby != 0 and mbx != self.mb_w - 1) << 2) \
+            | ((mby != 0 and mbx != 0) << 3)
+
+    def _cab_macroblock(self, enc, w):
+        rng = self.rng
+        u = rng.random()
+        if u < self.ipcm_prob:
+            self._cab_ipcm(enc, w)
+        elif u < 0.55:
+            self._cab_i16x16(enc)
+        else:
+            self._cab_i4x4(enc)
+
+    # -- mb_type tree (inverse of AE.mb_type_I, I-slice ctx_idx=3) ------
+    def _enc_mb_type_I(self, enc, mbtype):
+        avail = self.avail
+        add = ((bool(avail & 2) and self._top().type != self.MB_INxN)
+               + (bool(avail & 1) and self._left.type != self.MB_INxN))
+        if mbtype == self.MB_INxN:
+            enc.decision(3 + add, 0)
+            return
+        enc.decision(3 + add, 1)
+        enc.terminate(mbtype == self.MB_IPCM)
+        if mbtype == self.MB_IPCM:
+            return
+        v = mbtype - 1
+        a, rem = divmod(v, 12)
+        enc.decision(6, a)
+        if rem < 4:
+            enc.decision(7, 0)
+        else:
+            enc.decision(7, 1)
+            rem -= 4
+            enc.decision(8, rem >> 2)
+            rem &= 3
+        enc.decision(9, rem >> 1)
+        enc.decision(10, rem & 1)
+
+    def _cab_ipcm(self, enc, w):
+        rng = self.rng
+        self._enc_mb_type_I(enc, self.MB_IPCM)
+        # terminate(1) flushed the arithmetic tail; the reference decoder
+        # reads pcm from the byte boundary after the bits it actually
+        # consumed -- truncate the over-emitted flush tail back to there.
+        pcm_start = (enc.dec_consumed + 7) & ~7
+        if pcm_start <= w.nbits:
+            w.truncate_to_bits(pcm_start)
+        else:
+            # decoder lookahead ran past the flushed tail; pad with ones
+            # (only raises the offset window, keeping terminate(1) true)
+            w.put_bits((1 << (pcm_start - w.nbits)) - 1, pcm_start - w.nbits)
+        for _ in range(256 + 128):
+            w.put_bits(rng.randrange(256), 8)
+        enc.reinit_engine()
+        self._post_mb(self.MB_IPCM, 0x2F, 0x7FFFFFF, 0,
+                      pred_reset=2, coef_fill=15)
+        self.prev_qp_delta = 0
+
+    # -- shared element encoders ----------------------------------------
+    def _enc_chroma_mode(self, enc):
+        mode = self._pick_chroma_mode()
+        avail = self.avail
+        tp, lf = self._top(), self._left
+        idx = 64 + ((bool(avail & 2) and tp.type < self.MB_IPCM
+                     and tp.chroma_pred_mode != 0)
+                    + (bool(avail & 1) and lf.type < self.MB_IPCM
+                       and lf.chroma_pred_mode != 0))
+        enc.decision(idx, 1 if mode else 0)
+        if mode:
+            for _ in range(mode - 1):
+                enc.decision(67, 1)
+            if mode < 3:
+                enc.decision(67, 0)
+        self.chroma_pred_mode_cur = mode
+        return mode
+
+    def _enc_cbp(self, enc, cbp):
+        avail = self.avail
+        cbp_a = self._left.cbp if avail & 1 else 0x0F
+        cbp_b = self._top().cbp if avail & 2 else 0x0F
+        inc = (not (cbp_a & 2)) + (not (cbp_b & 4)) * 2
+        enc.decision(73 + inc, cbp & 1)
+        inc = (not (cbp & 1)) + (not (cbp_b & 8)) * 2
+        enc.decision(73 + inc, (cbp >> 1) & 1)
+        inc = (not (cbp_a & 8)) + (not (cbp & 1)) * 2
+        enc.decision(73 + inc, (cbp >> 2) & 1)
+        inc = (not (cbp & 4)) + (not (cbp & 2)) * 2
+        enc.decision(73 + inc, (cbp >> 3) & 1)
+        ca, cb = cbp_a >> 4, cbp_b >> 4
+        inc = (ca != 0) + (cb != 0) * 2
+        cc = cbp >> 4
+        enc.decision(77 + inc, 1 if cc else 0)
+        if cc:
+            inc = (ca >> 1) + (cb & 2)
+            enc.decision(77 + 4 + inc, cc - 1)
+
+    def _enc_qp_delta(self, enc, delta):
+        idx = 60 + (self.prev_qp_delta != 0)
+        if delta == 0:
+            enc.decision(idx, 0)
+            self.prev_qp_delta = 0
+            return
+        enc.decision(idx, 1)
+        code = 2 * delta - 1 if delta > 0 else -2 * delta
+        # unary_cabac inverse: (code-1) ones then a zero
+        for k in range(code - 1):
+            enc.decision(62 if k == 0 else 63, 1)
+        enc.decision(62 if code == 1 else 63, 0)
+        self.prev_qp_delta = code
+
+    def _enc_residual(self, enc, coefs, cat, pos4x4):
+        """Inverse of AE.residual_block; returns nC-equivalent count."""
+        _, num_coeff, _ = _AE.COEFF_OFS[cat]
+        if cat != 5:
+            inc = self._cbf_ctx(pos4x4)
+            if not coefs:
+                enc.decision(85 + inc + cat * 4, 0)
+                return 0
+            enc.decision(85 + inc + cat * 4, 1)
+            self.cbf |= 1 << pos4x4
+        else:
+            self.cbf |= 0xF << pos4x4
+        sig_ofs, last_ofs = _CT.SIG_OFS[cat]
+        latter = _CT.SIG64 if cat == 5 else _CT.SIG16
+        posset = {p for p, _ in coefs}
+        lastpos = max(posset)
+        for i in range(num_coeff - 1):
+            if i > lastpos:
+                break
+            sig = i in posset
+            enc.decision(sig_ofs + latter[i][1], 1 if sig else 0)
+            if sig:
+                enc.decision(last_ofs + latter[i][0], 1 if i == lastpos else 0)
+        node = 0
+        for p, lv in reversed(coefs):
+            a = abs(lv)
+            if a == 1:
+                enc.decision(227 + _CT.ABS_LEVEL_OFS[cat]
+                             + _CT.COEFF_ABS_LEVEL_CTX[0][node], 0)
+                node = _CT.COEFF_ABS_LEVEL_TRANS[0][node]
+            else:
+                enc.decision(227 + _CT.ABS_LEVEL_OFS[cat]
+                             + _CT.COEFF_ABS_LEVEL_CTX[0][node], 1)
+                idx = (227 + _CT.ABS_LEVEL_OFS[cat]
+                       + _CT.COEFF_ABS_LEVEL_CTX[1][node])
+                node = _CT.COEFF_ABS_LEVEL_TRANS[1][node]
+                for _ in range(min(a, 15) - 2):
+                    enc.decision(idx, 1)
+                if a < 15:
+                    enc.decision(idx, 0)
+                else:
+                    v = a - 15
+                    ln = 0
+                    while (1 << (ln + 1)) - 1 <= v:
+                        ln += 1
+                    for _ in range(ln):
+                        enc.bypass(1)
+                    enc.bypass(0)
+                    rem = v - ((1 << ln) - 1)
+                    for k in range(ln - 1, -1, -1):
+                        enc.bypass((rem >> k) & 1)
+            enc.bypass(1 if lv < 0 else 0)
+        return min(len(coefs), 15)
+
+    # -- neighbor-state commit ------------------------------------------
+    def _post_mb(self, mbtype, cbp, cbf, chroma_mode, pred_reset=None,
+                 coef_fill=None):
+        from m2dec_tpu.codecs.h264.decoder import _cbf_top, _cbf_left
+        mbx = self.mbx
+        lf, tp = self._left, self._tops[mbx]
+        lf.type = tp.type = mbtype
+        lf.cbp = tp.cbp = cbp
+        lf.cbf = _cbf_left(cbf)
+        tp.cbf = _cbf_top(cbf)
+        lf.chroma_pred_mode = tp.chroma_pred_mode = chroma_mode
+        lf.mb_skip = tp.mb_skip = 0
+        if pred_reset is not None:
+            self.left_pred[:] = [pred_reset] * 4
+            self.top_pred[mbx][:] = [pred_reset] * 4
+        if coef_fill is not None:
+            self.left_coef[:] = [coef_fill] * 8
+            self.top_coef[mbx][:] = [coef_fill] * 8
+        self.mb_count += 1
+
+    # -- I16x16 ----------------------------------------------------------
+    def _cab_i16x16(self, enc):
+        rng = self.rng
+        avail = self.avail
+        mbx = self.mbx
+        modes = [2]
+        if avail & 2:
+            modes.append(0)
+        if avail & 1:
+            modes.append(1)
+        if (avail & 3) == 3:
+            modes.append(3)
+        pred_mode = rng.choice(modes)
+        cbp_chroma = rng.choice([0, 1, 2])
+        ac = rng.random() < 0.6
+        mbtype = 1 + pred_mode + cbp_chroma * 4 + (12 if ac else 0)
+        self.mb_type = mbtype
+        self._enc_mb_type_I(enc, mbtype)
+        chroma_mode = self._enc_chroma_mode(enc)
+        qp_delta = rng.choice([0, 0, 0, 1, -1, 2, -2])
+        if not (self.qp_floor <= self.qp_cur + qp_delta <= 45):
+            qp_delta = 0
+        self._enc_qp_delta(enc, qp_delta)
+        self.qp_cur += qp_delta
+        self._update_qmats()
+        # luma DC (cat 0, pos 26)
+        while True:
+            dc_coefs = self._rand_coefs(16, maxn=6, lvl_hi=4)
+            arr = np.zeros(16, np.int64)
+            for p, lv in dc_coefs:
+                arr[T.ZIGZAG4x4[p]] = lv * int(self.qmaty_now[0])
+            dcs = _X.luma_dc_transform(arr)
+            if -256 * 16 <= dcs.min() and dcs.max() <= 400 * 16:
+                break
+            dc_coefs = self._shrink(dc_coefs)
+        self._enc_residual(enc, dc_coefs, 0, 26)
+        nc = [0] * 16
+        if ac:
+            for i in range(16):
+                by, bx = _zpos(i)
+                dci = (by >> 2) * 4 + (bx >> 2)
+                zz = [T.ZIGZAG4x4[k] for k in range(1, 16)]
+                while True:
+                    coefs = self._rand_coefs(15, maxn=5, lvl_hi=4)
+                    if self._residual_ok_4x4(coefs, self.qmaty_now,
+                                             dc=int(dcs[dci]), zigzag=zz):
+                        break
+                    coefs = self._shrink(coefs)
+                nc[i] = self._enc_residual(enc, coefs, 1, i)
+        cbp = (0, 0x10, 0x20)[cbp_chroma] | (0x0F if ac else 0)
+        self._cab_chroma_residual(enc, cbp)
+        cbf = self.cbf
+        self._post_mb(mbtype, cbp, cbf, chroma_mode, pred_reset=2)
+        self.left_coef[:4] = [nc[5], nc[7], nc[13], nc[15]]
+        self.top_coef[mbx][:4] = [nc[10], nc[11], nc[14], nc[15]]
+
+    # -- I_NxN -----------------------------------------------------------
+    def _cab_i4x4(self, enc):
+        rng = self.rng
+        avail = self.avail
+        mbx = self.mbx
+        self.mb_type = self.MB_INxN
+        self._enc_mb_type_I(enc, self.MB_INxN)
+        from m2dec_tpu.codecs.h264.decoder import _intra4x4_block_avail
+        blk_avail = _intra4x4_block_avail(avail)
+        left = self.left_pred
+        top = self.top_pred[mbx]
+        pr = [0] * 16
+
+        def emit_mode(pa, pb, ba):
+            pred_m = min(pa, pb)
+            legal = [m for m in range(9)
+                     if (ba & self._MODE_REQ[m]) == self._MODE_REQ[m]]
+            mode = rng.choice(legal)
+            if mode == pred_m:
+                enc.decision(68, 1)
+            else:
+                rem = mode if mode < pred_m else mode - 1
+                if rem == pred_m:
+                    enc.decision(68, 1)
+                    mode = pred_m
+                else:
+                    enc.decision(68, 0)
+                    enc.decision(69, rem & 1)
+                    enc.decision(69, (rem >> 1) & 1)
+                    enc.decision(69, (rem >> 2) & 1)
+            return mode
+
+        pr[0] = emit_mode(left[0] if avail & 2 else 2,
+                          top[0] if avail & 1 else 2, blk_avail[0])
+        pr[1] = emit_mode(pr[0] if avail & 2 else 2, top[1], blk_avail[1])
+        pr[2] = emit_mode(left[1], pr[0] if avail & 1 else 2, blk_avail[2])
+        pr[3] = emit_mode(pr[2], pr[1], blk_avail[3])
+        pr[4] = emit_mode(pr[1] if avail & 2 else 2, top[2], blk_avail[4])
+        pr[5] = emit_mode(pr[4] if avail & 2 else 2, top[3], blk_avail[5])
+        pr[6] = emit_mode(pr[3], pr[4], blk_avail[6])
+        pr[7] = emit_mode(pr[6], pr[5], blk_avail[7])
+        pr[8] = emit_mode(left[2], pr[2] if avail & 1 else 2, blk_avail[8])
+        pr[9] = emit_mode(pr[8], pr[3], blk_avail[9])
+        pr[10] = emit_mode(left[3], pr[8] if avail & 1 else 2, blk_avail[10])
+        pr[11] = emit_mode(pr[10], pr[9], blk_avail[11])
+        pr[12] = emit_mode(pr[9], pr[6], blk_avail[12])
+        pr[13] = emit_mode(pr[12], pr[7], blk_avail[13])
+        pr[14] = emit_mode(pr[11], pr[12], blk_avail[14])
+        pr[15] = emit_mode(pr[14], pr[13], blk_avail[15])
+        chroma_mode = self._enc_chroma_mode(enc)
+        cbp_luma = rng.randrange(16)
+        cbp_chroma = rng.choice([0, 1, 2])
+        cbp = cbp_luma | (cbp_chroma << 4)
+        self._enc_cbp(enc, cbp)
+        if cbp:
+            qp_delta = rng.choice([0, 0, 1, -1])
+            if not (self.qp_floor <= self.qp_cur + qp_delta <= 45):
+                qp_delta = 0
+            self._enc_qp_delta(enc, qp_delta)
+            self.qp_cur += qp_delta
+        else:
+            self.prev_qp_delta = 0
+        self._update_qmats()
+        nc = [0] * 16
+        for i in range(16):
+            if not cbp & (1 << (i >> 2)):
+                continue
+            while True:
+                coefs = self._rand_coefs(16, maxn=6, lvl_hi=4)
+                if self._residual_ok_4x4(coefs, self.qmaty_now):
+                    break
+                coefs = self._shrink(coefs)
+            nc[i] = self._enc_residual(enc, coefs, 2, i)
+        self._cab_chroma_residual(enc, cbp)
+        cbf = self.cbf
+        self._post_mb(self.MB_INxN, cbp, cbf, chroma_mode)
+        self.left_pred[:] = [pr[5], pr[7], pr[13], pr[15]]
+        self.top_pred[mbx][:] = [pr[10], pr[11], pr[14], pr[15]]
+        self.left_coef[:4] = [nc[5], nc[7], nc[13], nc[15]]
+        self.top_coef[mbx][:4] = [nc[10], nc[11], nc[14], nc[15]]
+
+    # -- chroma ----------------------------------------------------------
+    def _cab_chroma_residual(self, enc, cbp):
+        rng = self.rng
+        mbx = self.mbx
+        cbp_c = cbp >> 4
+        if not cbp_c:
+            self.left_coef[4:] = [0] * 4
+            self.top_coef[mbx][4:] = [0] * 4
+            return
+        dcs_all = []
+        for i in range(2):
+            while True:
+                coefs = self._rand_coefs(4, maxn=4, lvl_hi=4)
+                arr = np.zeros(4, np.int64)
+                for p, lv in coefs:
+                    arr[p] = lv * int(self.qmatc_now[i][0])
+                dcs = _X.chroma_dc_transform(arr)
+                if all(-256 * 32 <= d <= 511 * 32 for d in dcs):
+                    break
+                coefs = self._shrink(coefs)
+            self._enc_residual(enc, coefs, 3, 16 + i)
+            dcs_all.append(dcs)
+        if cbp_c & 2:
+            nc4 = [[0] * 4, [0] * 4]
+            for i in range(2):
+                zz = [T.ZIGZAG4x4[k] for k in range(1, 16)]
+                for b in range(4):
+                    while True:
+                        coefs = self._rand_coefs(15, maxn=4, lvl_hi=4)
+                        if self._residual_ok_4x4(
+                                coefs, self.qmatc_now[i],
+                                dc=int(dcs_all[i][b]), zigzag=zz):
+                            break
+                        coefs = self._shrink(coefs)
+                    nc4[i][b] = self._enc_residual(enc, coefs, 4,
+                                                   18 + i * 4 + b)
+            self.left_coef[4:] = [nc4[0][1], nc4[0][3], nc4[1][1], nc4[1][3]]
+            self.top_coef[mbx][4:] = [nc4[0][2], nc4[0][3],
+                                      nc4[1][2], nc4[1][3]]
+        else:
+            self.left_coef[4:] = [0] * 4
+            self.top_coef[mbx][4:] = [0] * 4

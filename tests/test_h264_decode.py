@@ -230,3 +230,38 @@ def test_single_mb_pictures(reference_bins, tmp_path):
     gen = H264IntraGen(16, 16, seed=0, qp=30, disable_deblock=False)
     gen.level_idc = 30
     run_case_b(reference_bins, tmp_path, gen, "III", 3)
+
+
+from streamgen.h264_enc import H264CabacIGen  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_cabac_intra(reference_bins, tmp_path, seed):
+    run_case_b(reference_bins, tmp_path,
+               H264CabacIGen(48, 32, seed=seed), "III", 3)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_cabac_intra_deblock(reference_bins, tmp_path, seed):
+    run_case_b(
+        reference_bins, tmp_path,
+        H264CabacIGen(80, 48, seed=seed, qp=28, disable_deblock=False),
+        "II", 2,
+    )
+
+
+def test_cabac_intra_cif(reference_bins, tmp_path):
+    run_case_b(
+        reference_bins, tmp_path,
+        H264CabacIGen(176, 144, seed=20, qp=30, disable_deblock=False),
+        "II", 2,
+    )
+
+
+@pytest.mark.parametrize("qp,qpidx", [(44, 0), (33, -4), (24, 4)])
+def test_cabac_intra_qp_range(reference_bins, tmp_path, qp, qpidx):
+    run_case_b(
+        reference_bins, tmp_path,
+        H264CabacIGen(64, 48, seed=7, qp=qp, chroma_qp_index=qpidx,
+                      disable_deblock=False), "II", 2,
+    )
