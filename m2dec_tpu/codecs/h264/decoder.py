@@ -141,6 +141,7 @@ class H264Decoder:
         self.nal_id = 0
         self.cb = AE.CabacEngine()
         self.is_cabac = False
+        self.tc = None  # optional CAVLC->CABAC transcode sink (tests)
 
     # ------------------------------------------------------------ input --
     def set_data(self, data: bytes):
@@ -478,6 +479,12 @@ class H264Decoder:
         return self.mbtop[2 + self.mb_x]
 
     def _increment_mb_pos(self):
+        ret = self._increment_mb_pos_inner()
+        if self.tc is not None:
+            self.tc.mb_done(self, ret)
+        return ret
+
+    def _increment_mb_pos_inner(self):
         """increment_mb_pos (h264.cpp:591-635)."""
         t, l = self._top(), self.mbleft
         for n in (t, l):
@@ -506,6 +513,8 @@ class H264Decoder:
         """slice_data (h264.cpp:10210-10251)."""
         if self.is_cabac:
             return self._slice_data_cabac(r)
+        if self.tc is not None:
+            self.tc.begin_slice(self)
         hdr = self.hdr
         while True:
             if hdr.slice_type != I_SLICE:
@@ -515,6 +524,8 @@ class H264Decoder:
                         break
                 if not r.more_rbsp_data():
                     break
+            if self.tc is not None and hdr.slice_type != I_SLICE:
+                self.tc.emit_skip_flag(self, 0)
             self._macroblock_layer(r)
             self.mbleft.mb_skip = 0
             self._top().mb_skip = 0
@@ -582,6 +593,8 @@ class H264Decoder:
                 mbtype += 23 + MB_BDIRECT16x16
         self.mb_type = mbtype
         avail = self._avail()
+        if self.tc is not None:
+            self.tc.emit_mb_type(self, mbtype, avail)
         self._mb_dispatch(r, mbtype, avail)
 
     def _mb_dispatch(self, r, mbtype, avail):
@@ -608,11 +621,16 @@ class H264Decoder:
         # bitstream order: all Cb samples then all Cr samples
         # (reference reads the NV12 plane in two strided passes,
         # h264.cpp:4743-4744 — same stream order)
+        chroma = []
         for pl in (f.cb, f.cr):
             blk = np.array(
                 [[r.get_bits(8) for _ in range(8)] for _ in range(8)], np.uint8
             )
             pl[cy : cy + 8, cx : cx + 8] = blk
+            chroma.append(blk)
+        if self.tc is not None:
+            self.tc.emit_pcm(self, luma.tobytes() + chroma[0].tobytes()
+                             + chroma[1].tobytes())
         self.left_coef[:] = [15] * 4 + [15] * 4
         self.top_coef[self.mb_x][:] = [15] * 4 + [15] * 4
         self.left_pred[:] = [2] * 4
@@ -669,82 +687,113 @@ class H264Decoder:
         if self.is_cabac:
             return AE.qp_delta(self, r)
         delta = r.se()
-        return max(-26, min(25, delta))
+        delta = max(-26, min(25, delta))
+        if self.tc is not None:
+            self.tc.emit_qp_delta(self, delta)  # ctx uses old prev
+        self.prev_qp_delta = delta
+        return delta
 
     def _read_cbp(self, r, avail, inter):
         if self.is_cabac:
             return AE.cbp(self, r, avail)
-        return T.ME_CBP[1 if inter else 0][_read_me(r)]
+        v = T.ME_CBP[1 if inter else 0][_read_me(r)]
+        if self.tc is not None:
+            self.tc.emit_cbp(self, v, avail)
+        return v
 
     def _read_mvd_xy(self, r, mvd_a, mvd_b):
         if self.is_cabac:
             return AE.mvd_xy(self, r, mvd_a, mvd_b)
-        return r.se(), r.se()
+        dx, dy = r.se(), r.se()
+        if self.tc is not None:
+            self.tc.emit_mvd_xy(self, dx, dy, mvd_a, mvd_b)
+        return dx, dy
 
     def _residual_block(self, r, na, nb, coeff, qmat, cat, pos4x4, avail):
         if self.is_cabac:
             return AE.residual_block(self, r, coeff, qmat, avail, pos4x4, cat)
-        return cavlc.residual_block(r, na, nb, coeff, qmat, cat)
+        cnum = cavlc.residual_block(r, na, nb, coeff, qmat, cat)
+        if self.tc is not None:
+            self.tc.emit_residual(self, coeff, qmat, cat, pos4x4, avail, cnum)
+        if cnum:  # maintain the cbf accumulator in CAVLC mode as well
+            self.cbf |= 1 << pos4x4
+        return cnum
 
     # CABAC ref_idx context increments (ref_idx16x16/16x8/8x16/8x8_cabac,
     # h264.cpp:11790-11876)
+    def _ref_inc16x16(self, lx, avail):
+        l, tp = self.mbleft, self._top()
+        return (int(bool(avail & 1) and not (l.direct8x8 & 1)
+                    and l.ref[0][lx] > 0)
+                + int(bool(avail & 2) and not (tp.direct8x8 & 1)
+                      and tp.ref[0][lx] > 0) * 2)
+
     def _read_ref16x16(self, r, lx, avail):
         t = self.hdr.num_ref_idx_active[lx]
         if not t:
             return 0
         if not self.is_cabac:
-            return _te(r, t)
-        l, tp = self.mbleft, self._top()
-        inc = (int(bool(avail & 1) and not (l.direct8x8 & 1)
-                   and l.ref[0][lx] > 0)
-               + int(bool(avail & 2) and not (tp.direct8x8 & 1)
-                     and tp.ref[0][lx] > 0) * 2)
-        return AE.ref_idx_sub(self, r, inc)
+            v = _te(r, t)
+            if self.tc is not None:
+                self.tc.emit_ref(self, v, self._ref_inc16x16(lx, avail))
+            return v
+        return AE.ref_idx_sub(self, r, self._ref_inc16x16(lx, avail))
 
     def _read_ref16x8_p0(self, r, lx, avail):
         return self._read_ref16x16(r, lx, avail)
+
+    def _ref_inc16x8_p1(self, lx, avail, ref_idx, vertical):
+        l, tp = self.mbleft, self._top()
+        if vertical:  # 8x16 right partition
+            return (int(ref_idx[lx] > 0)
+                    + int(bool(avail & 2) and not (tp.direct8x8 & 2)
+                          and tp.ref[1][lx] > 0) * 2)
+        return (int(bool(avail & 1) and not (l.direct8x8 & 2)
+                    and l.ref[1][lx] > 0)
+                + int(ref_idx[lx] > 0) * 2)
 
     def _read_ref16x8_p1(self, r, lx, avail, ref_idx, vertical):
         t = self.hdr.num_ref_idx_active[lx]
         if not t:
             return 0
+        inc_f = lambda: self._ref_inc16x8_p1(lx, avail, ref_idx, vertical)
         if not self.is_cabac:
-            return _te(r, t)
-        l, tp = self.mbleft, self._top()
-        if vertical:  # 8x16 right partition
-            inc = (int(ref_idx[lx] > 0)
-                   + int(bool(avail & 2) and not (tp.direct8x8 & 2)
-                         and tp.ref[1][lx] > 0) * 2)
-        else:  # 16x8 bottom partition
-            inc = (int(bool(avail & 1) and not (l.direct8x8 & 2)
-                       and l.ref[1][lx] > 0)
-                   + int(ref_idx[lx] > 0) * 2)
-        return AE.ref_idx_sub(self, r, inc)
+            v = _te(r, t)
+            if self.tc is not None:
+                self.tc.emit_ref(self, v, inc_f())
+            return v
+        return AE.ref_idx_sub(self, r, inc_f())
 
-    def _read_ref8x8(self, r, lx, avail, i, pblk, sub_dirs, t):
-        if not t:
-            return 0
-        if not self.is_cabac:
-            return _te(r, t)
+    def _ref_inc8x8(self, lx, avail, i, pblk, sub_dirs):
         l, tp = self.mbleft, self._top()
 
         def vb(b):
             return int(sub_dirs[b] >= 0 and pblk[b].ref[lx] > 0)
 
         if i == 0:
-            inc = (int(bool(avail & 1) and not (l.direct8x8 & 1)
-                       and l.ref[0][lx] > 0)
-                   + int(bool(avail & 2) and not (tp.direct8x8 & 1)
-                         and tp.ref[0][lx] > 0) * 2)
-        elif i == 1:
-            inc = vb(0) + int(bool(avail & 2) and not (tp.direct8x8 & 2)
-                              and tp.ref[1][lx] > 0) * 2
-        elif i == 2:
-            inc = (int(bool(avail & 1) and not (l.direct8x8 & 2)
-                       and l.ref[1][lx] > 0) + vb(0) * 2)
-        else:
-            inc = vb(2) + vb(1) * 2
-        return AE.ref_idx_sub(self, r, inc)
+            return (int(bool(avail & 1) and not (l.direct8x8 & 1)
+                        and l.ref[0][lx] > 0)
+                    + int(bool(avail & 2) and not (tp.direct8x8 & 1)
+                          and tp.ref[0][lx] > 0) * 2)
+        if i == 1:
+            return vb(0) + int(bool(avail & 2) and not (tp.direct8x8 & 2)
+                               and tp.ref[1][lx] > 0) * 2
+        if i == 2:
+            return (int(bool(avail & 1) and not (l.direct8x8 & 2)
+                        and l.ref[1][lx] > 0) + vb(0) * 2)
+        return vb(2) + vb(1) * 2
+
+    def _read_ref8x8(self, r, lx, avail, i, pblk, sub_dirs, t):
+        if not t:
+            return 0
+        if not self.is_cabac:
+            v = _te(r, t)
+            if self.tc is not None:
+                self.tc.emit_ref(
+                    self, v, self._ref_inc8x8(lx, avail, i, pblk, sub_dirs))
+            return v
+        return AE.ref_idx_sub(
+            self, r, self._ref_inc8x8(lx, avail, i, pblk, sub_dirs))
 
     def _intra_chroma_pred(self, r, avail_intra):
         if self.is_cabac:
@@ -753,6 +802,8 @@ class H264Decoder:
             mode = r.ue()
             mode = mode if mode <= 3 else 0
             self.chroma_pred_mode = mode
+            if self.tc is not None:
+                self.tc.emit_chroma_mode(self, mode, avail_intra)
         f = self.frames[self.cur_idx]
         cx, cy = self.mb_x * 8, self.mb_y * 8
         pred.INTRA_CHROMA_PRED[mode](f.cb, cy, cx, avail_intra)
@@ -954,6 +1005,8 @@ class H264Decoder:
                 if not r.get_onebit():
                     rem = r.get_bits(3)
                     p = rem if rem < p else rem + 1
+                if self.tc is not None:
+                    self.tc.emit_i4x4_mode(self, pa, pb, p)
                 return p
 
         pr = [0] * 16
@@ -1399,6 +1452,8 @@ class _PSliceMixin:
             sub_mb_type = [r.ue() for _ in range(4)]
             if max(sub_mb_type) > 3:
                 raise ValueError("bad P sub_mb_type")
+            if self.tc is not None:
+                self.tc.emit_sub_types_p(self, sub_mb_type)
         n_active = self.hdr.num_ref_idx_active
         # ref idx (lx 0 only for P; all P sub types are L0, sub_dir=1)
         t = 0 if ref0 else n_active[0]
@@ -1664,6 +1719,8 @@ def _mb_inter8x8b(self, r, avail):
             t = r.ue()
             if t > 12:
                 raise ValueError("bad B sub_mb_type")
+            if self.tc is not None:
+                self.tc.emit_sub_type_b(self, t)
         sub_mb_type.append(t)
         if t == 0:
             self._pred_direct8x8(r, avail, i, pblk, ref_blk, type0_cnt)
@@ -1754,6 +1811,8 @@ def _skip_mbs_full(self, skip_num):
     self.cbf = 0
     mvds = np.zeros((2, 2), np.int32)
     while skip_num:
+        if self.tc is not None:
+            self.tc.emit_skip_flag(self, 1)
         if slice_type == P_SLICE:
             mvs, ref_idx = self._p_skip_mb()
         else:

@@ -1249,7 +1249,7 @@ class H264CabacIGen(H264IntraGen):
         for _ in range(256 + 128):
             w.put_bits(rng.randrange(256), 8)
         enc.reinit_engine()
-        self._post_mb(self.MB_IPCM, 0x2F, 0x7FFFFFF, 0,
+        self._post_mb(self.MB_IPCM, 0x3F, 0x7FFFFFF, 0,
                       pred_reset=2, coef_fill=15)
         self.prev_qp_delta = 0
 

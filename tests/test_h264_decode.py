@@ -265,3 +265,77 @@ def test_cabac_intra_qp_range(reference_bins, tmp_path, qp, qpidx):
         H264CabacIGen(64, 48, seed=7, qp=qp, chroma_qp_index=qpidx,
                       disable_deblock=False), "II", 2,
     )
+
+
+# -- CABAC P/B via the CAVLC->CABAC transcoder -------------------------
+import random  # noqa: E402
+
+from streamgen.h264_transcode import transcode_to_cabac  # noqa: E402
+
+
+class _TGen:
+    """Wrap a CAVLC generator: generate() returns the CABAC transcode."""
+
+    def __init__(self, base, rng_seed=0):
+        self.base = base
+        self.w, self.h = base.w, base.h
+        self.rng_seed = rng_seed
+
+    def generate(self, pattern):
+        return transcode_to_cabac(self.base.generate(pattern),
+                                  random.Random(self.rng_seed))
+
+
+def run_case_cabac_tc(reference_bins, tmp_path, base, pattern, n_real):
+    """Differential vs the reference AND semantic round-trip vs the
+    original CAVLC stream (guards against both decoders desyncing
+    identically on a broken transcode)."""
+    cavlc = base.generate(pattern)
+    data = transcode_to_cabac(cavlc, random.Random(0))
+    src = tmp_path / "in.264"
+    src.write_bytes(data)
+    subprocess.run(
+        [str(reference_bins["h264dec"]), "-o", "in.264"],
+        cwd=tmp_path, capture_output=True,
+    )
+    golden = (tmp_path / "in.out").read_bytes()
+    dec = H264Decoder()
+    dec.set_data(data)
+    ours = b"".join(cropped_nv12_bytes(f) for f in dec.decode_all())
+    fs = base.w * base.h * 3 // 2
+    assert len(golden) >= n_real * fs
+    assert ours[: len(golden)] == golden
+    d1 = H264Decoder()
+    d1.set_data(cavlc)
+    orig = b"".join(cropped_nv12_bytes(f) for f in d1.decode_all())
+    assert ours == orig, "transcode changed reconstruction"
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_cabac_p_slices(reference_bins, tmp_path, seed):
+    run_case_cabac_tc(
+        reference_bins, tmp_path,
+        H264InterGen(48, 32, seed=seed, skip_prob=0.2), "IPPI", 4)
+
+
+def test_cabac_p_multiref_ref0(reference_bins, tmp_path):
+    run_case_cabac_tc(
+        reference_bins, tmp_path,
+        H264InterGen(64, 48, seed=5, num_ref_frames=4), "IPPPPI", 6)
+
+
+@pytest.mark.parametrize("spatial", [0, 1])
+def test_cabac_b_slices(reference_bins, tmp_path, spatial):
+    run_case_cabac_tc(
+        reference_bins, tmp_path,
+        H264BGen(48, 32, seed=spatial, skip_prob=0.25, intra_prob=0.15,
+                 num_ref_frames=2, b_direct_prob=0.3,
+                 direct_spatial=spatial), "IPBPBB", 6)
+
+
+def test_cabac_b_cif(reference_bins, tmp_path):
+    run_case_cabac_tc(
+        reference_bins, tmp_path,
+        H264BGen(176, 144, seed=11, skip_prob=0.2, intra_prob=0.1,
+                 num_ref_frames=4, b_direct_prob=0.3, direct_spatial=1,
+                 qp=30), "IPBBPBB", 7)
