@@ -23,7 +23,7 @@ sys.path.insert(0, str(REPO / "tests"))
 CACHE = REPO / "build" / "bench"
 
 W, H = 1920, 1080
-PATTERN = "IPPB"  # small while Phase A runs in Python; scaled up with the native parser
+PATTERN = "IPPBBPPBBPPB"  # native C++ Phase A -> longer run for stable timing
 SEED = 42
 
 

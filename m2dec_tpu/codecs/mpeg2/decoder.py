@@ -26,6 +26,7 @@ from .entropy import (
     I_VOP,
     P_VOP,
     Mpeg2EntropyDecoder,
+    PicturePlan,
     PicState,
     SeqState,
 )
@@ -251,6 +252,9 @@ class Mpeg2Decoder:
         if self.pool is None or self.pic.coding_type == 0:
             return False
         if self.ent is None:
+            done = self._try_native_picture()
+            if done is not None:
+                return done
             self.ent = Mpeg2EntropyDecoder(self.seq, self.pic)
         if vertical_pos == 0:
             self._update_frames()
@@ -258,6 +262,81 @@ class Mpeg2Decoder:
         if done:
             self._finish_picture()
         return done
+
+    def _try_native_picture(self):
+        """Decode ALL of this picture's slices with the C++ Phase A
+        (m2dec_tpu/native/m2vparse.cpp). Returns True/False (picture
+        done flag) or None to fall back to the Python Phase A."""
+        import ctypes
+        import types as _types
+
+        from m2dec_tpu import native as N
+
+        lib = N.load_m2v()
+        if lib is None:
+            return None
+        start = self.code_i - 1
+        offs, lens, vpos = [], [], []
+        j = start
+        while j < len(self.codes):
+            off = int(self.codes[j])
+            ct = self.data[off + 3]
+            if not (0x01 <= ct <= 0xAF):
+                break
+            end = int(self.codes[j + 1]) if j + 1 < len(self.codes) \
+                else len(self.data)
+            offs.append(off + 4)
+            lens.append(end - (off + 4))
+            vpos.append(ct - 1)
+            j += 1
+        if not offs:
+            return None
+        pic, seq = self.pic, self.seq
+        pp = N.M2vPicParams()
+        pp.mb_w, pp.mb_h = seq.mb_w, seq.mb_h
+        pp.is_mpeg2 = int(seq.is_mpeg2)
+        pp.coding_type = pic.coding_type
+        for k in range(4):
+            pp.r_size[k] = int(pic.r_size[k >> 1][k & 1])
+        pp.intra_dc_precision = pic.intra_dc_precision
+        pp.frame_pred_frame_dct = pic.frame_pred_frame_dct
+        pp.concealment_motion_vectors = pic.concealment_motion_vectors
+        pp.q_scale_type = pic.q_scale_type
+        pp.intra_vlc_format = pic.intra_vlc_format
+        pp.alternate_scan = pic.alternate_scan
+        if pic.picture_structure != 3:
+            return None
+        for k in range(64):
+            pp.qmat_intra[k] = int(seq.qmat[0][k])
+            pp.qmat_nonintra[k] = int(seq.qmat[1][k])
+        plan = PicturePlan.empty(pic.coding_type, pic.temporal_reference,
+                                 seq.mb_w, seq.mb_h)
+        n = len(offs)
+        offs_c = (ctypes.c_int64 * n)(*offs)
+        lens_c = (ctypes.c_int64 * n)(*lens)
+        vpos_c = (ctypes.c_int32 * n)(*vpos)
+        rc = lib.m2v_decode_picture(
+            self.data, len(self.data), offs_c, lens_c, vpos_c, n,
+            ctypes.byref(pp),
+            plan.intra.ctypes.data_as(ctypes.c_void_p),
+            plan.fwd.ctypes.data_as(ctypes.c_void_p),
+            plan.bwd.ctypes.data_as(ctypes.c_void_p),
+            plan.mvf.ctypes.data_as(ctypes.c_void_p),
+            plan.mvb.ctypes.data_as(ctypes.c_void_p),
+            plan.dct_type.ctypes.data_as(ctypes.c_void_p),
+            plan.coef.ctypes.data_as(ctypes.c_void_p),
+            plan.covered.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc < 0:
+            return None  # Python fallback (unsupported syntax)
+        self.code_i = j
+        if any(v == 0 for v in vpos):
+            self._update_frames()
+        self.ent = _types.SimpleNamespace(plan=plan)
+        if rc == 1:
+            self._finish_picture()
+            return True
+        return False
 
     def _update_frames(self):
         """m2d_update_frames (mpeg2.cpp:159-194)."""

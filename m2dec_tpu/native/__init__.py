@@ -1,0 +1,85 @@
+"""Native (C++) Phase-A front ends.
+
+The bit-serial entropy decode is the host-side half of the two-phase
+engine; these modules build and load the C++ implementations with a
+transparent fallback to the pure-Python Phase A when no toolchain is
+available. Build artifacts land in build/native/.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+_HERE = pathlib.Path(__file__).resolve().parent
+_REPO = _HERE.parent.parent
+_BUILD = _REPO / "build" / "native"
+
+_m2v_lib = None
+_m2v_tried = False
+
+
+class M2vPicParams(ctypes.Structure):
+    _fields_ = [
+        ("mb_w", ctypes.c_int32),
+        ("mb_h", ctypes.c_int32),
+        ("is_mpeg2", ctypes.c_int32),
+        ("coding_type", ctypes.c_int32),
+        ("r_size", ctypes.c_int32 * 4),
+        ("intra_dc_precision", ctypes.c_int32),
+        ("frame_pred_frame_dct", ctypes.c_int32),
+        ("concealment_motion_vectors", ctypes.c_int32),
+        ("q_scale_type", ctypes.c_int32),
+        ("intra_vlc_format", ctypes.c_int32),
+        ("alternate_scan", ctypes.c_int32),
+        ("qmat_intra", ctypes.c_int32 * 64),
+        ("qmat_nonintra", ctypes.c_int32 * 64),
+    ]
+
+
+def _build_m2v():
+    _BUILD.mkdir(parents=True, exist_ok=True)
+    src = _HERE / "m2vparse.cpp"
+    out = _BUILD / "libm2vparse.so"
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    inc = _HERE / "mpeg2_tables.inc"
+    if not inc.exists():
+        subprocess.run(
+            ["python3", str(_REPO / "tools" / "gen_mpeg2_tables_c.py")],
+            check=True,
+        )
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", str(out), str(src)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def load_m2v():
+    """Return the m2v Phase-A library handle, or None (Python fallback)."""
+    global _m2v_lib, _m2v_tried
+    if _m2v_tried:
+        return _m2v_lib
+    _m2v_tried = True
+    if os.environ.get("M2DEC_TPU_NO_NATIVE"):
+        return None
+    try:
+        path = _build_m2v()
+        lib = ctypes.CDLL(str(path))
+        fn = lib.m2v_decode_picture
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(M2vPicParams),
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        _m2v_lib = lib
+    except Exception:
+        _m2v_lib = None
+    return _m2v_lib
