@@ -19,7 +19,7 @@ import numpy as np
 
 from m2dec_tpu.bitstream import BitReader
 from m2dec_tpu.bitstream.reader import find_start_codes, unescape_nal
-from . import cabac as AE, cavlc, dpb as dpb_mod, headers, pred, tables as T, transforms as X
+from . import cabac as AE, cavlc, dpb as dpb_mod, headers, pred, pred8x8 as P8, tables as T, transforms as X
 from .dpb import (
     LONG_TERM,
     NOT_IN_USE,
@@ -701,6 +701,101 @@ class H264Decoder:
             self.tc.emit_cbp(self, v, avail)
         return v
 
+    def _read_transform8x8_flag(self, r, avail):
+        """transform_size_8x8_flag (cavlc 1 bit / cabac ctx 399+)."""
+        if self.is_cabac:
+            return AE.transform8x8_flag(self, r, avail)
+        v = r.get_onebit()
+        if self.tc is not None:
+            self.tc.emit_transform_flag(self, v, avail)
+        return v
+
+    def _mb_intraNxN(self, r, avail):
+        """mb_intraNxN (h264.cpp:4173-4184)."""
+        if self._read_transform8x8_flag(r, avail):
+            self._mb_intra8x8(r, avail)
+        else:
+            self._mb_intra4x4(r, avail)
+
+    def _pred_intra8x8_modes(self, r, avail_intra):
+        """mb_pred_intra8x8 (h264.cpp:3302-3313): 4 modes with the same
+        availability-gating quirk as 4x4; packs into the 4x4 pred slots."""
+        left = self.left_pred
+        top = self.top_pred[self.mb_x]
+        a = avail_intra
+        if self.is_cabac:
+            def m(pa, pb):
+                return AE.intra4x4_pred_mode(self, r, pa, pb)
+        else:
+            def m(pa, pb):
+                p = min(pa, pb)
+                if not r.get_onebit():
+                    rem = r.get_bits(3)
+                    p = rem if rem < p else rem + 1
+                if self.tc is not None:
+                    self.tc.emit_i4x4_mode(self, pa, pb, p)
+                return p
+        p0 = m(left[0] if a & 2 else 2, top[0] if a & 1 else 2)
+        p1 = m(p0 if a & 2 else 2, top[2])
+        p2 = m(left[2], p0 if a & 1 else 2)
+        p3 = m(p2, p1)
+        self.left_pred[:] = [p1, p1, p3, p3]
+        self.top_pred[self.mb_x][:] = [p2, p2, p3, p3]
+        return (p0, p1, p2, p3)
+
+    def _mb_intra8x8(self, r, avail):
+        """mb_intra8x8 (h264.cpp:4131-4171)."""
+        avail_intra = self._avail_intra(avail)
+        if not avail_intra & 1:
+            self.left_pred[:] = [2] * 4
+        if not avail_intra & 2:
+            self.top_pred[self.mb_x][:] = [2] * 4
+        pr = self._pred_intra8x8_modes(r, avail_intra)
+        self._intra_chroma_pred(r, avail_intra)
+        cbp = self._read_cbp(r, avail, 0)
+        if cbp:
+            qp_delta = self._read_qp_delta(r)
+            if qp_delta:
+                self._set_qp(self.qp + qp_delta)
+        else:
+            self.prev_qp_delta = 0
+        f = self.frames[self.cur_idx]
+        x0, y0 = self.mb_x * 16, self.mb_y * 16
+        coeff = np.zeros(64, np.int64)
+        lc, tcf = self.left_coef, self.top_coef[self.mb_x]
+        # per-block avail (luma_intra8x8_with_residual, h264.cpp:4093-4121)
+        blkav = (
+            (avail_intra & ~4) | ((avail_intra & 2) * 2),
+            (avail_intra & ~8) | ((avail_intra & 2) * 4) | 1,
+            6 | ((avail_intra & 1) * 9),
+            11,
+        )
+        cs = [0, 0, 0, 0]
+        for b, (oy, ox) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+            P8.INTRA8x8_PRED[pr[b]](f.y, y0 + oy, x0 + ox, blkav[b])
+            if cbp & (1 << b):
+                if b == 0:
+                    na = lc[0] if avail & 1 else -1
+                    nb = tcf[0] if avail & 2 else -1
+                elif b == 1:
+                    na = cs[0]
+                    nb = tcf[2] if avail & 2 else -1
+                elif b == 2:
+                    na = lc[2] if avail & 1 else -1
+                    nb = cs[1]
+                else:
+                    na, nb = cs[2], cs[1]
+                cs[b] = self._residual_block(r, na, nb, coeff, self.qmaty8,
+                                             5, b * 4, avail_intra)
+                if cs[b]:
+                    X.idct8x8_add(f.y, y0 + oy, x0 + ox, coeff)
+        self.left_coef[:4] = [cs[1], cs[1], cs[3], cs[3]]
+        self.top_coef[self.mb_x][:4] = [cs[2], cs[2], cs[3], cs[3]]
+        self._store_strength_intra(0x00FF00FF)
+        self._intra_save_info(transform8x8=1)
+        self.cbp = cbp
+        self._residual_chroma(r, cbp, avail)
+
     def _read_mvd_xy(self, r, mvd_a, mvd_b):
         if self.is_cabac:
             return AE.mvd_xy(self, r, mvd_a, mvd_b)
@@ -716,7 +811,7 @@ class H264Decoder:
         if self.tc is not None:
             self.tc.emit_residual(self, coeff, qmat, cat, pos4x4, avail, cnum)
         if cnum:  # maintain the cbf accumulator in CAVLC mode as well
-            self.cbf |= 1 << pos4x4
+            self.cbf |= (0xF if cat == 5 else 1) << pos4x4
         return cnum
 
     # CABAC ref_idx context increments (ref_idx16x16/16x8/8x16/8x8_cabac,
@@ -1351,12 +1446,72 @@ class _PSliceMixin:
         deb.str_horiz = ((str_h << 8) | str_h) & 0xFFFFFFFF
 
     def _residual_luma_inter(self, r, cbp):
-        """residual_luma_inter functor (h264.cpp:6546-6558): qp_delta then
-        4x4 residual (8x8 transform comes with High profile)."""
+        """residual_luma_inter / residual_luma_interNxN
+        (h264.cpp:6546-6558 / :6632-6650). `cbp` carries the
+        NeedTransform8x8 bit at 0x80."""
+        if self.pps.transform_8x8_mode_flag and self.is_cabac:
+            # residual_luma_interNxN is wired into the CABAC table only;
+            # the reference's CAVLC mb_decode[1] passes the plain
+            # residual_luma_inter (4x4 always, flag never read)
+            # (h264.cpp:9558-9586 vs :11965-12010)
+            t8 = ((cbp & 0x8F) > 0x80
+                  and self._read_transform8x8_flag(r, self._avail_saved))
+            qp_delta = self._read_qp_delta(r)
+            if qp_delta:
+                self._set_qp(self.qp + qp_delta)
+            self.mbleft.transform8x8 = 1 if t8 else 0
+            self._top().transform8x8 = 1 if t8 else 0
+            if t8:
+                self._residual_luma_inter8x8(r, cbp)
+            else:
+                self._residual_luma_inter4x4(r, cbp)
+            return
+        if (self.tc is not None and self.pps.transform_8x8_mode_flag
+                and (cbp & 0x8F) > 0x80):
+            # transcode: the CABAC decoder will read a flag here; CAVLC
+            # never coded one, so it is always 0. Mirror the CABAC-side
+            # neighbor update (residual_luma_interNxN) so later flag
+            # contexts match the re-decode.
+            self.tc.emit_transform_flag(self, 0, self._avail_saved)
+            self.mbleft.transform8x8 = 0
+            self._top().transform8x8 = 0
         qp_delta = self._read_qp_delta(r)
         if qp_delta:
             self._set_qp(self.qp + qp_delta)
         self._residual_luma_inter4x4(r, cbp)
+
+    def _residual_luma_inter8x8(self, r, cbp):
+        """residual_luma_inter8x8 (h264.cpp:6582-6630)."""
+        f = self.frames[self.cur_idx]
+        x0, y0 = self.mb_x * 16, self.mb_y * 16
+        coeff = np.zeros(64, np.int64)
+        avail = self._avail_saved
+        lc, tcf = self.left_coef, self.top_coef[self.mb_x]
+        cbp &= 15
+        cs = [0, 0, 0, 0]
+        for b, (oy, ox) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+            if not cbp & (1 << b):
+                continue
+            if b == 0:
+                na = lc[0] if avail & 1 else -1
+                nb = tcf[0] if avail & 2 else -1
+            elif b == 1:
+                na = cs[0]
+                nb = tcf[2] if avail & 2 else -1
+            elif b == 2:
+                na = lc[2] if avail & 1 else -1
+                nb = cs[1]
+            else:
+                na, nb = cs[2], cs[1]
+            cs[b] = self._residual_block(r, na, nb, coeff, self.qmaty8,
+                                         5, b * 4, avail)
+            if cs[b]:
+                X.idct8x8_add(f.y, y0 + oy, x0 + ox, coeff)
+        self.left_coef[:4] = [cs[1], cs[1], cs[3], cs[3]]
+        self.top_coef[self.mb_x][:4] = [cs[2], cs[2], cs[3], cs[3]]
+        deb = self.deblock[self.mb_pos]
+        deb.str_vert = _EXPAND_STR8x8[cbp]
+        deb.str_horiz = _EXPAND_STR8x8[_CBP_TRANS8x8[cbp]]
 
     # -- P macroblocks ----------------------------------------------------
     def _mb_inter16x16(self, r, avail, refmap=1):
@@ -1379,7 +1534,7 @@ class _PSliceMixin:
         top4x4 = list(self.top_coef[self.mb_x][:4])
         self.cbp = cbp = self._read_cbp(r, avail, 1)
         if cbp:
-            self._residual_luma_inter(r, cbp)
+            self._residual_luma_inter(r, 0x80 | cbp)
         else:
             self._no_residual_inter()
         I.store_info_inter16x16(self, mvs, mvds, ref_idx, left4x4, top4x4)
@@ -1433,7 +1588,7 @@ class _PSliceMixin:
         top4x4 = list(self.top_coef[self.mb_x][:4])
         self.cbp = cbp = self._read_cbp(r, avail, 1)
         if cbp:
-            self._residual_luma_inter(r, cbp)
+            self._residual_luma_inter(r, 0x80 | cbp)
         else:
             self._no_residual_inter()
         if vertical:
@@ -1467,8 +1622,9 @@ class _PSliceMixin:
         left4x4 = list(self.left_coef[:4])
         top4x4 = list(self.top_coef[self.mb_x][:4])
         self.cbp = cbp = self._read_cbp(r, avail, 1)
+        need8 = all(t == 0 for t in sub_mb_type)  # need_transform_size_8x8p
         if cbp:
-            self._residual_luma_inter(r, cbp)
+            self._residual_luma_inter(r, (0x80 if need8 else 0) | cbp)
         else:
             self._no_residual_inter()
         I.store_info_intermb8x8(self, pblk, left4x4, top4x4)
@@ -1583,7 +1739,10 @@ for _name in dir(_PSliceMixin):
 
 def _mb_dispatch_full(self, r, mbtype, avail):
     if mbtype == MB_INxN:
-        self._mb_intra4x4(r, avail)
+        if self.pps.transform_8x8_mode_flag:
+            self._mb_intraNxN(r, avail)
+        else:
+            self._mb_intra4x4(r, avail)
     elif mbtype < MB_IPCM:
         self._mb_intra16x16(r, mbtype, avail)
     elif mbtype == MB_IPCM:
@@ -1695,7 +1854,7 @@ def _mb_inter16x8_b(self, r, avail, refmap, vertical):
     top4x4 = list(self.top_coef[self.mb_x][:4])
     self.cbp = cbp = self._read_cbp(r, avail, 1)
     if cbp:
-        self._residual_luma_inter(r, cbp)
+        self._residual_luma_inter(r, 0x80 | cbp)
     else:
         self._no_residual_inter()
     if vertical:
@@ -1749,7 +1908,9 @@ def _mb_inter8x8b(self, r, avail):
     top4x4 = list(self.top_coef[self.mb_x][:4])
     self.cbp = cbp = self._read_cbp(r, avail, 1)
     if cbp:
-        self._residual_luma_inter(r, cbp)
+        # direct_8x8_inference=1: need_transform_size_8x8 is always true
+        # (bdirect_functions[1][1], h264.cpp:1364-1377)
+        self._residual_luma_inter(r, 0x80 | cbp)
     else:
         self._no_residual_inter()
     I.store_info_intermb8x8(self, pblk, left4x4, top4x4)
@@ -1781,7 +1942,7 @@ def _mb_bdirect16x16(self, r, avail):
     top4x4 = list(self.top_coef[self.mb_x][:4])
     self.cbp = cbp = self._read_cbp(r, avail, 1)
     if cbp:
-        self._residual_luma_inter(r, cbp)
+        self._residual_luma_inter(r, 0x80 | cbp)
     else:
         self._no_residual_inter()
     page = self.refs[1][0].col

@@ -1558,3 +1558,262 @@ class H264CabacIGen(H264IntraGen):
         else:
             self.left_coef[4:] = [0] * 4
             self.top_coef[mbx][4:] = [0] * 4
+
+
+# ======================================================================
+# High profile: transform_8x8_mode (I_8x8 + inter 8x8 transform)
+# ======================================================================
+
+from m2dec_tpu.codecs.h264 import transforms as _XT  # noqa: E402
+
+
+class H264HighGen(H264InterGen):
+    """High-profile streams: PPS transform_8x8_mode=1; emits I_8x8 MBs and
+    8x8-transform inter residuals alongside the existing MB kinds.
+
+    CAVLC cat-5 blocks keep all coefficients in scan positions < 16: the
+    reference codes 8x8 blocks with its 4x4 CAVLC machinery
+    (residual_block_cavlc at cat 5, h264.cpp:4096-4125), whose total-zeros
+    tables only span the 4x4 domain. Every coded 8x8 block carries at
+    least one coefficient (the reference feeds stale stack memory to the
+    inverse transform on empty cat-5 blocks).
+    """
+
+    #: per-mode avail requirement for 8x8 (pred8x8 entry guards)
+    _MODE_REQ8 = {0: 2, 1: 1, 2: 0, 3: 2, 4: 3, 5: 11, 6: 11, 7: 2, 8: 1}
+
+    def __init__(self, *args, i8x8_prob=0.5, t8_prob=0.5, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.i8x8_prob = i8x8_prob
+        self.t8_prob = t8_prob
+
+    def _pps(self, w):
+        w.ue(0)
+        w.ue(0)
+        w.put_bits(0, 1)  # CAVLC
+        w.put_bits(0, 1)
+        w.ue(0)
+        w.ue(max(0, self.num_ref_frames - 1))
+        w.ue(0)
+        w.put_bits(0, 1)
+        w.put_bits(0, 2)
+        w.se(self.qp - 26)
+        w.se(0)
+        w.se(self.chroma_qp_index)
+        w.put_bits(1, 1)
+        w.put_bits(0, 1)
+        w.put_bits(0, 1)
+        # trailing: transform_8x8_mode, no scaling lists, 2nd chroma ofs
+        w.put_bits(1, 1)
+        w.put_bits(0, 1)
+        w.se(self.chroma_qp_index)
+
+    def _update_qmats(self):
+        super()._update_qmats()
+        self.qmaty8_now = _XT.qmat8(self.qp_cur)
+
+    # -- 8x8 residual helpers -------------------------------------------
+    def _rand_coefs8(self):
+        rng = self.rng
+        n = rng.randrange(1, 6)
+        pos = sorted(rng.sample(range(16), n))  # scan pos < 16 (see doc)
+        return [(p, rng.choice([1, -1, 1, -1, 2, -2, 3, -3])) for p in pos]
+
+    def _residual_ok_8x8(self, coefs):
+        arr = np.zeros(64, np.int64)
+        for p, lv in coefs:
+            zi = T.ZIGZAG8x8[p]
+            arr[zi] = lv * int(self.qmaty8_now[zi])
+        res = _XT.idct8x8(arr)
+        return -256 <= res.min() and res.max() <= 500
+
+    def _emit_resid8(self, w, na, nb):
+        while True:
+            coefs = self._rand_coefs8()
+            if self._residual_ok_8x8(coefs):
+                break
+        return CavlcEncoder.encode(w, coefs, 64, self._nc(na, nb))
+
+    def _emit_luma8x8(self, w, cbp):
+        """Mirror of the decoder's 8x8 nC chain (c0/c1/c2/c3)."""
+        avail = self.avail
+        lc, tc = self.left_coef, self.top_coef[self.mbx]
+        cs = [0, 0, 0, 0]
+        for b in range(4):
+            if not cbp & (1 << b):
+                continue
+            if b == 0:
+                na = lc[0] if avail & 1 else -1
+                nb = tc[0] if avail & 2 else -1
+            elif b == 1:
+                na = cs[0]
+                nb = tc[2] if avail & 2 else -1
+            elif b == 2:
+                na = lc[2] if avail & 1 else -1
+                nb = cs[1]
+            else:
+                na, nb = cs[2], cs[1]
+            cs[b] = self._emit_resid8(w, na, nb)
+        self.left_coef[:4] = [cs[1], cs[1], cs[3], cs[3]]
+        self.top_coef[self.mbx][:4] = [cs[2], cs[2], cs[3], cs[3]]
+
+    # -- I_8x8 ----------------------------------------------------------
+    def _emit_i8x8(self, w, mb_type_ofs=0):
+        rng = self.rng
+        avail = self.avail
+        mbx = self.mbx
+        w.ue(0 + mb_type_ofs)  # I_NxN
+        w.put_bits(1, 1)  # transform_size_8x8_flag
+        left = self.left_pred
+        top = self.top_pred[mbx]
+        a = avail
+        blkav = (
+            (a & ~4) | ((a & 2) * 2),
+            (a & ~8) | ((a & 2) * 4) | 1,
+            6 | ((a & 1) * 9),
+            11,
+        )
+
+        def emit_mode(pa, pb, ba):
+            pred_m = min(pa, pb)
+            legal = [m for m in range(9)
+                     if (ba & self._MODE_REQ8[m]) == self._MODE_REQ8[m]]
+            mode = rng.choice(legal)
+            if mode == pred_m:
+                w.put_bits(1, 1)
+            else:
+                rem = mode if mode < pred_m else mode - 1
+                if rem == pred_m:
+                    w.put_bits(1, 1)
+                    mode = pred_m
+                else:
+                    w.put_bits(0, 1)
+                    w.put_bits(rem, 3)
+            return mode
+
+        p0 = emit_mode(left[0] if a & 2 else 2, top[0] if a & 1 else 2,
+                       blkav[0])
+        p1 = emit_mode(p0 if a & 2 else 2, top[2], blkav[1])
+        p2 = emit_mode(left[2], p0 if a & 1 else 2, blkav[2])
+        p3 = emit_mode(p2, p1, blkav[3])
+        self.left_pred[:] = [p1, p1, p3, p3]
+        self.top_pred[mbx][:] = [p2, p2, p3, p3]
+        chroma_mode = self._pick_chroma_mode()
+        w.ue(chroma_mode)
+        cbp_luma = rng.randrange(16)
+        cbp_chroma = rng.choice([0, 1, 2])
+        cbp = cbp_luma | (cbp_chroma << 4)
+        w.ue(ENC_ME_CBP[0][cbp])
+        if cbp:
+            qp_delta = rng.choice([0, 0, 1, -1])
+            if not (self.qp_floor <= self.qp_cur + qp_delta <= 45):
+                qp_delta = 0
+            w.se(qp_delta)
+            self.qp_cur += qp_delta
+        self._update_qmats()
+        self._emit_luma8x8(w, cbp)
+        self._emit_chroma_residual(w, cbp)
+        self.mb_count += 1
+
+    # i4x4 in a High PPS needs the transform flag (0) after mb_type
+    def _emit_i4x4(self, w):
+        real_ue = w.ue
+        first = [True]
+
+        def patched(v):
+            if first[0]:
+                first[0] = False
+                real_ue(v)
+                w.put_bits(0, 1)  # transform_size_8x8_flag
+                return w
+            return real_ue(v)
+
+        w.ue = patched
+        try:
+            super()._emit_i4x4(w)
+        finally:
+            w.ue = real_ue
+
+    # inter residual with the NxN transform flag
+    def _emit_inter_residual(self, w, allow_t8=True):
+        rng = self.rng
+        mbx = self.mbx
+        cbp_luma = rng.randrange(16)
+        cbp_chroma = rng.choice([0, 0, 1, 2])
+        cbp = cbp_luma | (cbp_chroma << 4)
+        w.ue(ENC_ME_CBP[1][cbp])
+        # NOTE: no transform flag for CAVLC inter MBs -- the reference's
+        # CAVLC High table always uses the 4x4 inter residual
+        # (h264.cpp:9558-9586); 8x8 inter transforms are CABAC-only
+        t8 = 0
+        if cbp:
+            qp_delta = rng.choice([0, 0, 1, -1])
+            if not (self.qp_floor <= self.qp_cur + qp_delta <= 45):
+                qp_delta = 0
+            w.se(qp_delta)
+            self.qp_cur += qp_delta
+        self._update_qmats()
+        if t8:
+            self._emit_luma8x8(w, cbp_luma)
+        else:
+            lc, tc = self.left_coef, self.top_coef[mbx]
+            avail = self.avail
+            nc = [0] * 16
+            for i in range(16):
+                if not cbp & (1 << (i >> 2)):
+                    continue
+                na_s, nb_s = _LUMA_NC_WIRING[i]
+                na = _nc_resolve(na_s, nc, lc, avail, True)
+                nb = _nc_resolve(nb_s, nc, tc, avail, False)
+                while True:
+                    coefs = self._rand_coefs(16, maxn=6, lvl_hi=4)
+                    if self._residual_ok_4x4(coefs, self.qmaty_now):
+                        break
+                    coefs = self._shrink(coefs)
+                nc[i] = CavlcEncoder.encode(w, coefs, 16, self._nc(na, nb))
+            self.left_coef[:4] = [nc[5], nc[7], nc[13], nc[15]]
+            self.top_coef[mbx][:4] = [nc[10], nc[11], nc[14], nc[15]]
+        self.left_pred[:] = [2] * 4
+        self.top_pred[mbx][:] = [2] * 4
+        self._emit_chroma_residual(w, cbp)
+        self.mb_count += 1
+
+    def _emit_p_mb(self, w):
+        rng = self.rng
+        kind = rng.choice([0, 0, 0, 1, 2, 3, 3])  # no ref0 (simplifies t8)
+        w.ue(kind)
+        if kind == 0:
+            self._ref(w)
+            self._mvd(w)
+        elif kind in (1, 2):
+            self._ref(w)
+            self._ref(w)
+            self._mvd(w)
+            self._mvd(w)
+        else:
+            subs = [rng.choice([0, 0, 1, 2, 3]) for _ in range(4)]
+            for s in subs:
+                w.ue(s)
+            for _ in range(4):
+                self._ref(w)
+            for s in subs:
+                for _ in range((1, 2, 2, 4)[s]):
+                    self._mvd(w)
+            self._subs_all8 = all(s == 0 for s in subs)
+            self._emit_inter_residual(w, allow_t8=self._subs_all8)
+            return
+        self._emit_inter_residual(w, allow_t8=True)
+
+    def _macroblock_I(self, w, mb_idx):
+        rng = self.rng
+        mbx = mb_idx % self.mb_w
+        self.mbx = mbx
+        mby = mb_idx // self.mb_w
+        self.avail = self._avail_of(mbx, mby)
+        u = rng.random()
+        if u < self.i8x8_prob:
+            self._emit_i8x8(w)
+        elif u < 0.75:
+            self._emit_i16x16(w)
+        else:
+            self._emit_i4x4(w)

@@ -192,6 +192,12 @@ class CabacTranscoder:
             w.put_bits(b, 8)
         enc.reinit_engine()
 
+    def emit_transform_flag(self, dec, v, avail):
+        tp, lf = dec._top(), dec.mbleft
+        ofs = 399 + (int(bool(avail & 2) and tp.transform8x8 != 0)
+                     + int(bool(avail & 1) and lf.transform8x8 != 0))
+        self.enc.decision(ofs, v)
+
     def emit_i4x4_mode(self, dec, pa, pb, mode):
         enc = self.enc
         pred = min(pa, pb)
@@ -430,6 +436,10 @@ def _write_pps(pps):
     w.put_bits(pps.deblocking_filter_control_present_flag, 1)
     w.put_bits(pps.constrained_intra_pred_flag, 1)
     w.put_bits(0, 1)  # redundant_pic_cnt_present
+    if pps.transform_8x8_mode_flag or pps.chroma_qp_index[0] != pps.chroma_qp_index[1]:
+        w.put_bits(pps.transform_8x8_mode_flag, 1)
+        w.put_bits(0, 1)  # pic_scaling_matrix_present
+        w.se(pps.chroma_qp_index[1])
     w.rbsp_trailing_bits()
     return w.tobytes()
 

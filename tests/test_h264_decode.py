@@ -339,3 +339,36 @@ def test_cabac_b_cif(reference_bins, tmp_path):
         H264BGen(176, 144, seed=11, skip_prob=0.2, intra_prob=0.1,
                  num_ref_frames=4, b_direct_prob=0.3, direct_spatial=1,
                  qp=30), "IPBBPBB", 7)
+
+
+# -- High profile (transform_8x8_mode) ---------------------------------
+from streamgen.h264_enc import H264HighGen  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_high_i8x8(reference_bins, tmp_path, seed):
+    run_case_b(reference_bins, tmp_path,
+               H264HighGen(48, 32, seed=seed, intra_prob=0, skip_prob=0),
+               "II", 2)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_high_p(reference_bins, tmp_path, seed):
+    run_case_b(reference_bins, tmp_path,
+               H264HighGen(48, 32, seed=seed, intra_prob=0.2,
+                           skip_prob=0.15), "IPPI", 4)
+
+
+def test_high_deblock(reference_bins, tmp_path):
+    run_case_b(
+        reference_bins, tmp_path,
+        H264HighGen(80, 48, seed=1, intra_prob=0.15, skip_prob=0.15,
+                    qp=29, disable_deblock=False), "IPPI", 4)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_high_cabac_transcode(reference_bins, tmp_path, seed):
+    run_case_cabac_tc(
+        reference_bins, tmp_path,
+        H264HighGen(48, 32, seed=seed, intra_prob=0.2, skip_prob=0.15),
+        "IPPI", 4)

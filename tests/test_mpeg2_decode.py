@@ -117,3 +117,52 @@ def test_md5_writer_format(reference_bins, tmp_path):
     frames = dec.decode_all()
     ours = b"".join(frame_md5_line(f) for f in frames)
     assert ours[: len(golden)] == golden and len(golden) >= 2 * 34
+
+
+# -- MPEG-PS demux + CLI ------------------------------------------------
+from streamgen.ps_mux import mux_ps, mux_ps_aligned  # noqa: E402
+
+from m2dec_tpu.containers.ps import PsDemuxer  # noqa: E402
+
+
+def test_ps_demux_roundtrip():
+    gen = Mpeg2StreamGen(64, 48, seed=5)
+    es = gen.generate("IPBBPI")
+    assert PsDemuxer(mux_ps(es)).video_stream() == es
+    gen2 = Mpeg2StreamGen(64, 48, seed=5)
+    es2 = gen2.generate("IPBBPI")
+    assert PsDemuxer(mux_ps_aligned(es2)).video_stream() == es2
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_ps_vs_reference(reference_bins, tmp_path, seed):
+    """Reference m2dec decodes our muxed .vob; our demux+decode matches."""
+    gen = Mpeg2StreamGen(64, 48, seed=seed)
+    es = gen.generate("IPBBP" + "I")
+    ps = mux_ps_aligned(es)
+    (tmp_path / "in.vob").write_bytes(ps)
+    subprocess.run(
+        [str(reference_bins["m2dec"]), "-o", "out.raw", "in.vob"],
+        cwd=tmp_path, capture_output=True,
+    )
+    golden = (tmp_path / "out.raw").read_bytes()
+    dec = Mpeg2Decoder()
+    dec.set_data(PsDemuxer(ps).video_stream())
+    ours = b"".join(cropped_nv12_bytes(f) for f in dec.decode_all())
+    fs = 64 * 48 * 3 // 2
+    assert len(golden) >= 4 * fs
+    assert ours[: len(golden)] == golden
+
+
+def test_cli_m2dec(reference_bins, tmp_path):
+    import subprocess as sp
+    gen = Mpeg2StreamGen(48, 32, seed=1)
+    es = gen.generate("IPI")
+    (tmp_path / "in.m2v").write_bytes(es)
+    sp.run([sys.executable, "-m", "m2dec_tpu.apps.m2dec",
+            "-O", str(tmp_path / "ours.md5"), str(tmp_path / "in.m2v")],
+           check=True, capture_output=True,
+           cwd=pathlib.Path(__file__).parent.parent)
+    golden = oracle_decode(reference_bins, es, tmp_path, md5=True)
+    ours = (tmp_path / "ours.md5").read_bytes()
+    assert ours[: len(golden)] == golden
