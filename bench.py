@@ -20,6 +20,14 @@ import time
 REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO / "tests"))
 
+# Persistent XLA compilation cache: the axon-tunnel compile of the 1080p
+# reconstruct takes ~7-9 minutes cold; cached it loads in seconds.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / "build" / "jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 CACHE = REPO / "build" / "bench"
 
 W, H = 1920, 1080
@@ -62,9 +70,10 @@ def bench_ours(stream_path):
     from m2dec_tpu.runtime.output import frame_md5_line
 
     data = stream_path.read_bytes()
-    # warmup (includes XLA compile)
+    # warmup: first picture triggers the XLA compile (persistent-cached)
     dec = Mpeg2Decoder(backend="jax")
     dec.set_data(data)
+    dec.decode_data()
     dec.decode_data()
     dec.decode_data()
     t0 = time.perf_counter()

@@ -1,0 +1,42 @@
+"""Threaded pipeline (reference threadplayer.cpp parity): output identity
+with the plain decode loop over all three input kinds + timing trace."""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+
+from streamgen.h264_enc import H264InterGen  # noqa: E402
+from streamgen.mpeg2_enc import Mpeg2StreamGen  # noqa: E402
+from streamgen.ps_mux import mux_ps_aligned  # noqa: E402
+
+from m2dec_tpu.codecs.h264.decoder import H264Decoder  # noqa: E402
+from m2dec_tpu.codecs.mpeg2.decoder import Mpeg2Decoder  # noqa: E402
+from m2dec_tpu.runtime.output import cropped_nv12_bytes  # noqa: E402
+from m2dec_tpu.runtime.pipeline import Pipeline  # noqa: E402
+
+
+def _run(pipe):
+    out = []
+    pipe.run(lambda f: out.append(cropped_nv12_bytes(f)))
+    return out
+
+
+def test_pipeline_mpeg2_and_ps():
+    es = Mpeg2StreamGen(48, 32, seed=1).generate("IPBBPI")
+    dec = Mpeg2Decoder()
+    dec.set_data(es)
+    ref = [cropped_nv12_bytes(f) for f in dec.decode_all()]
+    assert _run(Pipeline(es)) == ref
+    p = Pipeline(mux_ps_aligned(es))
+    assert _run(p) == ref
+    csv = p.timeline_csv()
+    assert all(len(r.split(",")) == 3 for r in csv.strip().splitlines())
+
+
+def test_pipeline_h264():
+    es = H264InterGen(48, 32, seed=2).generate("IPPI")
+    dec = H264Decoder()
+    dec.set_data(es)
+    ref = [cropped_nv12_bytes(f) for f in dec.decode_all()]
+    assert _run(Pipeline(es)) == ref
