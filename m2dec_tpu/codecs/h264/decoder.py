@@ -142,6 +142,9 @@ class H264Decoder:
         self.cb = AE.CabacEngine()
         self.is_cabac = False
         self.tc = None  # optional CAVLC->CABAC transcode sink (tests)
+        self.weighted_mode = 0
+        self.weight_shift = (0, 0)
+        self.weight_tab = None
 
     # ------------------------------------------------------------ input --
     def set_data(self, data: bytes):
@@ -364,10 +367,16 @@ class H264Decoder:
                 if hdr.direct_spatial_mv_pred_flag == 0:
                     from .bdirect import create_map_col_to_list0
                     create_map_col_to_list0(self)
-                if pps.weighted_bipred_idc:
-                    raise NotImplementedError("weighted bipred")
-            elif pps.weighted_pred_flag:
-                raise NotImplementedError("weighted pred")
+            self.weighted_mode = 0
+            if slice_type == B_SLICE and pps.weighted_bipred_idc:
+                if pps.weighted_bipred_idc == 1:
+                    self._parse_pred_weight_table(r, slice_type)
+                    self.weighted_mode = 1
+                else:
+                    self.weighted_mode = 2
+            elif slice_type == P_SLICE and pps.weighted_pred_flag:
+                self._parse_pred_weight_table(r, slice_type)
+                self.weighted_mode = 1
         if self.nal_id & 0x60:
             self._dec_ref_pic_marking(r)
         else:
@@ -392,6 +401,33 @@ class H264Decoder:
             firstmb_deb.slicehdr = (0, 0)
         firstmb_deb.idc = hdr.disable_deblocking_filter_idc + 1
         return self._slice_data(r)
+
+    def _parse_pred_weight_table(self, r, slice_type):
+        """set_weighted_info type 1 + pred_weight_table
+        (h264.cpp:1387-1399, :1668-1695)."""
+        sy = r.ue()
+        sc = r.ue()
+        self.weight_shift = (sy, sc)
+        tabs = [None, None]
+        for lx in range(2):
+            n = self.hdr.num_ref_idx_active[lx] + 1
+            tab = []
+            for _ in range(n):
+                if r.get_onebit():
+                    wl, ol = r.se(), r.se()
+                else:
+                    wl, ol = 1 << sy, 0
+                if r.get_onebit():
+                    wcb, ocb = r.se(), r.se()
+                    wcr, ocr = r.se(), r.se()
+                else:
+                    wcb, ocb = 1 << sc, 0
+                    wcr, ocr = 1 << sc, 0
+                tab.append(((wl, ol), (wcb, ocb), (wcr, ocr)))
+            tabs[lx] = tab
+            if slice_type != B_SLICE:
+                break
+        self.weight_tab = tabs
 
     def _dec_ref_pic_marking(self, r):
         """dec_ref_pic_marking (h264.cpp:1697-1737)."""

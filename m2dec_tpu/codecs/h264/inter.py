@@ -115,10 +115,38 @@ def avg_round_up(a, b):
 # ---------------------------------------------------------------------
 # part prediction (inter_pred_basic, h264.cpp:6726-6749)
 # ---------------------------------------------------------------------
+def _pred_one(dec, lx, idx, mv, bw, bh, x0, y0):
+    frm = dec.frames[dec.refs[lx][idx].frame_idx]
+    mvx, mvy = int(mv[0]), int(mv[1])
+    py = luma_interp(frm.y, x0 + (mvx >> 2), y0 + (mvy >> 2), bw, bh,
+                     mvx & 3, mvy & 3)
+    cx = (x0 >> 1) + (mvx >> 3)
+    cy = (y0 >> 1) + (mvy >> 3)
+    pcb = chroma_interp(frm.cb, cx, cy, bw >> 1, bh >> 1, mvx & 7, mvy & 7)
+    pcr = chroma_interp(frm.cr, cx, cy, bw >> 1, bh >> 1, mvx & 7, mvy & 7)
+    return py, pcb, pcr
+
+
+def _store_pred(dec, x0, y0, bw, bh, out_y, out_cb, out_cr):
+    f = dec.frames[dec.cur_idx]
+    f.y[y0 : y0 + bh, x0 : x0 + bw] = out_y
+    cx0, cy0 = x0 >> 1, y0 >> 1
+    f.cb[cy0 : cy0 + (bh >> 1), cx0 : cx0 + (bw >> 1)] = out_cb
+    f.cr[cy0 : cy0 + (bh >> 1), cx0 : cx0 + (bw >> 1)] = out_cr
+
+
 def inter_pred_basic(dec, ref_idx, mv, bw, bh, offsetx, offsety):
     """Predict one partition into the current frame. ref_idx: [2], mv:
-    [2][2] (list, xy)."""
-    f = dec.frames[dec.cur_idx]
+    [2][2] (list, xy). Routes through the slice's weighted-prediction
+    mode like the reference's mb->inter_pred pointer
+    (set_weighted_info, h264.cpp:1387-1403)."""
+    wm = dec.weighted_mode
+    if wm == 1:
+        return _inter_pred_weighted1(dec, ref_idx, mv, bw, bh,
+                                     offsetx, offsety)
+    if wm == 2:
+        return _inter_pred_weighted2(dec, ref_idx, mv, bw, bh,
+                                     offsetx, offsety)
     x0 = dec.mb_x * 16 + offsetx
     y0 = dec.mb_y * 16 + offsety
     bidir = 0
@@ -127,14 +155,7 @@ def inter_pred_basic(dec, ref_idx, mv, bw, bh, offsetx, offsety):
         idx = int(ref_idx[lx])
         if idx < 0:
             continue
-        frm = dec.frames[dec.refs[lx][idx].frame_idx]
-        mvx, mvy = int(mv[lx][0]), int(mv[lx][1])
-        py = luma_interp(frm.y, x0 + (mvx >> 2), y0 + (mvy >> 2), bw, bh,
-                         mvx & 3, mvy & 3)
-        cx = (x0 >> 1) + (mvx >> 3)
-        cy = (y0 >> 1) + (mvy >> 3)
-        pcb = chroma_interp(frm.cb, cx, cy, bw >> 1, bh >> 1, mvx & 7, mvy & 7)
-        pcr = chroma_interp(frm.cr, cx, cy, bw >> 1, bh >> 1, mvx & 7, mvy & 7)
+        py, pcb, pcr = _pred_one(dec, lx, idx, mv[lx], bw, bh, x0, y0)
         if bidir:
             out_y = avg_round_up(out_y, py)
             out_cb = avg_round_up(out_cb, pcb)
@@ -144,10 +165,91 @@ def inter_pred_basic(dec, ref_idx, mv, bw, bh, offsetx, offsety):
         bidir += 1
     if out_y is None:
         return
-    f.y[y0 : y0 + bh, x0 : x0 + bw] = out_y
-    cx0, cy0 = x0 >> 1, y0 >> 1
-    f.cb[cy0 : cy0 + (bh >> 1), cx0 : cx0 + (bw >> 1)] = out_cb
-    f.cr[cy0 : cy0 + (bh >> 1), cx0 : cx0 + (bw >> 1)] = out_cr
+    _store_pred(dec, x0, y0, bw, bh, out_y, out_cb, out_cr)
+
+
+# ---------------------------------------------------------------------
+# weighted prediction (h264.cpp:6762-7115)
+# ---------------------------------------------------------------------
+def _wcopy(p, w, o, shift):
+    """weighted_copy_base (h264.cpp:6812-6828)."""
+    rnd = (1 << (shift - 1)) if shift else 0
+    v = ((p.astype(np.int64) * w + rnd) >> shift) + o
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def _wbidir1(p0, p1, w0, w1, o0, o1, shift):
+    """add_bidir_weighted_type1 scalar (h264.cpp:6953-6974)."""
+    rnd = 1 << shift
+    v = ((p1.astype(np.int64) * w1 + p0.astype(np.int64) * w0 + rnd)
+         >> (shift + 1)) + ((o0 + o1 + 1) >> 1)
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def _inter_pred_weighted1(dec, ref_idx, mv, bw, bh, offsetx, offsety):
+    """inter_pred_weighted1 (h264.cpp:6981-6999), explicit weights."""
+    x0 = dec.mb_x * 16 + offsetx
+    y0 = dec.mb_y * 16 + offsety
+    sy, sc = dec.weight_shift
+    r0, r1 = int(ref_idx[0]), int(ref_idx[1])
+    if r0 >= 0 and r1 >= 0:
+        w0 = dec.weight_tab[0][r0]  # ((wl,ol),(wcb,ocb),(wcr,ocr))
+        w1 = dec.weight_tab[1][r1]
+        py0, pcb0, pcr0 = _pred_one(dec, 0, r0, mv[0], bw, bh, x0, y0)
+        py1, pcb1, pcr1 = _pred_one(dec, 1, r1, mv[1], bw, bh, x0, y0)
+        oy = _wbidir1(py0, py1, w0[0][0], w1[0][0], w0[0][1], w1[0][1], sy)
+        ocb = _wbidir1(pcb0, pcb1, w0[1][0], w1[1][0], w0[1][1], w1[1][1], sc)
+        ocr = _wbidir1(pcr0, pcr1, w0[2][0], w1[2][0], w0[2][1], w1[2][1], sc)
+    else:
+        lx = 0 if r0 >= 0 else 1
+        idx = r0 if r0 >= 0 else r1
+        w = dec.weight_tab[lx][idx]
+        py, pcb, pcr = _pred_one(dec, lx, idx, mv[lx], bw, bh, x0, y0)
+        oy = _wcopy(py, w[0][0], w[0][1], sy)
+        ocb = _wcopy(pcb, w[1][0], w[1][1], sc)
+        ocr = _wcopy(pcr, w[2][0], w[2][1], sc)
+    _store_pred(dec, x0, y0, bw, bh, oy, ocb, ocr)
+
+
+def _implicit_weights(dec, idx0, idx1):
+    """pred_weight_type2 (h264.cpp:7001-7035)."""
+    from .bdirect import dist_scale_factor
+    from .dpb import SHORT_TERM
+
+    r0 = dec.refs[0][idx0]
+    r1 = dec.refs[1][idx1]
+    if (r0.poc == r1.poc or r0.in_use != SHORT_TERM
+            or r1.in_use != SHORT_TERM):
+        return 32, 32
+    w1 = dist_scale_factor(r0.poc, r1.poc, dec.hdr.poc) >> 2
+    if w1 < -64 or w1 > 128:
+        return 32, 32
+    return 64 - w1, w1
+
+
+def _inter_pred_weighted2(dec, ref_idx, mv, bw, bh, offsetx, offsety):
+    """inter_pred_weighted2 (h264.cpp:7103-7118), implicit weights."""
+    r0, r1 = int(ref_idx[0]), int(ref_idx[1])
+    if r0 < 0 or r1 < 0:
+        x0 = dec.mb_x * 16 + offsetx
+        y0 = dec.mb_y * 16 + offsety
+        lx = 0 if r0 >= 0 else 1
+        idx = r0 if r0 >= 0 else r1
+        py, pcb, pcr = _pred_one(dec, lx, idx, mv[lx], bw, bh, x0, y0)
+        _store_pred(dec, x0, y0, bw, bh, py, pcb, pcr)
+        return
+    w0, w1 = _implicit_weights(dec, r0, r1)
+    x0 = dec.mb_x * 16 + offsetx
+    y0 = dec.mb_y * 16 + offsety
+    py0, pcb0, pcr0 = _pred_one(dec, 0, r0, mv[0], bw, bh, x0, y0)
+    py1, pcb1, pcr1 = _pred_one(dec, 1, r1, mv[1], bw, bh, x0, y0)
+
+    def comb(a, b):
+        v = (b.astype(np.int64) * w1 + a.astype(np.int64) * w0 + 32) >> 6
+        return np.clip(v, 0, 255).astype(np.uint8)
+
+    _store_pred(dec, x0, y0, bw, bh, comb(py0, py1), comb(pcb0, pcb1),
+                comb(pcr0, pcr1))
 
 
 # ---------------------------------------------------------------------

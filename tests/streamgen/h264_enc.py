@@ -139,6 +139,9 @@ class H264StreamGen:
         for mb in range(self.mb_w * self.mb_h):
             self._macroblock_I(w, mb)
 
+    def _after_ref_reorder(self, w, is_b):
+        """Hook for the pred_weight_table (weighted generators)."""
+
     def _init_slice_state(self):
         self.top_pred = [[2] * 4 for _ in range(self.mb_w)]
         self.left_pred = [0] * 4
@@ -620,6 +623,7 @@ class H264InterGen(H264IntraGen):
         w.put_bits(self.poc_lsb, self.log2_max_poc_lsb)
         w.put_bits(0, 1)  # num_ref_idx_active_override
         w.put_bits(0, 1)  # ref_pic_list_reordering
+        self._after_ref_reorder(w, 0)  # weighted table hook (P)
         w.put_bits(0, 1)  # adaptive_ref_pic_marking
         self.qp_cur = self.qp
         w.se(0)
@@ -877,6 +881,7 @@ class H264BGen(H264InterGen):
         w.put_bits(0, 1)  # num_ref_idx_active_override
         w.put_bits(0, 1)  # ref_pic_list_reordering_l0
         w.put_bits(0, 1)  # ref_pic_list_reordering_l1
+        self._after_ref_reorder(w, 1)  # weighted table hook (B)
         # nal_ref_idc==0: no dec_ref_pic_marking
         self.qp_cur = self.qp
         w.se(0)
@@ -1817,3 +1822,56 @@ class H264HighGen(H264InterGen):
             self._emit_i16x16(w)
         else:
             self._emit_i4x4(w)
+
+
+class H264WeightedGen(H264BGen):
+    """Weighted prediction: explicit (type 1) for P and B, or implicit
+    (type 2) for B. Weights stay in [0, 2<<shift] and offsets small so
+    the reference's CLIP255C LUT domain [-256, 767] holds."""
+
+    def __init__(self, *args, bipred_idc=1, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.bipred_idc = bipred_idc
+
+    def _pps(self, w):
+        w.ue(0)
+        w.ue(0)
+        w.put_bits(0, 1)
+        w.put_bits(0, 1)
+        w.ue(0)
+        w.ue(max(0, self.num_ref_frames - 1))
+        w.ue(0)
+        w.put_bits(1, 1)  # weighted_pred_flag
+        w.put_bits(self.bipred_idc, 2)
+        w.se(self.qp - 26)
+        w.se(0)
+        w.se(self.chroma_qp_index)
+        w.put_bits(1, 1)
+        w.put_bits(0, 1)
+        w.put_bits(0, 1)
+
+    def _after_ref_reorder(self, w, is_b):
+        if is_b and self.bipred_idc != 1:
+            return  # implicit (type 2): no table in the stream
+        rng = self.rng
+        sy = rng.choice([0, 1, 2])
+        sc = rng.choice([0, 1, 2])
+        w.ue(sy)
+        w.ue(sc)
+        nlists = 2 if is_b else 1
+        for lx in range(nlists):
+            n = max(0, self.num_ref_frames - 1) + 1 if lx == 0 else 1
+            for _ in range(n):
+                if rng.random() < 0.7:
+                    w.put_bits(1, 1)
+                    w.se(rng.randint(0, 2 << sy))
+                    w.se(rng.randint(-20, 20))
+                else:
+                    w.put_bits(0, 1)
+                if rng.random() < 0.7:
+                    w.put_bits(1, 1)
+                    for _ in range(2):
+                        w.se(rng.randint(0, 2 << sc))
+                        w.se(rng.randint(-20, 20))
+                else:
+                    w.put_bits(0, 1)

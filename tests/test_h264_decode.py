@@ -372,3 +372,24 @@ def test_high_cabac_transcode(reference_bins, tmp_path, seed):
         reference_bins, tmp_path,
         H264HighGen(48, 32, seed=seed, intra_prob=0.2, skip_prob=0.15),
         "IPPI", 4)
+
+
+# -- weighted prediction ------------------------------------------------
+from streamgen.h264_enc import H264WeightedGen  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_weighted_p_explicit(reference_bins, tmp_path, seed):
+    run_case_b(reference_bins, tmp_path,
+               H264WeightedGen(48, 32, seed=seed, skip_prob=0.15,
+                               intra_prob=0.1, num_ref_frames=2,
+                               b_direct_prob=0), "IPP", 3)
+
+
+@pytest.mark.parametrize("idc", [1, 2])
+def test_weighted_b(reference_bins, tmp_path, idc):
+    run_case_b(reference_bins, tmp_path,
+               H264WeightedGen(48, 32, seed=idc, skip_prob=0.15,
+                               intra_prob=0.1, num_ref_frames=2,
+                               b_direct_prob=0.3, bipred_idc=idc),
+               "IPBPB", 5)
