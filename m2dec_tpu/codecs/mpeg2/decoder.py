@@ -49,12 +49,15 @@ class DecodedFrame:
 
     def nv12(self):
         """Planar -> NV12 (luma plane + interleaved CbCr), the reference's
-        in-memory format (m2d.h:35-42 chroma layout)."""
-        h2, w2 = self.cb.shape
+        in-memory format (m2d.h:35-42 chroma layout). Downloads
+        device-resident planes on demand."""
+        cb = np.asarray(self.cb)
+        cr = np.asarray(self.cr)
+        h2, w2 = cb.shape
         chroma = np.empty((h2, w2 * 2), np.uint8)
-        chroma[:, 0::2] = self.cb
-        chroma[:, 1::2] = self.cr
-        return self.y, chroma
+        chroma[:, 0::2] = cb
+        chroma[:, 1::2] = cr
+        return np.asarray(self.y), chroma
 
 
 def _blank_frame(mb_w, mb_h):

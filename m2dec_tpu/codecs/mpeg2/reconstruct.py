@@ -129,4 +129,7 @@ def reconstruct_picture(plan, ref0, ref1, backend="jax"):
         y, cb, cr = reconstruct_arrays(*args, mb_w=plan.mb_w, mb_h=plan.mb_h, xp=np)
         return {"y": y, "cb": cb, "cr": cr}
     y, cb, cr = _jitted(plan.mb_w, plan.mb_h)(*args)
+    # NOTE: forcing to host here measured FASTER end-to-end than keeping
+    # planes device-resident through the axon relay (the tunnel serializes
+    # device-array reuse poorly); revisit on directly-attached chips.
     return {"y": np.asarray(y), "cb": np.asarray(cb), "cr": np.asarray(cr)}
