@@ -142,6 +142,10 @@ class H264StreamGen:
     def _after_ref_reorder(self, w, is_b):
         """Hook for the pred_weight_table (weighted generators)."""
 
+    def _emit_marking(self, w):
+        """dec_ref_pic_marking for non-IDR ref slices (MMCO hook)."""
+        w.put_bits(0, 1)  # adaptive_ref_pic_marking_mode_flag
+
     def _init_slice_state(self):
         self.top_pred = [[2] * 4 for _ in range(self.mb_w)]
         self.left_pred = [0] * 4
@@ -609,10 +613,14 @@ class H264InterGen(H264IntraGen):
                 self._nal(out, 2, 1, lambda w: self._slice_P(w))
                 self.frame_num = (self.frame_num + 1) % (1 << self.log2_max_frame_num)
                 self.poc_lsb = (self.poc_lsb + 2) % (1 << self.log2_max_poc_lsb)
-                self.n_refs_avail = min(self.n_refs_avail + 1, self.num_ref_frames)
+                self.n_refs_avail = self._next_ref_count()
             else:
                 raise NotImplementedError(c)
         return bytes(out)
+
+    def _next_ref_count(self):
+        """Ref count after this picture's marking (MMCO hook)."""
+        return min(self.n_refs_avail + 1, self.num_ref_frames)
 
     def _slice_P(self, w):
         rng = self.rng
@@ -624,7 +632,7 @@ class H264InterGen(H264IntraGen):
         w.put_bits(0, 1)  # num_ref_idx_active_override
         w.put_bits(0, 1)  # ref_pic_list_reordering
         self._after_ref_reorder(w, 0)  # weighted table hook (P)
-        w.put_bits(0, 1)  # adaptive_ref_pic_marking
+        self._emit_marking(w)
         self.qp_cur = self.qp
         w.se(0)
         if self.disable_deblock:
@@ -1875,3 +1883,122 @@ class H264WeightedGen(H264BGen):
                         w.se(rng.randint(-20, 20))
                 else:
                     w.put_bits(0, 1)
+
+
+class H264MmcoGen(H264InterGen):
+    """P streams with memory-management control operations.
+
+    ``mmco_plan`` maps P-picture ordinal (0-based, counting P pictures)
+    to a list of (op, arg1, arg2) tuples emitted as adaptive marking.
+    """
+
+    def __init__(self, *args, mmco_plan=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.mmco_plan = mmco_plan or {}
+        self._p_ordinal = 0
+
+    def generate(self, pattern="IPP"):
+        self._p_ordinal = 0
+        self._mmco_discards = 0
+        self._mmco_reset = False
+        return super().generate(pattern)
+
+    def _next_ref_count(self):
+        if self._mmco_reset:
+            n = 1
+        else:
+            n = min(self.n_refs_avail - self._mmco_discards + 1,
+                    self.num_ref_frames)
+        self._mmco_discards = 0
+        self._mmco_reset = False
+        return max(1, n)
+
+    def _emit_marking(self, w):
+        ops = self.mmco_plan.get(self._p_ordinal)
+        self._p_ordinal += 1
+        if not ops:
+            w.put_bits(0, 1)
+            return
+        w.put_bits(1, 1)  # adaptive
+        for op, a1, a2 in ops:
+            w.ue(op)
+            if op != 5:
+                w.ue(a1)
+                if op == 3:
+                    w.ue(a2)
+            # marking applies at post-process: record the effect for the
+            # NEXT picture's ref count (reading an unused list entry is
+            # reference-indeterminate -- std::sort order of equal
+            # elements decides which stale frame it hits)
+            if op in (1, 2):
+                self._mmco_discards += 1
+            elif op == 5:
+                self._mmco_reset = True
+        w.ue(0)  # end of ops
+
+
+class H264MultiSliceGen(H264IntraGen):
+    """Multi-slice IDR pictures: each picture split into row-band slices.
+
+    Mirrors the decoder's per-slice resets (set_mb_pos, h264.cpp:556-579):
+    firstline makes the top row of every slice intra-predict without top
+    neighbors, left is unavailable at the slice's first MB, and the intra
+    pred-mode caches reset; top_coef nC state persists across slices but
+    is gated off by availability.
+    """
+
+    def __init__(self, *args, rows_per_slice=1, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.rows_per_slice = rows_per_slice
+
+    def _idr_picture(self, out):
+        self.frame_num = 0
+        self.poc_lsb = 0
+        self._pic_top_coef = [[0] * 8 for _ in range(self.mb_w)]
+        for r0 in range(0, self.mb_h, self.rows_per_slice):
+            rows = min(self.rows_per_slice, self.mb_h - r0)
+            self._nal(out, 3, 5,
+                      lambda w, a=r0, b=rows: self._slice_part(w, a, b))
+        self.frame_num = (self.frame_num + 1) % (1 << self.log2_max_frame_num)
+        self.poc_lsb = (self.poc_lsb + 2) % (1 << self.log2_max_poc_lsb)
+
+    def _slice_part(self, w, r0, rows):
+        rng = self.rng
+        w.ue(r0 * self.mb_w)  # first_mb_in_slice
+        w.ue(7)
+        w.ue(0)
+        w.put_bits(self.frame_num, self.log2_max_frame_num)
+        w.ue(0)  # idr_pic_id (same for every slice of the picture)
+        w.put_bits(self.poc_lsb, self.log2_max_poc_lsb)
+        w.put_bits(0, 2)  # no_output / long_term
+        self.qp_cur = self.qp
+        w.se(0)
+        if self.disable_deblock:
+            w.ue(1)
+        else:
+            w.ue(0)
+            w.se(rng.randint(-3, 3))
+            w.se(rng.randint(0, 3))
+        # per-slice neighbor state (set_mb_pos resets)
+        self._init_slice_state()
+        self.top_coef = self._pic_top_coef  # persists across slices
+        n = rows * self.mb_w
+        for k in range(n):
+            mb = r0 * self.mb_w + k
+            mbx = mb % self.mb_w
+            self.mbx = mbx
+            # slice-aware availability (firstline countdown, _avail)
+            fl = self.mb_w - k
+            self.avail = (
+                ((mbx != 0 and fl < 0) << 3)
+                | ((mbx != self.mb_w - 1 and fl <= 1) << 2)
+                | ((fl <= 0) << 1)
+                | int(mbx != 0 and k > 0)
+            )
+            u = rng.random()
+            if u < self.ipcm_prob:
+                self._emit_ipcm(w)
+            elif u < 0.5:
+                self._emit_i16x16(w)
+            else:
+                self._emit_i4x4(w)

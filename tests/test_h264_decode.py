@@ -393,3 +393,32 @@ def test_weighted_b(reference_bins, tmp_path, idc):
                                intra_prob=0.1, num_ref_frames=2,
                                b_direct_prob=0.3, bipred_idc=idc),
                "IPBPB", 5)
+
+
+# -- MMCO / long-term references ---------------------------------------
+from streamgen.h264_enc import H264MmcoGen  # noqa: E402
+
+
+@pytest.mark.parametrize("plan,pat", [
+    ({2: [(1, 2, 0)]}, "IPPPPP"),               # drop oldest short-term
+    ({1: [(6, 0, 0)], 3: [(2, 0, 0)]}, "IPPPPP"),  # cur->long, then unmark
+    ({2: [(5, 0, 0)]}, "IPPPP"),                # full reset
+    ({2: [(4, 1, 0), (3, 1, 0)]}, "IPPPPP"),    # max-long + short->long
+])
+def test_mmco(reference_bins, tmp_path, plan, pat):
+    run_case_b(reference_bins, tmp_path,
+               H264MmcoGen(48, 32, seed=len(pat), num_ref_frames=3,
+                           skip_prob=0.1, intra_prob=0.1, mmco_plan=plan),
+               pat, len(pat))
+
+
+# -- multi-slice pictures ----------------------------------------------
+from streamgen.h264_enc import H264MultiSliceGen  # noqa: E402
+
+
+@pytest.mark.parametrize("rps", [1, 2])
+def test_multi_slice_pictures(reference_bins, tmp_path, rps):
+    run_case_b(
+        reference_bins, tmp_path,
+        H264MultiSliceGen(64, 48, seed=rps, rows_per_slice=rps, qp=29,
+                          disable_deblock=False), "II", 2)
