@@ -109,6 +109,12 @@ class PicturePlan:
     dct_type: np.ndarray  # uint8 [N]
     coef: np.ndarray  # int16 [N, 6, 64] raster order within block
     covered: np.ndarray  # bool [N] — MB written by some slice
+    # field motion in frame pictures (motion_type=1): second field MV per
+    # direction, field-select bits (b0/b1 fwd f0/f1, b2/b3 bwd), flag
+    mvf2: np.ndarray = None  # int32 [N, 2] (field units)
+    mvb2: np.ndarray = None
+    fsel: np.ndarray = None  # uint8 [N]
+    fieldmc: np.ndarray = None  # bool [N]
 
     @classmethod
     def empty(cls, coding_type, temporal_reference, mb_w, mb_h):
@@ -126,6 +132,10 @@ class PicturePlan:
             dct_type=np.zeros(n, np.uint8),
             coef=np.zeros((n, 6, 64), np.int16),
             covered=np.zeros(n, bool),
+            mvf2=np.zeros((n, 2), np.int32),
+            mvb2=np.zeros((n, 2), np.int32),
+            fsel=np.zeros(n, np.uint8),
+            fieldmc=np.zeros(n, bool),
         )
 
 
@@ -289,8 +299,10 @@ class Mpeg2EntropyDecoder:
                 raise NotImplementedError("field pictures")
             if idx == 2:
                 self.motion_type = (1, 0, 0)  # frame MVs
+            elif idx == 1:
+                self.motion_type = (2, 1, 0)  # field MVs in frame picture
             else:
-                raise NotImplementedError("field MC / dual prime in frame pictures")
+                raise NotImplementedError("dual prime in frame pictures")
         else:
             self.motion_type = (1, 0, 0)
         if fm == 1 and (mb_type & (MB_PATTERN | MB_INTRA)):
@@ -325,17 +337,25 @@ class Mpeg2EntropyDecoder:
         return mv
 
     def _motion_vectors(self, r, s):
-        """m2d_motion_vectors for frame MVs (mpeg2.cpp:1245-1275)."""
+        """m2d_motion_vectors (mpeg2.cpp:1245-1275): frame MVs or two
+        field MVs with per-field reference select."""
         mv_count, fmt_field, dmv = self.motion_type
-        if mv_count != 1 or dmv:
-            raise NotImplementedError("field/dual-prime MVs")
-        if fmt_field and not dmv:
-            r.get_onebit()  # motion_vertical_field_select
-        mx = self._one_mv(r, s, 0, 0, 0)
-        my = self._one_mv(r, s, 0, 1, fmt_field)
-        # copy first PMV pair into second (mpeg2.cpp:1265-1266)
-        self.pmv[s, 1] = self.pmv[s, 0]
-        return mx, my
+        if dmv:
+            raise NotImplementedError("dual prime")
+        if mv_count == 1:
+            mx = self._one_mv(r, s, 0, 0, 0)
+            my = self._one_mv(r, s, 0, 1, fmt_field)
+            # copy first PMV pair into second (mpeg2.cpp:1265-1266)
+            self.pmv[s, 1] = self.pmv[s, 0]
+            return (mx, my), None, 0
+        mvs = []
+        sel = 0
+        for pair in range(2):
+            sel |= r.get_onebit() << pair
+            mx = self._one_mv(r, s, pair, 0, 0)
+            my = self._one_mv(r, s, pair, 1, 1)
+            mvs.append((mx, my))
+        return mvs[0], mvs[1], sel
 
     # -- intra ----------------------------------------------------------
     def _parse_intra_dc(self, r, comp):
@@ -362,7 +382,7 @@ class Mpeg2EntropyDecoder:
         if self.mb_type & MB_QUANT:
             self.q_scale = self.q_mapping[r.get_bits(5)]
         if self.pic.concealment_motion_vectors:
-            self._motion_vectors(r, 0)
+            self._motion_vectors(r, 0)  # tuple return ignored
             if not r.get_onebit():
                 raise BitstreamError("concealment marker bit")
         for blk in range(4):
@@ -385,12 +405,22 @@ class Mpeg2EntropyDecoder:
         if mb_type & MB_QUANT:
             self.q_scale = self.q_mapping[r.get_bits(5)]
         if mb_type & MB_MC:
+            is_field = self.motion_type[0] == 2
+            plan.fieldmc[i] = is_field
             if mb_type & MB_FORWARD:
                 plan.fwd[i] = True
-                plan.mvf[i] = self._motion_vectors(r, 0)
+                mv1, mv2, sel = self._motion_vectors(r, 0)
+                plan.mvf[i] = mv1
+                if is_field:
+                    plan.mvf2[i] = mv2
+                    plan.fsel[i] |= sel
             if mb_type & MB_BACKWARD:
                 plan.bwd[i] = True
-                plan.mvb[i] = self._motion_vectors(r, 1)
+                mv1, mv2, sel = self._motion_vectors(r, 1)
+                plan.mvb[i] = mv1
+                if is_field:
+                    plan.mvb2[i] = mv2
+                    plan.fsel[i] |= sel << 2
         else:
             # no-MC: zero-MV copy + predictor reset (m2d_skip_mb_P(mb, 0))
             plan.fwd[i] = True

@@ -31,6 +31,7 @@ def reconstruct_arrays(
     intra, fwd, bwd, mvf, mvb, dct_type, coef,
     ref0_y, ref0_cb, ref0_cr, ref1_y, ref1_cb, ref1_cr,
     *, mb_w, mb_h, xp,
+    mvf2=None, mvb2=None, fsel=None, fieldmc=None,
 ):
     """Pure-array reconstruction; runs under numpy or jax.numpy.
 
@@ -52,17 +53,26 @@ def reconstruct_arrays(
     fwd3 = fwd[:, None, None]
     bwd3 = bwd[:, None, None]
 
-    def pred_plane(rf, rb, predfn):
+    has_field = fieldmc is not None
+
+    def pred_plane(rf, rb, predfn, fieldfn):
         pf = predfn(rf, mvf[:, 0], mvf[:, 1], mbx, mby, xp)
         pb = predfn(rb, mvb[:, 0], mvb[:, 1], mbx, mby, xp)
+        if has_field:
+            # field MC in frame pictures (motion_type=1): replace per-MB
+            pf_f = fieldfn(rf, mvf, mvf2, fsel & 3, mbx, mby, xp)
+            pb_f = fieldfn(rb, mvb, mvb2, (fsel >> 2) & 3, mbx, mby, xp)
+            fm3 = fieldmc[:, None, None]
+            pf = xp.where(fm3, pf_f, pf)
+            pb = xp.where(fm3, pb_f, pb)
         both = mc.combine_bidir(pf, pb)
         return xp.where(
             fwd3 & bwd3, both, xp.where(bwd3, pb, pf)
         )
 
-    pred_y = pred_plane(r0y, r1y, mc.luma_pred)
-    pred_cb = pred_plane(r0cb, r1cb, mc.chroma_pred)
-    pred_cr = pred_plane(r0cr, r1cr, mc.chroma_pred)
+    pred_y = pred_plane(r0y, r1y, mc.luma_pred, mc.luma_pred_field)
+    pred_cb = pred_plane(r0cb, r1cb, mc.chroma_pred, mc.chroma_pred_field)
+    pred_cr = pred_plane(r0cr, r1cr, mc.chroma_pred, mc.chroma_pred_field)
 
     # --- residuals ---------------------------------------------------------
     res = idct8x8(coef.reshape(n, 6, 8, 8), xp)  # [N, 6, 8, 8] int32
@@ -111,6 +121,23 @@ def _jitted(mb_w, mb_h):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_field(mb_w, mb_h):
+    """Variant with field-MC plan inputs. Kept separate so pictures
+    without field macroblocks reuse the (cached) plain executable."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(intra, fwd, bwd, mvf, mvb, dct_type, coef,
+           r0y, r0cb, r0cr, r1y, r1cb, r1cr, mvf2, mvb2, fsel, fieldmc):
+        return reconstruct_arrays(
+            intra, fwd, bwd, mvf, mvb, dct_type, coef,
+            r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+            mb_w=mb_w, mb_h=mb_h, xp=jnp,
+            mvf2=mvf2, mvb2=mvb2, fsel=fsel, fieldmc=fieldmc)
+    return jax.jit(fn)
+
+
 def reconstruct_picture(plan, ref0, ref1, backend="jax"):
     """Reconstruct one picture from its plan.
 
@@ -125,9 +152,21 @@ def reconstruct_picture(plan, ref0, ref1, backend="jax"):
         ref0["y"], ref0["cb"], ref0["cr"],
         ref1["y"], ref1["cb"], ref1["cr"],
     )
+    has_field = plan.fieldmc is not None and bool(plan.fieldmc.any())
+    fargs = (plan.mvf2.astype(np.int32), plan.mvb2.astype(np.int32),
+             plan.fsel.astype(np.int32), plan.fieldmc) if has_field else None
     if backend == "numpy":
-        y, cb, cr = reconstruct_arrays(*args, mb_w=plan.mb_w, mb_h=plan.mb_h, xp=np)
+        kw = {}
+        if has_field:
+            kw = dict(mvf2=fargs[0], mvb2=fargs[1], fsel=fargs[2],
+                      fieldmc=fargs[3])
+        y, cb, cr = reconstruct_arrays(*args, mb_w=plan.mb_w,
+                                       mb_h=plan.mb_h, xp=np, **kw)
         return {"y": y, "cb": cb, "cr": cr}
+    if has_field:
+        y, cb, cr = _jitted_field(plan.mb_w, plan.mb_h)(*args, *fargs)
+        return {"y": np.asarray(y), "cb": np.asarray(cb),
+                "cr": np.asarray(cr)}
     y, cb, cr = _jitted(plan.mb_w, plan.mb_h)(*args)
     # NOTE: forcing to host here measured FASTER end-to-end than keeping
     # planes device-resident through the axon relay (the tunnel serializes

@@ -46,10 +46,18 @@ def mc_gather(ref, py, px, hx, hy, bh, bw, xp):
     """
     ys = py[:, None, None] + xp.arange(bh, dtype=xp.int32)[None, :, None]
     xs = px[:, None, None] + xp.arange(bw, dtype=xp.int32)[None, None, :]
+    # clamp: when frame and field predictions are both evaluated and
+    # where()-selected, the unselected mode's MVs may index out of range
+    ys = xp.clip(ys, 0, ref.shape[0] - 2)
+    xs = xp.clip(xs, 0, ref.shape[1] - 2)
     a = ref[ys, xs]
     b = ref[ys, xs + 1]
     c = ref[ys + 1, xs]
     d = ref[ys + 1, xs + 1]
+    return _halfpel_blend(a, b, c, d, hx, hy, xp)
+
+
+def _halfpel_blend(a, b, c, d, hx, hy, xp):
     hx = hx[:, None, None]
     hy = hy[:, None, None]
     # HALFPEL dispatch (motioncomp.cpp:28, :451-463):
@@ -92,3 +100,50 @@ def chroma_pred(ref, mvx, mvy, mbx, mby, xp):
 def combine_bidir(fwd, bwd):
     """Bi-directional combine (AveStore, motioncomp.cpp:66-76)."""
     return (fwd + bwd + 1) >> 1
+
+
+def _ctrunc2(v, xp):
+    # C truncation-toward-zero division by 2 (motioncomp.cpp:506-508)
+    return xp.where(v < 0, -((-v) >> 1), v >> 1)
+
+
+def mc_gather_field(ref, py, px, hx, hy, bh, bw, xp):
+    """Field variant of mc_gather: rows advance by 2 (one field line),
+    vertical half-pel taps the NEXT field line (reference field MC:
+    stride*2 kernels, mpeg2.cpp:1293-1305 m2d_motion_comp mv_count==2).
+    ``py`` is the FRAME row of the field's first line; callers bound MVs
+    so ys+2 stays within the padded plane."""
+    ys = py[:, None, None] + 2 * xp.arange(bh, dtype=xp.int32)[None, :, None]
+    xs = px[:, None, None] + xp.arange(bw, dtype=xp.int32)[None, None, :]
+    ys = xp.clip(ys, 0, ref.shape[0] - 3)
+    xs = xp.clip(xs, 0, ref.shape[1] - 2)
+    a = ref[ys, xs]
+    b = ref[ys, xs + 1]
+    c = ref[ys + 2, xs]
+    d = ref[ys + 2, xs + 1]
+    return _halfpel_blend(a, b, c, d, hx, hy, xp)
+
+
+def luma_pred_field(ref, mv1, mv2, sel, mbx, mby, xp):
+    """16x16 luma from two per-field predictions (motion_type=1 in frame
+    pictures). mv1/mv2: [N,2] field-unit MVs; sel: [N] 2-bit field
+    selects (bit i = source field of dest field i)."""
+    outs = []
+    for f, mv in ((0, mv1), (1, mv2)):
+        mvx, mvy = mv[:, 0], mv[:, 1]
+        px = mbx * 16 + (mvx >> 1)
+        py = mby * 16 + 2 * (mvy >> 1) + ((sel >> f) & 1)
+        outs.append(mc_gather_field(ref, py, px, mvx & 1, mvy & 1, 8, 16, xp))
+    return xp.stack(outs, axis=2).reshape(outs[0].shape[0], 16, 16)
+
+
+def chroma_pred_field(ref, mv1, mv2, sel, mbx, mby, xp):
+    """8x8 chroma from two 8x4 field predictions (C-truncated mv/2)."""
+    outs = []
+    for f, mv in ((0, mv1), (1, mv2)):
+        cmvx = _ctrunc2(mv[:, 0], xp)
+        cmvy = _ctrunc2(mv[:, 1], xp)
+        px = mbx * 8 + (cmvx >> 1)
+        py = mby * 8 + 2 * (cmvy >> 1) + ((sel >> f) & 1)
+        outs.append(mc_gather_field(ref, py, px, cmvx & 1, cmvy & 1, 4, 8, xp))
+    return xp.stack(outs, axis=2).reshape(outs[0].shape[0], 8, 8)

@@ -569,3 +569,174 @@ class Mpeg2StreamGen:
             first = False
             prev = idx
         self._vlc(ENC_DCT[0], "EOB")
+
+
+class Mpeg2FieldMcGen(Mpeg2StreamGen):
+    """frame_pred_frame_dct=0 streams mixing frame and field motion
+    (frame_motion_type 2/1) with per-field reference selects and
+    explicit dct_type bits.
+
+    PMV model extends to two pairs per direction: frame MVs write pair 0
+    and copy to pair 1 (mpeg2.cpp:1265-1266); field MVs address pair i
+    with the vertical predictor halved (pred>>1, stored <<1,
+    mpeg2.cpp:1189-1210 is_field=1).
+    """
+
+    def __init__(self, *args, field_prob=0.5, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.field_prob = field_prob
+
+    def _reset_mv(self):
+        self.pmv2 = [[[0, 0], [0, 0]] for _ in range(2)]
+        self.pmv = [[0, 0], [0, 0]]  # pair-0 view for base B-skip spans
+
+    def _picture_coding_extension(self, ct):
+        rng = self.rng
+        w = self.w_bits
+        self._put_start(0xB5)
+        w.put_bits(8, 4)
+        for _ in range(4):
+            w.put_bits(self.f_code, 4)
+        self.dc_precision = (
+            rng.randrange(3) if self.opt_dcp is None else self.opt_dcp
+        )
+        w.put_bits(self.dc_precision, 2)
+        w.put_bits(3, 2)  # frame picture
+        w.put_bits(0, 1)  # top_field_first
+        w.put_bits(0, 1)  # frame_pred_frame_dct = 0
+        w.put_bits(0, 1)  # concealment
+        self.q_scale_type = (
+            rng.randrange(2) if self.opt_qst is None else self.opt_qst
+        )
+        w.put_bits(self.q_scale_type, 1)
+        self.intra_vlc_format = (
+            rng.randrange(2) if self.opt_ivf is None else self.opt_ivf
+        )
+        w.put_bits(self.intra_vlc_format, 1)
+        self.alternate_scan = (
+            rng.randrange(2) if self.opt_alt is None else self.opt_alt
+        )
+        w.put_bits(self.alternate_scan, 1)
+        w.put_bits(0, 1)
+        w.put_bits(1, 1)
+        w.put_bits(1, 1)
+        w.put_bits(0, 1)
+
+    def _macroblock(self, ct, mbx, mby):
+        rng = self.rng
+        w = self.w_bits
+        if ct == I:
+            mb_type = rng.choice([MB_INTRA, MB_INTRA | MB_QUANT])
+        elif ct == P:
+            mb_type = rng.choice([
+                MB_FORWARD | MB_PATTERN,
+                MB_FORWARD | MB_PATTERN | MB_QUANT,
+                MB_FORWARD,
+                MB_PATTERN,
+                MB_INTRA,
+            ])
+        else:
+            mb_type = rng.choice([
+                MB_FORWARD | MB_BACKWARD,
+                MB_FORWARD | MB_BACKWARD | MB_PATTERN,
+                MB_FORWARD,
+                MB_FORWARD | MB_PATTERN,
+                MB_BACKWARD,
+                MB_BACKWARD | MB_PATTERN | MB_QUANT,
+                MB_INTRA,
+            ])
+        self._vlc(ENC_MB_TYPE[ct - 1], mb_type)
+
+        prev_intra = self.prev_type & MB_INTRA
+        now_intra = mb_type & MB_INTRA
+        if now_intra and not prev_intra:
+            self._reset_dc()
+        if not now_intra and prev_intra:
+            self._reset_mv()
+        self.prev_type = mb_type
+
+        use_field = False
+        if mb_type & MB_MC:
+            use_field = rng.random() < self.field_prob
+            w.put_bits(1 if use_field else 2, 2)  # frame_motion_type
+        if mb_type & (MB_PATTERN | MB_INTRA):
+            w.put_bits(rng.randrange(2), 1)  # dct_type
+        if mb_type & MB_QUANT:
+            code = rng.randrange(1, 32)
+            self.q_scale = self.qmap[code]
+            w.put_bits(code, 5)
+
+        if now_intra:
+            self._intra_blocks()
+            return
+
+        if mb_type & MB_MC:
+            if mb_type & MB_FORWARD:
+                self._motion_vectors2(0, mbx, mby, use_field)
+            if mb_type & MB_BACKWARD:
+                self._motion_vectors2(1, mbx, mby, use_field)
+        else:
+            self._reset_dc()
+            self._reset_mv()
+
+        if mb_type & MB_PATTERN:
+            cbp = rng.randrange(1, 64)
+            self._vlc(ENC_CBP, cbp)
+            for blk in range(6):
+                bit = (1 << (5 - blk)) if blk < 4 else (1 << (1 - (blk - 4)))
+                if cbp & bit:
+                    self._inter_block()
+
+    def _motion_vectors2(self, s, mbx, mby, use_field):
+        rng = self.rng
+        x0, x1, y0, y1 = self._safe_mv_range(mbx, mby)
+        if not use_field:
+            for xy, (lo, hi) in enumerate(((x0, x1), (y0, y1))):
+                pred = self.pmv2[s][0][xy]
+                target = pred if lo <= pred <= hi and rng.random() < 0.3 \
+                    else (rng.randint(lo, hi) if lo <= hi else 0)
+                self._emit_mv2(s, 0, xy, target, 0)
+            self.pmv2[s][1][0] = self.pmv2[s][0][0]
+            self.pmv2[s][1][1] = self.pmv2[s][0][1]
+        else:
+            # vertical targets in FIELD units; /2 frame bounds keep the
+            # 2-step 16-row window + next-field tap inside the frame
+            fy0, fy1 = (y0 >> 1) + 1, (y1 >> 1) - 1
+            for pair in range(2):
+                self.w_bits.put_bits(rng.randrange(2), 1)  # field select
+                pred = self.pmv2[s][pair][0]
+                tx = pred if x0 <= pred <= x1 and rng.random() < 0.3 \
+                    else (rng.randint(x0, x1) if x0 <= x1 else 0)
+                self._emit_mv2(s, pair, 0, tx, 0)
+                predy = self.pmv2[s][pair][1] >> 1
+                ty = predy if fy0 <= predy <= fy1 and rng.random() < 0.3 \
+                    else (rng.randint(fy0, fy1) if fy0 <= fy1 else 0)
+                self._emit_mv2(s, pair, 1, ty, 1)
+        self.pmv[s][0] = self.pmv2[s][0][0]
+        self.pmv[s][1] = self.pmv2[s][0][1]
+
+    def _emit_mv2(self, s, pair, xy, target, is_field):
+        r_size = self.r_size
+        pred = self.pmv2[s][pair][xy] >> is_field
+        limit = 16 << r_size
+        delta = target - pred
+        while delta < -limit:
+            delta += 2 * limit
+        while delta >= limit:
+            delta -= 2 * limit
+        mv = pred + delta
+        if mv < -limit:
+            mv += 2 * limit
+        elif mv >= limit:
+            mv -= 2 * limit
+        assert mv == target, (mv, target)
+        if delta == 0:
+            self._vlc(ENC_MOTION, 0)
+        else:
+            a = abs(delta)
+            code = ((a - 1) >> r_size) + 1
+            residual = (a - 1) & ((1 << r_size) - 1)
+            self._vlc(ENC_MOTION, code if delta > 0 else -code)
+            if r_size > 0:
+                self.w_bits.put_bits(residual, r_size)
+        self.pmv2[s][pair][xy] = mv << is_field

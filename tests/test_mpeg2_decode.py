@@ -166,3 +166,18 @@ def test_cli_m2dec(reference_bins, tmp_path):
     golden = oracle_decode(reference_bins, es, tmp_path, md5=True)
     ours = (tmp_path / "ours.md5").read_bytes()
     assert ours[: len(golden)] == golden
+
+
+# -- field motion in frame pictures (frame_pred_frame_dct=0) ------------
+from streamgen.mpeg2_enc import Mpeg2FieldMcGen  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_field_mc_frame_pictures(reference_bins, tmp_path, seed):
+    run_case(reference_bins, tmp_path, Mpeg2FieldMcGen(64, 48, seed=seed),
+             "IPBBP")
+
+
+def test_field_mc_jax_backend(reference_bins, tmp_path):
+    run_case(reference_bins, tmp_path, Mpeg2FieldMcGen(64, 48, seed=7),
+             "IPBBP", backend="jax")
