@@ -301,8 +301,14 @@ class Mpeg2EntropyDecoder:
                 self.motion_type = (1, 0, 0)  # frame MVs
             elif idx == 1:
                 self.motion_type = (2, 1, 0)  # field MVs in frame picture
+            elif idx == 3:
+                # dual prime: the reference parses the dmvectors and
+                # DISCARDS them, then frame-MCs with the single field-unit
+                # MV (m2d_motion_type[0][3] mv_count=1 + m2d_motion_comp,
+                # mpeg2.cpp:819-825, :1212-1220, :1277-1291)
+                self.motion_type = (1, 1, 1)
             else:
-                raise NotImplementedError("dual prime in frame pictures")
+                raise NotImplementedError("motion_type 0")
         else:
             self.motion_type = (1, 0, 0)
         if fm == 1 and (mb_type & (MB_PATTERN | MB_INTRA)):
@@ -336,15 +342,26 @@ class Mpeg2EntropyDecoder:
         self.pmv[s, pair, xy] = mv << is_field
         return mv
 
+    @staticmethod
+    def _dmvector(r):
+        """dmvector[] parse (discarded, m2d_one_mv_with_dmv
+        mpeg2.cpp:1212-1220)."""
+        if r.get_onebit():
+            r.get_onebit()
+
     def _motion_vectors(self, r, s):
         """m2d_motion_vectors (mpeg2.cpp:1245-1275): frame MVs or two
         field MVs with per-field reference select."""
         mv_count, fmt_field, dmv = self.motion_type
-        if dmv:
-            raise NotImplementedError("dual prime")
         if mv_count == 1:
+            if fmt_field and not dmv:
+                r.get_onebit()  # motion_vertical_field_select
             mx = self._one_mv(r, s, 0, 0, 0)
+            if dmv:
+                self._dmvector(r)
             my = self._one_mv(r, s, 0, 1, fmt_field)
+            if dmv:
+                self._dmvector(r)
             # copy first PMV pair into second (mpeg2.cpp:1265-1266)
             self.pmv[s, 1] = self.pmv[s, 0]
             return (mx, my), None, 0

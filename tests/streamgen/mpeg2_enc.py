@@ -582,9 +582,10 @@ class Mpeg2FieldMcGen(Mpeg2StreamGen):
     mpeg2.cpp:1189-1210 is_field=1).
     """
 
-    def __init__(self, *args, field_prob=0.5, **kwargs):
+    def __init__(self, *args, field_prob=0.5, dual_prob=0.0, **kwargs):
         super().__init__(*args, **kwargs)
         self.field_prob = field_prob
+        self.dual_prob = dual_prob
 
     def _reset_mv(self):
         self.pmv2 = [[[0, 0], [0, 0]] for _ in range(2)]
@@ -656,9 +657,17 @@ class Mpeg2FieldMcGen(Mpeg2StreamGen):
         self.prev_type = mb_type
 
         use_field = False
+        use_dual = False
         if mb_type & MB_MC:
-            use_field = rng.random() < self.field_prob
-            w.put_bits(1 if use_field else 2, 2)  # frame_motion_type
+            u = rng.random()
+            if u < self.dual_prob and not (mb_type & MB_BACKWARD):
+                use_dual = True  # dual prime: P forward only
+                w.put_bits(3, 2)
+            elif u < self.dual_prob + self.field_prob:
+                use_field = True
+                w.put_bits(1, 2)
+            else:
+                w.put_bits(2, 2)
         if mb_type & (MB_PATTERN | MB_INTRA):
             w.put_bits(rng.randrange(2), 1)  # dct_type
         if mb_type & MB_QUANT:
@@ -672,7 +681,8 @@ class Mpeg2FieldMcGen(Mpeg2StreamGen):
 
         if mb_type & MB_MC:
             if mb_type & MB_FORWARD:
-                self._motion_vectors2(0, mbx, mby, use_field)
+                self._motion_vectors2(0, mbx, mby, use_field,
+                                      use_dual=use_dual)
             if mb_type & MB_BACKWARD:
                 self._motion_vectors2(1, mbx, mby, use_field)
         else:
@@ -687,9 +697,30 @@ class Mpeg2FieldMcGen(Mpeg2StreamGen):
                 if cbp & bit:
                     self._inter_block()
 
-    def _motion_vectors2(self, s, mbx, mby, use_field):
+    def _motion_vectors2(self, s, mbx, mby, use_field, use_dual=False):
         rng = self.rng
         x0, x1, y0, y1 = self._safe_mv_range(mbx, mby)
+        if use_dual:
+            # reference decodes dual prime as a frame MC with the single
+            # field-coded MV: horizontal normal, vertical stored <<1; the
+            # dmvectors are parsed and discarded
+            pred = self.pmv2[s][0][0]
+            tx = pred if x0 <= pred <= x1 and rng.random() < 0.3 \
+                else (rng.randint(x0, x1) if x0 <= x1 else 0)
+            self._emit_mv2(s, 0, 0, tx, 0)
+            self._emit_dmv()
+            predy = self.pmv2[s][0][1] >> 1
+            # applied as a FRAME vertical by the reference's MC
+            ty = predy if y0 <= predy <= y1 and rng.random() < 0.3 \
+                else (rng.randint(max(y0, -30), min(y1, 30))
+                      if y0 <= y1 else 0)
+            self._emit_mv2(s, 0, 1, ty, 1)
+            self._emit_dmv()
+            self.pmv2[s][1][0] = self.pmv2[s][0][0]
+            self.pmv2[s][1][1] = self.pmv2[s][0][1]
+            self.pmv[s][0] = self.pmv2[s][0][0]
+            self.pmv[s][1] = self.pmv2[s][0][1]
+            return
         if not use_field:
             for xy, (lo, hi) in enumerate(((x0, x1), (y0, y1))):
                 pred = self.pmv2[s][0][xy]
@@ -714,6 +745,13 @@ class Mpeg2FieldMcGen(Mpeg2StreamGen):
                 self._emit_mv2(s, pair, 1, ty, 1)
         self.pmv[s][0] = self.pmv2[s][0][0]
         self.pmv[s][1] = self.pmv2[s][0][1]
+
+    def _emit_dmv(self):
+        if self.rng.random() < 0.5:
+            self.w_bits.put_bits(0, 1)
+        else:
+            self.w_bits.put_bits(1, 1)
+            self.w_bits.put_bits(self.rng.randrange(2), 1)
 
     def _emit_mv2(self, s, pair, xy, target, is_field):
         r_size = self.r_size

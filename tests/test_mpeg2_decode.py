@@ -181,3 +181,12 @@ def test_field_mc_frame_pictures(reference_bins, tmp_path, seed):
 def test_field_mc_jax_backend(reference_bins, tmp_path):
     run_case(reference_bins, tmp_path, Mpeg2FieldMcGen(64, 48, seed=7),
              "IPBBP", backend="jax")
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_dual_prime_frame_pictures(reference_bins, tmp_path, seed):
+    """Dual prime, reference-simplified: dmvectors parsed-and-discarded,
+    frame MC with the field-coded MV (mpeg2.cpp:819-825, :1212-1220)."""
+    run_case(reference_bins, tmp_path,
+             Mpeg2FieldMcGen(64, 48, seed=seed, field_prob=0.3,
+                             dual_prob=0.4), "IPPBP")
