@@ -27,6 +27,14 @@ from m2dec_tpu.kernels.mpeg2_idct import idct8x8
 from m2dec_tpu.kernels import mpeg2_mc as mc
 
 
+def _use_pallas():
+    """Opt-in Pallas IDCT tier (M2DEC_TPU_PALLAS=1); off by default so
+    the persistently-cached plain executable keeps serving the bench."""
+    import os
+
+    return os.environ.get("M2DEC_TPU_PALLAS") == "1"
+
+
 def reconstruct_arrays(
     intra, fwd, bwd, mvf, mvb, dct_type, coef,
     ref0_y, ref0_cb, ref0_cr, ref1_y, ref1_cb, ref1_cr,
@@ -75,7 +83,12 @@ def reconstruct_arrays(
     pred_cr = pred_plane(r0cr, r1cr, mc.chroma_pred, mc.chroma_pred_field)
 
     # --- residuals ---------------------------------------------------------
-    res = idct8x8(coef.reshape(n, 6, 8, 8), xp)  # [N, 6, 8, 8] int32
+    if xp is not np and _use_pallas():
+        from m2dec_tpu.kernels.pallas_idct import idct8x8_pallas
+
+        res = idct8x8_pallas(coef.reshape(n * 6, 8, 8)).reshape(n, 6, 8, 8)
+    else:
+        res = idct8x8(coef.reshape(n, 6, 8, 8), xp)  # [N, 6, 8, 8] int32
 
     # luma assembly: frame DCT = 2x2 block grid; field DCT interleaves rows
     # of the top (blocks 0,1) and bottom (blocks 2,3) half-MB pairs
