@@ -32,12 +32,15 @@ def _idct_kernel(cin_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def idct8x8_pallas(coef, tile=512, interpret=False):
+def idct8x8_pallas(coef, tile=512, interpret=None):
     """Batched exact-int IDCT: int [N, 8, 8] -> int32 [N, 8, 8].
 
     N is padded up to a multiple of `tile`; each grid step processes one
-    VMEM-resident tile of blocks.
+    VMEM-resident tile of blocks. `interpret=None` auto-selects interpret
+    mode off-TPU (pallas_call only lowers natively on TPU/GPU backends).
     """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "gpu")
     n = coef.shape[0]
     pad = (-n) % tile
     c = jnp.pad(coef.astype(jnp.int32), ((0, pad), (0, 0), (0, 0)))
