@@ -1,8 +1,11 @@
 """MPEG-1/2 decoder CLI (reference src/app/m2dec.cpp parity).
 
-Usage: python -m m2dec_tpu.apps.m2dec [-o out | -O out] [-n N] <in.m2v|in.vob>
+Usage: python -m m2dec_tpu.apps.m2dec [-o out | -O out] [-n N] [--fast]
+                                      <in.m2v|in.vob>
   -o  raw NV12 output      -O  per-frame MD5 lines (test.sh format)
   -n  decode at most N frames
+  --fast  DC-only 1/8-scale preview decode (the reference's
+          --enable-fastdec compile mode as a runtime switch)
 Program streams (.vob/.mpg) are demuxed (m2dec_tpu/containers/ps.py).
 """
 
@@ -18,6 +21,8 @@ def main(argv=None):
     ap.add_argument("-o", dest="raw_out")
     ap.add_argument("-O", dest="md5_out")
     ap.add_argument("-n", dest="frames", type=int, default=0)
+    ap.add_argument("--fast", action="store_true",
+                    help="DC-only 1/8-scale preview decode")
     ap.add_argument("infile")
     args = ap.parse_args(argv)
 
@@ -29,7 +34,7 @@ def main(argv=None):
         from m2dec_tpu.containers.ps import PsDemuxer
 
         data = PsDemuxer(data).video_stream()
-    dec = Mpeg2Decoder()
+    dec = Mpeg2Decoder(fast=args.fast)
     dec.set_data(data)
     raw = open(args.raw_out, "wb") if args.raw_out else None
     md5 = open(args.md5_out, "wb") if args.md5_out else None

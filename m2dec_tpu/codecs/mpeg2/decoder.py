@@ -46,6 +46,7 @@ class DecodedFrame:
     height: int  # padded height
     crop: tuple  # (left, right, top, bottom)
     cnt: int = 0  # temporal reference / POC
+    raw_stride: int = 0  # FAST_DECODE: 16-aligned internal stride quirk
 
     def nv12(self):
         """Planar -> NV12 (luma plane + interleaved CbCr), the reference's
@@ -60,11 +61,12 @@ class DecodedFrame:
         return np.asarray(self.y), chroma
 
 
-def _blank_frame(mb_w, mb_h):
+def _blank_frame(mb_w, mb_h, fast=False):
+    ly, lc = (2, 1) if fast else (16, 8)
     return {
-        "y": np.zeros((mb_h * 16, mb_w * 16), np.uint8),
-        "cb": np.zeros((mb_h * 8, mb_w * 8), np.uint8),
-        "cr": np.zeros((mb_h * 8, mb_w * 8), np.uint8),
+        "y": np.zeros((mb_h * ly, mb_w * ly), np.uint8),
+        "cb": np.zeros((mb_h * lc, mb_w * lc), np.uint8),
+        "cr": np.zeros((mb_h * lc, mb_w * lc), np.uint8),
         "cnt": 0,
     }
 
@@ -72,9 +74,9 @@ def _blank_frame(mb_w, mb_h):
 class FramePool:
     """LRU frame pool + reference rotation (mpeg2.cpp:130-194)."""
 
-    def __init__(self, num, mb_w, mb_h):
+    def __init__(self, num, mb_w, mb_h, fast=False):
         self.num = num
-        self.frames = [_blank_frame(mb_w, mb_h) for _ in range(num)]
+        self.frames = [_blank_frame(mb_w, mb_h, fast) for _ in range(num)]
         self.lru = [0] * num
         self.idx_of_ref = [0, 0]
         self.index = -1
@@ -98,7 +100,9 @@ class Mpeg2Decoder:
     """MPEG-1/2 elementary-stream decoder (vtable parity with the
     reference's m2d_func_table_t: set_data / decode_data / peek / get)."""
 
-    def __init__(self, backend="jax", num_frames=4):
+    def __init__(self, backend="jax", num_frames=4, fast=False):
+        #: FAST_DECODE analog: DC-only 1/8-scale Phase B (codecs/mpeg2/fast.py)
+        self.fast = fast
         self.seq = SeqState()
         self.pic = PicState()
         self.num_frames = num_frames
@@ -182,7 +186,8 @@ class Mpeg2Decoder:
         seq.qmat = tuple(qmats)
         seq.set_size(w, h)
         if self.pool is None:
-            self.pool = FramePool(self.num_frames, seq.mb_w, seq.mb_h)
+            self.pool = FramePool(self.num_frames, seq.mb_w, seq.mb_h,
+                                  self.fast)
 
     def _read_extension(self, r):
         ext_id = r.get_bits(4)
@@ -329,6 +334,7 @@ class Mpeg2Decoder:
             plan.dct_type.ctypes.data_as(ctypes.c_void_p),
             plan.coef.ctypes.data_as(ctypes.c_void_p),
             plan.covered.ctypes.data_as(ctypes.c_void_p),
+            plan.dc0.ctypes.data_as(ctypes.c_void_p),
         )
         if rc < 0:
             return None  # Python fallback (unsupported syntax)
@@ -369,7 +375,13 @@ class Mpeg2Decoder:
             )
         ref0 = pool.frames[pool.idx_of_ref[0]]
         ref1 = pool.frames[pool.idx_of_ref[1]]
-        out = reconstruct_picture(plan, ref0, ref1, backend=self.backend)
+        if self.fast:
+            from m2dec_tpu.codecs.mpeg2.fast import reconstruct_picture_fast
+
+            out = reconstruct_picture_fast(plan, ref0, ref1,
+                                           backend=self.backend)
+        else:
+            out = reconstruct_picture(plan, ref0, ref1, backend=self.backend)
         cur = pool.frames[pool.index]
         cur["y"], cur["cb"], cur["cr"] = out["y"], out["cb"], out["cr"]
         self.ent = None
@@ -378,6 +390,15 @@ class Mpeg2Decoder:
     def _frame_out(self, idx):
         f = self.pool.frames[idx]
         seq = self.seq
+        if self.fast:
+            # fast mode reports the full coarse frame, no sub-MB crop
+            # (mpeg2.cpp:309-310 with MB_LEN=2)
+            pw, ph = seq.mb_w * 2, seq.mb_h * 2
+            return DecodedFrame(
+                y=f["y"], cb=f["cb"], cr=f["cr"],
+                width=pw, height=ph, crop=(0, 0, 0, 0), cnt=f["cnt"],
+                raw_stride=(pw + 15) & ~15,
+            )
         pw, ph = seq.mb_w * 16, seq.mb_h * 16
         return DecodedFrame(
             y=f["y"], cb=f["cb"], cr=f["cr"],

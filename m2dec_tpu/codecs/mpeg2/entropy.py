@@ -111,6 +111,7 @@ class PicturePlan:
     covered: np.ndarray  # bool [N] — MB written by some slice
     # field motion in frame pictures (motion_type=1): second field MV per
     # direction, field-select bits (b0/b1 fwd f0/f1, b2/b3 bwd), flag
+    dc0: np.ndarray = None  # int16 [N, 6] pre-oddification DC (FAST_DECODE)
     mvf2: np.ndarray = None  # int32 [N, 2] (field units)
     mvb2: np.ndarray = None
     fsel: np.ndarray = None  # uint8 [N]
@@ -132,6 +133,7 @@ class PicturePlan:
             dct_type=np.zeros(n, np.uint8),
             coef=np.zeros((n, 6, 64), np.int16),
             covered=np.zeros(n, bool),
+            dc0=np.zeros((n, 6), np.int16),
             mvf2=np.zeros((n, 2), np.int32),
             mvb2=np.zeros((n, 2), np.int32),
             fsel=np.zeros(n, np.uint8),
@@ -405,11 +407,11 @@ class Mpeg2EntropyDecoder:
         for blk in range(4):
             coef = plan.coef[i, blk]
             coef[0] = self._parse_intra_dc(r, 0)
-            self._parse_coef(r, coef, 1, intra=True)
+            plan.dc0[i, blk] = self._parse_coef(r, coef, 1, intra=True)
         for blk in range(2):
             coef = plan.coef[i, 4 + blk]
             coef[0] = self._parse_intra_dc(r, blk + 1)
-            self._parse_coef(r, coef, 1, intra=True)
+            plan.dc0[i, 4 + blk] = self._parse_coef(r, coef, 1, intra=True)
 
     # -- inter ----------------------------------------------------------
     def _parse_inter_mb(self, r):
@@ -448,10 +450,12 @@ class Mpeg2EntropyDecoder:
             cbp = T.CBP_DEC.read(r)
             for blk in range(4):
                 if cbp & (1 << (5 - blk)):
-                    self._parse_inter_block(r, plan.coef[i, blk])
+                    plan.dc0[i, blk] = self._parse_inter_block(
+                        r, plan.coef[i, blk])
             for blk in range(2):
                 if cbp & (1 << (1 - blk)):
-                    self._parse_inter_block(r, plan.coef[i, 4 + blk])
+                    plan.dc0[i, 4 + blk] = self._parse_inter_block(
+                        r, plan.coef[i, 4 + blk])
 
     def _parse_inter_block(self, r, coef):
         """m2d_parse_inter_block incl. the '1s' DC shortcut
@@ -465,7 +469,7 @@ class Mpeg2EntropyDecoder:
             t = ((2 * abs(level) + 1) * q) >> 5
             coef[0] = np.int16(t if level > 0 else -t)  # NOT saturated
             start = 1
-        self._parse_coef(r, coef, start, intra=False)
+        return self._parse_coef(r, coef, start, intra=False)
 
     # -- coefficients ----------------------------------------------------
     def _parse_coef(self, r, coef, start_idx, intra):
@@ -507,6 +511,7 @@ class Mpeg2EntropyDecoder:
             mismatch += val
             coef[pos] = val
             idx += 1
+        raw0 = int(coef[0])  # pre-oddification DC (FAST_DECODE keeps this)
         if mpeg1:
             # oddification (MismatchMpeg1, mpeg2.cpp:1000-1013)
             c = coef.astype(np.int32)
@@ -516,3 +521,4 @@ class Mpeg2EntropyDecoder:
         else:
             if not mismatch & 1:
                 coef[63] ^= 1
+        return raw0

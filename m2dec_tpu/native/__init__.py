@@ -77,7 +77,7 @@ def load_m2v():
             ctypes.POINTER(M2vPicParams),
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ]
         _m2v_lib = lib
     except Exception:

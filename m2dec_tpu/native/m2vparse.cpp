@@ -64,7 +64,8 @@ struct State {
     // plan outputs
     uint8_t *intra, *fwd, *bwd, *dct_type, *covered;
     int32_t *mvf, *mvb;
-    int16_t *coef; // [N][6][64]
+    int16_t *coef;
+    int16_t *dc0; // pre-oddification DC per block (FAST_DECODE semantics) // [N][6][64]
     // config
     int mb_w, mb_h, is_mpeg2, coding_type;
     int r_size[2][2];
@@ -216,7 +217,7 @@ static int parse_intra_dc(State &s, BitReader &r, int comp, int64_t *out) {
 }
 
 static int parse_coef(State &s, BitReader &r, int16_t *coef, int start_idx,
-                      int intra) {
+                      int intra, int16_t *dc0slot) {
     const int use1 = intra && (s.intra_vlc & 1);
     const int32_t *qmat = intra ? s.qmat_intra : s.qmat_nonintra;
     const int q_scale = s.q_scale;
@@ -261,6 +262,8 @@ static int parse_coef(State &s, BitReader &r, int16_t *coef, int start_idx,
         coef[pos] = (int16_t)val;
         idx += 1;
     }
+    if (dc0slot)
+        *dc0slot = coef[0]; // before oddification (skipped in FAST_DECODE)
     if (mpeg1) {
         for (int k = 0; k < 64; ++k) {
             int v = coef[k];
@@ -274,7 +277,8 @@ static int parse_coef(State &s, BitReader &r, int16_t *coef, int start_idx,
     return 0;
 }
 
-static int parse_inter_block(State &s, BitReader &r, int16_t *coef) {
+static int parse_inter_block(State &s, BitReader &r, int16_t *coef,
+                             int16_t *dc0slot) {
     int start = 0;
     uint32_t bits = r.show(2);
     if (bits & 2) {
@@ -285,7 +289,7 @@ static int parse_inter_block(State &s, BitReader &r, int16_t *coef) {
         coef[0] = (int16_t)(level > 0 ? t : -t); // unsaturated (int16 wrap)
         start = 1;
     }
-    return parse_coef(s, r, coef, start, 0);
+    return parse_coef(s, r, coef, start, 0, dc0slot);
 }
 
 static int decode_mb_mode(State &s, BitReader &r, int *out) {
@@ -341,7 +345,7 @@ static int parse_macroblock(State &s, BitReader &r) {
             rc = parse_intra_dc(s, r, 0, &dc);
             if (rc) return rc;
             c[0] = (int16_t)dc;
-            rc = parse_coef(s, r, c, 1, 1);
+            rc = parse_coef(s, r, c, 1, 1, s.dc0 + i * 6 + blk);
             if (rc) return rc;
         }
         for (int blk = 0; blk < 2; ++blk) {
@@ -350,7 +354,7 @@ static int parse_macroblock(State &s, BitReader &r) {
             rc = parse_intra_dc(s, r, blk + 1, &dc);
             if (rc) return rc;
             c[0] = (int16_t)dc;
-            rc = parse_coef(s, r, c, 1, 1);
+            rc = parse_coef(s, r, c, 1, 1, s.dc0 + i * 6 + 4 + blk);
             if (rc) return rc;
         }
     } else {
@@ -389,12 +393,14 @@ static int parse_macroblock(State &s, BitReader &r) {
             READ_VLC(r, CBP, cbp);
             for (int blk = 0; blk < 4; ++blk)
                 if (cbp & (1 << (5 - blk))) {
-                    rc = parse_inter_block(s, r, mbcoef + blk * 64);
+                    rc = parse_inter_block(s, r, mbcoef + blk * 64,
+                                           s.dc0 + i * 6 + blk);
                     if (rc) return rc;
                 }
             for (int blk = 0; blk < 2; ++blk)
                 if (cbp & (1 << (1 - blk))) {
-                    rc = parse_inter_block(s, r, mbcoef + (4 + blk) * 64);
+                    rc = parse_inter_block(s, r, mbcoef + (4 + blk) * 64,
+                                           s.dc0 + i * 6 + 4 + blk);
                     if (rc) return rc;
                 }
         }
@@ -424,12 +430,13 @@ int m2v_decode_picture(const uint8_t *data, int64_t data_len,
                        const m2v_pic_params *pp,
                        uint8_t *intra, uint8_t *fwd, uint8_t *bwd,
                        int32_t *mvf, int32_t *mvb,
-                       uint8_t *dct_type, int16_t *coef, uint8_t *covered) {
+                       uint8_t *dct_type, int16_t *coef, uint8_t *covered,
+                       int16_t *dc0) {
     State s;
     memset(&s, 0, sizeof(s));
     s.intra = intra; s.fwd = fwd; s.bwd = bwd;
     s.dct_type = dct_type; s.covered = covered;
-    s.mvf = mvf; s.mvb = mvb; s.coef = coef;
+    s.mvf = mvf; s.mvb = mvb; s.coef = coef; s.dc0 = dc0;
     s.mb_w = pp->mb_w; s.mb_h = pp->mb_h;
     s.is_mpeg2 = pp->is_mpeg2; s.coding_type = pp->coding_type;
     for (int k = 0; k < 4; ++k) s.r_size[k >> 1][k & 1] = pp->r_size[k];

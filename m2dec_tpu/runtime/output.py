@@ -16,7 +16,23 @@ import numpy as np
 
 def cropped_nv12_bytes(frame) -> bytes:
     """Apply crop and serialize as the reference's write_cropping does
-    (filewrite.h:11-28): luma rows, then NV12 chroma rows."""
+    (filewrite.h:11-28): luma rows, then NV12 chroma rows.
+
+    FAST_DECODE-mode frames set `raw_stride`: the reference decodes into a
+    16-aligned-stride buffer but reports width = mb_w*2 and the writer
+    walks it at stride==width (filewrite.h:15), so the output is the first
+    width*height bytes of the strided buffer — pad columns leak through as
+    zeros. Replicated here when raw_stride > width."""
+    stride = getattr(frame, "raw_stride", 0)
+    if stride and stride != frame.width:
+        y, chroma = frame.nv12()
+        h, w = frame.height, frame.width
+        ybuf = np.zeros((h, stride), np.uint8)
+        ybuf[:, :w] = y
+        cbuf = np.zeros((h >> 1, stride), np.uint8)
+        cbuf[:, : chroma.shape[1]] = chroma
+        return (ybuf.reshape(-1)[: w * h].tobytes()
+                + cbuf.reshape(-1)[: w * h >> 1].tobytes())
     left, right, top, bottom = frame.crop
     y, chroma = frame.nv12()
     height = frame.height - top - bottom

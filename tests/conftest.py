@@ -34,8 +34,9 @@ def reference_bins():
     """Build (if needed) and return paths of the reference oracle binaries."""
     h264dec = REF_BUILD / "h264dec"
     m2dec = REF_BUILD / "m2dec"
-    if not (h264dec.exists() and m2dec.exists()):
+    h264dec_fast = REF_BUILD / "h264dec_fast"
+    if not (h264dec.exists() and m2dec.exists() and h264dec_fast.exists()):
         if not pathlib.Path("/root/reference").exists():
             pytest.skip("reference tree not available")
         subprocess.run(["bash", str(REPO / "tools" / "build_reference.sh")], check=True)
-    return {"h264dec": h264dec, "m2dec": m2dec}
+    return {"h264dec": h264dec, "m2dec": m2dec, "h264dec_fast": h264dec_fast}

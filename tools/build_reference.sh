@@ -19,3 +19,9 @@ g++ -O2 -w -DNDEBUG -DUNIT_TEST -I. -I"$LIB" -o h264dec h264dec.cpp md5.c \
     $CORE "$LIB/h264.cpp" "$LIB/h265.cpp" "$LIB/h265_x86.cpp"
 g++ -O2 -w -DNDEBUG -DUNIT_TEST -I. -I"$LIB" -o m2dec m2dec.cpp display.cpp md5.c $CORE
 echo "built: $OUT/h264dec $OUT/m2dec"
+# FAST_DECODE (--enable-fastdec) variant: DC-only 1/8-scale decode oracle.
+g++ -O2 -w -DNDEBUG -DUNIT_TEST -DFAST_DECODE '-Dsint16_t=int16_t' -I. -I"$LIB" -o h264dec_fast \
+    h264dec.cpp md5.c $CORE "$LIB/h264.cpp" "$LIB/h265.cpp" "$LIB/h265_x86.cpp"
+g++ -O2 -w -DNDEBUG -DUNIT_TEST -DFAST_DECODE '-Dsint16_t=int16_t' -I. -I"$LIB" -o m2dec_fast \
+    m2dec.cpp display.cpp md5.c $CORE
+echo "built: $OUT/h264dec_fast $OUT/m2dec_fast"
