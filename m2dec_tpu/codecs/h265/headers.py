@@ -108,6 +108,7 @@ class Pps:
     tc_offset_div2: int = 0
     lists_modification_present: int = 0
     log2_parallel_merge_level: int = 2
+    slice_segment_header_extension_present: int = 0
 
 
 def _profile_tier_level(r: BitReader, max_sub_layers_minus1: int):
@@ -284,13 +285,16 @@ def parse_sps(r: BitReader) -> Sps:
     if s.pcm_enabled:
         raise NotImplementedError("PCM")
     n_rps = r.ue()
-    rps = []
-    for i in range(n_rps):
-        if i and r.get_onebit():
+    # QUIRK: the reference parses rps[0] unconditionally, even when
+    # num_short_term_ref_pic_sets == 0 (sps_short_term_ref_pic_set,
+    # h265.cpp:487-495) — streams must carry a dummy nopred set
+    rps = [_st_rps_nopred(r)]
+    for i in range(1, n_rps):
+        if r.get_onebit():
             rps.append(_st_rps_pred(r, rps[-1]))
         else:
             rps.append(_st_rps_nopred(r))
-    s.short_term_rps = tuple(rps)
+    s.short_term_rps = tuple(rps[: n_rps])
     s.long_term_ref_pics_present = r.get_onebit()
     if s.long_term_ref_pics_present:
         raise NotImplementedError("long-term ref pics")
@@ -312,7 +316,9 @@ def parse_pps(r: BitReader) -> Pps:
     p.cabac_init_present = r.get_onebit()
     p.num_ref_idx_l0_default = r.ue() + 1
     p.num_ref_idx_l1_default = r.ue() + 1
-    p.init_qp = r.se() + 26
+    # QUIRK: the reference reads init_qp_minus26 as ue(v), not the
+    # spec's se(v) (pic_parameter_set, h265.cpp:668) — replicated
+    p.init_qp = r.ue() + 26
     p.constrained_intra_pred = r.get_onebit()
     p.transform_skip_enabled = r.get_onebit()
     p.cu_qp_delta_enabled = r.get_onebit()
@@ -341,33 +347,97 @@ def parse_pps(r: BitReader) -> Pps:
         raise NotImplementedError("PPS scaling lists")
     p.lists_modification_present = r.get_onebit()
     p.log2_parallel_merge_level = r.ue() + 2
+    p.slice_segment_header_extension_present = r.get_onebit()
+    r.get_onebit()  # pps_extension_flag
     return p
 
 
-class H265Decoder:
-    """NAL walker + parameter-set state (h265d_data_t equivalent).
+@dataclasses.dataclass
+class SliceHeader:
+    """h265d_slice_header_body_t subset for the implemented profile."""
 
-    decode_picture raises NotImplementedError until the CTU phases land.
-    """
+    nal_type: int = 19
+    first_slice: int = 1
+    pps_id: int = 0
+    slice_type: int = 2
+    slice_qpy: int = 26
+    cabac_init_flag: int = 0
+    poc: int = 0
+    qpc_delta: tuple = (0, 0)
+    deblocking_disabled: int = 1
+
+
+def parse_slice_header(r: BitReader, nal_type: int, sps: Sps, pps: Pps,
+                       sps_store, pps_store) -> SliceHeader:
+    """slice_header (h265.cpp:913-938 + slice_header_body :858-911),
+    restricted to the implemented I-slice feature set; ends with the
+    reference's alignment skip (skip `not_aligned_bits` or a full byte
+    when already aligned, h265.cpp:935-936)."""
+    h = SliceHeader(nal_type=nal_type)
+    h.first_slice = r.get_onebit()
+    if not h.first_slice:
+        raise NotImplementedError("multi-slice H.265 pictures")
+    if 16 <= nal_type <= 23:
+        r.get_onebit()  # no_output_of_prior_pics_flag
+    h.pps_id = r.ue()
+    pps = pps_store[h.pps_id]
+    sps = sps_store[pps.sps_id]
+    h.slice_type = r.ue()
+    if pps.output_flag_present:
+        r.get_onebit()
+    if nal_type not in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+        raise NotImplementedError("non-IDR slices (RPS/POC path)")
+    if sps.sao_enabled:
+        raise NotImplementedError("SAO")
+    if h.slice_type != 2:
+        raise NotImplementedError("P/B slices")
+    h.slice_qpy = pps.init_qp + r.se()
+    cb_off, cr_off = 0, 0
+    if pps.slice_chroma_qp_offsets_present:
+        cb_off = r.se()
+        cr_off = r.se()
+    h.qpc_delta = (cb_off + pps.cb_qp_offset, cr_off + pps.cr_qp_offset)
+    h.deblocking_disabled = pps.deblocking_filter_disabled
+    if pps.deblocking_filter_override_enabled:
+        if r.get_onebit():
+            raise NotImplementedError("deblocking override")
+    if not h.deblocking_disabled:
+        raise NotImplementedError("H.265 deblocking — next milestone")
+    # byte alignment: skip to boundary, or a whole byte if aligned
+    misalign = (-r._pos) % 8
+    r.skip_bits(misalign if misalign else 8)
+    return h
+
+
+class H265Decoder:
+    """NAL walker + parameter sets + CTU decode (h265d_data_t parity).
+
+    Implemented decode profile: single-slice IDR intra pictures, SAO and
+    deblocking disabled; residual decode lands next (ctu.py)."""
 
     def __init__(self):
         self.vps = None
         self.sps_store = {}
         self.pps_store = {}
+        self.frames = []  # decoded pictures in decode order
+        self.pocs = []
 
     def set_data(self, data: bytes):
         self.data = bytes(data)
         self.offs = find_start_codes(self.data)
 
-    def parse_headers(self):
-        """Walk NALs and ingest VPS/SPS/PPS; returns parsed-type list."""
-        seen = []
+    def _nal_payloads(self):
         for k, off in enumerate(self.offs):
             start = int(off) + 3
             end = int(self.offs[k + 1]) if k + 1 < len(self.offs) \
                 else len(self.data)
             nal_type = (self.data[start] >> 1) & 0x3F
-            payload = unescape_nal(self.data[start + 2 : end])
+            yield nal_type, unescape_nal(self.data[start + 2 : end])
+
+    def parse_headers(self):
+        """Walk NALs and ingest VPS/SPS/PPS; returns parsed-type list."""
+        seen = []
+        for nal_type, payload in self._nal_payloads():
             r = BitReader(payload)
             if nal_type == NAL_VPS:
                 self.vps = parse_vps(r)
@@ -381,6 +451,53 @@ class H265Decoder:
         return seen
 
     def decode_all(self):
-        raise NotImplementedError(
-            "H.265 CTU decode: CABAC entropy + quad-tree reconstruction "
-            "is the next build phase (SURVEY.md §2.1 H.265 row)")
+        """Decode every slice NAL; returns DecodedFrames in output order
+        (DPB POC order — insert_dpb keeps POC-sorted, h265.cpp:4931)."""
+        import numpy as np
+
+        from m2dec_tpu.codecs.h265.ctu import Ctu
+        from m2dec_tpu.codecs.mpeg2.decoder import DecodedFrame
+
+        out = []
+        for nal_type, payload in self._nal_payloads():
+            r = BitReader(payload)
+            if nal_type == NAL_VPS:
+                self.vps = parse_vps(r)
+            elif nal_type == NAL_SPS:
+                s = parse_sps(r)
+                self.sps_store[s.id] = s
+            elif nal_type == NAL_PPS:
+                p = parse_pps(r)
+                self.pps_store[p.id] = p
+            elif nal_type in (NAL_TRAIL_N, NAL_TRAIL_R, NAL_IDR_W_RADL,
+                              NAL_IDR_N_LP):
+                hdr = parse_slice_header(r, nal_type, None, None,
+                                         self.sps_store, self.pps_store)
+                pps = self.pps_store[hdr.pps_id]
+                sps = self.sps_store[pps.sps_id]
+                log2 = sps.log2_ctb
+                cols = (sps.pic_width + (1 << log2) - 1) >> log2
+                rows = (sps.pic_height + (1 << log2) - 1) >> log2
+                w, hgt = cols << log2, rows << log2
+                frame = {
+                    "y": np.zeros((hgt, w), np.uint8),
+                    "cb": np.zeros((hgt >> 1, w >> 1), np.uint8),
+                    "cr": np.zeros((hgt >> 1, w >> 1), np.uint8),
+                }
+                ctu = Ctu(sps, pps, hdr, frame)
+                ctu.cb.init_engine(r)
+                while True:
+                    ctu.decode_ctu(r)
+                    if ctu.pos_increment():
+                        break
+                    if ctu.cb.terminate(r):
+                        break
+                crop = (sps.cropping[0],
+                        w - sps.pic_width + sps.cropping[1],
+                        sps.cropping[2],
+                        hgt - sps.pic_height + sps.cropping[3])
+                out.append(DecodedFrame(
+                    y=frame["y"], cb=frame["cb"], cr=frame["cr"],
+                    width=w, height=hgt, crop=crop, cnt=hdr.poc))
+        out.sort(key=lambda f: f.cnt)
+        return out

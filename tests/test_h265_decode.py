@@ -1,0 +1,71 @@
+"""H.265 end-to-end bit-exactness: our decoder vs the reference binary.
+
+Randomized conformance streams (tests/streamgen/h265_enc.py) decoded by
+the compiled reference (`h264dec -o <file>.265`, extension selects the
+HEVC codec) must match our output byte-for-byte.
+
+Reference-domain constraints baked into the generator (found by probing
+the reference, see h265_enc.py): num_short_term_ref_pic_sets must cover
+every frame-pool index (colpics carve, h265.cpp:121-129) and rps[0] is
+parsed even when the count is zero (h265.cpp:487-495).
+"""
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+
+from streamgen.h265_enc import H265StreamGen  # noqa: E402
+
+from m2dec_tpu.codecs.h265.headers import H265Decoder  # noqa: E402
+from m2dec_tpu.runtime.output import cropped_nv12_bytes  # noqa: E402
+
+
+def oracle_decode(reference_bins, data: bytes, tmp_path) -> bytes:
+    src = tmp_path / "in.265"
+    src.write_bytes(data)
+    subprocess.run(
+        [str(reference_bins["h264dec"]), "-o", "in.265"],
+        cwd=tmp_path,
+        capture_output=True,
+    )
+    return (tmp_path / "in.out").read_bytes()
+
+
+def run_case(reference_bins, tmp_path, gen, n_pics=2):
+    data = gen.generate(n_pics)
+    golden = oracle_decode(reference_bins, data, tmp_path)
+    assert golden, "reference produced no output"
+    dec = H265Decoder()
+    dec.set_data(data)
+    ours = b"".join(cropped_nv12_bytes(f) for f in dec.decode_all())
+    assert ours == golden
+
+
+def test_intra_idr_16ctb(reference_bins, tmp_path):
+    run_case(reference_bins, tmp_path, H265StreamGen(64, 48, seed=1), 3)
+
+
+def test_intra_idr_32ctb(reference_bins, tmp_path):
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(96, 64, seed=2, ctb_log2=5), 2)
+
+
+def test_intra_nonaligned_size(reference_bins, tmp_path):
+    """Frame-boundary-forced quad splits (no split flag coded)."""
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(52, 36, seed=3), 2)
+
+
+def test_intra_qp_range(reference_bins, tmp_path):
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=4, qp=40), 2)
+
+
+def test_intra_deep_split(reference_bins, tmp_path):
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 64, seed=5, ctb_log2=5, split_prob=0.8,
+                           nxn_prob=0.8), 2)
