@@ -118,6 +118,10 @@ class Ctu:
         self.order_luma = [0, 0, 0, 0]
         self.order_chroma = 0
         self.qp_delta_req = 0
+        self.coeff_buf = [0] * (32 * 32)  # persistent (stale-read quirk)
+        from m2dec_tpu.codecs.h265.residual import qp_to_scale
+
+        self.qp_scale = qp_to_scale(self.qpy, hdr.qpc_delta)
         self.neighbour_left = [Neighbour() for _ in range(NEIGHBOUR_NUM + 2)]
         self.neighbour_top = [Neighbour()
                               for _ in range(self.columns * NEIGHBOUR_NUM)]
@@ -355,8 +359,34 @@ class Ctu:
 
     def transform_unit(self, r, size_log2, cbf, idx, pred_idx,
                        offset_x, offset_y):
-        raise NotImplementedError(
-            "H.265 residual decode (transform_unit) — next milestone")
+        """transform_unit (h265.cpp:2246-2270), intra path."""
+        from m2dec_tpu.codecs.h265 import residual as RES
+
+        y0 = (self.pos_y << self.size_log2) + offset_y
+        x0 = (self.pos_x << self.size_log2) + offset_x
+        if cbf & 1:
+            order = RES.order_map(self.order_luma[pred_idx]) \
+                if size_log2 <= 3 else 0
+            RES.residual_coding(self, r, size_log2, 0, self.frame["y"],
+                                y0, x0, order, True)
+        if cbf & 6:
+            if 2 < size_log2:
+                size_log2 -= 1
+            elif idx != 3:
+                return
+            else:
+                x0 -= 4
+                y0 -= 4
+            order = RES.order_map(self.order_chroma) if size_log2 == 2 \
+                else 0
+            if cbf & 4:
+                RES.residual_coding(self, r, size_log2, 1,
+                                    self.frame["cb"], y0 >> 1, x0 >> 1,
+                                    order, False)
+            if cbf & 2:
+                RES.residual_coding(self, r, size_log2, 2,
+                                    self.frame["cr"], y0 >> 1, x0 >> 1,
+                                    order, False)
 
 
 # availability transforms for quad subdivision (h265.cpp:3933-3948 LUTs)

@@ -17,6 +17,7 @@ import random
 
 from m2dec_tpu.bitstream.writer import BitWriter, escape_nal
 from m2dec_tpu.codecs.h265 import cabac_tables as HT
+from m2dec_tpu.codecs.h265 import residual_tables as RT
 
 from .h264_enc import CabacEncoder
 
@@ -47,7 +48,8 @@ M1_MODES = (0, 1, 10, 26)
 
 class H265StreamGen:
     def __init__(self, width, height, seed=0, ctb_log2=4, min_cb_log2=3,
-                 qp=30, modes=M1_MODES, split_prob=0.4, nxn_prob=0.4):
+                 qp=30, modes=M1_MODES, split_prob=0.4, nxn_prob=0.4,
+                 cbf_prob=0.0, max_level=3, coeff_prob=0.2):
         self.w = width
         self.h = height
         self.rng = random.Random(seed)
@@ -59,8 +61,24 @@ class H265StreamGen:
         self.modes = modes
         self.split_prob = split_prob
         self.nxn_prob = nxn_prob
+        self.transform_skip_enabled = False
+        self.cbf_prob = cbf_prob
+        self.max_level = max_level
+        self.coeff_prob = coeff_prob
         self.cols = (width + (1 << ctb_log2) - 1) >> ctb_log2
         self.rows = (height + (1 << ctb_log2) - 1) >> ctb_log2
+
+    @staticmethod
+    def _chroma_dir(cidx, luma_mode):
+        if cidx == 0:
+            return 34 if luma_mode == 0 else 0
+        if cidx == 1:
+            return 34 if luma_mode == 26 else 26
+        if cidx == 2:
+            return 34 if luma_mode == 10 else 10
+        if cidx == 3:
+            return 34 if luma_mode == 1 else 1
+        return luma_mode
 
     # -- NAL plumbing ---------------------------------------------------
     def _nal(self, out, nal_type, payload_writer):
@@ -237,10 +255,13 @@ class H265StreamGen:
             enc.decision(HT.INTRA_CHROMA_PRED_MODE, 1)
             enc.bypass((cidx >> 1) & 1)
             enc.bypass(cidx & 1)
-        # transform tree, all cbf zero
-        self._emit_ttree(enc, size_log2, 0, 3, part_nxn)
+        full_modes = modes if len(modes) == 4 else [modes[0]] * 4
+        self._emit_ttree(enc, size_log2, 0, 3, part_nxn, full_modes,
+                         self._chroma_dir(cidx, luma0))
 
-    def _emit_ttree(self, enc, size_log2, depth, upper_cbf, intra_split):
+    def _emit_ttree(self, enc, size_log2, depth, upper_cbf, intra_split,
+                    modes, chroma_mode, idx=0, pred_idx=0):
+        rng = self.rng
         if self.max_tb_log2 < size_log2:
             split = 1
         elif depth == 0 and intra_split:
@@ -248,18 +269,220 @@ class H265StreamGen:
         else:
             split = 0  # hierarchy depths are 0: no split flag coded
         if 2 < size_log2:
-            if upper_cbf & 2:
-                enc.decision(HT.CBF_CHROMA + depth, 0)
-            if upper_cbf & 1:
-                enc.decision(HT.CBF_CHROMA + depth, 0)
             cbf = 0
+            if upper_cbf & 2:
+                b = int(rng.random() < self.cbf_prob)
+                enc.decision(HT.CBF_CHROMA + depth, b)
+                cbf = b * 2
+            if upper_cbf & 1:
+                b = int(rng.random() < self.cbf_prob)
+                enc.decision(HT.CBF_CHROMA + depth, b)
+                cbf |= b
         else:
             cbf = upper_cbf
         if split:
-            for _ in range(4):
-                self._emit_ttree(enc, size_log2 - 1, depth + 1, cbf, False)
+            pi, pinc = (0, 1) if split == 2 else (pred_idx, 0)
+            for k in range(4):
+                self._emit_ttree(enc, size_log2 - 1, depth + 1, cbf,
+                                 False, modes, chroma_mode, k, pi)
+                pi += pinc
         else:
-            enc.decision(HT.CBF_LUMA + (depth == 0), 0)
+            bl = int(rng.random() < self.cbf_prob)
+            enc.decision(HT.CBF_LUMA + (depth == 0), bl)
+            cbf = cbf * 2 | bl
+            if cbf:
+                self._emit_tu(enc, size_log2, cbf, idx, modes[pred_idx],
+                              chroma_mode)
+
+    # -- residual emission (mirrors residual_coding exactly) -----------
+    def _emit_tu(self, enc, size_log2, cbf, idx, luma_mode, chroma_mode):
+        if cbf & 1:
+            order = _order_map(luma_mode) if size_log2 <= 3 else 0
+            self._emit_residual(enc, size_log2, 0, order)
+        if cbf & 6:
+            if 2 < size_log2:
+                size_log2 -= 1
+            elif idx != 3:
+                return
+            order = _order_map(chroma_mode) if size_log2 == 2 else 0
+            if cbf & 4:
+                self._emit_residual(enc, size_log2, 1, order)
+            if cbf & 2:
+                self._emit_residual(enc, size_log2, 2, order)
+
+    def _choose_coeffs(self, size_log2, order_idx):
+        """Random sparse coefficient set as {(sub_idx, pos): level}
+        where sub_idx is the subblock SCAN rank and pos the inner scan
+        pos (15..0 order). At least one coefficient."""
+        rng = self.rng
+        order = RT.SCAN_ORDER[order_idx][size_log2 - 2]
+        sub_log2 = size_log2 - 2
+        n_sub = 1 << (2 * sub_log2)
+        coeffs = {}
+        for i in range(n_sub):
+            if i and rng.random() > 0.3:
+                continue
+            npos = 16
+            for pos in range(npos):
+                if rng.random() < self.coeff_prob:
+                    lvl = rng.randint(1, self.max_level)
+                    if rng.random() < 0.5:
+                        lvl = -lvl
+                    coeffs[(i, pos)] = lvl
+        if not coeffs:
+            coeffs[(0, rng.randrange(16))] = rng.choice((1, -1))
+        return coeffs
+
+    def _emit_residual(self, enc, size_log2, colour, order_idx):
+        rng = self.rng
+        if self.transform_skip_enabled and size_log2 == 2:
+            enc.decision(HT.TRANSFORM_SKIP_FLAG + ((colour + 1) >> 1),
+                         0)  # never skip (not generated yet)
+        coeffs = self._choose_coeffs(size_log2, order_idx)
+        order = RT.SCAN_ORDER[order_idx][size_log2 - 2]
+        sub_log2 = size_log2 - 2
+        pos_max = (1 << sub_log2) - 1
+        # the scan-last coefficient
+        last_sub = max(i for i, _ in coeffs)
+        last_pos = max(p for i, p in coeffs if i == last_sub)
+        # map (sub rank, inner pos) back to (x, y)
+        sxy = order["sub_block_pos"][last_sub]
+        inner_xy = _inner_pos_to_xy(order_idx, last_pos)
+        lx = ((sxy & pos_max) << 2) + inner_xy[0]
+        ly = ((sxy >> sub_log2) << 2) + inner_xy[1]
+        if order_idx == 2:
+            lx, ly = ly, lx
+        raw = RT.LAST_SIG_COEF_PARAM[(colour + 1) >> 1][size_log2 - 2]
+        ofs, shift = raw & 15, raw >> 4
+        maxpre = size_log2 * 2 - 1
+        # prefixes for BOTH components first, then both suffixes
+        # (residual_coding read order, h265.cpp:2190-2193)
+        prefixes = []
+        for val, base in ((lx, HT.LAST_SIG_COEFF_X_PREFIX + ofs),
+                          (ly, HT.LAST_SIG_COEFF_Y_PREFIX + ofs)):
+            prefix = _last_sig_prefix_of(val)
+            for k in range(prefix):
+                enc.decision(base + (k >> shift), 1)
+            if prefix < maxpre:
+                enc.decision(base + (prefix >> shift), 0)
+            prefixes.append((prefix, val))
+        for prefix, val in prefixes:
+            if prefix >= 4:
+                nbits = (prefix >> 1) - 1
+                rem = val - _PREFIX_ADJ_VAL[prefix - 4]
+                for b in range(nbits - 1, -1, -1):
+                    enc.bypass((rem >> b) & 1)
+        inc_idx = RT.SIG_INC_TBLIDX[order_idx][(colour + 1) >> 1][
+            size_log2 - 2]
+        inc_ofs = RT.SIG_INC_OFSET[order_idx][(colour + 1) >> 1][
+            size_log2 - 2]
+        flags = [0] * 9
+        greater1ctx = 1
+        num = last_pos
+        i = last_sub
+        while i >= 0:
+            sxy = order["sub_block_pos"][i]
+            sx = sxy & pos_max
+            sy = sxy >> sub_log2
+            prev_sbf = ((flags[sy] >> (sx + 1)) & 1) + \
+                (((flags[sy + 1] >> sx) & 1) * 2)
+            here = {p: v for (si, p), v in coeffs.items() if si == i}
+            implicit = ((last_sub - 1) & 0xFFFFFFFF) <= \
+                ((i - 1) & 0xFFFFFFFF)
+            if not implicit:
+                enc.decision(
+                    HT.CODED_SUB_BLOCK_FLAG
+                    + ((prev_sbf & 1) | (prev_sbf >> 1))
+                    + ((colour + 1) & 2), int(bool(here)))
+            if implicit or here:
+                flags[sy] |= 1 << sx
+                inc_tbl = RT.SIG_INC_TBL[inc_idx[sxy != 0][prev_sbf]]
+                clist = []
+                pos = num
+                if i == last_sub:
+                    clist.append((pos, abs(here[pos]), here[pos] < 0))
+                    pos -= 1
+                while 0 < pos:
+                    b = pos in here
+                    enc.decision(HT.SIG_COEFF_FLAG + inc_ofs
+                                 + inc_tbl[pos], int(b))
+                    if b:
+                        clist.append((pos, abs(here[pos]), here[pos] < 0))
+                    pos -= 1
+                if pos == 0:
+                    if not clist and sxy:
+                        pass  # DC implicitly significant
+                    else:
+                        enc.decision(HT.SIG_COEFF_FLAG + inc_ofs
+                                     + inc_tbl[0], int(0 in here))
+                    if 0 in here:
+                        clist.append((0, abs(here[0]), here[0] < 0))
+                if not clist:
+                    break
+                # greater1/2 schedule mirrors sig_coeff_greater
+                ctxset = (2 if (colour == 0 and i != 0) else 0) + \
+                    (greater1ctx == 0)
+                g1ofs = ctxset * 4 + (0 if colour == 0 else 16)
+                greater1ctx = 1
+                remaining = []
+                last_g1 = -1
+                for j, (pos, lvl, neg) in enumerate(clist):
+                    if j >= 8:
+                        remaining.append((j, lvl - 1))
+                        continue
+                    g1 = lvl >= 2
+                    enc.decision(HT.COEFF_ABS_LEVEL_GREATER1_FLAG
+                                 + g1ofs + greater1ctx, int(g1))
+                    if g1:
+                        greater1ctx = 0
+                        if last_g1 >= 0:
+                            remaining.append((j, lvl - 2))
+                        else:
+                            last_g1 = j
+                    elif ((greater1ctx - 1) & 0xFFFFFFFF) < 2:
+                        greater1ctx += 1
+                if last_g1 >= 0:
+                    lvl = clist[last_g1][1]
+                    g2 = lvl >= 3
+                    enc.decision(HT.COEFF_ABS_LEVEL_GREATER2_FLAG
+                                 + (ctxset if colour == 0 else ctxset + 4),
+                                 int(g2))
+                    if g2:
+                        remaining.append((last_g1, lvl - 3))
+                remaining.sort()
+                for pos, lvl, neg in clist:
+                    enc.bypass(int(neg))
+                rice = 0
+                ri = 0
+                for j, (pos, lvl, neg) in enumerate(clist):
+                    if ri < len(remaining) and remaining[ri][0] == j:
+                        rem = remaining[ri][1]
+                        ri += 1
+                        self._emit_remaining(enc, rem, rice)
+                        rice = min(rice + ((3 << rice) < lvl), 4)
+            num = 15
+            i -= 1
+
+    def _emit_remaining(self, enc, v, rice):
+        if v < (4 << rice):
+            pre = v >> rice
+            for _ in range(pre):
+                enc.bypass(1)
+            enc.bypass(0)
+            for b in range(rice - 1, -1, -1):
+                enc.bypass((v >> b) & 1)
+        else:
+            base = v - (2 << rice)
+            k = base.bit_length() - 1 - rice - 1
+            pre = k + 4
+            for _ in range(pre):
+                enc.bypass(1)
+            if pre < 20:
+                enc.bypass(0)
+            nbits = k + rice + 1
+            rem = v - (1 << (k + rice + 1)) - (2 << rice)
+            for b in range(nbits - 1, -1, -1):
+                enc.bypass((rem >> b) & 1)
 
     def _emit_quad(self, enc, size_log2, valid_x, valid_y, left, li,
                    top, ti):
@@ -328,6 +551,39 @@ class H265StreamGen:
         for _ in range(n_pics):
             self._nal(out, NAL_IDR_W_RADL, self._slice)
         return bytes(out)
+
+
+_PREFIX_ADJ_VAL = (4, 6, 8, 12, 16, 24)
+
+
+def _last_sig_prefix_of(val):
+    """Inverse of last_sig_coeff_suffix_add: smallest prefix whose
+    value range contains val."""
+    if val < 4:
+        return val
+    p = 4
+    while True:
+        nbits = (p >> 1) - 1
+        base = _PREFIX_ADJ_VAL[p - 4]
+        if base <= val < base + (1 << nbits):
+            return p
+        p += 1
+
+
+def _order_map(idx):
+    idx = (idx - 6) & 31
+    return ((idx & 15) <= 8) << (1 if idx <= 15 else 0)
+
+
+def _inner_pos_to_xy(order_idx, pos):
+    """inner scan pos -> (x, y) within the 4x4 subblock: invert
+    INNER_INV (pos = INNER_INV[(y<<2)+x])."""
+    inv = RT.INNER_INV[order_idx]
+    for y in range(4):
+        for x in range(4):
+            if inv[(y << 2) + x] == pos:
+                return x, y
+    raise AssertionError
 
 
 def _candidates(a, b):

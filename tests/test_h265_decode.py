@@ -69,3 +69,34 @@ def test_intra_deep_split(reference_bins, tmp_path):
     run_case(reference_bins, tmp_path,
              H265StreamGen(64, 64, seed=5, ctb_log2=5, split_prob=0.8,
                            nxn_prob=0.8), 2)
+
+
+def test_residual_intra(reference_bins, tmp_path):
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=11, qp=14, cbf_prob=0.6), 3)
+
+
+def test_residual_ctb32(reference_bins, tmp_path):
+    """32x32 TUs (CTB 32 = max transform size) + residuals."""
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(96, 64, seed=12, ctb_log2=5, qp=12,
+                           cbf_prob=0.5), 2)
+
+
+def test_residual_nonaligned(reference_bins, tmp_path):
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(52, 36, seed=13, qp=14, cbf_prob=0.7), 2)
+
+
+def test_residual_deep_split(reference_bins, tmp_path):
+    """4x4 DST TUs via NxN intra split with residuals."""
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=14, qp=12, cbf_prob=0.8,
+                           split_prob=0.8, nxn_prob=0.9), 2)
+
+
+def test_residual_higher_qp(reference_bins, tmp_path):
+    """Moderate qp, levels kept small (CLIP255C LUT domain)."""
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=15, qp=22, cbf_prob=0.5,
+                           max_level=1), 2)
