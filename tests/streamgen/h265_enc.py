@@ -42,14 +42,16 @@ class H265CabacEncoder(CabacEncoder):
         self.ctx = ctx
 
 
-#: intra modes the decoder implements so far
+#: milestone-1 mode subset (kept for the early tests)
 M1_MODES = (0, 1, 10, 26)
+ALL_MODES = tuple(range(35))
 
 
 class H265StreamGen:
     def __init__(self, width, height, seed=0, ctb_log2=4, min_cb_log2=3,
                  qp=30, modes=M1_MODES, split_prob=0.4, nxn_prob=0.4,
-                 cbf_prob=0.0, max_level=3, coeff_prob=0.2):
+                 cbf_prob=0.0, max_level=3, coeff_prob=0.2,
+                 strong_smoothing=0):
         self.w = width
         self.h = height
         self.rng = random.Random(seed)
@@ -61,6 +63,7 @@ class H265StreamGen:
         self.modes = modes
         self.split_prob = split_prob
         self.nxn_prob = nxn_prob
+        self.strong_smoothing = strong_smoothing
         self.transform_skip_enabled = False
         self.cbf_prob = cbf_prob
         self.max_level = max_level
@@ -140,7 +143,7 @@ class H265StreamGen:
             w.put_bits(1, 1)  # used_by_curr_pic_s0
         w.put_bits(0, 1)  # long_term_ref_pics_present
         w.put_bits(0, 1)  # temporal_mvp
-        w.put_bits(0, 1)  # strong_intra_smoothing
+        w.put_bits(self.strong_smoothing, 1)
         w.put_bits(0, 1)  # vui_present
         w.rbsp_trailing_bits()
 

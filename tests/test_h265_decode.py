@@ -100,3 +100,29 @@ def test_residual_higher_qp(reference_bins, tmp_path):
     run_case(reference_bins, tmp_path,
              H265StreamGen(64, 48, seed=15, qp=22, cbf_prob=0.5,
                            max_level=1), 2)
+
+
+def test_angular_all_modes(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=21, qp=14, cbf_prob=0.4,
+                           modes=ALL_MODES), 3)
+
+
+def test_angular_ctb32_strong(reference_bins, tmp_path):
+    """32x32 blocks with strong intra smoothing enabled."""
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(96, 64, seed=22, ctb_log2=5, qp=14,
+                           cbf_prob=0.3, modes=ALL_MODES,
+                           strong_smoothing=1, split_prob=0.3), 2)
+
+
+def test_angular_nonaligned(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(52, 36, seed=23, qp=14, cbf_prob=0.5,
+                           modes=ALL_MODES), 2)
