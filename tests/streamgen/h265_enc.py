@@ -51,7 +51,8 @@ class H265StreamGen:
     def __init__(self, width, height, seed=0, ctb_log2=4, min_cb_log2=3,
                  qp=30, modes=M1_MODES, split_prob=0.4, nxn_prob=0.4,
                  cbf_prob=0.0, max_level=3, coeff_prob=0.2,
-                 strong_smoothing=0):
+                 strong_smoothing=0, sign_data_hiding=0,
+                 transform_skip=0, tskip_prob=0.5):
         self.w = width
         self.h = height
         self.rng = random.Random(seed)
@@ -64,7 +65,9 @@ class H265StreamGen:
         self.split_prob = split_prob
         self.nxn_prob = nxn_prob
         self.strong_smoothing = strong_smoothing
-        self.transform_skip_enabled = False
+        self.sign_data_hiding = sign_data_hiding
+        self.transform_skip_enabled = transform_skip
+        self.tskip_prob = tskip_prob
         self.cbf_prob = cbf_prob
         self.max_level = max_level
         self.coeff_prob = coeff_prob
@@ -153,13 +156,13 @@ class H265StreamGen:
         w.put_bits(0, 1)  # dependent_slice_segments
         w.put_bits(0, 1)  # output_flag_present
         w.put_bits(0, 3)  # num_extra_slice_header_bits
-        w.put_bits(0, 1)  # sign_data_hiding
+        w.put_bits(self.sign_data_hiding, 1)
         w.put_bits(0, 1)  # cabac_init_present
         w.ue(0)  # num_ref_idx_l0_default_minus1
         w.ue(0)  # num_ref_idx_l1_default_minus1
         w.ue(self.qp - 26 if self.qp >= 26 else 0)  # QUIRK: read as ue
         w.put_bits(0, 1)  # constrained_intra_pred
-        w.put_bits(0, 1)  # transform_skip
+        w.put_bits(self.transform_skip_enabled, 1)
         w.put_bits(0, 1)  # cu_qp_delta
         w.se(0)  # cb_qp_offset
         w.se(0)  # cr_qp_offset
@@ -338,9 +341,11 @@ class H265StreamGen:
 
     def _emit_residual(self, enc, size_log2, colour, order_idx):
         rng = self.rng
+        sdh = self.sign_data_hiding
         if self.transform_skip_enabled and size_log2 == 2:
+            tskip = rng.random() < self.tskip_prob
             enc.decision(HT.TRANSFORM_SKIP_FLAG + ((colour + 1) >> 1),
-                         0)  # never skip (not generated yet)
+                         int(tskip))
         coeffs = self._choose_coeffs(size_log2, order_idx)
         order = RT.SCAN_ORDER[order_idx][size_log2 - 2]
         sub_log2 = size_log2 - 2
@@ -453,7 +458,13 @@ class H265StreamGen:
                     if g2:
                         remaining.append((last_g1, lvl - 3))
                 remaining.sort()
-                for pos, lvl, neg in clist:
+                hidden = int(sdh and 3 < clist[0][0] - clist[-1][0])
+                if hidden:
+                    # the last coeff's sign is parity-derived; force it
+                    level_sum = sum(l for _, l, _ in clist)
+                    p, l, _ = clist[-1]
+                    clist[-1] = (p, l, bool(level_sum & 1))
+                for pos, lvl, neg in clist[: len(clist) - hidden]:
                     enc.bypass(int(neg))
                 rice = 0
                 ri = 0

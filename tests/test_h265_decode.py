@@ -126,3 +126,21 @@ def test_angular_nonaligned(reference_bins, tmp_path):
     run_case(reference_bins, tmp_path,
              H265StreamGen(52, 36, seed=23, qp=14, cbf_prob=0.5,
                            modes=ALL_MODES), 2)
+
+
+def test_sign_data_hiding(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=31, qp=14, cbf_prob=0.6,
+                           modes=ALL_MODES, sign_data_hiding=1,
+                           coeff_prob=0.4), 2)
+
+
+def test_transform_skip(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=32, qp=14, cbf_prob=0.7,
+                           modes=ALL_MODES, transform_skip=1,
+                           split_prob=0.7, nxn_prob=0.8), 2)
