@@ -119,12 +119,16 @@ class Ctu:
         self.order_chroma = 0
         self.qp_delta_req = 0
         self.coeff_buf = [0] * (32 * 32)  # persistent (stale-read quirk)
+        self.qp_history = [[self.qpy] * 17, [self.qpy] * 17]
         from m2dec_tpu.codecs.h265.residual import qp_to_scale
 
         self.qp_scale = qp_to_scale(self.qpy, hdr.qpc_delta)
         self.neighbour_left = [Neighbour() for _ in range(NEIGHBOUR_NUM + 2)]
         self.neighbour_top = [Neighbour()
                               for _ in range(self.columns * NEIGHBOUR_NUM)]
+        from m2dec_tpu.codecs.h265.deblock import Deblocking
+
+        self.deblocking = Deblocking(self)
 
     # -- per-CTU --------------------------------------------------------
     def decode_ctu(self, r):
@@ -137,6 +141,7 @@ class Ctu:
                        self.neighbour_left, 2,
                        self.neighbour_top, self.pos_x * NEIGHBOUR_NUM,
                        self.neighbour_left[1].copy())
+        self.deblocking.deblock_ctu()
 
     def pos_increment(self):
         """ctu_pos_increment (h265.cpp:4802-4833). Returns done flag."""
@@ -328,6 +333,8 @@ class Ctu:
             if cbf:
                 self.transform_unit(r, size_log2, cbf, idx, pred_idx,
                                     offset_x, offset_y)
+            self.deblocking.record_tu_intra(self.qpy, size_log2,
+                                            offset_x, offset_y, unavail)
 
     def _intra_luma(self, size_log2, offset_x, offset_y, unavail,
                     valid_x, valid_y, pred_idx):

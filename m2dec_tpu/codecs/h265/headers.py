@@ -365,6 +365,8 @@ class SliceHeader:
     poc: int = 0
     qpc_delta: tuple = (0, 0)
     deblocking_disabled: int = 1
+    beta_offset_div2: int = 0
+    tc_offset_div2: int = 0
 
 
 def parse_slice_header(r: BitReader, nal_type: int, sps: Sps, pps: Pps,
@@ -398,11 +400,15 @@ def parse_slice_header(r: BitReader, nal_type: int, sps: Sps, pps: Pps,
         cr_off = r.se()
     h.qpc_delta = (cb_off + pps.cb_qp_offset, cr_off + pps.cr_qp_offset)
     h.deblocking_disabled = pps.deblocking_filter_disabled
+    # QUIRK: slice beta/tc offsets are only assigned in the override
+    # branch (slice_header_body, h265.cpp:896-903); without an override
+    # they stay zero-initialized — the PPS offsets are parsed but never
+    # reach the filter
+    h.beta_offset_div2 = 0
+    h.tc_offset_div2 = 0
     if pps.deblocking_filter_override_enabled:
         if r.get_onebit():
             raise NotImplementedError("deblocking override")
-    if not h.deblocking_disabled:
-        raise NotImplementedError("H.265 deblocking — next milestone")
     # byte alignment: skip to boundary, or a whole byte if aligned
     misalign = (-r._pos) % 8
     r.skip_bits(misalign if misalign else 8)

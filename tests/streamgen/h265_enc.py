@@ -52,7 +52,8 @@ class H265StreamGen:
                  qp=30, modes=M1_MODES, split_prob=0.4, nxn_prob=0.4,
                  cbf_prob=0.0, max_level=3, coeff_prob=0.2,
                  strong_smoothing=0, sign_data_hiding=0,
-                 transform_skip=0, tskip_prob=0.5):
+                 transform_skip=0, tskip_prob=0.5, deblock=0,
+                 beta_offset_div2=0, tc_offset_div2=0):
         self.w = width
         self.h = height
         self.rng = random.Random(seed)
@@ -66,6 +67,9 @@ class H265StreamGen:
         self.nxn_prob = nxn_prob
         self.strong_smoothing = strong_smoothing
         self.sign_data_hiding = sign_data_hiding
+        self.deblock = deblock
+        self.beta_offset_div2 = beta_offset_div2
+        self.tc_offset_div2 = tc_offset_div2
         self.transform_skip_enabled = transform_skip
         self.tskip_prob = tskip_prob
         self.cbf_prob = cbf_prob
@@ -175,7 +179,10 @@ class H265StreamGen:
         w.put_bits(0, 1)  # loop_filter_across_slices
         w.put_bits(1, 1)  # deblocking_filter_control_present
         w.put_bits(0, 1)  # deblocking_filter_override_enabled
-        w.put_bits(1, 1)  # pps_deblocking_filter_disabled
+        w.put_bits(0 if self.deblock else 1, 1)  # deblocking disabled
+        if self.deblock:
+            w.se(self.beta_offset_div2)
+            w.se(self.tc_offset_div2)
         w.put_bits(0, 1)  # pps_scaling_list_data_present
         w.put_bits(0, 1)  # lists_modification
         w.ue(0)  # log2_parallel_merge_level_minus2

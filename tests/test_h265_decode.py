@@ -144,3 +144,31 @@ def test_transform_skip(reference_bins, tmp_path):
              H265StreamGen(64, 48, seed=32, qp=14, cbf_prob=0.7,
                            modes=ALL_MODES, transform_skip=1,
                            split_prob=0.7, nxn_prob=0.8), 2)
+
+
+def test_deblocking(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=41, qp=30, cbf_prob=0.5,
+                           modes=ALL_MODES, deblock=1, max_level=1), 3)
+
+
+def test_deblocking_offsets_unused(reference_bins, tmp_path):
+    """PPS beta/tc offsets are parsed but never reach the filter
+    (slice_header_body quirk, h265.cpp:896-903)."""
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=42, qp=24, cbf_prob=0.5,
+                           modes=ALL_MODES, deblock=1, max_level=1,
+                           beta_offset_div2=3, tc_offset_div2=-2), 2)
+
+
+def test_deblocking_ctb32(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(96, 64, seed=43, qp=37, ctb_log2=5,
+                           cbf_prob=0.4, modes=ALL_MODES, deblock=1,
+                           max_level=1), 2)
