@@ -127,12 +127,18 @@ class Ctu:
         self.neighbour_top = [Neighbour()
                               for _ in range(self.columns * NEIGHBOUR_NUM)]
         from m2dec_tpu.codecs.h265.deblock import Deblocking
+        from m2dec_tpu.codecs.h265.sao import SaoMap
 
         self.deblocking = Deblocking(self)
+        self.sao_map = [SaoMap() for _ in range(self.columns * self.rows)]
 
     # -- per-CTU --------------------------------------------------------
     def decode_ctu(self, r):
-        """coding_tree_unit (h265.cpp:4734-4741); SAO must be disabled."""
+        """coding_tree_unit (h265.cpp:4734-4741)."""
+        if self.hdr.sao_luma or self.hdr.sao_chroma:
+            from m2dec_tpu.codecs.h265.sao import sao_read
+
+            sao_read(self, r)
         idx = self.idx_in_slice
         unavail = (((not self.pos_y or idx < self.columns) * 10)
                    | ((not self.pos_x or not idx) * 5) | 4)

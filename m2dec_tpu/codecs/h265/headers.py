@@ -367,6 +367,8 @@ class SliceHeader:
     deblocking_disabled: int = 1
     beta_offset_div2: int = 0
     tc_offset_div2: int = 0
+    sao_luma: int = 0
+    sao_chroma: int = 0
 
 
 def parse_slice_header(r: BitReader, nal_type: int, sps: Sps, pps: Pps,
@@ -390,7 +392,8 @@ def parse_slice_header(r: BitReader, nal_type: int, sps: Sps, pps: Pps,
     if nal_type not in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
         raise NotImplementedError("non-IDR slices (RPS/POC path)")
     if sps.sao_enabled:
-        raise NotImplementedError("SAO")
+        h.sao_luma = r.get_onebit()
+        h.sao_chroma = r.get_onebit()
     if h.slice_type != 2:
         raise NotImplementedError("P/B slices")
     h.slice_qpy = pps.init_qp + r.se()
@@ -498,6 +501,9 @@ class H265Decoder:
                         break
                     if ctu.cb.terminate(r):
                         break
+                from m2dec_tpu.codecs.h265.sao import sao_oneframe
+
+                sao_oneframe(ctu)
                 crop = (sps.cropping[0],
                         w - sps.pic_width + sps.cropping[1],
                         sps.cropping[2],

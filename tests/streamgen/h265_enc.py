@@ -53,7 +53,8 @@ class H265StreamGen:
                  cbf_prob=0.0, max_level=3, coeff_prob=0.2,
                  strong_smoothing=0, sign_data_hiding=0,
                  transform_skip=0, tskip_prob=0.5, deblock=0,
-                 beta_offset_div2=0, tc_offset_div2=0):
+                 beta_offset_div2=0, tc_offset_div2=0, sao=0,
+                 sao_max_offset=3):
         self.w = width
         self.h = height
         self.rng = random.Random(seed)
@@ -68,6 +69,8 @@ class H265StreamGen:
         self.strong_smoothing = strong_smoothing
         self.sign_data_hiding = sign_data_hiding
         self.deblock = deblock
+        self.sao = sao
+        self.sao_max_offset = sao_max_offset
         self.beta_offset_div2 = beta_offset_div2
         self.tc_offset_div2 = tc_offset_div2
         self.transform_skip_enabled = transform_skip
@@ -134,7 +137,7 @@ class H265StreamGen:
         w.ue(0)  # max_transform_hierarchy_depth_intra
         w.put_bits(0, 1)  # scaling_list_enabled
         w.put_bits(0, 1)  # amp_enabled
-        w.put_bits(0, 1)  # sao_enabled
+        w.put_bits(1 if self.sao else 0, 1)  # sao_enabled
         w.put_bits(0, 1)  # pcm_enabled
         # num_short_term_ref_pic_sets = 16: the reference sizes its
         # colocated-MV maps by the RPS count (set_second_frame,
@@ -196,12 +199,62 @@ class H265StreamGen:
         w.put_bits(0, 1)  # no_output_of_prior_pics (IRAP)
         w.ue(0)  # pps_id
         w.ue(2)  # slice_type I
+        if self.sao:
+            w.put_bits(1, 1)  # slice_sao_luma
+            w.put_bits(1, 1)  # slice_sao_chroma
         w.se(self.qp - (26 + (self.qp - 26 if self.qp >= 26 else 0)))
         # deblocking control present but override disabled; disabled in PPS
         # byte alignment (reference skips 8 when already aligned)
         misalign = (-w.nbits) % 8
         w.put_bits(1 << (misalign - 1) if misalign else 0x80,
                    misalign if misalign else 8)
+
+    # -- SAO emission ---------------------------------------------------
+    def _emit_sao_offsets(self, enc, idx, edge_class=None):
+        rng = self.rng
+        offs = [rng.randint(0, self.sao_max_offset) for _ in range(4)]
+        for o in offs:
+            for _ in range(o):
+                enc.bypass(1)
+            if o < 7:
+                enc.bypass(0)
+        if idx == 1:
+            for o in offs:
+                if o:
+                    enc.bypass(rng.randint(0, 1))  # sign
+            pos = rng.randrange(32)
+            enc.bypass((pos >> 4) & 1)
+            enc.bypass((pos >> 3) & 1)
+            enc.bypass((pos >> 2) & 1)
+            enc.bypass((pos >> 1) & 1)
+            enc.bypass(pos & 1)
+        elif edge_class is not None:
+            enc.bypass((edge_class >> 1) & 1)
+            enc.bypass(edge_class & 1)
+
+    def _emit_sao(self, enc, px, py):
+        rng = self.rng
+        if px:
+            merge = rng.random() < 0.3
+            enc.decision(HT.SAO_MERGE_FLAG, int(merge))
+            if merge:
+                return
+        if py:
+            merge = rng.random() < 0.3
+            enc.decision(HT.SAO_MERGE_FLAG, int(merge))
+            if merge:
+                return
+        for comp in (0, 1):
+            idx = rng.choice((0, 1, 1, 2, 2))
+            enc.decision(HT.SAO_TYPE_IDX, int(idx != 0))
+            if not idx:
+                continue
+            enc.bypass(idx - 1)
+            ec = rng.randrange(4) if idx == 2 else None
+            self._emit_sao_offsets(enc, idx, ec)
+            if comp == 1:  # second chroma elem
+                self._emit_sao_offsets(enc, idx,
+                                       None if idx == 2 else None)
 
     # -- CTU emission ---------------------------------------------------
     def _emit_cu(self, enc, size_log2, unavail, left, li, top, ti):
@@ -544,6 +597,8 @@ class H265StreamGen:
         ctb = 1 << self.ctb_log2
         for i in range(n_ctu):
             py, px = divmod(i, self.cols)
+            if self.sao:
+                self._emit_sao(enc, px, py)
             valid_x = self.w - px * ctb
             valid_y = min(self.h - py * ctb, ctb)
             self._emit_quad(enc, self.ctb_log2, valid_x, valid_y,

@@ -172,3 +172,39 @@ def test_deblocking_ctb32(reference_bins, tmp_path):
              H265StreamGen(96, 64, seed=43, qp=37, ctb_log2=5,
                            cbf_prob=0.4, modes=ALL_MODES, deblock=1,
                            max_level=1), 2)
+
+
+def test_sao(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=51, qp=30, cbf_prob=0.5,
+                           modes=ALL_MODES, sao=1, max_level=1), 3)
+
+
+def test_sao_ctb32(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(96, 64, seed=52, qp=35, ctb_log2=5,
+                           cbf_prob=0.4, modes=ALL_MODES, sao=1,
+                           max_level=1), 2)
+
+
+def test_sao_with_deblocking(reference_bins, tmp_path):
+    """Both in-loop filters: deblock per CTU, SAO whole-frame pass over
+    pre-SAO neighbour lines."""
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=53, qp=32, cbf_prob=0.5,
+                           modes=ALL_MODES, sao=1, deblock=1,
+                           max_level=1), 3)
+
+
+def test_sao_nonaligned(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(52, 36, seed=54, qp=30, cbf_prob=0.5,
+                           modes=ALL_MODES, sao=1, max_level=1), 2)
