@@ -171,3 +171,86 @@ def coeff_abs_level_remaining(cb, r, rice):
 def end_of_slice_segment_flag(cb, r):
     """Same arithmetic as the shared terminate (h265.cpp:1350-1365)."""
     return cb.terminate(r)
+
+
+# -- inter syntax (h265.cpp:1165-1260) --------------------------------
+
+def part_mode_inter(cb, r, size_log2, min_size_log2, amp_enabled):
+    def inter0():
+        if cb.decision(r, CT.PART_MODE):
+            return 0
+        return 2 - cb.decision(r, CT.PART_MODE + 1)
+
+    if min_size_log2 < size_log2:
+        if not amp_enabled:
+            return inter0()
+        base = inter0()
+        if base == 0 or cb.decision(r, CT.PART_MODE + 3):
+            return base
+        return (base + 1) * 2 + cb.bypass(r)
+    if size_log2 == 3:
+        return inter0()
+    base = inter0()
+    if base < 2:
+        return base
+    return base + (cb.decision(r, CT.PART_MODE + 2) ^ 1)
+
+
+def inter_pred_idc(cb, r, width, height, depth):
+    if width + height != 12 and cb.decision(r, CT.INTER_PRED_IDC + depth):
+        return 2
+    return cb.decision(r, CT.INTER_PRED_IDC + 4)
+
+
+def ref_idx_lx(cb, r, lx, num_ref_idx_minus1):
+    num = num_ref_idx_minus1[lx]
+    if num <= 0:
+        return 0
+    idx = 0
+    while idx < min(num, 2):
+        if not cb.decision(r, CT.REF_IDX_LX + idx):
+            return idx
+        idx += 1
+    while idx < num:
+        if not cb.bypass(r):
+            break
+        idx += 1
+    return idx
+
+
+def abs_mvd_greater_flag(cb, r, idx):
+    return cb.decision(r, CT.ABS_MVD_GREATER_FLAG + idx)
+
+
+def abs_mvd_minus2(cb, r):
+    bits = 0
+    while cb.bypass(r):
+        bits += 1
+    return (2 << bits) - 2 + cb.multibypass(r, bits + 1)
+
+
+def mvd_sign_flag(cb, r):
+    return cb.bypass(r)
+
+
+def mvp_lx_flag(cb, r):
+    return cb.decision(r, CT.MVP_FLAG)
+
+
+def mvd_coding(cb, r):
+    """mvd_coding (h265.cpp:3723-3740)."""
+    mvd0 = abs_mvd_greater_flag(cb, r, 0)
+    mvd1 = abs_mvd_greater_flag(cb, r, 0)
+    if mvd0:
+        mvd0 += abs_mvd_greater_flag(cb, r, 1)
+    if mvd1:
+        mvd1 += abs_mvd_greater_flag(cb, r, 1)
+
+    def suffix(v):
+        if v:
+            if 1 < v:
+                v += abs_mvd_minus2(cb, r)
+            v = -v if mvd_sign_flag(cb, r) else v
+        return v
+
+    return suffix(mvd0), suffix(mvd1)

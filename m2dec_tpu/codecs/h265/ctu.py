@@ -38,16 +38,41 @@ INTRA_ANGULAR26 = 26
 NEIGHBOUR_NUM = 16  # H265D_NEIGHBOUR_NUM: 4x4 columns per 64-wide CTU
 
 
+class PredInfo:
+    """pred_info_t: per-4x4 inter prediction record."""
+
+    __slots__ = ("ref_idx", "mv")
+
+    def __init__(self):
+        self.ref_idx = [-1, -1]
+        self.mv = [[0, 0], [0, 0]]
+
+    def copy(self):
+        p = PredInfo()
+        p.ref_idx = list(self.ref_idx)
+        p.mv = [list(self.mv[0]), list(self.mv[1])]
+        return p
+
+    def same(self, other):
+        return self.ref_idx == other.ref_idx and self.mv == other.mv
+
+
 @dataclasses.dataclass
 class Neighbour:
     skip: int = 0
     pu_intra: int = 1
     pred_mode: int = INTRA_DC
     depth: int = 0
+    pu_nonzero_coef: int = 0
+    tu_intra: int = 1
+    tu_nonzero_coef: int = 0
+    pred: PredInfo = dataclasses.field(default_factory=PredInfo)
 
     def copy(self):
-        return Neighbour(self.skip, self.pu_intra, self.pred_mode,
-                         self.depth)
+        n = Neighbour(self.skip, self.pu_intra, self.pred_mode,
+                      self.depth, self.pu_nonzero_coef, self.tu_intra,
+                      self.tu_nonzero_coef, self.pred.copy())
+        return n
 
 
 def _neighbour_init(arr):
@@ -219,10 +244,13 @@ class Ctu:
             self.coding_unit_header(size_log2, left_arr, left_i,
                                     top_arr, top_i)
             if self.hdr.slice_type < 2:
-                raise NotImplementedError("H.265 inter CU")
-            self.pred_intra(r, size_log2, unavail, offset_x, offset_y,
-                            valid_x, valid_y, left_arr, left_i,
-                            top_arr, top_i)
+                self.pred_inter(r, size_log2, unavail, offset_x,
+                                offset_y, valid_x, valid_y, left_arr,
+                                left_i, top_arr, top_i, lefttop)
+            else:
+                self.pred_intra(r, size_log2, unavail, offset_x,
+                                offset_y, valid_x, valid_y, left_arr,
+                                left_i, top_arr, top_i)
 
     def coding_unit_header(self, size_log2, left_arr, left_i,
                            top_arr, top_i):
@@ -237,6 +265,16 @@ class Ctu:
             top_arr[top_i + i].depth = depth
         if self.pps.cu_qp_delta_enabled:
             self.qp_delta_req = 1
+
+    # -- inter CU (pred_inter, h265.cpp:4044-4073) ----------------------
+    def pred_inter(self, r, size_log2, unavail, offset_x, offset_y,
+                   valid_x, valid_y, left_arr, left_i, top_arr, top_i,
+                   lefttop):
+        from m2dec_tpu.codecs.h265 import inter_cu
+
+        inter_cu.pred_inter(self, r, size_log2, unavail, offset_x,
+                            offset_y, valid_x, valid_y, left_arr,
+                            left_i, top_arr, top_i, lefttop)
 
     # -- intra CU -------------------------------------------------------
     def pred_intra(self, r, size_log2, unavail, offset_x, offset_y,
@@ -265,33 +303,43 @@ class Ctu:
             self.order_luma[i] = mode
             pred_flag >>= 1
             for k in range(neighbour_num):
-                left_arr[lt + k].pred_mode = mode
-                left_arr[lt + k].pu_intra = 1
-                top_arr[tt + k].pred_mode = mode
-                top_arr[tt + k].pu_intra = 1
+                for nb in (left_arr[lt + k], top_arr[tt + k]):
+                    nb.pred_mode = mode
+                    nb.tu_intra = 1
+                    nb.pu_intra = 1
+                    nb.skip = 0
         if part_num != 4:
             self.order_luma[1:] = [self.order_luma[0]] * 3
         chroma_idx = C.intra_chroma_pred_mode(cb, r)
         self.order_chroma = intra_chroma_pred_dir(chroma_idx,
                                                   self.order_luma[0])
         self.transform_tree(r, size_log2, unavail, 0, 3, offset_x,
-                            valid_x, offset_y, valid_y, 0, 0)
+                            valid_x, offset_y, valid_y, 0, 0, True,
+                            left_arr, left_i, top_arr, top_i)
 
     # -- transform tree (intra path) ------------------------------------
     def transform_tree(self, r, size_log2, unavail, depth, upper_cbf_cbcr,
-                       offset_x, valid_x, offset_y, valid_y, idx, pred_idx):
-        """transform_tree (h265.cpp:3026-3076), intra-only path."""
+                       offset_x, valid_x, offset_y, valid_y, idx, pred_idx,
+                       is_intra=True, left_arr=None, left_i=0,
+                       top_arr=None, top_i=0):
+        """transform_tree (h265.cpp:3026-3076)."""
         cb = self.cb
         # transform_split_decision (h265.cpp:2919-2939)
         if self.transform_log2 < size_log2:
             split = 1
-        elif depth == 0 and self.intra_split:
-            split = 2
+        elif is_intra:
+            if depth == 0 and self.intra_split:
+                split = 2
+            elif (self.transform_log2_min < size_log2 and depth
+                  < self.sps.max_transform_hierarchy_depth_intra):
+                split = C.split_transform_flag(cb, r, size_log2)
+            else:
+                split = 0
         elif (self.transform_log2_min < size_log2
-              and depth < self.sps.max_transform_hierarchy_depth_intra):
+              and depth < self.sps.max_transform_hierarchy_depth_inter):
             split = C.split_transform_flag(cb, r, size_log2)
         else:
-            split = 0
+            split = (depth == 0) and self.intra_split
         # cbf_chroma_update (h265.cpp:2945-2956)
         if 2 < size_log2:
             cbf = (C.cbf_chroma(cb, r, depth) * 2
@@ -303,44 +351,69 @@ class Ctu:
         if split:
             pi, pinc = (0, 1) if split == 2 else (pred_idx, 0)
             size_log2 -= 1
-            if size_log2 == 2:
+            if is_intra and size_log2 == 2:
                 # 4x4 split: chroma is predicted once at 8x8
                 self._intra_chroma(size_log2, offset_x, offset_y,
                                    unavail, valid_x, valid_y)
             depth += 1
             block_len = 1 << size_log2
+            blen = 1 << (size_log2 - 2)
             self.transform_tree(r, size_log2, unavail, depth, cbf,
                                 offset_x, valid_x, offset_y, valid_y,
-                                0, pi)
+                                0, pi, is_intra, left_arr, left_i,
+                                top_arr, top_i)
             pi += pinc
             self.transform_tree(r, size_log2, unavail & ~1, depth, cbf,
                                 offset_x + block_len, valid_x - block_len,
-                                offset_y, _minu(valid_y, block_len), 1, pi)
+                                offset_y, _minu(valid_y, block_len), 1, pi,
+                                is_intra, left_arr, left_i,
+                                top_arr, top_i + blen)
             pi += pinc
             self.transform_tree(r, size_log2, unavail & ~2, depth, cbf,
                                 offset_x, _minu(valid_x, block_len * 2),
                                 offset_y + block_len, valid_y - block_len,
-                                2, pi)
+                                2, pi, is_intra, left_arr, left_i + blen,
+                                top_arr, top_i)
             pi += pinc
             self.transform_tree(r, size_log2, 0, depth, cbf,
                                 offset_x + block_len,
                                 _minu(valid_x - block_len, block_len),
                                 offset_y + block_len,
                                 _minu(valid_y - block_len, block_len),
-                                3, pi)
+                                3, pi, is_intra, left_arr, left_i + blen,
+                                top_arr, top_i + blen)
         else:
-            self._intra_luma(size_log2, offset_x, offset_y, unavail,
-                             valid_x, valid_y, pred_idx)
-            cbf = cbf * 2 | C.cbf_luma(cb, r, depth)
+            if is_intra:
+                self._intra_luma(size_log2, offset_x, offset_y, unavail,
+                                 valid_x, valid_y, pred_idx)
+            if is_intra or depth or cbf:
+                cbf = cbf * 2 | C.cbf_luma(cb, r, depth)
+            else:
+                cbf = cbf * 2 | 1
             if self.qp_delta_req:
                 self.qp_delta_req = 0
                 if self.pps.cu_qp_delta_enabled:
                     raise NotImplementedError("cu_qp_delta")
             if cbf:
                 self.transform_unit(r, size_log2, cbf, idx, pred_idx,
-                                    offset_x, offset_y)
-            self.deblocking.record_tu_intra(self.qpy, size_log2,
-                                            offset_x, offset_y, unavail)
+                                    offset_x, offset_y, is_intra)
+            if is_intra:
+                self.deblocking.record_tu_intra(self.qpy, size_log2,
+                                                offset_x, offset_y,
+                                                unavail)
+            else:
+                self.deblocking.record_tu(self.qpy, size_log2, offset_x,
+                                          offset_y, unavail, cbf & 1,
+                                          left_arr, left_i, top_arr,
+                                          top_i)
+                num = 1 << (size_log2 - 2)
+                for k in range(num):
+                    for arr, i0 in ((left_arr, left_i), (top_arr, top_i)):
+                        nb = arr[i0 + k]
+                        nb.pu_nonzero_coef = cbf & 1
+                        nb.tu_intra = 0
+                        nb.tu_nonzero_coef = cbf & 1
+                        nb.pu_intra = 0
 
     def _intra_luma(self, size_log2, offset_x, offset_y, unavail,
                     valid_x, valid_y, pred_idx):
@@ -371,17 +444,17 @@ class Ctu:
                           vx, vy, self.order_chroma, False, False)
 
     def transform_unit(self, r, size_log2, cbf, idx, pred_idx,
-                       offset_x, offset_y):
-        """transform_unit (h265.cpp:2246-2270), intra path."""
+                       offset_x, offset_y, is_intra=True):
+        """transform_unit (h265.cpp:2246-2270)."""
         from m2dec_tpu.codecs.h265 import residual as RES
 
         y0 = (self.pos_y << self.size_log2) + offset_y
         x0 = (self.pos_x << self.size_log2) + offset_x
         if cbf & 1:
             order = RES.order_map(self.order_luma[pred_idx]) \
-                if size_log2 <= 3 else 0
+                if (is_intra and size_log2 <= 3) else 0
             RES.residual_coding(self, r, size_log2, 0, self.frame["y"],
-                                y0, x0, order, True)
+                                y0, x0, order, is_intra)
         if cbf & 6:
             if 2 < size_log2:
                 size_log2 -= 1
@@ -390,8 +463,8 @@ class Ctu:
             else:
                 x0 -= 4
                 y0 -= 4
-            order = RES.order_map(self.order_chroma) if size_log2 == 2 \
-                else 0
+            order = RES.order_map(self.order_chroma) \
+                if (is_intra and size_log2 == 2) else 0
             if cbf & 4:
                 RES.residual_coding(self, r, size_log2, 1,
                                     self.frame["cb"], y0 >> 1, x0 >> 1,

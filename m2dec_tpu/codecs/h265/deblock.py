@@ -72,6 +72,106 @@ class Deblocking:
         for k in range(length):
             bnd[base + k * ygap][1] = (qp + hist[org_y + k]) >> 1
             bnd[base + k * ygap][0] = 2
+    @staticmethod
+    def _strength_tu(nb):
+        return 2 if nb.tu_intra else (1 if nb.tu_nonzero_coef else 0)
+
+    def _record_tu_onedir(self, qpy, dirn, offset_x, offset_y, unavail,
+                          length, strength, arr, i0):
+        if (offset_x & 7) or (offset_x == 0 and ((unavail >> dirn) & 1)):
+            return
+        base, ygap, org_y = self._fill_base(dirn, offset_x, offset_y)
+        qp = qpy + 1
+        hist = self.ctu.qp_history[dirn]
+        bnd = self.boundary[dirn]
+        for k in range(length):
+            e = bnd[base + k * ygap]
+            e[1] = (qp + hist[org_y + k]) >> 1
+            e[0] = max(e[0], max(strength, self._strength_tu(arr[i0 + k])))
+
+    def record_tu(self, qpy, size_log2, offset_x, offset_y, unavail,
+                  strength, left_arr, left_i, top_arr, top_i):
+        """record_tu (h265modules.h:629-637)."""
+        if self.disabled:
+            return
+        length = 1 << (size_log2 - 2)
+        self._record_tu_onedir(qpy, 0, offset_x, offset_y, unavail,
+                               length, strength, left_arr, left_i)
+        self._record_tu_onedir(qpy, 1, offset_y, offset_x, unavail,
+                               length, strength, top_arr, top_i)
+
+    @staticmethod
+    def _mv_diff_large(a, b):
+        return ((a[0] - b[0]) ** 2 >= 16) or ((a[1] - b[1]) ** 2 >= 16)
+
+    def _inter_strength(self, nfrm0, nfrm1, cfrm0, cfrm1, n_mv, c_mv,
+                        n_swapped, c_swapped):
+        """inter_strength (h265modules.h:531-545)."""
+        if nfrm0 != cfrm0 or nfrm1 != cfrm1:
+            return 1
+        if nfrm0 == nfrm1:
+            return int(
+                (self._mv_diff_large(n_mv[0], c_mv[0])
+                 or self._mv_diff_large(n_mv[1], c_mv[1]))
+                and (self._mv_diff_large(n_mv[0], c_mv[1])
+                     or self._mv_diff_large(n_mv[1], c_mv[0])))
+        return int(
+            (nfrm0 >= 0 and self._mv_diff_large(n_mv[n_swapped],
+                                                c_mv[c_swapped]))
+            or (nfrm1 >= 0 and self._mv_diff_large(n_mv[n_swapped ^ 1],
+                                                   c_mv[c_swapped ^ 1])))
+
+    def _refidx_to_frameidx(self, refidx, lx):
+        return (self.ctu.hdr.ref_list[lx][refidx][1]
+                if refidx >= 0 else -1)
+
+    def _record_pu_onedir(self, qpy, dirn, offset_x, offset_y, unavail,
+                          length, arr, i0, refidx0, refidx1, mvxy):
+        if (offset_x & 7) or (offset_x == 0 and ((unavail >> dirn) & 1)):
+            return
+        frm0 = self._refidx_to_frameidx(refidx0, 0)
+        frm1 = self._refidx_to_frameidx(refidx1, 1)
+        c_swapped = 0
+        if frm0 < frm1:
+            frm0, frm1 = frm1, frm0
+            c_swapped = 1
+        base, ygap, org_y = self._fill_base(dirn, offset_x, offset_y)
+        qp = qpy + 1
+        hist = self.ctu.qp_history[dirn]
+        bnd = self.boundary[dirn]
+        for i in range(length >> 2):
+            e = bnd[base + i * ygap]
+            e[1] = (qp + hist[org_y + i]) >> 1
+            nb = arr[i0 + i]
+            if nb.pu_intra:
+                s = 2
+            elif nb.pu_nonzero_coef:
+                s = 1
+            else:
+                nfrm0 = self._refidx_to_frameidx(nb.pred.ref_idx[0], 0)
+                nfrm1 = self._refidx_to_frameidx(nb.pred.ref_idx[1], 1)
+                n_swapped = 0
+                if nfrm0 < nfrm1:
+                    nfrm0, nfrm1 = nfrm1, nfrm0
+                    n_swapped = 1
+                s = self._inter_strength(nfrm0, nfrm1, frm0, frm1,
+                                         nb.pred.mv, mvxy, c_swapped,
+                                         n_swapped)
+            e[0] = s
+
+    def record_pu(self, qpy, width, height, offset_x, offset_y, unavail,
+                  left_arr, left_i, top_arr, top_i, refidx0, refidx1,
+                  mvxy):
+        """record_pu (h265modules.h:639-647)."""
+        if self.disabled:
+            return
+        self._record_pu_onedir(qpy, 0, offset_x, offset_y, unavail,
+                               height, left_arr, left_i, refidx0,
+                               refidx1, mvxy)
+        self._record_pu_onedir(qpy, 1, offset_y, offset_x, unavail,
+                               width, top_arr, top_i, refidx0, refidx1,
+                               mvxy)
+
     def record_tu_intra(self, qpy, size_log2, offset_x, offset_y, unavail):
         """record_tu_intra (h265modules.h:620-627)."""
         if self.disabled:

@@ -369,14 +369,20 @@ class SliceHeader:
     tc_offset_div2: int = 0
     sao_luma: int = 0
     sao_chroma: int = 0
+    num_ref_idx_minus1: list = dataclasses.field(
+        default_factory=lambda: [0, 0])
+    ref_list: list = dataclasses.field(
+        default_factory=lambda: [[], []])  # [lx][i] = (poc, frame_idx)
+    max_num_merge_cand: int = 5
+    mvd_l1_zero: int = 0
+    temporal_mvp: int = 0
 
 
-def parse_slice_header(r: BitReader, nal_type: int, sps: Sps, pps: Pps,
+def parse_slice_header(r: BitReader, nal_type: int, dec,
                        sps_store, pps_store) -> SliceHeader:
-    """slice_header (h265.cpp:913-938 + slice_header_body :858-911),
-    restricted to the implemented I-slice feature set; ends with the
-    reference's alignment skip (skip `not_aligned_bits` or a full byte
-    when already aligned, h265.cpp:935-936)."""
+    """slice_header (h265.cpp:913-938 + slice_header_body :858-911);
+    ends with the reference's alignment skip (skip `not_aligned_bits`
+    or a full byte when already aligned, h265.cpp:935-936)."""
     h = SliceHeader(nal_type=nal_type)
     h.first_slice = r.get_onebit()
     if not h.first_slice:
@@ -389,13 +395,58 @@ def parse_slice_header(r: BitReader, nal_type: int, sps: Sps, pps: Pps,
     h.slice_type = r.ue()
     if pps.output_flag_present:
         r.get_onebit()
-    if nal_type not in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
-        raise NotImplementedError("non-IDR slices (RPS/POC path)")
+    if nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+        dec.poc_lsb = 0
+        dec.poc_msb = 0
+        h.poc = 0
+        rps = None
+    else:
+        # slice_header_nonidr (h265.cpp:752-780) + POC update
+        lsb = r.get_bits(sps.log2_max_poc_lsb)
+        max_lsb_div2 = 1 << (sps.log2_max_poc_lsb - 1)
+        prev = dec.poc_lsb
+        if lsb < prev and max_lsb_div2 <= prev - lsb:
+            dec.poc_msb += 1
+        elif prev < lsb and max_lsb_div2 < lsb - prev:
+            dec.poc_msb -= 1
+        dec.poc_lsb = lsb
+        h.poc = (dec.poc_msb << sps.log2_max_poc_lsb) + lsb
+        if r.get_onebit():  # short_term_ref_pic_set_sps_flag
+            idx = 0
+            n = len(sps.short_term_rps)
+            if n > 1:
+                # QUIRK: the reference's log2ceil is bit-length
+                # (h265.cpp:523-534): 16 sets -> 5 index bits
+                idx = r.get_bits(n.bit_length())
+            rps = sps.short_term_rps[idx]
+        else:
+            raise NotImplementedError("slice-local RPS")
+        h.temporal_mvp = r.get_onebit() if sps.temporal_mvp_enabled else 0
     if sps.sao_enabled:
         h.sao_luma = r.get_onebit()
         h.sao_chroma = r.get_onebit()
     if h.slice_type != 2:
-        raise NotImplementedError("P/B slices")
+        # slice_header_nonintra (h265.cpp:826-857)
+        if r.get_onebit():  # num_ref_idx override
+            h.num_ref_idx_minus1[0] = r.ue()
+            if h.slice_type == 0:
+                h.num_ref_idx_minus1[1] = r.ue()
+        else:
+            h.num_ref_idx_minus1 = [pps.num_ref_idx_l0_default - 1,
+                                    pps.num_ref_idx_l1_default - 1]
+        if pps.lists_modification_present and rps.total_curr > 1:
+            raise NotImplementedError("ref list modification")
+        _init_ref_pic_list(h, rps, dec)
+        if h.slice_type == 0:
+            h.mvd_l1_zero = r.get_onebit()
+        if pps.cabac_init_present:
+            h.cabac_init_flag = r.get_onebit()
+        if h.temporal_mvp:
+            raise NotImplementedError("temporal MVP colocated refs")
+        if (h.slice_type == 0 and pps.weighted_bipred) or \
+                (h.slice_type == 1 and pps.weighted_pred):
+            raise NotImplementedError("weighted prediction")
+        h.max_num_merge_cand = 5 - r.ue()
     h.slice_qpy = pps.init_qp + r.se()
     cb_off, cr_off = 0, 0
     if pps.slice_chroma_qp_offsets_present:
@@ -418,6 +469,41 @@ def parse_slice_header(r: BitReader, nal_type: int, sps: Sps, pps: Pps,
     return h
 
 
+def _init_ref_pic_list(h, rps, dec):
+    """init_ref_pic_list (h265.cpp:807-824).
+
+    QUIRKS mirrored: the first per-iteration fill always writes from
+    list offset 0 (`list[lx]`, not `list[lx] + idx`); entries whose
+    used_by_curr bit is 0 are counted but never written, leaving the
+    previous slice's values in place (persistent dec.ref_list_state)."""
+    def find_frame_idx(poc):
+        for p, fi, _ in dec.dpb:
+            if p == poc:
+                return fi
+        return dec.dpb[0][1] if dec.dpb else 0
+
+    sides = ((rps.neg, rps.used_neg), (rps.pos, rps.used_pos))
+    for lx in (0, 1):
+        num_tmp = max(h.num_ref_idx_minus1[lx] + 1, rps.total_curr)
+        lst = dec.ref_list_state[lx]
+
+        def fill(side, base, rest):
+            deltas, used = sides[side]
+            i = 0
+            while i < len(deltas) and i < rest:
+                if (used >> i) & 1:
+                    poc = h.poc + deltas[i]
+                    lst[base + i] = (poc, find_frame_idx(poc))
+                i += 1
+            return i
+
+        idx = 0
+        while idx < num_tmp:
+            idx += fill(lx, 0, num_tmp - idx)
+            idx += fill(lx ^ 1, idx, num_tmp - idx)
+        h.ref_list[lx] = lst
+
+
 class H265Decoder:
     """NAL walker + parameter sets + CTU decode (h265d_data_t parity).
 
@@ -428,8 +514,13 @@ class H265Decoder:
         self.vps = None
         self.sps_store = {}
         self.pps_store = {}
-        self.frames = []  # decoded pictures in decode order
-        self.pocs = []
+        self.pool = None  # 8-frame pool (H265D_MAX_FRAME_NUM)
+        self.lru = [0] * 8
+        self.dpb = []  # (poc, frame_idx, is_idr), POC-sorted
+        self.poc_lsb = 0
+        self.poc_msb = 0
+        # persistent h2d ref_list storage (stale-entry quirk)
+        self.ref_list_state = [[(0, 0)] * 16, [(0, 0)] * 16]
 
     def set_data(self, data: bytes):
         self.data = bytes(data)
@@ -459,15 +550,45 @@ class H265Decoder:
             seen.append(nal_type)
         return seen
 
+    def _find_empty_frame(self):
+        """find_empty_frame LRU (h265.cpp:180-204)."""
+        in_dpb = {fi for _, fi, _ in self.dpb}
+        for i in range(len(self.pool)):
+            self.lru[i] = 0 if i in in_dpb else self.lru[i] + 1
+        best = max(range(len(self.pool)), key=lambda i: (self.lru[i],
+                                                         -i))
+        self.lru[best] = 0
+        return best
+
+    def _insert_dpb(self, frame_idx, poc, is_idr, out, emit):
+        """insert_dpb (h265.cpp:4931-4951): POC-sorted, max 16."""
+        if 16 <= len(self.dpb):
+            emit(self.dpb.pop(0)[1], out)
+        import bisect
+
+        pocs = [e[0] for e in self.dpb]
+        self.dpb.insert(bisect.bisect_right(pocs, poc),
+                        (poc, frame_idx, is_idr))
+
     def decode_all(self):
         """Decode every slice NAL; returns DecodedFrames in output order
-        (DPB POC order — insert_dpb keeps POC-sorted, h265.cpp:4931)."""
+        (DPB POC-sorted pops, h265.cpp:4953-5008)."""
         import numpy as np
 
         from m2dec_tpu.codecs.h265.ctu import Ctu
+        from m2dec_tpu.codecs.h265.sao import sao_oneframe
         from m2dec_tpu.codecs.mpeg2.decoder import DecodedFrame
 
         out = []
+        geom = {}
+
+        def emit(frame_idx, out_list):
+            f = self.pool[frame_idx]
+            w, hgt, crop = geom["w"], geom["h"], geom["crop"]
+            out_list.append(DecodedFrame(
+                y=f["y"].copy(), cb=f["cb"].copy(), cr=f["cr"].copy(),
+                width=w, height=hgt, crop=crop, cnt=f["poc"]))
+
         for nal_type, payload in self._nal_payloads():
             r = BitReader(payload)
             if nal_type == NAL_VPS:
@@ -480,7 +601,7 @@ class H265Decoder:
                 self.pps_store[p.id] = p
             elif nal_type in (NAL_TRAIL_N, NAL_TRAIL_R, NAL_IDR_W_RADL,
                               NAL_IDR_N_LP):
-                hdr = parse_slice_header(r, nal_type, None, None,
+                hdr = parse_slice_header(r, nal_type, self,
                                          self.sps_store, self.pps_store)
                 pps = self.pps_store[hdr.pps_id]
                 sps = self.sps_store[pps.sps_id]
@@ -488,12 +609,24 @@ class H265Decoder:
                 cols = (sps.pic_width + (1 << log2) - 1) >> log2
                 rows = (sps.pic_height + (1 << log2) - 1) >> log2
                 w, hgt = cols << log2, rows << log2
-                frame = {
-                    "y": np.zeros((hgt, w), np.uint8),
-                    "cb": np.zeros((hgt >> 1, w >> 1), np.uint8),
-                    "cr": np.zeros((hgt >> 1, w >> 1), np.uint8),
-                }
+                if self.pool is None:
+                    self.pool = [{
+                        "y": np.zeros((hgt, w), np.uint8),
+                        "cb": np.zeros((hgt >> 1, w >> 1), np.uint8),
+                        "cr": np.zeros((hgt >> 1, w >> 1), np.uint8),
+                        "poc": 0,
+                    } for _ in range(8)]
+                    geom["w"], geom["h"] = w, hgt
+                    geom["crop"] = (
+                        sps.cropping[0],
+                        w - sps.pic_width + sps.cropping[1],
+                        sps.cropping[2],
+                        hgt - sps.pic_height + sps.cropping[3])
+                cur = self._find_empty_frame()
+                frame = self.pool[cur]
+                frame["poc"] = hdr.poc
                 ctu = Ctu(sps, pps, hdr, frame)
+                ctu.ref_frames = self.pool
                 ctu.cb.init_engine(r)
                 while True:
                     ctu.decode_ctu(r)
@@ -501,15 +634,10 @@ class H265Decoder:
                         break
                     if ctu.cb.terminate(r):
                         break
-                from m2dec_tpu.codecs.h265.sao import sao_oneframe
-
                 sao_oneframe(ctu)
-                crop = (sps.cropping[0],
-                        w - sps.pic_width + sps.cropping[1],
-                        sps.cropping[2],
-                        hgt - sps.pic_height + sps.cropping[3])
-                out.append(DecodedFrame(
-                    y=frame["y"], cb=frame["cb"], cr=frame["cr"],
-                    width=w, height=hgt, crop=crop, cnt=hdr.poc))
-        out.sort(key=lambda f: f.cnt)
+                self._insert_dpb(cur, hdr.poc,
+                                 nal_type in (NAL_IDR_W_RADL,
+                                              NAL_IDR_N_LP), out, emit)
+        while self.dpb:
+            emit(self.dpb.pop(0)[1], out)
         return out

@@ -1,0 +1,209 @@
+"""H.265 inter CU decode: skip/merge/AMVP prediction units
+(reference pred_inter + prediction_unit*, h265.cpp:3572-4073).
+
+Milestone scope: P slices with 2Nx2N partitions; merge candidates are
+the spatial A1/B1/B0/A0/B2 set plus zero-MV padding (temporal MVP off).
+AMVP follows the reference's two-spatial + zero fallback (the temporal
+candidate requires slice_temporal_mvp which crashes the reference when
+off at the colpics deref — see prediction_unit, h265.cpp:4030).
+"""
+
+from __future__ import annotations
+
+from m2dec_tpu.codecs.h265 import cabac as C
+from m2dec_tpu.codecs.h265 import inter as IP
+from m2dec_tpu.codecs.h265.ctu import PredInfo
+
+
+def _merge_available(cx, cy, px, py, shift):
+    return ((cx >> shift) != (px >> shift)) or ((cy >> shift)
+                                                != (py >> shift))
+
+
+def _add_merge_candidate(lst, cx, cy, nx, ny, par, nb):
+    if not nb.pu_intra and _merge_available(cx, cy, nx, ny, par):
+        for p in lst:
+            if p.same(nb.pred):
+                return
+        lst.append(nb.pred.copy())
+
+
+def _merge_zero_mv(ctu, idx, num):
+    hdr = ctu.hdr
+    p_slice = hdr.slice_type > 0
+    if p_slice:
+        nri = hdr.num_ref_idx_minus1[0] + 1
+    else:
+        nri = min(hdr.num_ref_idx_minus1[0],
+                  hdr.num_ref_idx_minus1[1]) + 1
+    m = idx - num
+    ref = m if m < nri else 0
+    p = PredInfo()
+    p.ref_idx = [ref, -1 if p_slice else ref]
+    return p
+
+
+def merge_list(ctu, idx, unavail, offset_x, offset_y, width, height,
+               left_arr, left_i, top_arr, top_i, lefttop):
+    """prediction_unit_merge candidate derivation
+    (h265.cpp:3690-3719)."""
+    par = ctu.pps.log2_parallel_merge_level
+    lst = []
+    ox, oy = offset_x, offset_y
+    if not (unavail & 1):
+        _add_merge_candidate(lst, ox, oy, ox - 1, oy + height - 1, par,
+                             left_arr[left_i + (height >> 2) - 1])
+    if len(lst) <= idx:
+        if not (unavail & 2):
+            _add_merge_candidate(lst, ox, oy, ox + width - 1, oy - 1,
+                                 par, top_arr[top_i + (width >> 2) - 1])
+        if not (unavail & 8):
+            _add_merge_candidate(lst, ox, oy, ox + width, oy - 1, par,
+                                 top_arr[top_i + (width >> 2)])
+        if not (unavail & 4):
+            _add_merge_candidate(lst, ox, oy, ox - 1, oy + height, par,
+                                 left_arr[left_i + (height >> 2)])
+        if len(lst) <= idx and len(lst) < 4:
+            _add_merge_candidate(lst, ox, oy, ox - 1, oy - 1, par,
+                                 lefttop)
+    # temporal candidate skipped (tmvp off); combined-bidir is B-only
+    while len(lst) <= idx:
+        lst.append(_merge_zero_mv(ctu, idx, len(lst)))
+    return lst[idx]
+
+
+def _pred_onedir(ctu, lx, ref_idx, mv, offset_x, offset_y, width,
+                 height):
+    """inter_pred_onedir math: returns (luma_vals, lshift, cb, cr)."""
+    sps = ctu.sps
+    frame = ctu.ref_frames[ctu.hdr.ref_list[lx][ref_idx][1]]
+    xpos = (ctu.pos_x << ctu.size_log2) + offset_x
+    ypos = (ctu.pos_y << ctu.size_log2) + offset_y
+    lv, ls = IP.interp_luma(frame["y"], xpos, ypos, width, height,
+                            mv[0], mv[1], sps.pic_width, sps.pic_height)
+    cbv, crv = IP.interp_chroma(frame["cb"], frame["cr"], xpos, ypos,
+                                width, height, mv[0], mv[1],
+                                sps.pic_width, sps.pic_height)
+    return lv, ls, cbv, crv
+
+
+def motion_compensate(ctu, pred, offset_x, offset_y, width, height,
+                      no_bidir=False):
+    """merge_pred's MC half (h265.cpp:3572-3596)."""
+    y0 = (ctu.pos_y << ctu.size_log2) + offset_y
+    x0 = (ctu.pos_x << ctu.size_log2) + offset_x
+    ref0, ref1 = pred.ref_idx
+    if ref0 >= 0 and ref1 >= 0 and not no_bidir:
+        lv0, ls0, cb0, cr0 = _pred_onedir(ctu, 0, ref0, pred.mv[0],
+                                          offset_x, offset_y, width,
+                                          height)
+        lv1, ls1, cb1, cr1 = _pred_onedir(ctu, 1, ref1, pred.mv[1],
+                                          offset_x, offset_y, width,
+                                          height)
+        IP.writeback_bidir(ctu.frame["y"], y0, x0,
+                           IP.to_bidir(lv0, ls0), lv1, ls1)
+        IP.writeback_bidir(ctu.frame["cb"], y0 >> 1, x0 >> 1,
+                           IP.to_bidir(cb0, 12), cb1, 12)
+        IP.writeback_bidir(ctu.frame["cr"], y0 >> 1, x0 >> 1,
+                           IP.to_bidir(cr0, 12), cr1, 12)
+    else:
+        lx = 0 if ref0 >= 0 else 1
+        ref = ref0 if ref0 >= 0 else ref1
+        lv, ls, cbv, crv = _pred_onedir(ctu, lx, ref, pred.mv[lx],
+                                        offset_x, offset_y, width,
+                                        height)
+        IP.store_onedir(ctu.frame["y"], y0, x0, lv, ls)
+        IP.store_onedir(ctu.frame["cb"], y0 >> 1, x0 >> 1, cbv, 12)
+        IP.store_onedir(ctu.frame["cr"], y0 >> 1, x0 >> 1, crv, 12)
+
+
+def _copy_predinfo(arr, i0, length, pred, no_bidir, skip):
+    for k in range(length >> 2):
+        nb = arr[i0 + k]
+        nb.pu_nonzero_coef = 0
+        nb.pu_intra = 0
+        nb.skip = skip
+        nb.pred = pred.copy()
+        if no_bidir:
+            nb.pred.ref_idx[1] = -1
+
+
+def prediction_unit_merge(ctu, r, unavail, offset_x, offset_y, width,
+                          height, left_arr, left_i, top_arr, top_i,
+                          lefttop, skip_unused):
+    idx = C.merge_idx(ctu.cb, r, ctu.hdr.max_num_merge_cand)
+    pred = merge_list(ctu, idx, unavail, offset_x, offset_y, width,
+                      height, left_arr, left_i, top_arr, top_i, lefttop)
+    no_bidir = (pred.ref_idx[0] >= 0 and pred.ref_idx[1] >= 0
+                and width + height == 12)
+    motion_compensate(ctu, pred, offset_x, offset_y, width, height,
+                      no_bidir)
+    ctu.deblocking.record_pu(ctu.qpy, width, height, offset_x, offset_y,
+                             unavail, left_arr, left_i, top_arr, top_i,
+                             pred.ref_idx[0],
+                             -1 if no_bidir else pred.ref_idx[1],
+                             pred.mv)
+    # copy_predinfo always marks skip=1; the caller's mode fill then
+    # sets the final skip value (h265.cpp:3119-3131, 4049-4060)
+    _copy_predinfo(left_arr, left_i, height, pred, no_bidir, 1)
+    _copy_predinfo(top_arr, top_i, width, pred, no_bidir, 1)
+
+
+def pred_inter(ctu, r, size_log2, unavail, offset_x, offset_y, valid_x,
+               valid_y, left_arr, left_i, top_arr, top_i, lefttop):
+    """pred_inter (h265.cpp:4044-4073): skip / merge / intra switch."""
+    cb = ctu.cb
+    num = 1 << (size_log2 - 2)
+    skip = C.cu_skip_flag(cb, r, unavail,
+                          left_arr[left_i].skip, top_arr[top_i].skip)
+    size = 1 << size_log2
+    if skip:
+        prediction_unit_merge(ctu, r, unavail, offset_x, offset_y, size,
+                              size, left_arr, left_i, top_arr, top_i,
+                              lefttop, 1)
+        for k in range(num):
+            for arr, i0 in ((left_arr, left_i), (top_arr, top_i)):
+                nb = arr[i0 + k]
+                nb.tu_intra = 0
+                nb.skip = 1
+                nb.pred_mode = 1  # INTRA_DC
+                nb.pu_nonzero_coef = 0
+                nb.tu_nonzero_coef = 0
+        return
+    if C.pred_mode_flag(cb, r):
+        ctu.pred_intra(r, size_log2, unavail, offset_x, offset_y,
+                       valid_x, valid_y, left_arr, left_i, top_arr,
+                       top_i)
+        return
+    mode = C.part_mode_inter(cb, r, size_log2, ctu.size_log2_min,
+                             ctu.sps.amp_enabled)
+    if mode != 0:
+        raise NotImplementedError("inter part modes other than 2Nx2N")
+    inferred = C.merge_flag(cb, r)
+    if inferred:
+        prediction_unit_merge(ctu, r, unavail, offset_x, offset_y, size,
+                              size, left_arr, left_i, top_arr, top_i,
+                              lefttop, 0)
+    else:
+        raise NotImplementedError("AMVP prediction units")
+    if inferred or C.rqt_root_cbf(cb, r):
+        ctu.order_luma = [0, 0, 0, 0]
+        ctu.order_chroma = 0
+        ctu.intra_split = (mode != 0
+                           and ctu.sps.max_transform_hierarchy_depth_inter
+                           == 0)
+        ctu.transform_tree(r, size_log2, unavail, 0, 3, offset_x,
+                           valid_x, offset_y, valid_y, 0, 0, False,
+                           left_arr, left_i, top_arr, top_i)
+    else:
+        for k in range(num):
+            for arr, i0 in ((left_arr, left_i), (top_arr, top_i)):
+                nb = arr[i0 + k]
+                nb.pu_nonzero_coef = 0
+                nb.tu_nonzero_coef = 0
+    for k in range(num):
+        for arr, i0 in ((left_arr, left_i), (top_arr, top_i)):
+            nb = arr[i0 + k]
+            nb.tu_intra = 0
+            nb.skip = 0
+            nb.pred_mode = 1

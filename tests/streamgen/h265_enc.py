@@ -21,7 +21,12 @@ from m2dec_tpu.codecs.h265 import residual_tables as RT
 
 from .h264_enc import CabacEncoder
 
+_AVAIL0 = (0, 5, 10, 15, 0, 5, 10, 15, 0, 5, 10, 15, 0, 5, 10, 15)
+_AVAIL1 = (4, 4, 6, 6, 4, 4, 6, 6, 12, 12, 14, 14, 12, 12, 14, 14)
+_AVAIL2 = (0, 1, 0, 1, 4, 5, 4, 5, 0, 1, 0, 1, 4, 5, 4, 5)
+
 NAL_IDR_W_RADL = 19
+NAL_TRAIL_R = 1
 NAL_SPS, NAL_PPS = 33, 34
 
 
@@ -54,7 +59,8 @@ class H265StreamGen:
                  strong_smoothing=0, sign_data_hiding=0,
                  transform_skip=0, tskip_prob=0.5, deblock=0,
                  beta_offset_div2=0, tc_offset_div2=0, sao=0,
-                 sao_max_offset=3):
+                 sao_max_offset=3, skip_prob=0.4, inter_intra_prob=0.25,
+                 merge_max=5):
         self.w = width
         self.h = height
         self.rng = random.Random(seed)
@@ -71,6 +77,10 @@ class H265StreamGen:
         self.deblock = deblock
         self.sao = sao
         self.sao_max_offset = sao_max_offset
+        self.skip_prob = skip_prob
+        self.inter_intra_prob = inter_intra_prob
+        self.merge_max = merge_max
+        self.slice_type = 2  # current picture's type during emission
         self.beta_offset_div2 = beta_offset_div2
         self.tc_offset_div2 = tc_offset_div2
         self.transform_skip_enabled = transform_skip
@@ -194,14 +204,22 @@ class H265StreamGen:
         w.rbsp_trailing_bits()
 
     # -- slice ----------------------------------------------------------
-    def _slice_header(self, w):
+    def _slice_header(self, w, slice_type=2, poc=0):
         w.put_bits(1, 1)  # first_slice_segment_in_pic
-        w.put_bits(0, 1)  # no_output_of_prior_pics (IRAP)
+        if slice_type == 2:
+            w.put_bits(0, 1)  # no_output_of_prior_pics (IRAP)
         w.ue(0)  # pps_id
-        w.ue(2)  # slice_type I
+        w.ue(slice_type)
+        if slice_type != 2:
+            w.put_bits(poc & 0xFF, 8)  # pic_order_cnt_lsb
+            w.put_bits(1, 1)  # short_term_ref_pic_set_sps_flag
+            w.put_bits(0, 5)  # idx (bit-length quirk: 16 sets -> 5 bits)
         if self.sao:
             w.put_bits(1, 1)  # slice_sao_luma
             w.put_bits(1, 1)  # slice_sao_chroma
+        if slice_type != 2:
+            w.put_bits(0, 1)  # num_ref_idx override
+            w.ue(5 - self.merge_max)  # five_minus_max_num_merge_cand
         w.se(self.qp - (26 + (self.qp - 26 if self.qp >= 26 else 0)))
         # deblocking control present but override disabled; disabled in PPS
         # byte alignment (reference skips 8 when already aligned)
@@ -257,14 +275,66 @@ class H265StreamGen:
                                        None if idx == 2 else None)
 
     # -- CTU emission ---------------------------------------------------
-    def _emit_cu(self, enc, size_log2, unavail, left, li, top, ti):
-        """One intra CU at `size_log2` (cbf all zero)."""
+    def _emit_merge_idx(self, enc):
+        maxidx = self.merge_max
+        idx = self.rng.randrange(maxidx)
+        if maxidx <= 1:
+            return
+        enc.decision(HT.MERGE_IDX, int(idx != 0))
+        if idx:
+            k = 1
+            while k < idx:
+                enc.bypass(1)
+                k += 1
+            if idx < maxidx - 1:
+                enc.bypass(0)
+
+    def _emit_inter_cu(self, enc, size_log2, unavail, left, li, top, ti):
+        """P-slice CU: skip / merge 2Nx2N / intra (pred_inter path)."""
         rng = self.rng
-        depth = 6 - size_log2  # intra_depth_fill convention
+        depth = 6 - size_log2
         num = 1 << (size_log2 - 2)
         for i in range(num):
             left[li + i]["depth"] = depth
             top[ti + i]["depth"] = depth
+        skip_inc = (((not (unavail & 1)) and left[li]["skip"])
+                    + ((not (unavail & 2)) and top[ti]["skip"]))
+        do_skip = rng.random() < self.skip_prob
+        enc.decision(HT.CU_SKIP_FLAG + int(skip_inc), int(do_skip))
+        if do_skip:
+            self._emit_merge_idx(enc)
+            for i in range(num):
+                for arr, i0 in ((left, li), (top, ti)):
+                    arr[i0 + i]["skip"] = 1
+                    arr[i0 + i]["mode"] = 1
+            return
+        if rng.random() < self.inter_intra_prob:
+            enc.decision(HT.PRED_MODE_FLAG, 1)
+            self._emit_cu(enc, size_log2, unavail, left, li, top, ti,
+                          set_depth=False)
+            return
+        enc.decision(HT.PRED_MODE_FLAG, 0)
+        enc.decision(HT.PART_MODE, 1)  # 2Nx2N
+        enc.decision(HT.MERGE_FLAG, 1)
+        self._emit_merge_idx(enc)
+        # rqt_root_cbf inferred for 2Nx2N merge -> transform tree
+        self._emit_ttree(enc, size_log2, 0, 3, False, [0] * 4, 0,
+                         is_intra=False)
+        for i in range(num):
+            for arr, i0 in ((left, li), (top, ti)):
+                arr[i0 + i]["skip"] = 0
+                arr[i0 + i]["mode"] = 1
+
+    def _emit_cu(self, enc, size_log2, unavail, left, li, top, ti,
+                 set_depth=True):
+        """One intra CU at `size_log2`."""
+        rng = self.rng
+        depth = 6 - size_log2  # intra_depth_fill convention
+        num = 1 << (size_log2 - 2)
+        if set_depth:
+            for i in range(num):
+                left[li + i]["depth"] = depth
+                top[ti + i]["depth"] = depth
         part_nxn = False
         if size_log2 == self.min_cb_log2:
             part_nxn = rng.random() < self.nxn_prob
@@ -292,7 +362,9 @@ class H265StreamGen:
             lt, tt = li + (i >> 1), ti + (i & 1)
             for k in range(nnum):
                 left[lt + k]["mode"] = want
+                left[lt + k]["skip"] = 0
                 top[tt + k]["mode"] = want
+                top[tt + k]["skip"] = 0
         # pass 2: bin order = all prev_intra flags, then per-part payload
         for f, _ in flags:
             enc.decision(HT.PREV_INTRA_LUMA_PRED_FLAG, f)
@@ -326,11 +398,11 @@ class H265StreamGen:
                          self._chroma_dir(cidx, luma0))
 
     def _emit_ttree(self, enc, size_log2, depth, upper_cbf, intra_split,
-                    modes, chroma_mode, idx=0, pred_idx=0):
+                    modes, chroma_mode, idx=0, pred_idx=0, is_intra=True):
         rng = self.rng
         if self.max_tb_log2 < size_log2:
             split = 1
-        elif depth == 0 and intra_split:
+        elif depth == 0 and intra_split and is_intra:
             split = 2
         else:
             split = 0  # hierarchy depths are 0: no split flag coded
@@ -350,27 +422,34 @@ class H265StreamGen:
             pi, pinc = (0, 1) if split == 2 else (pred_idx, 0)
             for k in range(4):
                 self._emit_ttree(enc, size_log2 - 1, depth + 1, cbf,
-                                 False, modes, chroma_mode, k, pi)
+                                 False, modes, chroma_mode, k, pi,
+                                 is_intra)
                 pi += pinc
         else:
-            bl = int(rng.random() < self.cbf_prob)
-            enc.decision(HT.CBF_LUMA + (depth == 0), bl)
+            if is_intra or depth or cbf:
+                bl = int(rng.random() < self.cbf_prob)
+                enc.decision(HT.CBF_LUMA + (depth == 0), bl)
+            else:
+                bl = 1  # forced (inter depth-0 with no chroma cbf)
             cbf = cbf * 2 | bl
             if cbf:
                 self._emit_tu(enc, size_log2, cbf, idx, modes[pred_idx],
-                              chroma_mode)
+                              chroma_mode, is_intra)
 
     # -- residual emission (mirrors residual_coding exactly) -----------
-    def _emit_tu(self, enc, size_log2, cbf, idx, luma_mode, chroma_mode):
+    def _emit_tu(self, enc, size_log2, cbf, idx, luma_mode, chroma_mode,
+                 is_intra=True):
         if cbf & 1:
-            order = _order_map(luma_mode) if size_log2 <= 3 else 0
+            order = _order_map(luma_mode) \
+                if (is_intra and size_log2 <= 3) else 0
             self._emit_residual(enc, size_log2, 0, order)
         if cbf & 6:
             if 2 < size_log2:
                 size_log2 -= 1
             elif idx != 3:
                 return
-            order = _order_map(chroma_mode) if size_log2 == 2 else 0
+            order = _order_map(chroma_mode) \
+                if (is_intra and size_log2 == 2) else 0
             if cbf & 4:
                 self._emit_residual(enc, size_log2, 1, order)
             if cbf & 2:
@@ -558,8 +637,8 @@ class H265StreamGen:
             for b in range(nbits - 1, -1, -1):
                 enc.bypass((rem >> b) & 1)
 
-    def _emit_quad(self, enc, size_log2, valid_x, valid_y, left, li,
-                   top, ti):
+    def _emit_quad(self, enc, size_log2, unavail, valid_x, valid_y,
+                   left, li, top, ti):
         if valid_x <= 0 or valid_y <= 0:
             return
         size = 1 << size_log2
@@ -575,24 +654,34 @@ class H265StreamGen:
                 bl = 1 << sl
                 info = 1 << (sl - 2)
                 minu = lambda v, b: min(v & 0xFFFFFFFF, b)  # noqa: E731
-                self._emit_quad(enc, sl, valid_x, valid_y, left, li,
-                                top, ti)
-                self._emit_quad(enc, sl, valid_x - bl, minu(valid_y, bl),
-                                left, li, top, ti + info)
-                self._emit_quad(enc, sl, minu(valid_x, bl * 2),
-                                valid_y - bl, left, li + info, top, ti)
-                self._emit_quad(enc, sl, minu(valid_x - bl, bl),
+                self._emit_quad(enc, sl, _AVAIL0[unavail], valid_x,
+                                valid_y, left, li, top, ti)
+                self._emit_quad(enc, sl, _AVAIL1[unavail], valid_x - bl,
+                                minu(valid_y, bl), left, li, top,
+                                ti + info)
+                self._emit_quad(enc, sl, _AVAIL2[unavail],
+                                minu(valid_x, bl * 2), valid_y - bl,
+                                left, li + info, top, ti)
+                self._emit_quad(enc, sl, 12, minu(valid_x - bl, bl),
                                 minu(valid_y - bl, bl),
                                 left, li + info, top, ti + info)
                 return
-        self._emit_cu(enc, size_log2, 0, left, li, top, ti)
+        if self.slice_type < 2:
+            self._emit_inter_cu(enc, size_log2, unavail, left, li,
+                                top, ti)
+        else:
+            self._emit_cu(enc, size_log2, unavail, left, li, top, ti)
 
-    def _slice(self, w):
-        self._slice_header(w)
-        enc = H265CabacEncoder(w, self.qp, 0)
+    def _slice(self, w, slice_type=2, poc=0):
+        self.slice_type = slice_type
+        self._slice_header(w, slice_type, poc)
+        idc = 0 if slice_type == 2 else 2 - slice_type
+        enc = H265CabacEncoder(w, self.qp, idc)
         nn = 16
-        left = [{"mode": 1, "depth": 0} for _ in range(nn + 2)]
-        top = [{"mode": 1, "depth": 0} for _ in range(self.cols * nn)]
+        left = [{"mode": 1, "depth": 0, "skip": 0}
+                for _ in range(nn + 2)]
+        top = [{"mode": 1, "depth": 0, "skip": 0}
+               for _ in range(self.cols * nn)]
         n_ctu = self.cols * self.rows
         ctb = 1 << self.ctb_log2
         for i in range(n_ctu):
@@ -601,12 +690,14 @@ class H265StreamGen:
                 self._emit_sao(enc, px, py)
             valid_x = self.w - px * ctb
             valid_y = min(self.h - py * ctb, ctb)
-            self._emit_quad(enc, self.ctb_log2, valid_x, valid_y,
-                            left, 2, top, px * nn)
+            unavail = (((not py or i < self.cols) * 10)
+                       | ((not px or not i) * 5) | 4)
+            self._emit_quad(enc, self.ctb_log2, unavail, valid_x,
+                            valid_y, left, 2, top, px * nn)
             # neighbour maintenance mirroring ctu_pos_increment
             if px == self.cols - 1:
                 for nb in left[1:]:
-                    nb["mode"], nb["depth"] = 1, 0
+                    nb["mode"], nb["depth"], nb["skip"] = 1, 0, 0
                 nxt = 0
             else:
                 left[1] = dict(left[0])
@@ -620,12 +711,24 @@ class H265StreamGen:
         enc.terminate(1)
         w.byte_align(0)
 
-    def generate(self, n_pics=1) -> bytes:
+    def generate(self, pattern=1) -> bytes:
+        """pattern: an int (that many IDR pictures) or a string like
+        "IPP" (I = IDR, P = TRAIL_R P slice; POC = position)."""
+        if isinstance(pattern, int):
+            pattern = "I" * pattern
         out = bytearray()
         self._nal(out, NAL_SPS, self._sps)
         self._nal(out, NAL_PPS, self._pps)
-        for _ in range(n_pics):
-            self._nal(out, NAL_IDR_W_RADL, self._slice)
+        poc = 0
+        for ch in pattern:
+            if ch == "I":
+                poc = 0  # IDR resets POC
+                self._nal(out, NAL_IDR_W_RADL,
+                          lambda w: self._slice(w, 2, 0))
+            else:
+                self._nal(out, NAL_TRAIL_R,
+                          lambda w, p=poc: self._slice(w, 1, p))
+            poc += 1
         return bytes(out)
 
 

@@ -36,7 +36,7 @@ def oracle_decode(reference_bins, data: bytes, tmp_path) -> bytes:
 
 
 def run_case(reference_bins, tmp_path, gen, n_pics=2):
-    data = gen.generate(n_pics)
+    data = gen.generate(n_pics)  # int -> IDR count, str -> pattern
     golden = oracle_decode(reference_bins, data, tmp_path)
     assert golden, "reference produced no output"
     dec = H265Decoder()
@@ -208,3 +208,37 @@ def test_sao_nonaligned(reference_bins, tmp_path):
     run_case(reference_bins, tmp_path,
              H265StreamGen(52, 36, seed=54, qp=30, cbf_prob=0.5,
                            modes=ALL_MODES, sao=1, max_level=1), 2)
+
+
+def test_p_slices(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=61, qp=14, cbf_prob=0.4,
+                           modes=ALL_MODES), "IPPP")
+
+
+def test_p_slices_deblock_sao(reference_bins, tmp_path):
+    """Inter deblocking strengths (mv-diff/ref-diff) + SAO over P."""
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=62, qp=32, cbf_prob=0.4,
+                           modes=ALL_MODES, deblock=1, sao=1,
+                           max_level=1), "IPPP")
+
+
+def test_p_slices_ctb32(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(96, 64, seed=63, qp=14, ctb_log2=5,
+                           cbf_prob=0.4, modes=ALL_MODES), "IPPPP")
+
+
+def test_p_slices_nonaligned(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(52, 36, seed=64, qp=14, cbf_prob=0.5,
+                           modes=ALL_MODES), "IPP")
