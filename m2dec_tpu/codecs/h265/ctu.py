@@ -155,6 +155,7 @@ class Ctu:
         from m2dec_tpu.codecs.h265.sao import SaoMap
 
         self.deblocking = Deblocking(self)
+        self.colpics = None  # set by the decoder when a pool exists
         self.sao_map = [SaoMap() for _ in range(self.columns * self.rows)]
 
     # -- per-CTU --------------------------------------------------------
@@ -313,6 +314,9 @@ class Ctu:
         chroma_idx = C.intra_chroma_pred_mode(cb, r)
         self.order_chroma = intra_chroma_pred_dir(chroma_idx,
                                                   self.order_luma[0])
+        if self.colpics is not None:
+            self.colpics.fill(offset_x, offset_y, 1 << size_log2,
+                              1 << size_log2, intra=True)
         self.transform_tree(r, size_log2, unavail, 0, 3, offset_x,
                             valid_x, offset_y, valid_y, 0, 0, True,
                             left_arr, left_i, top_arr, top_i)

@@ -376,6 +376,8 @@ class SliceHeader:
     max_num_merge_cand: int = 5
     mvd_l1_zero: int = 0
     temporal_mvp: int = 0
+    colocated_from_l0: int = 0
+    collocated_ref_idx: int = 0
 
 
 def parse_slice_header(r: BitReader, nal_type: int, dec,
@@ -384,6 +386,7 @@ def parse_slice_header(r: BitReader, nal_type: int, dec,
     ends with the reference's alignment skip (skip `not_aligned_bits`
     or a full byte when already aligned, h265.cpp:935-936)."""
     h = SliceHeader(nal_type=nal_type)
+    h.ref_list = dec.ref_list_state  # persistent stale-entry storage
     h.first_slice = r.get_onebit()
     if not h.first_slice:
         raise NotImplementedError("multi-slice H.265 pictures")
@@ -442,7 +445,13 @@ def parse_slice_header(r: BitReader, nal_type: int, dec,
         if pps.cabac_init_present:
             h.cabac_init_flag = r.get_onebit()
         if h.temporal_mvp:
-            raise NotImplementedError("temporal MVP colocated refs")
+            # colocated refs (h265.cpp:841-849)
+            col_l0 = r.get_onebit() if h.slice_type == 0 else 1
+            h.colocated_from_l0 = col_l0
+            if col_l0 and h.num_ref_idx_minus1[0] > 0:
+                h.collocated_ref_idx = r.ue()
+            elif not col_l0 and h.num_ref_idx_minus1[1] > 0:
+                h.collocated_ref_idx = r.ue()
         if (h.slice_type == 0 and pps.weighted_bipred) or \
                 (h.slice_type == 1 and pps.weighted_pred):
             raise NotImplementedError("weighted prediction")
@@ -610,11 +619,16 @@ class H265Decoder:
                 rows = (sps.pic_height + (1 << log2) - 1) >> log2
                 w, hgt = cols << log2, rows << log2
                 if self.pool is None:
+                    from m2dec_tpu.codecs.h265.colpics import make_colpic
+
                     self.pool = [{
                         "y": np.zeros((hgt, w), np.uint8),
                         "cb": np.zeros((hgt >> 1, w >> 1), np.uint8),
                         "cr": np.zeros((hgt >> 1, w >> 1), np.uint8),
                         "poc": 0,
+                        "colpic": make_colpic(sps.pic_width,
+                                              sps.pic_height),
+                        "fidx": [[0] * 16, [0] * 16],
                     } for _ in range(8)]
                     geom["w"], geom["h"] = w, hgt
                     geom["crop"] = (
@@ -627,6 +641,9 @@ class H265Decoder:
                 frame["poc"] = hdr.poc
                 ctu = Ctu(sps, pps, hdr, frame)
                 ctu.ref_frames = self.pool
+                from m2dec_tpu.codecs.h265.colpics import Colpics
+
+                ctu.colpics = Colpics(ctu, self.pool, cur)
                 ctu.cb.init_engine(r)
                 while True:
                     ctu.decode_ctu(r)

@@ -12,7 +12,12 @@ from __future__ import annotations
 
 from m2dec_tpu.codecs.h265 import cabac as C
 from m2dec_tpu.codecs.h265 import inter as IP
+from m2dec_tpu.codecs.h265.colpics import scale_mv
 from m2dec_tpu.codecs.h265.ctu import PredInfo
+
+
+def _i16(v):
+    return ((v + 0x8000) & 0xFFFF) - 0x8000
 
 
 def _merge_available(cx, cy, px, py, shift):
@@ -66,10 +71,131 @@ def merge_list(ctu, idx, unavail, offset_x, offset_y, width, height,
         if len(lst) <= idx and len(lst) < 4:
             _add_merge_candidate(lst, ox, oy, ox - 1, oy - 1, par,
                                  lefttop)
-    # temporal candidate skipped (tmvp off); combined-bidir is B-only
+    if len(lst) <= idx and ctu.hdr.temporal_mvp:
+        col = ctu.colpics.get_ref(ox, oy, width, height)
+        if not col.pu_intra:
+            if ctu.hdr.slice_type != 0:
+                # P-slice temporal merge candidates carry uninitialized
+                # stack ref_idx[1]/mvd[1] in the reference
+                # (pred_info_t list[5], h265.cpp:3694) — indeterminate
+                raise NotImplementedError(
+                    "reference-indeterminate: P temporal merge candidate")
+            p = PredInfo()
+            _add_colpic_candidate(ctu, p, col, 0, 0)
+            _add_colpic_candidate(ctu, p, col, 1, 0)
+            lst.append(p)
+    # combined-bidir candidates are B-only (added with B support)
     while len(lst) <= idx:
         lst.append(_merge_zero_mv(ctu, idx, len(lst)))
     return lst[idx]
+
+
+def _add_colpic_candidate(ctu, pred, col, lx, ref_idx):
+    """add_colpic_candidate (h265.cpp:3637-3650)."""
+    cp = ctu.colpics
+    col_lx = lx if cp.lowdelay else ctu.hdr.colocated_from_l0
+    col_refidx = col.ref_idx[col_lx]
+    if col_refidx < 0:
+        col_lx ^= 1
+        col_refidx = col.ref_idx[col_lx]
+    pred.ref_idx[lx] = ref_idx
+    scale = cp.colmv_scale(lx, ref_idx, col_lx, col_refidx)
+    pred.mv[lx][0] = scale_mv(col.mv[col_lx][0], scale)
+    pred.mv[lx][1] = scale_mv(col.mv[col_lx][1], scale)
+    return True
+
+
+def _mvp2nd(ctu, lx, refidx, npred):
+    """mvp2nd (h265.cpp:3755-3768)."""
+    lx_i = lx
+    for _ in range(2):
+        nri = npred.ref_idx[lx_i]
+        if nri >= 0:
+            sc = ctu.colpics.tmv_scale(lx, refidx, lx_i, nri)
+            return [scale_mv(npred.mv[lx_i][0], sc),
+                    scale_mv(npred.mv[lx_i][1], sc)]
+        lx_i ^= 1
+    return [0, 0]  # unreachable for non-intra neighbours
+
+
+def _find_spatial_mvp(ctu, nb, lx, refpoc, ref_idx, state):
+    """find_spatial_mvp (h265.cpp:3770-3792). state = [skip2nd,
+    match2nd, mvp2]; returns the first-class mv or None."""
+    if nb.pu_intra:
+        return None
+    lx_i = lx
+    for _ in range(2):
+        nri = nb.pred.ref_idx[lx_i]
+        if nri >= 0:
+            npoc = ctu.hdr.ref_list[lx_i][nri][0]
+            if npoc == refpoc:
+                state[0] = True
+                return nb.pred.mv[lx_i]
+            if not state[0] and not state[1]:
+                state[2] = _mvp2nd(ctu, lx, ref_idx, nb.pred)
+                state[1] = True
+        lx_i ^= 1
+    state[0] = True
+    return None
+
+
+def _mvp_one_dir(ctu, unavail, arr, i0, lefttop, span, lx, ref_idx,
+                 state):
+    """mvp_one_dir (h265.cpp:3794-3820)."""
+    dir_flag = (unavail >> 1) if lefttop is not None else unavail
+    refpoc = ctu.hdr.ref_list[lx][ref_idx][0]
+    state[1] = False  # match2nd reset per direction
+    span >>= 2
+    if not (dir_flag & 4):
+        mv = _find_spatial_mvp(ctu, arr[i0 + span], lx, refpoc, ref_idx,
+                               state)
+        if mv is not None:
+            return mv
+    if not (dir_flag & 1):
+        mv = _find_spatial_mvp(ctu, arr[i0 + span - 1], lx, refpoc,
+                               ref_idx, state)
+        if mv is not None:
+            return mv
+    if lefttop is not None and not (unavail & 3):
+        mv = _find_spatial_mvp(ctu, lefttop, lx, refpoc, ref_idx, state)
+        if mv is not None:
+            return mv
+    if state[1]:
+        return state[2]
+    return None
+
+
+def _add_mvp(mv, mvplist, mvp_idx):
+    """add_mvp (h265.cpp:3742-3753): dedup + enough-candidates test."""
+    for e in mvplist:
+        if e[0] == mv[0] and e[1] == mv[1]:
+            return False
+    mvplist.append([mv[0], mv[1]])
+    return mvp_idx < len(mvplist)
+
+
+def calc_mv(ctu, unavail, width, height, left_arr, left_i, top_arr,
+            top_i, lefttop, lx, ref_idx, mvp_idx, mvd, col):
+    """calc_mv (h265.cpp:3822-3846)."""
+    mvplist = []
+    state = [False, False, None]  # skip2nd, match2nd, mvp2
+    mvp = _mvp_one_dir(ctu, unavail, left_arr, left_i, None, height, lx,
+                       ref_idx, state)
+    if mvp is None or not _add_mvp(mvp, mvplist, mvp_idx):
+        mvp = _mvp_one_dir(ctu, unavail, top_arr, top_i, lefttop, width,
+                           lx, ref_idx, state)
+        if mvp is None or not _add_mvp(mvp, mvplist, mvp_idx):
+            got = False
+            if col is not None:
+                p = PredInfo()
+                _add_colpic_candidate(ctu, p, col, lx, ref_idx)
+                side = lx if p.ref_idx[lx] >= 0 else lx ^ 1
+                got = _add_mvp(p.mv[side], mvplist, mvp_idx)
+            if not got:
+                while len(mvplist) < 2:
+                    mvplist.append([0, 0])
+    return [_i16(mvd[0] + mvplist[mvp_idx][0]),
+            _i16(mvd[1] + mvplist[mvp_idx][1])]
 
 
 def _pred_onedir(ctu, lx, ref_idx, mv, offset_x, offset_y, width,
@@ -147,6 +273,9 @@ def prediction_unit_merge(ctu, r, unavail, offset_x, offset_y, width,
     # sets the final skip value (h265.cpp:3119-3131, 4049-4060)
     _copy_predinfo(left_arr, left_i, height, pred, no_bidir, 1)
     _copy_predinfo(top_arr, top_i, width, pred, no_bidir, 1)
+    ctu.colpics.fill(offset_x, offset_y, width, height, pred=pred,
+                     ref0=pred.ref_idx[0],
+                     ref1=-1 if no_bidir else pred.ref_idx[1])
 
 
 def pred_inter(ctu, r, size_log2, unavail, offset_x, offset_y, valid_x,
@@ -185,7 +314,44 @@ def pred_inter(ctu, r, size_log2, unavail, offset_x, offset_y, valid_x,
                               size, left_arr, left_i, top_arr, top_i,
                               lefttop, 0)
     else:
-        raise NotImplementedError("AMVP prediction units")
+        # AMVP (prediction_unit non-merge, h265.cpp:3905-3931)
+        if ctu.hdr.slice_type == 0:
+            depth = ctu.size_log2 - size_log2
+            pred_idc = C.inter_pred_idc(cb, r, size, size, depth)
+        else:
+            pred_idc = 0
+        col = ctu.colpics.get_ref(offset_x, offset_y, size, size) \
+            if ctu.hdr.temporal_mvp else None
+        # NOTE: the reference derefs col unconditionally here -- with
+        # tmvp off it crashes (h265.cpp:4030); tmvp-on is the domain
+        if col is not None and col.pu_intra:
+            col = None
+        pred = PredInfo()
+        if pred_idc != 1:
+            ref0 = C.ref_idx_lx(cb, r, 0, ctu.hdr.num_ref_idx_minus1)
+            mvd = C.mvd_coding(cb, r)
+            mvp_idx = C.mvp_lx_flag(cb, r)
+            pred.ref_idx[0] = ref0
+            pred.mv[0] = calc_mv(ctu, unavail, size, size, left_arr,
+                                 left_i, top_arr, top_i, lefttop, 0,
+                                 ref0, mvp_idx, mvd, col)
+        if pred_idc != 0:
+            raise NotImplementedError("bidir AMVP (B slices)")
+        motion_compensate(ctu, pred, offset_x, offset_y, size, size)
+        ctu.deblocking.record_pu(ctu.qpy, size, size, offset_x,
+                                 offset_y, unavail, left_arr, left_i,
+                                 top_arr, top_i, pred.ref_idx[0],
+                                 pred.ref_idx[1], pred.mv)
+        for arr, i0, length in ((left_arr, left_i, size),
+                                (top_arr, top_i, size)):
+            for k in range(length >> 2):
+                nb = arr[i0 + k]
+                nb.pu_intra = 0
+                nb.pu_nonzero_coef = 0
+                nb.skip = 0
+                nb.pred = pred.copy()
+        ctu.colpics.fill(offset_x, offset_y, size, size, pred=pred,
+                         ref0=pred.ref_idx[0], ref1=pred.ref_idx[1])
     if inferred or C.rqt_root_cbf(cb, r):
         ctu.order_luma = [0, 0, 0, 0]
         ctu.order_chroma = 0

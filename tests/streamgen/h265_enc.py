@@ -60,7 +60,7 @@ class H265StreamGen:
                  transform_skip=0, tskip_prob=0.5, deblock=0,
                  beta_offset_div2=0, tc_offset_div2=0, sao=0,
                  sao_max_offset=3, skip_prob=0.4, inter_intra_prob=0.25,
-                 merge_max=5):
+                 merge_max=5, amvp_prob=0.0, max_mvd=16, tmvp=0):
         self.w = width
         self.h = height
         self.rng = random.Random(seed)
@@ -80,6 +80,14 @@ class H265StreamGen:
         self.skip_prob = skip_prob
         self.inter_intra_prob = inter_intra_prob
         self.merge_max = merge_max
+        self.amvp_prob = amvp_prob
+        self.max_mvd = max_mvd
+        #: slice_temporal_mvp: ON only for AMVP-only streams — the
+        #: reference's temporal MERGE candidate in P slices carries
+        #: uninitialized stack ref_idx[1]/mvd[1] (pred_info_t list[5],
+        #: h265.cpp:3694) -> OOB ref-list reads; while AMVP with tmvp
+        #: OFF null-derefs (h265.cpp:4030). Indeterminate domains both.
+        self.tmvp = tmvp
         self.slice_type = 2  # current picture's type during emission
         self.beta_offset_div2 = beta_offset_div2
         self.tc_offset_div2 = tc_offset_div2
@@ -162,7 +170,7 @@ class H265StreamGen:
             w.ue(0)  # delta_poc_s0_minus1 -> -1
             w.put_bits(1, 1)  # used_by_curr_pic_s0
         w.put_bits(0, 1)  # long_term_ref_pics_present
-        w.put_bits(0, 1)  # temporal_mvp
+        w.put_bits(1, 1)  # sps_temporal_mvp_enabled
         w.put_bits(self.strong_smoothing, 1)
         w.put_bits(0, 1)  # vui_present
         w.rbsp_trailing_bits()
@@ -214,6 +222,7 @@ class H265StreamGen:
             w.put_bits(poc & 0xFF, 8)  # pic_order_cnt_lsb
             w.put_bits(1, 1)  # short_term_ref_pic_set_sps_flag
             w.put_bits(0, 5)  # idx (bit-length quirk: 16 sets -> 5 bits)
+            w.put_bits(1 if self.tmvp else 0, 1)  # slice_temporal_mvp
         if self.sao:
             w.put_bits(1, 1)  # slice_sao_luma
             w.put_bits(1, 1)  # slice_sao_chroma
@@ -275,6 +284,34 @@ class H265StreamGen:
                                        None if idx == 2 else None)
 
     # -- CTU emission ---------------------------------------------------
+    def _emit_mvd(self, enc):
+        """mvd_coding inverse (h265.cpp:3723-3740)."""
+        rng = self.rng
+        vals = [rng.randint(-self.max_mvd, self.max_mvd)
+                for _ in range(2)]
+        a = [abs(v) for v in vals]
+        enc.decision(HT.ABS_MVD_GREATER_FLAG, int(a[0] > 0))
+        enc.decision(HT.ABS_MVD_GREATER_FLAG, int(a[1] > 0))
+        if a[0]:
+            enc.decision(HT.ABS_MVD_GREATER_FLAG + 1, int(a[0] > 1))
+        if a[1]:
+            enc.decision(HT.ABS_MVD_GREATER_FLAG + 1, int(a[1] > 1))
+        for v, av in zip(vals, a):
+            if av:
+                if av > 1:
+                    rem = av - 2
+                    bits = 0
+                    while (2 << bits) - 2 + (1 << (bits + 1)) <= rem:
+                        bits += 1
+                    enc_bits = bits
+                    for _ in range(bits):
+                        enc.bypass(1)
+                    enc.bypass(0)
+                    suffix = rem - ((2 << bits) - 2)
+                    for b in range(bits, -1, -1):
+                        enc.bypass((suffix >> b) & 1)
+                enc.bypass(int(v < 0))
+
     def _emit_merge_idx(self, enc):
         maxidx = self.merge_max
         idx = self.rng.randrange(maxidx)
@@ -315,11 +352,22 @@ class H265StreamGen:
             return
         enc.decision(HT.PRED_MODE_FLAG, 0)
         enc.decision(HT.PART_MODE, 1)  # 2Nx2N
-        enc.decision(HT.MERGE_FLAG, 1)
-        self._emit_merge_idx(enc)
-        # rqt_root_cbf inferred for 2Nx2N merge -> transform tree
-        self._emit_ttree(enc, size_log2, 0, 3, False, [0] * 4, 0,
-                         is_intra=False)
+        amvp = rng.random() < self.amvp_prob
+        enc.decision(HT.MERGE_FLAG, 0 if amvp else 1)
+        if amvp:
+            # P: pred_idc not read; ref_idx_lx with num=0 -> no bins
+            self._emit_mvd(enc)
+            enc.decision(HT.MVP_FLAG, rng.randint(0, 1))
+            root = rng.random() < 0.8
+            enc.decision(HT.RQT_ROOT_CBF, int(root))
+            if root:
+                self._emit_ttree(enc, size_log2, 0, 3, False, [0] * 4,
+                                 0, is_intra=False)
+        else:
+            self._emit_merge_idx(enc)
+            # rqt_root_cbf inferred for 2Nx2N merge -> transform tree
+            self._emit_ttree(enc, size_log2, 0, 3, False, [0] * 4, 0,
+                             is_intra=False)
         for i in range(num):
             for arr, i0 in ((left, li), (top, ti)):
                 arr[i0 + i]["skip"] = 0

@@ -242,3 +242,25 @@ def test_p_slices_nonaligned(reference_bins, tmp_path):
     run_case(reference_bins, tmp_path,
              H265StreamGen(52, 36, seed=64, qp=14, cbf_prob=0.5,
                            modes=ALL_MODES), "IPP")
+
+
+def test_p_amvp(reference_bins, tmp_path):
+    """AMVP PUs with spatial + temporal MVP and MV scaling (tmvp on;
+    merge/skip suppressed — the reference's P temporal merge candidate
+    is stack-garbage, and AMVP with tmvp off null-derefs)."""
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=71, qp=14, cbf_prob=0.4,
+                           modes=ALL_MODES, tmvp=1, amvp_prob=1.0,
+                           skip_prob=0.0), "IPPP")
+
+
+def test_p_amvp_large_mvd(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(96, 64, seed=72, qp=14, ctb_log2=5,
+                           cbf_prob=0.3, modes=ALL_MODES, tmvp=1,
+                           amvp_prob=1.0, skip_prob=0.0, max_mvd=300),
+             "IPP")
