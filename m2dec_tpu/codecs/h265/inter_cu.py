@@ -84,10 +84,40 @@ def merge_list(ctu, idx, unavail, offset_x, offset_y, width, height,
             _add_colpic_candidate(ctu, p, col, 0, 0)
             _add_colpic_candidate(ctu, p, col, 1, 0)
             lst.append(p)
-    # combined-bidir candidates are B-only (added with B support)
+    if (1 < len(lst) and len(lst) <= idx
+            and ctu.hdr.slice_type == 0):
+        _add_combined(ctu, lst, idx)
     while len(lst) <= idx:
         lst.append(_merge_zero_mv(ctu, idx, len(lst)))
     return lst[idx]
+
+
+_L0_CAND_IDX = (0, 1, 0, 2, 1, 2, 0, 3, 1, 3, 2, 3)
+
+
+def _add_combined(ctu, lst, idx_max):
+    """add_merge_combind_candidate (h265.cpp:3660-3688)."""
+    idx = len(lst)
+    cutoff = idx * (idx - 1)
+    for comb in range(cutoff):
+        l0i = _L0_CAND_IDX[comb]
+        l1i = _L0_CAND_IDX[comb ^ 1]
+        if idx_max <= l0i or idx_max <= l1i:
+            break
+        c0 = lst[l0i]
+        c1 = lst[l1i]
+        if c0.ref_idx[0] >= 0 and c1.ref_idx[1] >= 0:
+            if (c0.mv[0] != c1.mv[1]
+                    or ctu.hdr.ref_list[0][c0.ref_idx[0]][0]
+                    != ctu.hdr.ref_list[1][c1.ref_idx[1]][0]):
+                p = PredInfo()
+                p.mv[0] = list(c0.mv[0])
+                p.mv[1] = list(c1.mv[1])
+                p.ref_idx = [c0.ref_idx[0], c1.ref_idx[1]]
+                lst.append(p)
+                idx += 1
+                if idx_max < idx:
+                    break
 
 
 def _add_colpic_candidate(ctu, pred, col, lx, ref_idx):
@@ -336,7 +366,16 @@ def pred_inter(ctu, r, size_log2, unavail, offset_x, offset_y, valid_x,
                                  left_i, top_arr, top_i, lefttop, 0,
                                  ref0, mvp_idx, mvd, col)
         if pred_idc != 0:
-            raise NotImplementedError("bidir AMVP (B slices)")
+            ref1 = C.ref_idx_lx(cb, r, 1, ctu.hdr.num_ref_idx_minus1)
+            if pred_idc == 1 or not ctu.hdr.mvd_l1_zero:
+                mvd = C.mvd_coding(cb, r)
+            else:
+                mvd = (0, 0)
+            mvp_idx = C.mvp_lx_flag(cb, r)
+            pred.ref_idx[1] = ref1
+            pred.mv[1] = calc_mv(ctu, unavail, size, size, left_arr,
+                                 left_i, top_arr, top_i, lefttop, 1,
+                                 ref1, mvp_idx, mvd, col)
         motion_compensate(ctu, pred, offset_x, offset_y, size, size)
         ctu.deblocking.record_pu(ctu.qpy, size, size, offset_x,
                                  offset_y, unavail, left_arr, left_i,

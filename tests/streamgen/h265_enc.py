@@ -165,10 +165,23 @@ class H265StreamGen:
         for i in range(16):
             if i:
                 w.put_bits(0, 1)  # inter_rps_pred_flag = 0
-            w.ue(1)  # num_negative_pics
-            w.ue(0)  # num_positive_pics
-            w.ue(0)  # delta_poc_s0_minus1 -> -1
-            w.put_bits(1, 1)  # used_by_curr_pic_s0
+            if i == 14:  # {-2}: P anchor skipping one B
+                w.ue(1)
+                w.ue(0)
+                w.ue(1)  # delta_poc_s0_minus1 -> -2
+                w.put_bits(1, 1)
+            elif i == 15:  # {-1, +1}: B
+                w.ue(1)
+                w.ue(1)
+                w.ue(0)
+                w.put_bits(1, 1)
+                w.ue(0)  # delta_poc_s1_minus1 -> +1
+                w.put_bits(1, 1)
+            else:  # {-1}
+                w.ue(1)
+                w.ue(0)
+                w.ue(0)
+                w.put_bits(1, 1)
         w.put_bits(0, 1)  # long_term_ref_pics_present
         w.put_bits(1, 1)  # sps_temporal_mvp_enabled
         w.put_bits(self.strong_smoothing, 1)
@@ -212,7 +225,7 @@ class H265StreamGen:
         w.rbsp_trailing_bits()
 
     # -- slice ----------------------------------------------------------
-    def _slice_header(self, w, slice_type=2, poc=0):
+    def _slice_header(self, w, slice_type=2, poc=0, rps_idx=0):
         w.put_bits(1, 1)  # first_slice_segment_in_pic
         if slice_type == 2:
             w.put_bits(0, 1)  # no_output_of_prior_pics (IRAP)
@@ -221,13 +234,18 @@ class H265StreamGen:
         if slice_type != 2:
             w.put_bits(poc & 0xFF, 8)  # pic_order_cnt_lsb
             w.put_bits(1, 1)  # short_term_ref_pic_set_sps_flag
-            w.put_bits(0, 5)  # idx (bit-length quirk: 16 sets -> 5 bits)
+            w.put_bits(rps_idx, 5)  # idx (bit-length quirk: 5 bits)
             w.put_bits(1 if self.tmvp else 0, 1)  # slice_temporal_mvp
         if self.sao:
             w.put_bits(1, 1)  # slice_sao_luma
             w.put_bits(1, 1)  # slice_sao_chroma
         if slice_type != 2:
             w.put_bits(0, 1)  # num_ref_idx override
+            if slice_type == 0:
+                self._mvd_l1_zero = self.rng.randint(0, 1)
+                w.put_bits(self._mvd_l1_zero, 1)
+            if self.tmvp and slice_type == 0:
+                w.put_bits(1, 1)  # collocated_from_l0
             w.ue(5 - self.merge_max)  # five_minus_max_num_merge_cand
         w.se(self.qp - (26 + (self.qp - 26 if self.qp >= 26 else 0)))
         # deblocking control present but override disabled; disabled in PPS
@@ -336,7 +354,10 @@ class H265StreamGen:
             top[ti + i]["depth"] = depth
         skip_inc = (((not (unavail & 1)) and left[li]["skip"])
                     + ((not (unavail & 2)) and top[ti]["skip"]))
-        do_skip = rng.random() < self.skip_prob
+        # in tmvp streams, P pictures must avoid skip/merge (the
+        # reference's P temporal merge candidate is stack garbage)
+        merge_ok = not (self.tmvp and self.slice_type == 1)
+        do_skip = merge_ok and rng.random() < self.skip_prob
         enc.decision(HT.CU_SKIP_FLAG + int(skip_inc), int(do_skip))
         if do_skip:
             self._emit_merge_idx(enc)
@@ -352,12 +373,26 @@ class H265StreamGen:
             return
         enc.decision(HT.PRED_MODE_FLAG, 0)
         enc.decision(HT.PART_MODE, 1)  # 2Nx2N
-        amvp = rng.random() < self.amvp_prob
+        amvp = (not merge_ok) or rng.random() < self.amvp_prob
         enc.decision(HT.MERGE_FLAG, 0 if amvp else 1)
         if amvp:
-            # P: pred_idc not read; ref_idx_lx with num=0 -> no bins
-            self._emit_mvd(enc)
-            enc.decision(HT.MVP_FLAG, rng.randint(0, 1))
+            if self.slice_type == 0:
+                idc = rng.choice((0, 1, 2, 2))
+                depth = self.ctb_log2 - size_log2
+                if idc == 2:
+                    enc.decision(HT.INTER_PRED_IDC + depth, 1)
+                else:
+                    enc.decision(HT.INTER_PRED_IDC + depth, 0)
+                    enc.decision(HT.INTER_PRED_IDC + 4, idc)
+            else:
+                idc = 0
+            if idc != 1:
+                self._emit_mvd(enc)
+                enc.decision(HT.MVP_FLAG, rng.randint(0, 1))
+            if idc != 0:
+                if idc == 1 or not self._mvd_l1_zero:
+                    self._emit_mvd(enc)
+                enc.decision(HT.MVP_FLAG, rng.randint(0, 1))
             root = rng.random() < 0.8
             enc.decision(HT.RQT_ROOT_CBF, int(root))
             if root:
@@ -720,9 +755,9 @@ class H265StreamGen:
         else:
             self._emit_cu(enc, size_log2, unavail, left, li, top, ti)
 
-    def _slice(self, w, slice_type=2, poc=0):
+    def _slice(self, w, slice_type=2, poc=0, rps_idx=0):
         self.slice_type = slice_type
-        self._slice_header(w, slice_type, poc)
+        self._slice_header(w, slice_type, poc, rps_idx)
         idc = 0 if slice_type == 2 else 2 - slice_type
         enc = H265CabacEncoder(w, self.qp, idc)
         nn = 16
@@ -767,16 +802,38 @@ class H265StreamGen:
         out = bytearray()
         self._nal(out, NAL_SPS, self._sps)
         self._nal(out, NAL_PPS, self._pps)
-        poc = 0
-        for ch in pattern:
+        # coding-order pattern with classic display reorder: each P
+        # anchor jumps over the Bs that follow it (max one B deep)
+        plan = []  # (type_char, poc, rps_idx)
+        nextpoc = 0
+        i = 0
+        while i < len(pattern):
+            c = pattern[i]
+            if c == "I":
+                plan.append(("I", 0, 0))
+                nextpoc = 1
+                i += 1
+            else:
+                nb = 0
+                while i + 1 + nb < len(pattern) and \
+                        pattern[i + 1 + nb] == "B":
+                    nb += 1
+                assert nb <= 1, "one-B-deep patterns only"
+                anchor = nextpoc + nb
+                plan.append(("P", anchor, 14 if nb else 0))
+                for k in range(nb):
+                    plan.append(("B", nextpoc + k, 15))
+                nextpoc = anchor + 1
+                i += 1 + nb
+        for ch, poc, rps in plan:
             if ch == "I":
-                poc = 0  # IDR resets POC
                 self._nal(out, NAL_IDR_W_RADL,
                           lambda w: self._slice(w, 2, 0))
             else:
+                st = 0 if ch == "B" else 1
                 self._nal(out, NAL_TRAIL_R,
-                          lambda w, p=poc: self._slice(w, 1, p))
-            poc += 1
+                          lambda w, s=st, p=poc, ri=rps:
+                          self._slice(w, s, p, ri))
         return bytes(out)
 
 

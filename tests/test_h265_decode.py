@@ -264,3 +264,31 @@ def test_p_amvp_large_mvd(reference_bins, tmp_path):
                            cbf_prob=0.3, modes=ALL_MODES, tmvp=1,
                            amvp_prob=1.0, skip_prob=0.0, max_mvd=300),
              "IPP")
+
+
+def test_b_slices(reference_bins, tmp_path):
+    """B slices: bidir AMVP + merge (incl. temporal + combined
+    candidates), display reorder via the POC-sorted DPB."""
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=81, qp=14, cbf_prob=0.4,
+                           modes=ALL_MODES, tmvp=1), "IPBPB")
+
+
+def test_b_slices_filters(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=82, qp=32, cbf_prob=0.4,
+                           modes=ALL_MODES, tmvp=1, deblock=1, sao=1,
+                           max_level=1), "IPBPB")
+
+
+def test_b_slices_ctb32(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(96, 64, seed=83, qp=14, ctb_log2=5,
+                           cbf_prob=0.4, modes=ALL_MODES, tmvp=1),
+             "IPBPB")
