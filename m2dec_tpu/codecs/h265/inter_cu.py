@@ -308,6 +308,149 @@ def prediction_unit_merge(ctu, r, unavail, offset_x, offset_y, width,
                      ref1=-1 if no_bidir else pred.ref_idx[1])
 
 
+_AVAIL2X1IDX0 = (0, 1, 2, 3, 0, 5, 2, 7, 8, 9, 10, 11, 8, 13, 10, 15)
+_AVAIL2X1IDX1 = (8, 9, 8, 9, 12, 13, 12, 13, 8, 9, 8, 9, 12, 13, 12, 13)
+_AVAIL1X2IDX0 = (0, 1, 2, 3, 4, 5, 6, 7, 0, 1, 10, 11, 4, 5, 14, 15)
+_AVAIL1X2IDX1 = (4, 4, 6, 6, 4, 4, 6, 6, 12, 12, 14, 14, 12, 12, 14, 14)
+
+
+def prediction_unit(ctu, r, size_log2, unavail, offset_x, offset_y,
+                    width, height, left_arr, left_i, top_arr, top_i,
+                    lefttop, pred_unavail=0):
+    """prediction_unit (h265.cpp:3903-3948): merge or AMVP for one PU.
+    Returns True when the PU was merged (rqt_root_cbf inference)."""
+    cb = ctu.cb
+    if C.merge_flag(cb, r):
+        prediction_unit_merge(ctu, r, unavail | pred_unavail, offset_x,
+                              offset_y, width, height, left_arr, left_i,
+                              top_arr, top_i, lefttop, 0)
+        return True
+    if ctu.hdr.slice_type == 0:
+        depth = ctu.size_log2 - size_log2
+        pred_idc = C.inter_pred_idc(cb, r, width, height, depth)
+    else:
+        pred_idc = 0
+    col = ctu.colpics.get_ref(offset_x, offset_y, width, height) \
+        if ctu.hdr.temporal_mvp else None
+    if col is not None and col.pu_intra:
+        col = None
+    pred = PredInfo()
+    if pred_idc != 1:
+        ref0 = C.ref_idx_lx(cb, r, 0, ctu.hdr.num_ref_idx_minus1)
+        mvd = C.mvd_coding(cb, r)
+        mvp_idx = C.mvp_lx_flag(cb, r)
+        pred.ref_idx[0] = ref0
+        pred.mv[0] = calc_mv(ctu, unavail, width, height, left_arr,
+                             left_i, top_arr, top_i, lefttop, 0, ref0,
+                             mvp_idx, mvd, col)
+    if pred_idc != 0:
+        ref1 = C.ref_idx_lx(cb, r, 1, ctu.hdr.num_ref_idx_minus1)
+        if pred_idc == 1 or not ctu.hdr.mvd_l1_zero:
+            mvd = C.mvd_coding(cb, r)
+        else:
+            mvd = (0, 0)
+        mvp_idx = C.mvp_lx_flag(cb, r)
+        pred.ref_idx[1] = ref1
+        pred.mv[1] = calc_mv(ctu, unavail, width, height, left_arr,
+                             left_i, top_arr, top_i, lefttop, 1, ref1,
+                             mvp_idx, mvd, col)
+    motion_compensate(ctu, pred, offset_x, offset_y, width, height)
+    ctu.deblocking.record_pu(ctu.qpy, width, height, offset_x, offset_y,
+                             unavail, left_arr, left_i, top_arr, top_i,
+                             pred.ref_idx[0], pred.ref_idx[1], pred.mv)
+    for arr, i0, length in ((left_arr, left_i, height),
+                            (top_arr, top_i, width)):
+        for k in range(length >> 2):
+            nb = arr[i0 + k]
+            nb.pu_intra = 0
+            nb.pu_nonzero_coef = 0
+            nb.skip = 0
+            nb.pred = pred.copy()
+    ctu.colpics.fill(offset_x, offset_y, width, height, pred=pred,
+                     ref0=pred.ref_idx[0], ref1=pred.ref_idx[1])
+    return False
+
+
+def prediction_unit_cases(ctu, r, size_log2, unavail, offset_x,
+                          offset_y, left_arr, left_i, top_arr, top_i,
+                          lefttop):
+    """prediction_unit_cases (h265.cpp:3949-4009). Returns
+    (mode, rqt_root_cbf_inferred)."""
+    cb = ctu.cb
+    mode = C.part_mode_inter(cb, r, size_log2, ctu.size_log2_min,
+                             ctu.sps.amp_enabled)
+    length = 1 << size_log2
+    inferred = False
+    if mode == 0:  # 2Nx2N
+        inferred = prediction_unit(ctu, r, size_log2, unavail, offset_x,
+                                   offset_y, length, length, left_arr,
+                                   left_i, top_arr, top_i, lefttop)
+    elif mode == 1:  # 2NxN
+        ls = length >> 1
+        lt0 = left_arr[left_i + (length >> 3) - 1].copy()
+        prediction_unit(ctu, r, size_log2, _AVAIL2X1IDX0[unavail],
+                        offset_x, offset_y, length, ls, left_arr,
+                        left_i, top_arr, top_i, lefttop)
+        prediction_unit(ctu, r, size_log2, _AVAIL2X1IDX1[unavail],
+                        offset_x, offset_y + ls, length, ls, left_arr,
+                        left_i + (length >> 3), top_arr, top_i, lt0, 2)
+    elif mode == 2:  # Nx2N
+        ls = length >> 1
+        lt0 = top_arr[top_i + (length >> 3) - 1].copy()
+        prediction_unit(ctu, r, size_log2, _AVAIL1X2IDX0[unavail],
+                        offset_x, offset_y, ls, length, left_arr,
+                        left_i, top_arr, top_i, lefttop)
+        prediction_unit(ctu, r, size_log2, _AVAIL1X2IDX1[unavail],
+                        offset_x + ls, offset_y, ls, length, left_arr,
+                        left_i, top_arr, top_i + (length >> 3), lt0, 1)
+    elif mode == 3:
+        # NxN: the reference passes an uninitialized lefttops[2] to the
+        # fourth PU (h265.cpp:3977-3985) — indeterminate domain
+        raise NotImplementedError(
+            "reference-indeterminate: NxN inter (uninitialized lefttop)")
+    elif mode == 4:  # 2NxnU
+        ls = length >> 2
+        lt0 = left_arr[left_i + (length >> 4) - 1].copy()
+        prediction_unit(ctu, r, size_log2, _AVAIL2X1IDX0[unavail],
+                        offset_x, offset_y, length, ls, left_arr,
+                        left_i, top_arr, top_i, lefttop)
+        prediction_unit(ctu, r, size_log2, _AVAIL2X1IDX1[unavail],
+                        offset_x, offset_y + ls, length, length - ls,
+                        left_arr, left_i + (length >> 4), top_arr,
+                        top_i, lt0, 2)
+    elif mode == 5:  # 2NxnD
+        ls = length >> 2
+        lt0 = left_arr[left_i + ((length - ls) >> 2) - 1].copy()
+        prediction_unit(ctu, r, size_log2, _AVAIL2X1IDX0[unavail],
+                        offset_x, offset_y, length, length - ls,
+                        left_arr, left_i, top_arr, top_i, lefttop)
+        prediction_unit(ctu, r, size_log2, _AVAIL2X1IDX1[unavail],
+                        offset_x, offset_y + length - ls, length, ls,
+                        left_arr, left_i + ((length - ls) >> 2),
+                        top_arr, top_i, lt0, 2)
+    elif mode == 6:  # nLx2N
+        ls = length >> 2
+        lt0 = top_arr[top_i + (length >> 4) - 1].copy()
+        prediction_unit(ctu, r, size_log2, _AVAIL1X2IDX0[unavail],
+                        offset_x, offset_y, ls, length, left_arr,
+                        left_i, top_arr, top_i, lefttop)
+        prediction_unit(ctu, r, size_log2, _AVAIL1X2IDX1[unavail],
+                        offset_x + ls, offset_y, length - ls, length,
+                        left_arr, left_i, top_arr,
+                        top_i + (length >> 4), lt0, 1)
+    elif mode == 7:  # nRx2N
+        ls = length >> 2
+        lt0 = top_arr[top_i + ((length - ls) >> 2) - 1].copy()
+        prediction_unit(ctu, r, size_log2, _AVAIL1X2IDX0[unavail],
+                        offset_x, offset_y, length - ls, length,
+                        left_arr, left_i, top_arr, top_i, lefttop)
+        prediction_unit(ctu, r, size_log2, _AVAIL1X2IDX1[unavail],
+                        offset_x + length - ls, offset_y, ls, length,
+                        left_arr, left_i, top_arr,
+                        top_i + ((length - ls) >> 2), lt0, 1)
+    return mode, inferred
+
+
 def pred_inter(ctu, r, size_log2, unavail, offset_x, offset_y, valid_x,
                valid_y, left_arr, left_i, top_arr, top_i, lefttop):
     """pred_inter (h265.cpp:4044-4073): skip / merge / intra switch."""
@@ -334,69 +477,16 @@ def pred_inter(ctu, r, size_log2, unavail, offset_x, offset_y, valid_x,
                        valid_x, valid_y, left_arr, left_i, top_arr,
                        top_i)
         return
-    mode = C.part_mode_inter(cb, r, size_log2, ctu.size_log2_min,
-                             ctu.sps.amp_enabled)
-    if mode != 0:
-        raise NotImplementedError("inter part modes other than 2Nx2N")
-    inferred = C.merge_flag(cb, r)
-    if inferred:
-        prediction_unit_merge(ctu, r, unavail, offset_x, offset_y, size,
-                              size, left_arr, left_i, top_arr, top_i,
-                              lefttop, 0)
-    else:
-        # AMVP (prediction_unit non-merge, h265.cpp:3905-3931)
-        if ctu.hdr.slice_type == 0:
-            depth = ctu.size_log2 - size_log2
-            pred_idc = C.inter_pred_idc(cb, r, size, size, depth)
-        else:
-            pred_idc = 0
-        col = ctu.colpics.get_ref(offset_x, offset_y, size, size) \
-            if ctu.hdr.temporal_mvp else None
-        # NOTE: the reference derefs col unconditionally here -- with
-        # tmvp off it crashes (h265.cpp:4030); tmvp-on is the domain
-        if col is not None and col.pu_intra:
-            col = None
-        pred = PredInfo()
-        if pred_idc != 1:
-            ref0 = C.ref_idx_lx(cb, r, 0, ctu.hdr.num_ref_idx_minus1)
-            mvd = C.mvd_coding(cb, r)
-            mvp_idx = C.mvp_lx_flag(cb, r)
-            pred.ref_idx[0] = ref0
-            pred.mv[0] = calc_mv(ctu, unavail, size, size, left_arr,
-                                 left_i, top_arr, top_i, lefttop, 0,
-                                 ref0, mvp_idx, mvd, col)
-        if pred_idc != 0:
-            ref1 = C.ref_idx_lx(cb, r, 1, ctu.hdr.num_ref_idx_minus1)
-            if pred_idc == 1 or not ctu.hdr.mvd_l1_zero:
-                mvd = C.mvd_coding(cb, r)
-            else:
-                mvd = (0, 0)
-            mvp_idx = C.mvp_lx_flag(cb, r)
-            pred.ref_idx[1] = ref1
-            pred.mv[1] = calc_mv(ctu, unavail, size, size, left_arr,
-                                 left_i, top_arr, top_i, lefttop, 1,
-                                 ref1, mvp_idx, mvd, col)
-        motion_compensate(ctu, pred, offset_x, offset_y, size, size)
-        ctu.deblocking.record_pu(ctu.qpy, size, size, offset_x,
-                                 offset_y, unavail, left_arr, left_i,
-                                 top_arr, top_i, pred.ref_idx[0],
-                                 pred.ref_idx[1], pred.mv)
-        for arr, i0, length in ((left_arr, left_i, size),
-                                (top_arr, top_i, size)):
-            for k in range(length >> 2):
-                nb = arr[i0 + k]
-                nb.pu_intra = 0
-                nb.pu_nonzero_coef = 0
-                nb.skip = 0
-                nb.pred = pred.copy()
-        ctu.colpics.fill(offset_x, offset_y, size, size, pred=pred,
-                         ref0=pred.ref_idx[0], ref1=pred.ref_idx[1])
+    mode, inferred = prediction_unit_cases(ctu, r, size_log2, unavail,
+                                           offset_x, offset_y, left_arr,
+                                           left_i, top_arr, top_i,
+                                           lefttop)
     if inferred or C.rqt_root_cbf(cb, r):
         ctu.order_luma = [0, 0, 0, 0]
         ctu.order_chroma = 0
-        ctu.intra_split = (mode != 0
-                           and ctu.sps.max_transform_hierarchy_depth_inter
-                           == 0)
+        ctu.intra_split = int(
+            mode != 0
+            and ctu.sps.max_transform_hierarchy_depth_inter == 0)
         ctu.transform_tree(r, size_log2, unavail, 0, 3, offset_x,
                            valid_x, offset_y, valid_y, 0, 0, False,
                            left_arr, left_i, top_arr, top_i)

@@ -60,7 +60,8 @@ class H265StreamGen:
                  transform_skip=0, tskip_prob=0.5, deblock=0,
                  beta_offset_div2=0, tc_offset_div2=0, sao=0,
                  sao_max_offset=3, skip_prob=0.4, inter_intra_prob=0.25,
-                 merge_max=5, amvp_prob=0.0, max_mvd=16, tmvp=0):
+                 merge_max=5, amvp_prob=0.0, max_mvd=16, tmvp=0,
+                 part_mode_prob=0.0, amp=0):
         self.w = width
         self.h = height
         self.rng = random.Random(seed)
@@ -88,6 +89,8 @@ class H265StreamGen:
         #: h265.cpp:3694) -> OOB ref-list reads; while AMVP with tmvp
         #: OFF null-derefs (h265.cpp:4030). Indeterminate domains both.
         self.tmvp = tmvp
+        self.part_mode_prob = part_mode_prob
+        self.amp = amp
         self.slice_type = 2  # current picture's type during emission
         self.beta_offset_div2 = beta_offset_div2
         self.tc_offset_div2 = tc_offset_div2
@@ -154,7 +157,7 @@ class H265StreamGen:
         w.ue(0)  # max_transform_hierarchy_depth_inter
         w.ue(0)  # max_transform_hierarchy_depth_intra
         w.put_bits(0, 1)  # scaling_list_enabled
-        w.put_bits(0, 1)  # amp_enabled
+        w.put_bits(1 if self.amp else 0, 1)  # amp_enabled
         w.put_bits(1 if self.sao else 0, 1)  # sao_enabled
         w.put_bits(0, 1)  # pcm_enabled
         # num_short_term_ref_pic_sets = 16: the reference sizes its
@@ -302,6 +305,68 @@ class H265StreamGen:
                                        None if idx == 2 else None)
 
     # -- CTU emission ---------------------------------------------------
+    def _emit_part_mode(self, enc, mode, size_log2):
+        """Inverse of part_mode_inter0/1/2 (h265.cpp:1165-1208)."""
+        enc_ = enc
+
+        def inter0(m):
+            if m == 0:
+                enc_.decision(HT.PART_MODE, 1)
+            else:
+                enc_.decision(HT.PART_MODE, 0)
+                enc_.decision(HT.PART_MODE + 1, 2 - m)
+
+        if self.min_cb_log2 < size_log2:
+            if not self.amp:
+                inter0(mode)
+            else:
+                if mode == 0:
+                    inter0(0)
+                elif mode in (1, 2):
+                    inter0(mode)
+                    enc_.decision(HT.PART_MODE + 3, 1)
+                else:
+                    base = 1 if mode in (4, 5) else 2
+                    inter0(base)
+                    enc_.decision(HT.PART_MODE + 3, 0)
+                    enc_.bypass(mode & 1)
+        else:
+            # size == min (8 with our SPS): inter0, no NxN
+            inter0(mode)
+
+    def _emit_pu(self, enc, size_log2, width, height, merge_ok,
+                 second):
+        """One PU: merge or AMVP. Returns True when merged 2Nx2N
+        (rqt_root_cbf inference is caller-side for mode 0 only)."""
+        rng = self.rng
+        amvp = (not merge_ok) or rng.random() < self.amvp_prob
+        enc.decision(HT.MERGE_FLAG, 0 if amvp else 1)
+        if not amvp:
+            self._emit_merge_idx(enc)
+            return True
+        if self.slice_type == 0:
+            depth = self.ctb_log2 - size_log2
+            if width + height == 12:
+                idc = rng.choice((0, 1))
+                enc.decision(HT.INTER_PRED_IDC + 4, idc)
+            else:
+                idc = rng.choice((0, 1, 2, 2))
+                if idc == 2:
+                    enc.decision(HT.INTER_PRED_IDC + depth, 1)
+                else:
+                    enc.decision(HT.INTER_PRED_IDC + depth, 0)
+                    enc.decision(HT.INTER_PRED_IDC + 4, idc)
+        else:
+            idc = 0
+        if idc != 1:
+            self._emit_mvd(enc)
+            enc.decision(HT.MVP_FLAG, rng.randint(0, 1))
+        if idc != 0:
+            if idc == 1 or not self._mvd_l1_zero:
+                self._emit_mvd(enc)
+            enc.decision(HT.MVP_FLAG, rng.randint(0, 1))
+        return False
+
     def _emit_mvd(self, enc):
         """mvd_coding inverse (h265.cpp:3723-3740)."""
         rng = self.rng
@@ -372,37 +437,43 @@ class H265StreamGen:
                           set_depth=False)
             return
         enc.decision(HT.PRED_MODE_FLAG, 0)
-        enc.decision(HT.PART_MODE, 1)  # 2Nx2N
-        amvp = (not merge_ok) or rng.random() < self.amvp_prob
-        enc.decision(HT.MERGE_FLAG, 0 if amvp else 1)
-        if amvp:
-            if self.slice_type == 0:
-                idc = rng.choice((0, 1, 2, 2))
-                depth = self.ctb_log2 - size_log2
-                if idc == 2:
-                    enc.decision(HT.INTER_PRED_IDC + depth, 1)
-                else:
-                    enc.decision(HT.INTER_PRED_IDC + depth, 0)
-                    enc.decision(HT.INTER_PRED_IDC + 4, idc)
+        # part mode selection (inverse of part_mode_inter0/1/2)
+        size = 1 << size_log2
+        use_part = rng.random() < self.part_mode_prob
+        if use_part:
+            if self.amp and size_log2 > self.min_cb_log2:
+                mode = rng.choice((1, 2, 4, 5, 6, 7))
             else:
-                idc = 0
-            if idc != 1:
-                self._emit_mvd(enc)
-                enc.decision(HT.MVP_FLAG, rng.randint(0, 1))
-            if idc != 0:
-                if idc == 1 or not self._mvd_l1_zero:
-                    self._emit_mvd(enc)
-                enc.decision(HT.MVP_FLAG, rng.randint(0, 1))
-            root = rng.random() < 0.8
-            enc.decision(HT.RQT_ROOT_CBF, int(root))
-            if root:
-                self._emit_ttree(enc, size_log2, 0, 3, False, [0] * 4,
-                                 0, is_intra=False)
+                mode = rng.choice((1, 2))
         else:
-            self._emit_merge_idx(enc)
-            # rqt_root_cbf inferred for 2Nx2N merge -> transform tree
-            self._emit_ttree(enc, size_log2, 0, 3, False, [0] * 4, 0,
-                             is_intra=False)
+            mode = 0
+        self._emit_part_mode(enc, mode, size_log2)
+        inferred = False
+        if mode == 0:
+            inferred = self._emit_pu(enc, size_log2, size, size,
+                                     merge_ok, False)
+        else:
+            if mode in (1, 4, 5):  # horizontal splits
+                hs = {1: size >> 1, 4: size >> 2, 5: size >> 2}[mode]
+                h0 = hs if mode != 5 else size - hs
+                self._emit_pu(enc, size_log2, size, h0, merge_ok, False)
+                self._emit_pu(enc, size_log2, size, size - h0,
+                              merge_ok, True)
+            else:  # vertical splits
+                ws = {2: size >> 1, 6: size >> 2, 7: size >> 2}[mode]
+                w0 = ws if mode != 7 else size - ws
+                self._emit_pu(enc, size_log2, w0, size, merge_ok, False)
+                self._emit_pu(enc, size_log2, size - w0, size,
+                              merge_ok, True)
+        if inferred or True:
+            if not inferred:
+                root = rng.random() < 0.8
+                enc.decision(HT.RQT_ROOT_CBF, int(root))
+            else:
+                root = True
+            if root:
+                self._emit_ttree(enc, size_log2, 0, 3,
+                                 mode != 0, [0] * 4, 0, is_intra=False)
         for i in range(num):
             for arr, i0 in ((left, li), (top, ti)):
                 arr[i0 + i]["skip"] = 0
@@ -485,8 +556,8 @@ class H265StreamGen:
         rng = self.rng
         if self.max_tb_log2 < size_log2:
             split = 1
-        elif depth == 0 and intra_split and is_intra:
-            split = 2
+        elif depth == 0 and intra_split:
+            split = 2  # intra NxN, or inter non-2Nx2N with hier 0
         else:
             split = 0  # hierarchy depths are 0: no split flag coded
         if 2 < size_log2:

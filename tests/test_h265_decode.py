@@ -292,3 +292,23 @@ def test_b_slices_ctb32(reference_bins, tmp_path):
              H265StreamGen(96, 64, seed=83, qp=14, ctb_log2=5,
                            cbf_prob=0.4, modes=ALL_MODES, tmvp=1),
              "IPBPB")
+
+
+def test_inter_part_modes(reference_bins, tmp_path):
+    """2NxN/Nx2N partitions with per-PU merge/AMVP."""
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=91, qp=14, cbf_prob=0.4,
+                           modes=ALL_MODES, tmvp=1, part_mode_prob=0.5),
+             "IPBPB")
+
+
+def test_inter_amp(reference_bins, tmp_path):
+    """Asymmetric partitions (2NxnU/D, nL/nRx2N)."""
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=92, qp=14, cbf_prob=0.4,
+                           modes=ALL_MODES, tmvp=1, part_mode_prob=0.6,
+                           amp=1), "IPB")
