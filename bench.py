@@ -20,9 +20,43 @@ import time
 REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO / "tests"))
 
+
+def _tpu_backend_alive(timeout=150):
+    """Probe backend init in a killable subprocess: a wedged axon
+    tunnel hangs jax.devices() in uninterruptible C code, which would
+    otherwise hang the whole bench run."""
+    import os
+
+    if os.environ.get("M2DEC_TPU_BENCH_CPU"):
+        return False
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, check=True, capture_output=True,
+            cwd=str(REPO))
+        return True
+    except Exception:
+        return False
+
+
+if not _tpu_backend_alive():
+    import os
+
+    print("# TPU tunnel unresponsive; falling back to CPU backend",
+          file=sys.stderr)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 # Persistent XLA compilation cache: the axon-tunnel compile of the 1080p
 # reconstruct takes ~7-9 minutes cold; cached it loads in seconds.
 import jax  # noqa: E402
+
+if jax.config.jax_platforms != "cpu" and __name__ != "__main__":
+    pass
+try:
+    if sys.modules.get("os").environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 jax.config.update("jax_compilation_cache_dir", str(REPO / "build" / "jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

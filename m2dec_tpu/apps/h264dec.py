@@ -11,7 +11,21 @@ import pathlib
 import sys
 
 
+def _pin_platform():
+    """Honor JAX_PLATFORMS=cpu through the config API: this image's
+    sitecustomize force-registers the axon TPU platform and wins over
+    the plain env var, which would tie CLI runs to the (sometimes
+    wedged) TPU tunnel."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main(argv=None):
+    _pin_platform()
     ap = argparse.ArgumentParser(prog="h264dec")
     ap.add_argument("-o", dest="raw_out")
     ap.add_argument("-O", dest="md5_out")

@@ -7,7 +7,10 @@ before the first `import jax` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): the driver environment exports
+# JAX_PLATFORMS=axon, which subprocess-based CLI tests would inherit —
+# and a wedged tunnel then hangs them in backend init
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
