@@ -124,7 +124,7 @@ class SliceHeader:
 class H264Decoder:
     """H.264 Annex-B elementary stream decoder (CAVLC I slices onward)."""
 
-    def __init__(self, num_frames=None, dpb_max=-1):
+    def __init__(self, num_frames=None, dpb_max=-1, record_plans=False):
         self.sps_store: dict = {}
         self.pps_store: dict = {}
         self.hdr = SliceHeader()
@@ -142,6 +142,8 @@ class H264Decoder:
         self.cb = AE.CabacEngine()
         self.is_cabac = False
         self.tc = None  # optional CAVLC->CABAC transcode sink (tests)
+        self.rec = None  # active PlanRecorder (Phase-A tap, plan.py)
+        self.plans = [] if record_plans else None
         self.weighted_mode = 0
         self.weight_shift = (0, 0)
         self.weight_tab = None
@@ -322,6 +324,10 @@ class H264Decoder:
                 d.idc = 0
                 d.str_vert = d.str_horiz = 0
                 d.str4_vert = d.str4_horiz = 0
+            if self.plans is not None:
+                from .plan import PlanRecorder
+
+                self.rec = PlanRecorder(self)
         hdr.frame_num = r.get_bits(sps.log2_max_frame_num)
         if not sps.frame_mbs_only_flag:
             if r.get_onebit():
@@ -667,6 +673,9 @@ class H264Decoder:
         if self.tc is not None:
             self.tc.emit_pcm(self, luma.tobytes() + chroma[0].tobytes()
                              + chroma[1].tobytes())
+        if self.rec is not None:
+            self.rec.set_kind(self.mb_pos, 4)
+            self.rec.pcm(self.mb_pos, luma, chroma[0], chroma[1])
         self.left_coef[:] = [15] * 4 + [15] * 4
         self.top_coef[self.mb_x][:] = [15] * 4 + [15] * 4
         self.left_pred[:] = [2] * 4
@@ -806,9 +815,14 @@ class H264Decoder:
             6 | ((avail_intra & 1) * 9),
             11,
         )
+        if self.rec is not None:
+            self.rec.set_kind(self.mb_pos, 2)
+            self.rec.set_t8x8(self.mb_pos, 1)
         cs = [0, 0, 0, 0]
         for b, (oy, ox) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
             P8.INTRA8x8_PRED[pr[b]](f.y, y0 + oy, x0 + ox, blkav[b])
+            if self.rec is not None:
+                self.rec.intra8(y0 + oy, x0 + ox, pr[b], blkav[b])
             if cbp & (1 << b):
                 if b == 0:
                     na = lc[0] if avail & 1 else -1
@@ -825,6 +839,8 @@ class H264Decoder:
                                              5, b * 4, avail_intra)
                 if cs[b]:
                     X.idct8x8_add(f.y, y0 + oy, x0 + ox, coeff)
+                    if self.rec is not None:
+                        self.rec.idct8_luma(y0 + oy, x0 + ox, coeff)
         self.left_coef[:4] = [cs[1], cs[1], cs[3], cs[3]]
         self.top_coef[self.mb_x][:4] = [cs[2], cs[2], cs[3], cs[3]]
         self._store_strength_intra(0x00FF00FF)
@@ -939,6 +955,8 @@ class H264Decoder:
         cx, cy = self.mb_x * 8, self.mb_y * 8
         pred.INTRA_CHROMA_PRED[mode](f.cb, cy, cx, avail_intra)
         pred.INTRA_CHROMA_PRED[mode](f.cr, cy, cx, avail_intra)
+        if self.rec is not None:
+            self.rec.chroma_pred(self.mb_pos, mode, avail_intra)
 
     # -------------------------------------------------- residual chroma --
     def _residual_chroma(self, r, cbp, avail):
@@ -992,8 +1010,14 @@ class H264Decoder:
                     if cnum:
                         coeff[0] = dc[i][b]
                         X.idct4x4_add(pl, cy + by, cx + bx, coeff[:16])
+                        if self.rec is not None:
+                            self.rec.idct4_chroma(i, cy + by, cx + bx,
+                                                  coeff[:16])
                     else:
                         X.idct4x4_dconly_add(pl, cy + by, cx + bx, dc[i][b])
+                        if self.rec is not None:
+                            self.rec.idct4_chroma_dc(i, cy + by, cx + bx,
+                                                     int(dc[i][b]))
                 new_left[i * 2] = nc[1]
                 new_left[i * 2 + 1] = nc[3]
                 new_top[i * 2] = nc[2]
@@ -1005,6 +1029,9 @@ class H264Decoder:
                 pl = planes[i]
                 for b, (by, bx) in enumerate([(0, 0), (0, 4), (4, 0), (4, 4)]):
                     X.idct4x4_dconly_add(pl, cy + by, cx + bx, dc[i][b])
+                    if self.rec is not None:
+                        self.rec.idct4_chroma_dc(i, cy + by, cx + bx,
+                                                 int(dc[i][b]))
             self.left_coef[4:] = [0, 0, 0, 0]
             self.top_coef[self.mb_x][4:] = [0, 0, 0, 0]
 
@@ -1018,6 +1045,9 @@ class H264Decoder:
         x0, y0 = self.mb_x * 16, self.mb_y * 16
         avail_intra = self._avail_intra(avail)
         pred.INTRA16_PRED[pred_mode](f.y, y0, x0, avail_intra)
+        if self.rec is not None:
+            self.rec.set_kind(self.mb_pos, 3)
+            self.rec.intra16(self.mb_pos, pred_mode, avail_intra)
         self._intra_chroma_pred(r, avail_intra)
         qp_delta = self._read_qp_delta(r)
         if qp_delta:
@@ -1054,8 +1084,12 @@ class H264Decoder:
                 if cnum:
                     coeff[0] = dc[dci]
                     X.idct4x4_add(f.y, y0 + by, x0 + bx, coeff[:16])
+                    if self.rec is not None:
+                        self.rec.idct4_luma(y0 + by, x0 + bx, coeff[:16])
                 else:
                     X.idct4x4_dconly_add(f.y, y0 + by, x0 + bx, dc[dci])
+                    if self.rec is not None:
+                        self.rec.idct4_luma_dc(y0 + by, x0 + bx, int(dc[dci]))
             new_left = [nc[5], nc[7], nc[13], nc[15]]
             new_top = [nc[10], nc[11], nc[14], nc[15]]
             self.left_coef[:4] = new_left
@@ -1065,6 +1099,8 @@ class H264Decoder:
                 by, bx = blkpos(i)
                 dci = (by >> 2) * 4 + (bx >> 2)
                 X.idct4x4_dconly_add(f.y, y0 + by, x0 + bx, dc[dci])
+                if self.rec is not None:
+                    self.rec.idct4_luma_dc(y0 + by, x0 + bx, int(dc[dci]))
             self.left_coef[:4] = [0] * 4
             self.top_coef[self.mb_x][:4] = [0] * 4
         self.left_pred[:] = [2] * 4
@@ -1100,10 +1136,14 @@ class H264Decoder:
         nc = [0] * 16
         lc, tc = self.left_coef, self.top_coef[self.mb_x]
         new_left, new_top = [0] * 4, [0] * 4
+        if self.rec is not None:
+            self.rec.set_kind(self.mb_pos, 1)
         for i in range(16):
             by = ((i >> 1) & 1) * 4 + ((i >> 3) & 1) * 8
             bx = (i & 1) * 4 + ((i >> 2) & 1) * 8
             pred.INTRA4x4_PRED[pr[i]](f.y, y0 + by, x0 + bx, blk_avail[i])
+            if self.rec is not None:
+                self.rec.intra4(y0 + by, x0 + bx, pr[i], blk_avail[i])
             if cbp & (1 << (i >> 2)):
                 na_s, nb_s = _LUMA_NC_WIRING[i]
                 na = _nc_resolve(na_s, nc, lc, avail, True)
@@ -1113,6 +1153,8 @@ class H264Decoder:
                 nc[i] = cnum
                 if cnum:
                     X.idct4x4_add(f.y, y0 + by, x0 + bx, coeff[:16])
+                    if self.rec is not None:
+                        self.rec.idct4_luma(y0 + by, x0 + bx, coeff[:16])
         self.left_coef[:4] = [nc[5], nc[7], nc[13], nc[15]]
         self.top_coef[self.mb_x][:4] = [nc[10], nc[11], nc[14], nc[15]]
         self._store_strength_intra(0xFFFFFFFF)
@@ -1175,6 +1217,10 @@ class H264Decoder:
 
         hdr = self.hdr
         sps = self.sps
+        if self.rec is not None:
+            self.rec.plan.poc = hdr.poc
+            self.plans.append(self.rec.finalize())
+            self.rec = None
         deblock_picture(self)
         max_frame_num = 1 << sps.log2_max_frame_num
         if self.nal_id & 0x60:
@@ -1473,6 +1519,8 @@ class _PSliceMixin:
             if cnum:
                 by, bx = _zblkpos(i)
                 X.idct4x4_add(f.y, y0 + by, x0 + bx, coeff[:16])
+                if self.rec is not None:
+                    self.rec.idct4_luma(y0 + by, x0 + bx, coeff[:16])
                 str_map |= _STR_MAP_BIT[i]
         self.left_coef[:4] = [nc[5], nc[7], nc[13], nc[15]]
         self.top_coef[self.mb_x][:4] = [nc[10], nc[11], nc[14], nc[15]]
@@ -1498,6 +1546,8 @@ class _PSliceMixin:
             self.mbleft.transform8x8 = 1 if t8 else 0
             self._top().transform8x8 = 1 if t8 else 0
             if t8:
+                if self.rec is not None:
+                    self.rec.set_t8x8(self.mb_pos, 1)
                 self._residual_luma_inter8x8(r, cbp)
             else:
                 self._residual_luma_inter4x4(r, cbp)
@@ -1543,6 +1593,8 @@ class _PSliceMixin:
                                          5, b * 4, avail)
             if cs[b]:
                 X.idct8x8_add(f.y, y0 + oy, x0 + ox, coeff)
+                if self.rec is not None:
+                    self.rec.idct8_luma(y0 + oy, x0 + ox, coeff)
         self.left_coef[:4] = [cs[1], cs[1], cs[3], cs[3]]
         self.top_coef[self.mb_x][:4] = [cs[2], cs[2], cs[3], cs[3]]
         deb = self.deblock[self.mb_pos]

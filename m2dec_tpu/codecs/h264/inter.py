@@ -165,7 +165,21 @@ def inter_pred_basic(dec, ref_idx, mv, bw, bh, offsetx, offsety):
         bidir += 1
     if out_y is None:
         return
+    if dec.rec is not None:
+        _rec_inter(dec, ref_idx, mv, bw, bh, x0, y0,
+                   [(1, 1, 0, 1)] * 3 if bidir == 2 else [(1, 0, 0, 0)] * 3)
     _store_pred(dec, x0, y0, bw, bh, out_y, out_cb, out_cr)
+
+
+def _rec_inter(dec, ref_idx, mv, bw, bh, x0, y0, wp3x4):
+    """Plan-recorder tap (plan.py): resolve ref slots and emit the
+    partition's 4x4-block records."""
+    slots = [-1, -1]
+    for lx in range(2):
+        idx = int(ref_idx[lx])
+        if idx >= 0:
+            slots[lx] = dec.refs[lx][idx].frame_idx
+    dec.rec.inter(x0, y0, bw, bh, slots, mv, wp3x4)
 
 
 # ---------------------------------------------------------------------
@@ -200,6 +214,10 @@ def _inter_pred_weighted1(dec, ref_idx, mv, bw, bh, offsetx, offsety):
         oy = _wbidir1(py0, py1, w0[0][0], w1[0][0], w0[0][1], w1[0][1], sy)
         ocb = _wbidir1(pcb0, pcb1, w0[1][0], w1[1][0], w0[1][1], w1[1][1], sc)
         ocr = _wbidir1(pcr0, pcr1, w0[2][0], w1[2][0], w0[2][1], w1[2][1], sc)
+        if dec.rec is not None:
+            wp = [(w0[p][0], w1[p][0], (w0[p][1] + w1[p][1] + 1) >> 1,
+                   (sy if p == 0 else sc) + 1) for p in range(3)]
+            _rec_inter(dec, ref_idx, mv, bw, bh, x0, y0, wp)
     else:
         lx = 0 if r0 >= 0 else 1
         idx = r0 if r0 >= 0 else r1
@@ -208,6 +226,10 @@ def _inter_pred_weighted1(dec, ref_idx, mv, bw, bh, offsetx, offsety):
         oy = _wcopy(py, w[0][0], w[0][1], sy)
         ocb = _wcopy(pcb, w[1][0], w[1][1], sc)
         ocr = _wcopy(pcr, w[2][0], w[2][1], sc)
+        if dec.rec is not None:
+            wp = [(w[p][0], 0, w[p][1], sy if p == 0 else sc)
+                  for p in range(3)]
+            _rec_inter(dec, ref_idx, mv, bw, bh, x0, y0, wp)
     _store_pred(dec, x0, y0, bw, bh, oy, ocb, ocr)
 
 
@@ -236,6 +258,8 @@ def _inter_pred_weighted2(dec, ref_idx, mv, bw, bh, offsetx, offsety):
         lx = 0 if r0 >= 0 else 1
         idx = r0 if r0 >= 0 else r1
         py, pcb, pcr = _pred_one(dec, lx, idx, mv[lx], bw, bh, x0, y0)
+        if dec.rec is not None:
+            _rec_inter(dec, ref_idx, mv, bw, bh, x0, y0, [(1, 0, 0, 0)] * 3)
         _store_pred(dec, x0, y0, bw, bh, py, pcb, pcr)
         return
     w0, w1 = _implicit_weights(dec, r0, r1)
@@ -248,6 +272,8 @@ def _inter_pred_weighted2(dec, ref_idx, mv, bw, bh, offsetx, offsety):
         v = (b.astype(np.int64) * w1 + a.astype(np.int64) * w0 + 32) >> 6
         return np.clip(v, 0, 255).astype(np.uint8)
 
+    if dec.rec is not None:
+        _rec_inter(dec, ref_idx, mv, bw, bh, x0, y0, [(w0, w1, 0, 6)] * 3)
     _store_pred(dec, x0, y0, bw, bh, comb(py0, py1), comb(pcb0, pcb1),
                 comb(pcr0, pcr1))
 

@@ -1,0 +1,123 @@
+"""PicturePlan roundtrip: Phase-A plan + numpy Phase-B interpreter must
+reproduce the interleaved Python decoder's frames exactly.
+
+This validates the Phase-A/Phase-B tensor boundary (codecs/h264/plan.py)
+that the JAX reconstruction and the native C++ front end both target.
+The oracle is the already-reference-verified Python decoder, so no
+reference binary is needed here.
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+
+from streamgen.h264_enc import (  # noqa: E402
+    H264BGen,
+    H264CabacIGen,
+    H264HighGen,
+    H264IntraGen,
+    H264InterGen,
+    H264MultiSliceGen,
+    H264StreamGen,
+    H264WeightedGen,
+)
+
+from m2dec_tpu.codecs.h264.decoder import Frame, H264Decoder  # noqa: E402
+from m2dec_tpu.codecs.h264.recon_ref import reconstruct_plan_np  # noqa: E402
+
+
+def roundtrip(gen, pattern):
+    data = gen.generate(pattern)
+    dec = H264Decoder(dpb_max=1, record_plans=True)
+    dec.set_data(data)
+    shadow = None
+    npics = 0
+    while dec.decode_picture() == 1:
+        if shadow is None:
+            h, w = dec.frames[0].y.shape
+            shadow = [Frame(w, h) for _ in dec.frames]
+        plan = dec.plans[-1]
+        reconstruct_plan_np(plan, shadow)
+        ours, ref = shadow[plan.cur_idx], dec.frames[plan.cur_idx]
+        for pl in ("y", "cb", "cr"):
+            a, b = getattr(ours, pl), getattr(ref, pl)
+            if not np.array_equal(a, b):
+                bad = np.argwhere(a != b)
+                raise AssertionError(
+                    f"pic {npics} plane {pl}: {len(bad)} mismatches, "
+                    f"first at {bad[0]}: {a[tuple(bad[0])]} != "
+                    f"{b[tuple(bad[0])]}")
+        npics += 1
+    assert npics == len(dec.plans) and npics > 0
+
+
+def test_plan_intra_cavlc():
+    roundtrip(H264IntraGen(80, 48, seed=3, qp=28, disable_deblock=False),
+              "II")
+
+
+def test_plan_ipcm():
+    roundtrip(H264StreamGen(48, 32, seed=1), "III")
+
+
+def test_plan_intra_cabac():
+    roundtrip(H264CabacIGen(64, 48, seed=7, qp=30, disable_deblock=False),
+              "II")
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_plan_p(seed):
+    roundtrip(H264InterGen(48, 32, seed=seed, skip_prob=0.2), "IPPI")
+
+
+def test_plan_p_multiref():
+    roundtrip(H264InterGen(64, 48, seed=5, num_ref_frames=4), "IPPPPI")
+
+
+@pytest.mark.parametrize("spatial", [0, 1])
+def test_plan_b(spatial):
+    roundtrip(
+        H264BGen(48, 32, seed=spatial, skip_prob=0.25, intra_prob=0.15,
+                 num_ref_frames=2, b_direct_prob=0.3,
+                 direct_spatial=spatial), "IPBPBB")
+
+
+def test_plan_b_cif_deblock():
+    roundtrip(
+        H264BGen(176, 144, seed=11, skip_prob=0.2, intra_prob=0.1,
+                 num_ref_frames=4, b_direct_prob=0.3, direct_spatial=1,
+                 qp=30), "IPBBPBB")
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_plan_high(seed):
+    roundtrip(H264HighGen(48, 32, seed=seed, intra_prob=0.2,
+                          skip_prob=0.15), "IPPI")
+
+
+def test_plan_high_deblock():
+    roundtrip(H264HighGen(80, 48, seed=1, intra_prob=0.15, skip_prob=0.15,
+                          qp=29, disable_deblock=False), "IPPI")
+
+
+def test_plan_weighted_explicit():
+    roundtrip(H264WeightedGen(48, 32, seed=0, skip_prob=0.15,
+                              intra_prob=0.1, num_ref_frames=2,
+                              b_direct_prob=0), "IPP")
+
+
+@pytest.mark.parametrize("idc", [1, 2])
+def test_plan_weighted_b(idc):
+    roundtrip(H264WeightedGen(48, 32, seed=idc, skip_prob=0.15,
+                              intra_prob=0.1, num_ref_frames=2,
+                              b_direct_prob=0.3, bipred_idc=idc), "IPBPB")
+
+
+@pytest.mark.parametrize("rps", [1, 2])
+def test_plan_multi_slice(rps):
+    roundtrip(H264MultiSliceGen(64, 48, seed=rps, rows_per_slice=rps,
+                                qp=29, disable_deblock=False), "II")
