@@ -1,0 +1,1014 @@
+"""H.264 Phase-B reconstruction on TPU: one fused jax.jit graph per
+picture geometry.
+
+Consumes the PicturePlan tensors (codecs/h264/plan.py) and the reference
+frame stack; produces the reconstructed (and deblocked) picture planes,
+bit-exact with the reference decoder (reference: src/lib/h264.cpp — see
+recon_ref.py for the scalar executable spec this is verified against).
+
+TPU mapping:
+
+* inter prediction: one dense gather of 9x9 (luma) / 3x3 (chroma)
+  support windows for every 4x4 block of the picture, 6-tap/bilinear
+  integer filters vectorized over all blocks, all 16 quarter-pel cases
+  computed by mask selection (the reference's 16 inter_pred_luma_fracXY
+  kernels, h264.cpp:6118-6262, collapsed into one batched kernel);
+* residual: batched 4x4/8x8 integer inverse transforms over the whole
+  picture (h264.cpp:2272-2360, :3986-4068);
+* intra prediction: a lax.scan wavefront over macroblock anti-diagonals
+  d = mbx + 2*mby (left/top/top-right dependencies), every MB on a
+  diagonal computed in parallel lanes, the 16 coding-order 4x4 blocks
+  (or 4 8x8 / the 16x16 pass) unrolled inside the step — the TPU
+  replacement for the reference's strictly sequential in-place MB loop;
+* deblocking: a second lax.scan wavefront with the same diagonal order,
+  reproducing deblock_pb's raster-sequential edge updates
+  (h264.cpp:10540-10663) exactly: per MB all four vertical edges then
+  all four horizontal edges, strong/normal filters branchless.
+
+Everything is int32 on device; host code only packs plan arrays and
+remaps reference slots.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from . import tables as T
+
+# =====================================================================
+# batched inverse transforms
+# =====================================================================
+
+
+def _stage4(r, xp):
+    e0 = r[..., 0] + r[..., 2]
+    e1 = r[..., 0] - r[..., 2]
+    e2 = (r[..., 1] >> 1) - r[..., 3]
+    e3 = r[..., 1] + (r[..., 3] >> 1)
+    return xp.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+
+
+def idct4_batch(coef, xp):
+    """[..., 16] raster -> [..., 4, 4] residual."""
+    c = coef.reshape(coef.shape[:-1] + (4, 4)).astype(xp.int32)
+    c = c.at[..., 0, 0].add(32) if xp is not np else _npadd(c, 32)
+    f = _stage4(c, xp)
+    g = _stage4(xp.swapaxes(f, -1, -2), xp)
+    return xp.swapaxes(g, -1, -2) >> 6
+
+
+def _npadd(c, v):
+    c = c.copy()
+    c[..., 0, 0] += v
+    return c
+
+
+def _stage8(r, xp):
+    s = [r[..., i] for i in range(8)]
+    t0 = s[0] + s[4]
+    t2 = s[0] - s[4]
+    t4 = (s[2] >> 1) - s[6]
+    t6 = s[2] + (s[6] >> 1)
+    t1 = s[5] - s[3] - s[7] - (s[7] >> 1)
+    t7 = s[3] + s[5] + s[1] + (s[1] >> 1)
+    t3 = s[1] + s[7] - s[3] - (s[3] >> 1)
+    t5 = s[5] + (s[5] >> 1) + s[7] - s[1]
+    t0, t6 = t0 + t6, t0 - t6
+    t2, t4 = t2 + t4, t2 - t4
+    t1, t7 = t1 + (t7 >> 2), t7 - (t1 >> 2)
+    t3, t5 = t3 + (t5 >> 2), (t3 >> 2) - t5
+    return xp.stack(
+        [t0 + t7, t2 + t5, t4 + t3, t6 + t1, t6 - t1, t4 - t3, t2 - t5,
+         t0 - t7], axis=-1)
+
+
+def idct8_batch(coef, xp):
+    c = coef.reshape(coef.shape[:-1] + (8, 8)).astype(xp.int32)
+    c = c.at[..., 0, 0].add(32) if xp is not np else _npadd(c, 32)
+    f = _stage8(c, xp)
+    g = _stage8(xp.swapaxes(f, -1, -2), xp)
+    return xp.swapaxes(g, -1, -2) >> 6
+
+
+def residual_mb(plan_coef_luma, t8x8, xp):
+    """[n,256] + flag -> assembled [n,16,16] luma residual."""
+    n = plan_coef_luma.shape[0]
+    r4 = idct4_batch(plan_coef_luma.reshape(n, 16, 16), xp)  # [n,16,4,4]
+    a4 = (r4.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
+          .reshape(n, 16, 16))
+    r8 = idct8_batch(plan_coef_luma.reshape(n, 4, 64), xp)  # [n,4,8,8]
+    a8 = (r8.reshape(n, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4)
+          .reshape(n, 16, 16))
+    return xp.where((t8x8 != 0)[:, None, None], a8, a4)
+
+
+def residual_chroma(plan_coef_chroma, xp):
+    """[n,2,4,16] -> [n,2,8,8]."""
+    n = plan_coef_chroma.shape[0]
+    r = idct4_batch(plan_coef_chroma, xp)  # [n,2,4,4,4]
+    return (r.reshape(n, 2, 2, 2, 4, 4).transpose(0, 1, 2, 4, 3, 5)
+            .reshape(n, 2, 8, 8))
+
+
+# =====================================================================
+# inter prediction (dense 4x4-block gather + 6-tap/bilinear filters)
+# =====================================================================
+
+
+def _tap6(a):
+    """6-tap along the last axis, windows of 6."""
+    return (a[..., :-5] - 5 * a[..., 1:-4] + 20 * a[..., 2:-3]
+            + 20 * a[..., 3:-2] - 5 * a[..., 4:-1] + a[..., 5:])
+
+
+def _luma_mc(refs, slot, posx, posy, fracx, fracy, xp):
+    """Quarter-pel 4x4 luma for B blocks.
+
+    refs [R,H,W] int32; slot/pos/frac [B]. Returns [B,4,4] in 0..255.
+    Mirrors inter.luma_interp exactly (clamped gather = UMV edge fill).
+    """
+    H, W = refs.shape[1], refs.shape[2]
+    ar9 = xp.arange(-2, 7)
+    ys = xp.clip(posy[:, None] + ar9[None, :], 0, H - 1)
+    xs = xp.clip(posx[:, None] + ar9[None, :], 0, W - 1)
+    s = xp.clip(slot, 0, refs.shape[0] - 1)
+    g = refs[s[:, None, None], ys[:, :, None], xs[:, None, :]]  # [B,9,9]
+    g = g.astype(xp.int32)
+
+    def clip255(a):
+        return xp.clip(a, 0, 255)
+
+    G = g[:, 2:6, 2:6]
+    raw_b = _tap6(g)                      # [B,9,4]
+    b_full = clip255((raw_b + 16) >> 5)
+    b = b_full[:, 2:6]
+    raw_h = xp.swapaxes(_tap6(xp.swapaxes(g, -1, -2)), -1, -2)  # [B,4,9]
+    h_full = clip255((raw_h + 16) >> 5)
+    h = h_full[:, :, 2:6]
+    j_raw = xp.swapaxes(_tap6(xp.swapaxes(raw_b, -1, -2)), -1, -2)
+    j = clip255((j_raw + 512) >> 10)      # [B,4,4]
+    Gx1 = g[:, 2:6, 3:7]
+    Gy1 = g[:, 3:7, 2:6]
+    s_row = b_full[:, 3:7]
+    m_col = h_full[:, :, 3:7]
+
+    def avg(a, bb):
+        return (a + bb + 1) >> 1
+
+    fx = fracx[:, None, None]
+    fy = fracy[:, None, None]
+    # fy == 0 row
+    r_y0 = xp.where(fx == 0, G, xp.where(fx == 1, avg(G, b),
+                    xp.where(fx == 2, b, avg(Gx1, b))))
+    # fx == 0 col
+    r_x0 = xp.where(fy == 1, avg(G, h), xp.where(fy == 2, h, avg(Gy1, h)))
+    # fy == 2 (uses j)
+    r_y2 = xp.where(fx == 1, avg(h, j), xp.where(fx == 2, j, avg(j, m_col)))
+    # fx == 2
+    r_x2 = xp.where(fy == 1, avg(b, j), avg(j, s_row))
+    # diagonal quarters
+    bb = xp.where(fy == 1, b, s_row)
+    hh = xp.where(fx == 1, h, m_col)
+    r_diag = avg(bb, hh)
+    out = xp.where(fy == 0, r_y0,
+          xp.where(fx == 0, r_x0,
+          xp.where(fy == 2, r_y2,
+          xp.where(fx == 2, r_x2, r_diag))))
+    return out
+
+
+def _chroma_mc(refs, slot, posx, posy, fracx, fracy, xp):
+    """1/8-pel bilinear 2x2 chroma; refs [R,Hc,Wc]."""
+    H, W = refs.shape[1], refs.shape[2]
+    ar3 = xp.arange(3)
+    ys = xp.clip(posy[:, None] + ar3[None, :], 0, H - 1)
+    xs = xp.clip(posx[:, None] + ar3[None, :], 0, W - 1)
+    s = xp.clip(slot, 0, refs.shape[0] - 1)
+    g = refs[s[:, None, None], ys[:, :, None], xs[:, None, :]].astype(xp.int32)
+    a = g[:, 0:2, 0:2]
+    b = g[:, 0:2, 1:3]
+    c = g[:, 1:3, 0:2]
+    d = g[:, 1:3, 1:3]
+    fx = fracx[:, None, None]
+    fy = fracy[:, None, None]
+    return ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+            + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
+
+
+def _combine_wp(p0, p1, both, w0, w1, o, s, xp):
+    """Unified copy/AVERAGE2/explicit/implicit combine (plan.py wp)."""
+    rnd = xp.where(s > 0, 1 << xp.maximum(s - 1, 0), 0)
+    uni = ((p0 * w0 + rnd) >> s) + o
+    bi = ((p0 * w0 + p1 * w1 + rnd) >> s) + o
+    return xp.clip(xp.where(both, bi, uni), 0, 255)
+
+
+def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
+               mb_w, mb_h, xp):
+    """Predict every 4x4 block of the picture from the ref stacks.
+
+    Returns pred_y [n,16,16], pred_cb/cr [n,8,8] int32 (garbage for
+    intra MBs; selected out later)."""
+    n = mb_w * mb_h
+    B = n * 16
+    mb = xp.arange(n, dtype=xp.int32)
+    x0 = (mb % mb_w) * 16
+    y0 = (mb // mb_w) * 16
+    blk = xp.arange(16, dtype=xp.int32)
+    bx = (x0[:, None] + (blk[None, :] & 3) * 4).reshape(B)
+    by = (y0[:, None] + (blk[None, :] >> 2) * 4).reshape(B)
+    quad = ((blk >> 3) * 2 + ((blk >> 1) & 1))[None, :]  # [1,16]
+    quad = xp.broadcast_to(quad, (n, 16)).reshape(B)
+    slot = plan_slot.reshape(n, 4, 2)[
+        xp.repeat(mb, 16), quad]  # [B,2]
+    wp = plan_wp.reshape(n, 4, 3, 4)[xp.repeat(mb, 16), quad]  # [B,3,4]
+    mv = plan_mv.reshape(B, 2, 2)
+
+    s0, s1 = slot[:, 0], slot[:, 1]
+    both = (s0 >= 0) & (s1 >= 0)
+    # single-list predictions route through p0 (recorder convention)
+    p0_slot = xp.where(s0 >= 0, s0, s1)
+    p0_mv = xp.where((s0 >= 0)[:, None], mv[:, 0], mv[:, 1])
+
+    def pred_one(sl, mvv):
+        mvx, mvy = mvv[:, 0], mvv[:, 1]
+        py = _luma_mc(refs_y, sl, bx + (mvx >> 2), by + (mvy >> 2),
+                      mvx & 3, mvy & 3, xp)
+        cxp = (bx >> 1) + (mvx >> 3)
+        cyp = (by >> 1) + (mvy >> 3)
+        pcb = _chroma_mc(refs_cb, sl, cxp, cyp, mvx & 7, mvy & 7, xp)
+        pcr = _chroma_mc(refs_cr, sl, cxp, cyp, mvx & 7, mvy & 7, xp)
+        return py, pcb, pcr
+
+    p0y, p0cb, p0cr = pred_one(p0_slot, p0_mv)
+    p1y, p1cb, p1cr = pred_one(xp.where(both, s1, p0_slot),
+                               xp.where(both[:, None], mv[:, 1], p0_mv))
+
+    both3 = both[:, None, None]
+
+    def comb(pi, pa, pb):
+        w0 = wp[:, pi, 0][:, None, None]
+        w1 = wp[:, pi, 1][:, None, None]
+        o = wp[:, pi, 2][:, None, None]
+        s = wp[:, pi, 3][:, None, None]
+        return _combine_wp(pa, pb, both3, w0, w1, o, s, xp)
+
+    out_y = comb(0, p0y, p1y)       # [B,4,4]
+    out_cb = comb(1, p0cb, p1cb)    # [B,2,2]
+    out_cr = comb(2, p0cr, p1cr)
+
+    pred_y = (out_y.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
+              .reshape(n, 16, 16))
+    pred_cb = (out_cb.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4)
+               .reshape(n, 8, 8))
+    pred_cr = (out_cr.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4)
+               .reshape(n, 8, 8))
+    return pred_y, pred_cb, pred_cr
+
+
+# =====================================================================
+# intra prediction formulas on lane-stacked neighbor vectors
+# =====================================================================
+
+
+def _fir3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _fir2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _sel_mode(stack, mode, xp):
+    """stack [M][L,h,w]; mode [L] -> [L,h,w]."""
+    out = stack[0]
+    for m in range(1, len(stack)):
+        out = xp.where((mode == m)[:, None, None], stack[m], out)
+    return out
+
+
+def intra4_modes(l, t, c, avail, mode, xp):
+    """All 9 4x4 modes; l[L,4], t[L,8] (raw top+topright), c[L],
+    avail[L] bits(1=left,2=top,4=tr); returns [L,4,4]."""
+    av1 = (avail & 1) != 0
+    av2 = (avail & 2) != 0
+    av4 = (avail & 4) != 0
+    t4 = t[:, :4]
+    th = xp.where(av4[:, None], t[:, 4:8], t[:, 3:4])
+    tt = xp.concatenate([t4, th], axis=1)  # [L,8] ddl/vl line
+
+    L = l.shape[0]
+
+    def grid(fn):
+        rows = []
+        for y in range(4):
+            rows.append(xp.stack([fn(y, x) for x in range(4)], axis=-1))
+        return xp.stack(rows, axis=-2)  # [L,4,4]
+
+    m_vert = grid(lambda y, x: t4[:, x])
+    m_horiz = grid(lambda y, x: l[:, y])
+
+    sl = l.sum(axis=1)
+    st = t4.sum(axis=1)
+    dc = xp.where(av1 & av2, (sl + st + 4) >> 3,
+         xp.where(av1, (sl + 2) >> 2,
+         xp.where(av2, (st + 2) >> 2, 0x80)))
+    m_dc = xp.broadcast_to(dc[:, None, None], (L, 4, 4))
+
+    m_ddl = grid(lambda y, x: _fir3(tt[:, x + y], tt[:, x + y + 1],
+                                    tt[:, min(x + y + 2, 7)]))
+
+    # ddr: line = [l3,l2,l1,l0, c, t0..t3]
+    line = xp.concatenate([l[:, ::-1], c[:, None], t4], axis=1)  # [L,9]
+    m_ddr = grid(lambda y, x: _fir3(line[:, 3 + x - y], line[:, 4 + x - y],
+                                    line[:, 5 + x - y]))
+
+    tfull = xp.concatenate([c[:, None], t4], axis=1)  # [L,5]
+    lfull = xp.concatenate([c[:, None], l], axis=1)
+
+    def vr(y, x):
+        z = 2 * x - y
+        if z >= 0:
+            i = x - (y >> 1)
+            if z & 1:
+                return _fir3(tfull[:, i - 1], tfull[:, i], tfull[:, i + 1])
+            return _fir2(tfull[:, i], tfull[:, i + 1])
+        if z == -1:
+            return _fir3(l[:, 0], c, t4[:, 0])
+        return _fir3(lfull[:, y], lfull[:, y - 1], lfull[:, y - 2])
+
+    m_vr = grid(vr)
+
+    def hd(y, x):
+        z = 2 * y - x
+        if z >= 0:
+            i = y - (x >> 1)
+            if z & 1:
+                return _fir3(lfull[:, i - 1], lfull[:, i], lfull[:, i + 1])
+            return _fir2(lfull[:, i], lfull[:, i + 1])
+        if z == -1:
+            return _fir3(t4[:, 0], c, l[:, 0])
+        return _fir3(tfull[:, x], tfull[:, x - 1], tfull[:, x - 2])
+
+    m_hd = grid(hd)
+
+    def vl(y, x):
+        i = x + (y >> 1)
+        if y & 1:
+            return _fir3(tt[:, i], tt[:, i + 1], tt[:, min(i + 2, 7)])
+        return _fir2(tt[:, i], tt[:, i + 1])
+
+    m_vl = grid(vl)
+
+    def hu(y, x):
+        z = x + 2 * y
+        if z < 5:
+            i = y + (x >> 1)
+            if z & 1:
+                return _fir3(l[:, i], l[:, i + 1], l[:, min(i + 2, 3)])
+            return _fir2(l[:, i], l[:, i + 1])
+        if z == 5:
+            return _fir3(l[:, 2], l[:, 3], l[:, 3])
+        return l[:, 3]
+
+    m_hu = grid(hu)
+
+    return _sel_mode([m_vert, m_horiz, m_dc, m_ddl, m_ddr, m_vr, m_hd,
+                      m_vl, m_hu], mode, xp)
+
+
+def intra16_modes(l16, t16, c, avail, mode, xp):
+    """16x16 modes; l16/t16 [L,16], c [L] corner; returns [L,16,16]."""
+    L = l16.shape[0]
+    av1 = (avail & 1) != 0
+    av2 = (avail & 2) != 0
+    m_vert = xp.broadcast_to(t16[:, None, :], (L, 16, 16))
+    m_horiz = xp.broadcast_to(l16[:, :, None], (L, 16, 16))
+    sl = l16.sum(axis=1)
+    st = t16.sum(axis=1)
+    dc = xp.where(av1 & av2, (sl + st + 16) >> 5,
+         xp.where(av1, (sl + 8) >> 4,
+         xp.where(av2, (st + 8) >> 4, 0x80)))
+    m_dc = xp.broadcast_to(dc[:, None, None], (L, 16, 16))
+    # plane
+    topx = xp.concatenate([c[:, None], t16], axis=1)   # [-1..15]
+    leftx = xp.concatenate([c[:, None], l16], axis=1)
+    karr = xp.arange(1, 9, dtype=xp.int32)
+    h = ((topx[:, 9:17] - topx[:, 7::-1]) * karr[None, :]).sum(axis=1)
+    v = ((leftx[:, 9:17] - leftx[:, 7::-1]) * karr[None, :]).sum(axis=1)
+    h = (5 * h + 32) >> 6
+    v = (5 * v + 32) >> 6
+    a = 16 * (leftx[:, 16] + topx[:, 16])
+    ys = xp.arange(16, dtype=xp.int32)
+    val = (a[:, None, None] + (ys[None, None, :] - 7) * h[:, None, None]
+           + (ys[None, :, None] - 7) * v[:, None, None] + 16) >> 5
+    m_plane = xp.clip(val, 0, 255)
+    return _sel_mode([m_vert, m_horiz, m_dc, m_plane], mode, xp)
+
+
+def intra_chroma_modes(l8, t8, c, avail, mode, xp):
+    """Chroma modes on an 8x8 plane tile; returns [L,8,8]."""
+    L = l8.shape[0]
+    av1 = (avail & 1) != 0
+    av2 = (avail & 2) != 0
+    sl0 = l8[:, 0:4].sum(axis=1)
+    sl4 = l8[:, 4:8].sum(axis=1)
+    st0 = t8[:, 0:4].sum(axis=1)
+    st4 = t8[:, 4:8].sum(axis=1)
+    dc0 = xp.where(av1 & av2, (sl0 + st0 + 4) >> 3,
+          xp.where(av1, (sl0 + 2) >> 2,
+          xp.where(av2, (st0 + 2) >> 2, 0x80)))
+    dc1 = xp.where(av1 & av2, (st4 + 2) >> 2,
+          xp.where(av1, (sl0 + 2) >> 2,
+          xp.where(av2, (st4 + 2) >> 2, 0x80)))
+    dc2 = xp.where(av1 & av2, (sl4 + 2) >> 2,
+          xp.where(av1, (sl4 + 2) >> 2,
+          xp.where(av2, (st0 + 2) >> 2, 0x80)))
+    dc3 = xp.where(av1 & av2, (sl4 + st4 + 4) >> 3,
+          xp.where(av1, (sl4 + 2) >> 2,
+          xp.where(av2, (st4 + 2) >> 2, 0x80)))
+    q = xp.stack([xp.stack([dc0, dc1], -1), xp.stack([dc2, dc3], -1)], -2)
+    # [L,2,2] -> expand 4x
+    m_dc = xp.repeat(xp.repeat(q, 4, axis=-2), 4, axis=-1)
+    m_horiz = xp.broadcast_to(l8[:, :, None], (L, 8, 8))
+    m_vert = xp.broadcast_to(t8[:, None, :], (L, 8, 8))
+    topx = xp.concatenate([c[:, None], t8], axis=1)
+    leftx = xp.concatenate([c[:, None], l8], axis=1)
+    karr = xp.arange(1, 5, dtype=xp.int32)
+    h = ((topx[:, 5:9] - topx[:, 3::-1]) * karr[None, :]).sum(axis=1)
+    v = ((leftx[:, 5:9] - leftx[:, 3::-1]) * karr[None, :]).sum(axis=1)
+    h = (17 * h + 16) >> 5
+    v = (17 * v + 16) >> 5
+    a = 16 * (leftx[:, 8] + topx[:, 8])
+    ys = xp.arange(8, dtype=xp.int32)
+    val = (a[:, None, None] + (ys[None, None, :] - 3) * h[:, None, None]
+           + (ys[None, :, None] - 3) * v[:, None, None] + 16) >> 5
+    m_plane = xp.clip(val, 0, 255)
+    return _sel_mode([m_dc, m_horiz, m_vert, m_plane], mode, xp)
+
+
+def intra8_modes(t, l, c, tr, avail, mode, xp):
+    """All 9 8x8 modes with reference-sample filtering (pred8x8.py).
+
+    t/l/tr [L,8] raw, c [L] raw corner; avail bits incl 8=topleft."""
+    L = t.shape[0]
+    av1 = (avail & 1) != 0
+    av2 = (avail & 2) != 0
+    av4 = (avail & 4) != 0
+    av8 = (avail & 8) != 0
+
+    cprev = xp.where(av8, c, t[:, 0])
+
+    def filt_line(line, prev0):
+        """fir3 chain: out[k] = fir3(prev, line[k], line[k+1]) k<len-1."""
+        outs = []
+        prev = prev0
+        for k in range(line.shape[1] - 1):
+            outs.append(_fir3(prev, line[:, k], line[:, k + 1]))
+            prev = line[:, k]
+        return outs, prev
+
+    # t' [0..7]
+    tp7_list, _ = filt_line(t, cprev)          # entries 0..6
+    t8 = xp.where(av4, tr[:, 0], t[:, 7])
+    tp8 = xp.stack(tp7_list + [_fir3(t[:, 6], t[:, 7], t8)], axis=1)
+    # t' [0..15]
+    full = xp.concatenate([t, tr], axis=1)     # [L,16]
+    ext = []
+    for k in range(7, 16):
+        nxt = full[:, k + 1] if k + 1 < 16 else full[:, 15]
+        ext.append(_fir3(full[:, k - 1], full[:, k], nxt))
+    with_tr = xp.stack(tp7_list + ext, axis=1)  # [L,16]
+    no_tr = xp.stack(
+        tp7_list + [(t[:, 6] + 3 * t[:, 7] + 2) >> 2] + [t[:, 7]] * 8,
+        axis=1)
+    tp16 = xp.where(av4[:, None], with_tr, no_tr)
+    # left filtered
+    lprev = xp.where(av8, c, l[:, 0])
+    lf_list, _ = filt_line(l, lprev)
+    lf = xp.stack(lf_list + [(l[:, 6] + 3 * l[:, 7] + 2) >> 2], axis=1)
+    # filtered corner: (l0 + 2c + t0 + 2) >> 2 on RAW samples
+    cor = (l[:, 0] + 2 * c + t[:, 0] + 2) >> 2
+
+    def grid(fn):
+        rows = []
+        for y in range(8):
+            rows.append(xp.stack([fn(y, x) for x in range(8)], axis=-1))
+        return xp.stack(rows, axis=-2)
+
+    m_vert = xp.broadcast_to(tp8[:, None, :], (L, 8, 8))
+    m_horiz = xp.broadcast_to(lf[:, :, None], (L, 8, 8))
+    sl = lf.sum(axis=1)
+    st = tp8.sum(axis=1)
+    dc = xp.where(av1 & av2, (sl + st + 8) >> 4,
+         xp.where(av1, (sl + 4) >> 3,
+         xp.where(av2, (st + 4) >> 3, 0x80)))
+    m_dc = xp.broadcast_to(dc[:, None, None], (L, 8, 8))
+    # ddl
+    d = [_fir3(tp16[:, k], tp16[:, k + 1], tp16[:, k + 2]) for k in range(14)]
+    d.append(_fir3(tp16[:, 14], tp16[:, 15], tp16[:, 15]))
+    m_ddl = grid(lambda y, x: d[x + y])
+    # ddr
+    u = [_fir3(tp8[:, 0], cor, lf[:, 0]), _fir3(cor, tp8[:, 0], tp8[:, 1])]
+    for x in range(2, 8):
+        u.append(_fir3(tp8[:, x - 2], tp8[:, x - 1], tp8[:, x]))
+    q = [cor] + [lf[:, k] for k in range(8)]
+    ins = [_fir3(q[j], q[j + 1], q[j + 2]) for j in range(6)]
+    ins.append(_fir3(q[6], q[7], q[8]))
+    m_ddr = grid(lambda y, x: u[x - y] if x >= y else ins[y - x - 1])
+    # vr
+    e = [_fir2(cor, tp8[:, 0])] + [
+        _fir2(tp8[:, x - 1], tp8[:, x]) for x in range(1, 8)]
+    o = [_fir3(tp8[:, 0], cor, lf[:, 0]), _fir3(cor, tp8[:, 0], tp8[:, 1])]
+    for x in range(2, 8):
+        o.append(_fir3(tp8[:, x - 2], tp8[:, x - 1], tp8[:, x]))
+    z = [cor] + [lf[:, k] for k in range(8)]
+    ins_vr = [_fir3(z[j], z[j + 1], z[j + 2]) for j in range(7)]
+
+    def vr(y, x):
+        k, odd = divmod(y, 2)
+        base = o if odd else e
+        if x >= k:
+            return base[x - k]
+        return ins_vr[2 * (k - x) - 2 + odd]
+
+    m_vr = grid(vr)
+    # hd
+    tp7 = xp.stack(tp7_list, axis=1)
+    row0 = [_fir2(lf[:, 0], cor), _fir3(lf[:, 0], cor, tp7[:, 0]),
+            _fir3(cor, tp7[:, 0], tp7[:, 1])]
+    for x in range(3, 8):
+        row0.append(_fir3(tp7[:, x - 3], tp7[:, x - 2], tp7[:, x - 1]))
+    zh = [cor] + [lf[:, k] for k in range(8)]
+    rows = [row0]
+    prev = row0
+    for y in range(1, 8):
+        znext = zh[y + 1] if y + 1 < 9 else zh[8]
+        pair = [_fir2(zh[y], znext), _fir3(zh[y - 1], zh[y], znext)]
+        row = [pair[0], pair[1]] + prev[:6]
+        rows.append(row)
+        prev = row
+    m_hd = grid(lambda y, x: rows[y][x])
+    # vl
+    def vl(y, x):
+        k, odd = divmod(y, 2)
+        if odd:
+            return _fir3(tp16[:, x + k], tp16[:, x + k + 1],
+                         tp16[:, x + k + 2])
+        return _fir2(tp16[:, x + k], tp16[:, x + k + 1])
+
+    m_vl = grid(vl)
+    # hu
+    v = []
+    for i in range(7):
+        v.append(_fir2(lf[:, i], lf[:, i + 1]))
+        v.append(_fir3(lf[:, i], lf[:, i + 1],
+                       lf[:, i + 2] if i + 2 < 8 else lf[:, 7]))
+    v.extend([lf[:, 7]] * 8)
+    m_hu = grid(lambda y, x: v[2 * y + x])
+
+    return _sel_mode([m_vert, m_horiz, m_dc, m_ddl, m_ddr, m_vr, m_hd,
+                      m_vl, m_hu], mode, xp)
+
+
+# =====================================================================
+# intra wavefront (lax.scan over MB diagonals d = mbx + 2*mby)
+# =====================================================================
+
+_ZORDER = [(((i >> 1) & 1) * 4 + ((i >> 3) & 1) * 8,
+            (i & 1) * 4 + ((i >> 2) & 1) * 8) for i in range(16)]
+
+
+def _intra_step(carry, lane_mbs, P, mb_w, has_i8, xp):
+    y, cb, cr = carry
+    L = lane_mbs.shape[0]
+    valid = lane_mbs >= 0
+    mbs = xp.maximum(lane_mbs, 0)
+    y0 = (mbs // mb_w) * 16
+    x0 = (mbs % mb_w) * 16
+    ar17 = xp.arange(17)
+    ar25 = xp.arange(25)
+    ar16 = xp.arange(16)
+    Ty = y[(y0[:, None] + ar17)[:, :, None],
+           (x0[:, None] + ar25)[:, None, :]]  # [L,17,25]
+    kind = P["kind"][mbs]
+    res = P["res_y"][mbs]          # [L,16,16]
+    res_c = P["res_c"][mbs]        # [L,2,8,8]
+    mb_avail = P["mb_avail"][mbs]
+
+    def clip(v):
+        return xp.clip(v, 0, 255)
+
+    # ---- intra 4x4 chain (coding order) ----
+    i4m = P["i4_modes"][mbs]
+    i4a = P["i4_avail"][mbs]
+    T4 = Ty
+    for oy, ox in _ZORDER:
+        blk = (oy >> 2) * 4 + (ox >> 2)
+        t = T4[:, oy, 1 + ox : 9 + ox]
+        ll = T4[:, 1 + oy : 5 + oy, ox]
+        c = T4[:, oy, ox]
+        out = intra4_modes(ll, t, c, i4a[:, blk], i4m[:, blk], xp)
+        out = clip(out + res[:, oy : oy + 4, ox : ox + 4])
+        T4 = T4.at[:, 1 + oy : 5 + oy, 1 + ox : 5 + ox].set(out)
+    tile = T4[:, 1:17, 1:17]
+
+    # ---- intra 8x8 chain ----
+    if has_i8:
+        i8m = P["i8_modes"][mbs]
+        i8a = P["i8_avail"][mbs]
+        T8 = Ty
+        for b in range(4):
+            oy, ox = (b >> 1) * 8, (b & 1) * 8
+            t = T8[:, oy, 1 + ox : 9 + ox]
+            tr = T8[:, oy, 9 + ox : 17 + ox]
+            ll = T8[:, 1 + oy : 9 + oy, ox]
+            c = T8[:, oy, ox]
+            out = intra8_modes(t, ll, c, tr, i8a[:, b], i8m[:, b], xp)
+            out = clip(out + res[:, oy : oy + 8, ox : ox + 8])
+            T8 = T8.at[:, 1 + oy : 9 + oy, 1 + ox : 9 + ox].set(out)
+        tile = xp.where((kind == 2)[:, None, None], T8[:, 1:17, 1:17], tile)
+
+    # ---- intra 16x16 ----
+    t16 = Ty[:, 0, 1:17]
+    l16 = Ty[:, 1:17, 0]
+    c16 = Ty[:, 0, 0]
+    out16 = clip(intra16_modes(l16, t16, c16, mb_avail,
+                               P["i16_mode"][mbs], xp) + res)
+    tile = xp.where((kind == 3)[:, None, None], out16, tile)
+    tile = xp.where((kind == 1)[:, None, None] | (kind == 2)[:, None, None]
+                    | (kind == 3)[:, None, None], tile, Ty[:, 1:17, 1:17])
+
+    is_intra = valid & (kind >= 1) & (kind <= 3)
+    BIG = y.shape[0] + y.shape[1] + 32
+    sy = xp.where(is_intra, y0 + 1, BIG)
+    iy = (sy[:, None] + ar16)[:, :, None]
+    ix = ((x0 + 1)[:, None] + ar16)[:, None, :]
+    y = y.at[iy, ix].set(tile, mode="drop")
+
+    # ---- chroma ----
+    cy0 = y0 >> 1
+    cx0 = x0 >> 1
+    ar9 = xp.arange(9)
+    ar8 = xp.arange(8)
+    cmode = P["chroma_mode"][mbs]
+    outs = []
+    for ci, pl in enumerate((cb, cr)):
+        Tc = pl[(cy0[:, None] + ar9)[:, :, None],
+                (cx0[:, None] + ar9)[:, None, :]]
+        t8 = Tc[:, 0, 1:9]
+        l8 = Tc[:, 1:9, 0]
+        cc = Tc[:, 0, 0]
+        outc = clip(intra_chroma_modes(l8, t8, cc, mb_avail, cmode, xp)
+                    + res_c[:, ci])
+        outs.append(outc)
+    scy = xp.where(is_intra, cy0 + 1, BIG)
+    icy = (scy[:, None] + ar8)[:, :, None]
+    icx = ((cx0 + 1)[:, None] + ar8)[:, None, :]
+    cb = cb.at[icy, icx].set(outs[0], mode="drop")
+    cr = cr.at[icy, icx].set(outs[1], mode="drop")
+    return (y, cb, cr), None
+
+
+# =====================================================================
+# deblocking wavefront (same diagonal order; raster-exact)
+# =====================================================================
+
+
+def _clip3(x, lo, hi, xp):
+    return xp.minimum(xp.maximum(x, lo), hi)
+
+
+def _filter_lines_luma(cols, s, alpha, beta, tc0, xp):
+    """cols [L,K,8] (q3 q2 q1 q0 | p0 p1 p2 p3), s [L,K] strength,
+    alpha/beta [L,1] values, tc0 [L,K]. Returns updated cols."""
+    q3, q2, q1, q0 = cols[..., 0], cols[..., 1], cols[..., 2], cols[..., 3]
+    p0, p1, p2, p3 = cols[..., 4], cols[..., 5], cols[..., 6], cols[..., 7]
+    m = ((xp.abs(q1 - q0) < beta) & (xp.abs(q0 - p0) < alpha)
+         & (xp.abs(p0 - p1) < beta) & (s > 0))
+    m4 = m & (s == 4)
+    mn = m & (s < 4)
+    # strong (bs4)
+    cond = xp.abs(q0 - p0) < ((alpha >> 2) + 2)
+    m4s = m4 & cond
+    m4w = m4 & ~cond
+    aq_s = xp.abs(q0 - q2) < beta
+    ap_s = xp.abs(p0 - p2) < beta
+    tq = q0 + q1 + p0 + 2
+    tp = p0 + p1 + q0 + 2
+    q0_s = xp.where(aq_s, (tq * 2 + p1 + q2) >> 3, (q1 * 2 + q0 + p1 + 2) >> 2)
+    q1_s = (tq + q2) >> 2
+    q2_s = (q3 * 2 + q2 * 3 + tq + 2) >> 3
+    p0_s = xp.where(ap_s, (tp * 2 + q1 + p2) >> 3, (p1 * 2 + p0 + q1 + 2) >> 2)
+    p1_s = (tp + p2) >> 2
+    p2_s = (p3 * 2 + p2 * 3 + tp + 2) >> 3
+    tw = q1 + p1 + 2
+    q0_w = (q1 + q0 + tw) >> 2
+    p0_w = (p1 + p0 + tw) >> 2
+    # normal (1..3)
+    aq = xp.abs(q2 - q0) < beta
+    ap = xp.abs(p2 - p0) < beta
+    half = (p0 + q0 + 1) >> 1
+    dq1 = _clip3((q2 + half - q1 * 2) >> 1, -tc0, tc0, xp)
+    dp1 = _clip3((p2 + half - p1 * 2) >> 1, -tc0, tc0, xp)
+    q1_n = xp.where(mn & (tc0 > 0) & aq, q1 + dq1, q1)
+    p1_n = xp.where(mn & (tc0 > 0) & ap, p1 + dp1, p1)
+    tc = tc0 + aq.astype(xp.int32) + ap.astype(xp.int32)
+    delta = _clip3(((p0 - q0) * 4 + q1 - p1 + 4) >> 3, -tc, tc, xp)
+    mdelta = mn & (tc > 0)
+    q0_n = xp.clip(xp.where(mdelta, q0 + delta, q0), 0, 255)
+    p0_n = xp.clip(xp.where(mdelta, p0 - delta, p0), 0, 255)
+    # combine
+    nq2 = xp.where(m4s & aq_s, q2_s, q2)
+    nq1 = xp.where(m4s & aq_s, q1_s, xp.where(mn, q1_n, q1))
+    nq0 = xp.where(m4s, q0_s, xp.where(m4w, q0_w, xp.where(mn, q0_n, q0)))
+    np2 = xp.where(m4s & ap_s, p2_s, p2)
+    np1 = xp.where(m4s & ap_s, p1_s, xp.where(mn, p1_n, p1))
+    np0 = xp.where(m4s, p0_s, xp.where(m4w, p0_w, xp.where(mn, p0_n, p0)))
+    def cl(v):
+        return xp.clip(v, 0, 255)
+    return xp.stack([q3, cl(nq2), cl(nq1), cl(nq0), cl(np0), cl(np1),
+                     cl(np2), p3], axis=-1)
+
+
+def _filter_lines_chroma(cols, s, alpha, beta, tc0, xp):
+    """cols [L,K,4] (q1 q0 | p0 p1)."""
+    q1, q0, p0, p1 = cols[..., 0], cols[..., 1], cols[..., 2], cols[..., 3]
+    m = ((xp.abs(q1 - q0) < beta) & (xp.abs(q0 - p0) < alpha)
+         & (xp.abs(p0 - p1) < beta) & (s > 0))
+    m4 = m & (s == 4)
+    mn = m & (s < 4)
+    t = q1 + p1 + 2
+    q0_4 = (q1 + q0 + t) >> 2
+    p0_4 = (p1 + p0 + t) >> 2
+    tc = tc0 + 1
+    delta = _clip3(((p0 - q0) * 4 + q1 - p1 + 4) >> 3, -tc, tc, xp)
+    q0_n = q0 + delta
+    p0_n = p0 - delta
+    def cl(v):
+        return xp.clip(v, 0, 255)
+    nq0 = xp.where(m4, q0_4, xp.where(mn, q0_n, q0))
+    np0 = xp.where(m4, p0_4, xp.where(mn, p0_n, p0))
+    return xp.stack([q1, cl(nq0), cl(np0), p1], axis=-1)
+
+
+def _edge_params(stbyte, str4, ab, nlines, shift, alpha_t, beta_t, tc0_t, xp):
+    """Per-line strength + alpha/beta/tc0 lookups for one edge.
+
+    stbyte/str4 [L]; ab [L,2] alpha/beta indices (may be negative = off).
+    Returns s [L,K], alpha [L,1], beta [L,1], tc0 [L,K]."""
+    k = xp.arange(nlines)
+    j = k >> shift
+    s = (stbyte[:, None] >> (2 * j)[None, :]) & 3
+    s = xp.where((str4 > 0)[:, None], 4, s)
+    aidx = ab[:, 0]
+    on = aidx >= 0
+    s = xp.where(on[:, None], s, 0)
+    ai = xp.clip(aidx, -16, 35) + 16
+    bi = xp.clip(ab[:, 1], -16, 35) + 16
+    alpha = alpha_t[ai][:, None]
+    beta = beta_t[bi][:, None]
+    tc0 = tc0_t[xp.clip(s - 1, 0, 2), ai[:, None]]
+    return s, alpha, beta, tc0
+
+
+def _deblock_step(carry, lane_mbs, P, mb_w, xp, tabs):
+    y, cb, cr = carry
+    alpha_t, beta_t, tc0_t = tabs
+    valid = lane_mbs >= 0
+    mbs = xp.maximum(lane_mbs, 0)
+    y0 = (mbs // mb_w) * 16
+    x0 = (mbs % mb_w) * 16
+    ar20 = xp.arange(20)
+    ar12 = xp.arange(12)
+    Wy = y[(y0[:, None] + ar20)[:, :, None],
+           (x0[:, None] + ar20)[:, None, :]]  # [L,20,20]
+    Wcb = cb[((y0 >> 1)[:, None] + ar12)[:, :, None],
+             ((x0 >> 1)[:, None] + ar12)[:, None, :]]
+    Wcr = cr[((y0 >> 1)[:, None] + ar12)[:, :, None],
+             ((x0 >> 1)[:, None] + ar12)[:, None, :]]
+
+    dstr = P["deb_str"][mbs]    # [L,2,4]
+    dab = P["deb_ab"][mbs]      # [L,2,6,2]
+    d4 = P["deb_str4"][mbs]     # [L,2]
+
+    for axis in (0, 1):  # 0 = vertical edges, 1 = horizontal edges
+        sb = dstr[:, axis]
+        ab = dab[:, axis]
+        zero = xp.zeros_like(d4[:, axis])
+        for e in range(4):
+            abe = ab[:, 0] if e == 0 else ab[:, 3]
+            str4 = d4[:, axis] if e == 0 else zero
+            s, al, be, tc0 = _edge_params(sb[:, e], str4, abe, 16, 2,
+                                          alpha_t, beta_t, tc0_t, xp)
+            c0 = 4 * e
+            if axis == 0:
+                cols = Wy[:, 4:20, c0 : c0 + 8]
+                Wy = Wy.at[:, 4:20, c0 : c0 + 8].set(
+                    _filter_lines_luma(cols, s, al, be, tc0, xp))
+            else:
+                rows = xp.swapaxes(Wy[:, c0 : c0 + 8, 4:20], 1, 2)
+                out = _filter_lines_luma(rows, s, al, be, tc0, xp)
+                Wy = Wy.at[:, c0 : c0 + 8, 4:20].set(
+                    xp.swapaxes(out, 1, 2))
+            if e in (0, 2):
+                abrow = 1 if e == 0 else 4
+                str4c = d4[:, axis] if e == 0 else zero
+                for ci in range(2):
+                    Wc = Wcb if ci == 0 else Wcr
+                    s, al, be, tc0 = _edge_params(
+                        sb[:, e], str4c, ab[:, abrow + ci], 8, 1,
+                        alpha_t, beta_t, tc0_t, xp)
+                    cc0 = 2 + 4 * (e >> 1)  # cols cx-2..cx+1 / cx+2..cx+5
+                    if axis == 0:
+                        cols = Wc[:, 4:12, cc0 : cc0 + 4]
+                        Wc = Wc.at[:, 4:12, cc0 : cc0 + 4].set(
+                            _filter_lines_chroma(cols, s, al, be, tc0, xp))
+                    else:
+                        rows = xp.swapaxes(Wc[:, cc0 : cc0 + 4, 4:12], 1, 2)
+                        out = _filter_lines_chroma(rows, s, al, be, tc0, xp)
+                        Wc = Wc.at[:, cc0 : cc0 + 4, 4:12].set(
+                            xp.swapaxes(out, 1, 2))
+                    if ci == 0:
+                        Wcb = Wc
+                    else:
+                        Wcr = Wc
+
+    BIG = y.shape[0] + y.shape[1] + 64
+    sy = xp.where(valid, y0, BIG)
+    iy = (sy[:, None] + ar20)[:, :, None]
+    ix = (x0[:, None] + ar20)[:, None, :]
+    y = y.at[iy, ix].set(Wy, mode="drop")
+    scy = xp.where(valid, y0 >> 1, BIG)
+    icy = (scy[:, None] + ar12)[:, :, None]
+    icx = ((x0 >> 1)[:, None] + ar12)[:, None, :]
+    cb = cb.at[icy, icx].set(Wcb, mode="drop")
+    cr = cr.at[icy, icx].set(Wcr, mode="drop")
+    return (y, cb, cr), None
+
+
+# =====================================================================
+# driver: host packing + jitted whole-picture graph
+# =====================================================================
+
+
+def _assemble(mbs, blk, mb_w, mb_h, xp):
+    return (mbs.reshape(mb_h, mb_w, blk, blk).transpose(0, 2, 1, 3)
+            .reshape(mb_h * blk, mb_w * blk))
+
+
+@functools.lru_cache(maxsize=16)
+def _diag_lanes(mb_w, mb_h):
+    """MB indices grouped by wavefront diagonal d = mbx + 2*mby,
+    padded with -1 to the widest diagonal."""
+    diags = {}
+    for mby in range(mb_h):
+        for mbx in range(mb_w):
+            diags.setdefault(mbx + 2 * mby, []).append(mby * mb_w + mbx)
+    D = max(diags) + 1
+    L = max(len(v) for v in diags.values())
+    out = np.full((D, L), -1, np.int32)
+    for d, v in diags.items():
+        out[d, : len(v)] = v
+    return out
+
+
+def _recon_picture(coef_luma, coef_chroma, t8x8, kind, i4m, i4a, i8m, i8a,
+                   i16m, cmode, mb_avail, mv, slot, wp, deb_str, deb_str4,
+                   deb_ab, refs_y, refs_cb, refs_cr, diag, pcm_y, pcm_cb,
+                   pcm_cr, *, mb_w, mb_h, has_i8, has_pcm, deblock):
+    import jax
+    import jax.numpy as jnp
+
+    xp = jnp
+    H, W = mb_h * 16, mb_w * 16
+    Hc, Wc = H >> 1, W >> 1
+    res_y = residual_mb(coef_luma, t8x8, xp)        # [n,16,16]
+    res_c = residual_chroma(coef_chroma, xp)        # [n,2,8,8]
+    pred_y, pred_cb, pred_cr = inter_pass(
+        mv, slot, wp, refs_y, refs_cb, refs_cr, mb_w, mb_h, xp)
+    is_inter = (kind == 0)[:, None, None]
+    inter_y = xp.where(is_inter, xp.clip(pred_y + res_y, 0, 255), 0)
+    inter_cb = xp.where(is_inter, xp.clip(pred_cb + res_c[:, 0], 0, 255), 0)
+    inter_cr = xp.where(is_inter, xp.clip(pred_cr + res_c[:, 1], 0, 255), 0)
+    y_plane = _assemble(inter_y, 16, mb_w, mb_h, xp)
+    cb_plane = _assemble(inter_cb, 8, mb_w, mb_h, xp)
+    cr_plane = _assemble(inter_cr, 8, mb_w, mb_h, xp)
+    if has_pcm:
+        kind_mb = kind.reshape(mb_h, mb_w)
+        kpix = xp.repeat(xp.repeat(kind_mb, 16, axis=0), 16, axis=1)
+        y_plane = xp.where(kpix == 4, pcm_y.astype(xp.int32), y_plane)
+        kpixc = xp.repeat(xp.repeat(kind_mb, 8, axis=0), 8, axis=1)
+        cb_plane = xp.where(kpixc == 4, pcm_cb.astype(xp.int32), cb_plane)
+        cr_plane = xp.where(kpixc == 4, pcm_cr.astype(xp.int32), cr_plane)
+
+    # ---- intra wavefront ----
+    P = {
+        "kind": kind, "res_y": res_y, "res_c": res_c,
+        "mb_avail": mb_avail, "i4_modes": i4m, "i4_avail": i4a,
+        "i8_modes": i8m, "i8_avail": i8a, "i16_mode": i16m,
+        "chroma_mode": cmode,
+        "deb_str": deb_str, "deb_str4": deb_str4, "deb_ab": deb_ab,
+    }
+    ypad = xp.zeros((1 + H, 1 + W + 8), xp.int32)
+    ypad = ypad.at[1 : 1 + H, 1 : 1 + W].set(y_plane)
+    cbpad = xp.zeros((1 + Hc, 1 + Wc), xp.int32)
+    cbpad = cbpad.at[1:, 1:].set(cb_plane)
+    crpad = xp.zeros((1 + Hc, 1 + Wc), xp.int32)
+    crpad = crpad.at[1:, 1:].set(cr_plane)
+
+    def istep(carry, lanes):
+        return _intra_step(carry, lanes, P, mb_w, has_i8, xp)
+
+    (ypad, cbpad, crpad), _ = jax.lax.scan(istep, (ypad, cbpad, crpad), diag)
+    y_plane = ypad[1 : 1 + H, 1 : 1 + W]
+    cb_plane = cbpad[1:, 1:]
+    cr_plane = crpad[1:, 1:]
+
+    # ---- deblocking wavefront ----
+    if deblock:
+        tabs = (xp.asarray(np.asarray(T.DEBLOCK_ALPHA, np.int32)),
+                xp.asarray(np.asarray(T.DEBLOCK_BETA, np.int32)),
+                xp.asarray(np.asarray(T.DEBLOCK_TC0, np.int32)))
+        ydb = xp.zeros((4 + H, 4 + W), xp.int32)
+        ydb = ydb.at[4:, 4:].set(y_plane)
+        cbdb = xp.zeros((4 + Hc, 4 + Wc), xp.int32)
+        cbdb = cbdb.at[4:, 4:].set(cb_plane)
+        crdb = xp.zeros((4 + Hc, 4 + Wc), xp.int32)
+        crdb = crdb.at[4:, 4:].set(cr_plane)
+
+        def dstep(carry, lanes):
+            return _deblock_step(carry, lanes, P, mb_w, xp, tabs)
+
+        (ydb, cbdb, crdb), _ = jax.lax.scan(dstep, (ydb, cbdb, crdb), diag)
+        y_plane = ydb[4:, 4:]
+        cb_plane = cbdb[4:, 4:]
+        cr_plane = crdb[4:, 4:]
+
+    return (y_plane.astype(xp.uint8), cb_plane.astype(xp.uint8),
+            cr_plane.astype(xp.uint8))
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_recon(mb_w, mb_h, has_i8, has_pcm, deblock):
+    import jax
+
+    fn = functools.partial(_recon_picture, mb_w=mb_w, mb_h=mb_h,
+                           has_i8=has_i8, has_pcm=has_pcm, deblock=deblock)
+    return jax.jit(fn)
+
+
+def _next_pow2(v):
+    r = 1
+    while r < v:
+        r *= 2
+    return r
+
+
+def reconstruct_plan_jax(plan, frames):
+    """JAX Phase B: reconstruct plan into frames[plan.cur_idx] (host numpy
+    pool, mirroring recon_ref.reconstruct_plan_np)."""
+    slots = plan.used_slots()
+    pool = len(frames)
+    remap = np.full(pool + 1, 0, np.int32)
+    R = _next_pow2(max(1, len(slots)))
+    ry = np.zeros((R,) + frames[0].y.shape, np.uint8)
+    rcb = np.zeros((R,) + frames[0].cb.shape, np.uint8)
+    rcr = np.zeros((R,) + frames[0].cr.shape, np.uint8)
+    for i, s in enumerate(slots):
+        remap[s] = i
+        ry[i] = frames[s].y
+        rcb[i] = frames[s].cb
+        rcr[i] = frames[s].cr
+    slot_r = np.where(plan.slot >= 0, remap[np.clip(plan.slot, 0, pool)],
+                      -1).astype(np.int32)
+    diag = _diag_lanes(plan.mb_w, plan.mb_h)
+    has_pcm = bool(plan.pcm)
+    H, W = plan.mb_h * 16, plan.mb_w * 16
+    if has_pcm:
+        pcm_y = np.zeros((H, W), np.uint8)
+        pcm_cb = np.zeros((H >> 1, W >> 1), np.uint8)
+        pcm_cr = np.zeros((H >> 1, W >> 1), np.uint8)
+        for mbpos, (yb, cbb, crb) in plan.pcm.items():
+            yy, xx = (mbpos // plan.mb_w) * 16, (mbpos % plan.mb_w) * 16
+            pcm_y[yy : yy + 16, xx : xx + 16] = yb
+            pcm_cb[yy >> 1 : (yy >> 1) + 8, xx >> 1 : (xx >> 1) + 8] = cbb
+            pcm_cr[yy >> 1 : (yy >> 1) + 8, xx >> 1 : (xx >> 1) + 8] = crb
+    else:
+        pcm_y = pcm_cb = pcm_cr = np.zeros((1, 1), np.uint8)
+    has_i8 = bool((plan.kind == 2).any() or
+                  ((plan.t8x8 != 0) & (plan.kind == 0)).any())
+    deblock = bool(plan.deb_str.any() or plan.deb_str4.any())
+    fn = _jitted_recon(plan.mb_w, plan.mb_h, has_i8, has_pcm, deblock)
+    y, cb, cr = fn(plan.coef_luma, plan.coef_chroma, plan.t8x8, plan.kind,
+                   plan.i4_modes, plan.i4_avail, plan.i8_modes,
+                   plan.i8_avail, plan.i16_mode, plan.chroma_mode,
+                   plan.mb_avail, plan.mv, slot_r, plan.wp, plan.deb_str,
+                   plan.deb_str4, plan.deb_ab, ry, rcb, rcr, diag,
+                   pcm_y, pcm_cb, pcm_cr)
+    f = frames[plan.cur_idx]
+    f.y[:] = np.asarray(y)
+    f.cb[:] = np.asarray(cb)
+    f.cr[:] = np.asarray(cr)

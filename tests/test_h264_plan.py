@@ -28,29 +28,35 @@ from streamgen.h264_enc import (  # noqa: E402
 
 from m2dec_tpu.codecs.h264.decoder import Frame, H264Decoder  # noqa: E402
 from m2dec_tpu.codecs.h264.recon_ref import reconstruct_plan_np  # noqa: E402
+from m2dec_tpu.codecs.h264.reconstruct import reconstruct_plan_jax  # noqa: E402
 
 
 def roundtrip(gen, pattern):
+    """Both Phase-B backends (numpy interpreter, JAX jit graph) must
+    reproduce the interleaved decoder's frames exactly."""
     data = gen.generate(pattern)
     dec = H264Decoder(dpb_max=1, record_plans=True)
     dec.set_data(data)
-    shadow = None
+    shadows = None
     npics = 0
+    backends = ((reconstruct_plan_np, "np"), (reconstruct_plan_jax, "jax"))
     while dec.decode_picture() == 1:
-        if shadow is None:
+        if shadows is None:
             h, w = dec.frames[0].y.shape
-            shadow = [Frame(w, h) for _ in dec.frames]
+            shadows = [[Frame(w, h) for _ in dec.frames] for _ in backends]
         plan = dec.plans[-1]
-        reconstruct_plan_np(plan, shadow)
-        ours, ref = shadow[plan.cur_idx], dec.frames[plan.cur_idx]
-        for pl in ("y", "cb", "cr"):
-            a, b = getattr(ours, pl), getattr(ref, pl)
-            if not np.array_equal(a, b):
-                bad = np.argwhere(a != b)
-                raise AssertionError(
-                    f"pic {npics} plane {pl}: {len(bad)} mismatches, "
-                    f"first at {bad[0]}: {a[tuple(bad[0])]} != "
-                    f"{b[tuple(bad[0])]}")
+        ref = dec.frames[plan.cur_idx]
+        for shadow, (recon, name) in zip(shadows, backends):
+            recon(plan, shadow)
+            ours = shadow[plan.cur_idx]
+            for pl in ("y", "cb", "cr"):
+                a, b = getattr(ours, pl), getattr(ref, pl)
+                if not np.array_equal(a, b):
+                    bad = np.argwhere(a != b)
+                    raise AssertionError(
+                        f"[{name}] pic {npics} plane {pl}: {len(bad)} "
+                        f"mismatches, first at {bad[0]}: "
+                        f"{a[tuple(bad[0])]} != {b[tuple(bad[0])]}")
         npics += 1
     assert npics == len(dec.plans) and npics > 0
 
