@@ -124,7 +124,16 @@ class SliceHeader:
 class H264Decoder:
     """H.264 Annex-B elementary stream decoder (CAVLC I slices onward)."""
 
-    def __init__(self, num_frames=None, dpb_max=-1, record_plans=False):
+    def __init__(self, num_frames=None, dpb_max=-1, record_plans=False,
+                 native=False, phase_b=None):
+        """native=True: per-MB slice decode runs in C++ (Phase A), plans
+        collected without Python reconstruction. phase_b: None (plans
+        only), "jax" or "np" to reconstruct frames from each plan."""
+        self.native = native
+        self.phase_b = phase_b
+        self.native_session = None
+        if native:
+            record_plans = True
         self.sps_store: dict = {}
         self.pps_store: dict = {}
         self.hdr = SliceHeader()
@@ -180,6 +189,10 @@ class H264Decoder:
         for i in range(16):
             self.refs[1][i].col = self._new_col_page(nmb)
         self.curr_col = self._new_col_page(nmb)
+        if self.native:
+            from .native_session import NativeH264Session
+
+            self.native_session = NativeH264Session(self.max_x, self.max_y)
         self.inited = True
 
     @staticmethod
@@ -324,7 +337,9 @@ class H264Decoder:
                 d.idc = 0
                 d.str_vert = d.str_horiz = 0
                 d.str4_vert = d.str4_horiz = 0
-            if self.plans is not None:
+            if self.native:
+                self.native_session.begin_picture(self)
+            elif self.plans is not None:
                 from .plan import PlanRecorder
 
                 self.rec = PlanRecorder(self)
@@ -553,6 +568,9 @@ class H264Decoder:
     # -------------------------------------------------------- slice data --
     def _slice_data(self, r):
         """slice_data (h264.cpp:10210-10251)."""
+        if self.native:
+            self.native_session.run_slice(self, r)
+            return self._post_process()
         if self.is_cabac:
             return self._slice_data_cabac(r)
         if self.tc is not None:
@@ -1217,11 +1235,23 @@ class H264Decoder:
 
         hdr = self.hdr
         sps = self.sps
-        if self.rec is not None:
-            self.rec.plan.poc = hdr.poc
-            self.plans.append(self.rec.finalize())
-            self.rec = None
-        deblock_picture(self)
+        if self.native:
+            plan = self.native_session.finish_picture(self)
+            self.plans.append(plan)
+            if self.phase_b == "jax":
+                from .reconstruct import reconstruct_plan_jax
+
+                reconstruct_plan_jax(plan, self.frames)
+            elif self.phase_b == "np":
+                from .recon_ref import reconstruct_plan_np
+
+                reconstruct_plan_np(plan, self.frames)
+        else:
+            if self.rec is not None:
+                self.rec.plan.poc = hdr.poc
+                self.plans.append(self.rec.finalize())
+                self.rec = None
+            deblock_picture(self)
         max_frame_num = 1 << sps.log2_max_frame_num
         if self.nal_id & 0x60:
             for lx in range(2):

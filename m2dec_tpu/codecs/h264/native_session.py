@@ -1,0 +1,166 @@
+"""Native (C++) H.264 Phase-A session: drives native/h264parse.cpp.
+
+The Python decoder keeps NAL walking, header parsing, POC, ref lists and
+DPB; this session owns the per-MB slice decode, filling PicturePlan
+tensors directly from C++ (zero-copy into the numpy buffers).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from m2dec_tpu.native import H264SliceParams, load_h264
+from .plan import PicturePlan, finalize_deblock
+
+_VOIDP = ctypes.c_void_p
+
+
+def _ptr(a):
+    return _VOIDP(a.ctypes.data)
+
+
+class NativeH264Session:
+    def __init__(self, max_x, max_y):
+        self.lib = load_h264()
+        if self.lib is None:
+            raise RuntimeError("native h264parse unavailable")
+        self.max_x, self.max_y = max_x, max_y
+        self.ctx = self.lib.h264p_new(max_x, max_y)
+        self.plan = None
+        self._keep = None
+
+    def __del__(self):
+        if getattr(self, "ctx", None):
+            self.lib.h264p_free(self.ctx)
+            self.ctx = None
+
+    # ------------------------------------------------------------------
+    def begin_picture(self, dec):
+        n = self.max_x * self.max_y
+        plan = PicturePlan(self.max_x, self.max_y)
+        plan.cur_idx = dec.cur_idx
+        # raw records for finalize_deblock
+        self.raw_idc = np.zeros(n, np.int32)
+        self.raw_qpy = np.zeros(n, np.int32)
+        self.raw_qpc = np.zeros((n, 2), np.int32)
+        self.raw_slicehdr = np.zeros((n, 2), np.int32)
+        self.raw_str4 = np.zeros((n, 2), np.int32)
+        self.raw_str = np.zeros((n, 2), np.int64)
+        self.pcm_dense = np.zeros((n, 384), np.uint8)
+        cc = dec.curr_col
+        arrays = [
+            plan.kind, plan.t8x8, plan.coef_luma, plan.coef_chroma,
+            plan.i4_modes, plan.i4_avail, plan.i8_modes, plan.i8_avail,
+            plan.i16_mode, plan.chroma_mode, plan.mb_avail, plan.mv,
+            plan.slot, plan.wp, self.pcm_dense,
+            self.raw_idc, self.raw_qpy, self.raw_qpc, self.raw_slicehdr,
+            self.raw_str4, self.raw_str,
+            cc["type"], cc["ref"], cc["mv"],
+        ]
+        self._keep = arrays
+        ptrs = (_VOIDP * len(arrays))(*[a.ctypes.data for a in arrays])
+        self.lib.h264p_begin_picture(self.ctx, ptrs)
+        self.plan = plan
+        return plan
+
+    def set_refs(self, dec):
+        """Pack ref lists / colocated page / weights for the slice."""
+        refs = np.zeros((2, 16, 4), np.int32)
+        for lx in range(2):
+            for k, rf in enumerate(dec.refs[lx]):
+                refs[lx, k] = (rf.frame_idx, rf.poc, rf.in_use, 0)
+        page = dec.refs[1][0].col or dec.curr_col
+        wtab = np.zeros((2, 32, 3, 2), np.int32)
+        wshift = np.zeros(2, np.int32)
+        implicit = np.full((32, 32, 2), 32, np.int32)
+        if dec.weighted_mode == 1 and dec.weight_tab is not None:
+            wshift[:] = dec.weight_shift
+            for lx in range(2):
+                tab = dec.weight_tab[lx]
+                if tab is None:
+                    continue
+                for i, w in enumerate(tab[:32]):
+                    for p in range(3):
+                        wtab[lx, i, p] = w[p]
+        elif dec.weighted_mode == 2:
+            from .inter import _implicit_weights
+
+            n0 = dec.hdr.num_ref_idx_active[0] + 1
+            n1 = dec.hdr.num_ref_idx_active[1] + 1
+            for i0 in range(min(n0, 32)):
+                for i1 in range(min(n1, 32)):
+                    implicit[i0, i1] = _implicit_weights(dec, i0, i1)
+        mcl0, scale = self._temporal_tables(dec)
+        self._slice_keep = (refs, page, wtab, wshift, implicit, mcl0, scale)
+        self.lib.h264p_set_refs(
+            self.ctx, _ptr(refs), _ptr(page["type"]), _ptr(page["ref"]),
+            _ptr(page["mv"]), _ptr(page["map_col_frameidx"]),
+            _ptr(mcl0), _ptr(scale), _ptr(wtab), _ptr(wshift),
+            _ptr(implicit))
+
+    def _temporal_tables(self, dec):
+        """bdirect_map / bdirect_scale from create_map_col_to_list0."""
+        mcl0 = np.full(16, -1, np.int32)
+        scale = np.zeros(16, np.int32)
+        if getattr(dec, "bdirect_map", None) is not None:
+            mcl0[:] = dec.bdirect_map
+            scale[:] = dec.bdirect_scale
+        return mcl0, scale
+
+    # ------------------------------------------------------------------
+    def run_slice(self, dec, r):
+        hdr = dec.hdr
+        pps = dec.pps
+        sp = H264SliceParams()
+        sp.slice_type = hdr.slice_type
+        sp.is_cabac = 1 if dec.is_cabac else 0
+        sp.cabac_init_idc = (0 if hdr.slice_type == 2
+                             else getattr(hdr, "cabac_init_idc", 0) + 1)
+        sp.qp = dec.qp
+        sp.first_mb = hdr.first_mb_in_slice
+        sp.num_ref_idx[0] = hdr.num_ref_idx_active[0]
+        sp.num_ref_idx[1] = hdr.num_ref_idx_active[1]
+        sp.constrained_intra = pps.constrained_intra_pred_flag
+        sp.t8x8_mode = pps.transform_8x8_mode_flag
+        sp.chroma_qp_index[0] = pps.chroma_qp_index[0]
+        sp.chroma_qp_index[1] = pps.chroma_qp_index[1]
+        sp.direct_spatial = hdr.direct_spatial_mv_pred_flag
+        sp.weighted_mode = dec.weighted_mode
+        sp.deb_idc_plus1 = hdr.disable_deblocking_filter_idc + 1
+        sp.alpha_ofs = hdr.alpha_c0_offset
+        sp.beta_ofs = hdr.beta_offset
+        sp.poc = hdr.poc
+        sp.bit_offset = r.bitpos
+        self.set_refs(dec)
+        out_state = (ctypes.c_int32 * 4)()
+        payload = r.data
+        err = self.lib.h264p_slice(self.ctx, payload, len(payload),
+                                   ctypes.byref(sp), out_state)
+        if err < 0:
+            raise RuntimeError(f"native h264 slice error {err} "
+                               f"(slice_type={hdr.slice_type}, "
+                               f"cabac={dec.is_cabac})")
+        dec.mb_pos = out_state[0]
+        dec.mb_x = out_state[1]
+        dec.mb_y = out_state[2]
+        dec.firstline = out_state[3]
+
+    # ------------------------------------------------------------------
+    def finish_picture(self, dec):
+        plan = self.plan
+        finalize_deblock(plan, self.raw_idc, self.raw_slicehdr,
+                         self.raw_qpy, self.raw_qpc, self.raw_str4,
+                         self.raw_str, dec.firstline)
+        kinds = np.nonzero(plan.kind == 4)[0]
+        for mbpos in kinds:
+            d = self.pcm_dense[mbpos]
+            plan.pcm[int(mbpos)] = (
+                d[:256].reshape(16, 16).copy(),
+                d[256:320].reshape(8, 8).copy(),
+                d[320:384].reshape(8, 8).copy(),
+            )
+        plan.poc = dec.hdr.poc
+        self.plan = None
+        return plan

@@ -186,60 +186,86 @@ class PlanRecorder:
     # --- deblock -------------------------------------------------------
     def finalize(self):
         """Convert the decoder's DeblockInfo records into flat edge
-        parameters, replicating deblock_pb's raster-order running state
-        (h264.cpp:10540-10663) including the firstline quirks."""
-        from . import tables as T  # noqa: F401  (alpha/beta are resolved in Phase B)
-
+        parameters (see finalize_deblock)."""
         dec = self.dec
         p = self.plan
-        max_x, max_y = p.mb_w, p.mb_h
-        idc = 0
-        a_ofs = b_ofs = 0
-        for y in range(max_y):
-            for x in range(max_x):
-                mbpos = y * max_x + x
-                curr = dec.deblock[mbpos]
-                if curr.idc:
-                    idc = curr.idc - 1
-                    a_ofs, b_ofs = curr.slicehdr
-                if idc == 1:
-                    continue
-                strv = curr.str_horiz  # vertical edges
-                strh = curr.str_vert   # horizontal edges
-
-                def ab(qp):
-                    return (min(qp + a_ofs, 51) - 16, min(qp + b_ofs, 51) - 16)
-
-                if (x != 0 and (not idc or dec.firstline != max_x)
-                        and (strv & 255)):
-                    left = dec.deblock[mbpos - 1]
-                    p.deb_str[mbpos, 0, 0] = strv & 255
-                    p.deb_str4[mbpos, 0] = curr.str4_horiz
-                    p.deb_ab[mbpos, 0, 0] = ab((curr.qpy + left.qpy + 1) >> 1)
-                    for c in range(2):
-                        p.deb_ab[mbpos, 0, 1 + c] = ab(
-                            (curr.qpc[c] + left.qpc[c] + 1) >> 1)
-                if strv & ~255:
-                    p.deb_ab[mbpos, 0, 3] = ab(curr.qpy)
-                    for e in range(1, 4):
-                        p.deb_str[mbpos, 0, e] = (strv >> (8 * e)) & 255
-                    if (strv >> 16) & 255:
-                        for c in range(2):
-                            p.deb_ab[mbpos, 0, 4 + c] = ab(curr.qpc[c])
-                if (y != 0 and (not idc or dec.firstline < 0)
-                        and (strh & 255)):
-                    top = dec.deblock[mbpos - max_x]
-                    p.deb_str[mbpos, 1, 0] = strh & 255
-                    p.deb_str4[mbpos, 1] = curr.str4_vert
-                    p.deb_ab[mbpos, 1, 0] = ab((curr.qpy + top.qpy + 1) >> 1)
-                    for c in range(2):
-                        p.deb_ab[mbpos, 1, 1 + c] = ab(
-                            (curr.qpc[c] + top.qpc[c] + 1) >> 1)
-                if strh & ~255:
-                    p.deb_ab[mbpos, 1, 3] = ab(curr.qpy)
-                    for e in range(1, 4):
-                        p.deb_str[mbpos, 1, e] = (strh >> (8 * e)) & 255
-                    if (strh >> 16) & 255:
-                        for c in range(2):
-                            p.deb_ab[mbpos, 1, 4 + c] = ab(curr.qpc[c])
+        n = p.n
+        idc = np.zeros(n, np.int64)
+        slicehdr = np.zeros((n, 2), np.int64)
+        qpy = np.zeros(n, np.int64)
+        qpc = np.zeros((n, 2), np.int64)
+        str4 = np.zeros((n, 2), np.int64)
+        strs = np.zeros((n, 2), np.int64)
+        for i, d in enumerate(dec.deblock):
+            idc[i] = d.idc
+            slicehdr[i] = d.slicehdr
+            qpy[i] = d.qpy
+            qpc[i] = d.qpc
+            str4[i] = (d.str4_horiz, d.str4_vert)   # (vert-edge, horiz-edge)
+            strs[i] = (d.str_horiz, d.str_vert)
+        finalize_deblock(p, idc, slicehdr, qpy, qpc, str4, strs,
+                         dec.firstline)
         return p
+
+
+def finalize_deblock(p, idc_a, slicehdr_a, qpy_a, qpc_a, str4_a, str_a,
+                     firstline):
+    """Flatten raw per-MB deblock records into edge parameters,
+    replicating deblock_pb's raster-order running idc/slice-header state
+    (h264.cpp:10540-10663) including the firstline quirks.
+
+    Axis-0 of str4_a/str_a: [0] = vertical-edge set (the reference's
+    str4_horiz/str_horiz), [1] = horizontal-edge set."""
+    max_x, max_y = p.mb_w, p.mb_h
+    idc = 0
+    a_ofs = b_ofs = 0
+    for y in range(max_y):
+        for x in range(max_x):
+            mbpos = y * max_x + x
+            if idc_a[mbpos]:
+                idc = int(idc_a[mbpos]) - 1
+                a_ofs, b_ofs = int(slicehdr_a[mbpos, 0]), int(
+                    slicehdr_a[mbpos, 1])
+            if idc == 1:
+                continue
+            qpy = int(qpy_a[mbpos])
+            qpc = (int(qpc_a[mbpos, 0]), int(qpc_a[mbpos, 1]))
+            strv = int(str_a[mbpos, 0])
+            strh = int(str_a[mbpos, 1])
+
+            def ab(qp):
+                return (min(qp + a_ofs, 51) - 16, min(qp + b_ofs, 51) - 16)
+
+            if (x != 0 and (not idc or firstline != max_x)
+                    and (strv & 255)):
+                lp = mbpos - 1
+                p.deb_str[mbpos, 0, 0] = strv & 255
+                p.deb_str4[mbpos, 0] = str4_a[mbpos, 0]
+                p.deb_ab[mbpos, 0, 0] = ab((qpy + int(qpy_a[lp]) + 1) >> 1)
+                for c in range(2):
+                    p.deb_ab[mbpos, 0, 1 + c] = ab(
+                        (qpc[c] + int(qpc_a[lp, c]) + 1) >> 1)
+            if strv & ~255:
+                p.deb_ab[mbpos, 0, 3] = ab(qpy)
+                for e in range(1, 4):
+                    p.deb_str[mbpos, 0, e] = (strv >> (8 * e)) & 255
+                if (strv >> 16) & 255:
+                    for c in range(2):
+                        p.deb_ab[mbpos, 0, 4 + c] = ab(qpc[c])
+            if (y != 0 and (not idc or firstline < 0)
+                    and (strh & 255)):
+                tp = mbpos - max_x
+                p.deb_str[mbpos, 1, 0] = strh & 255
+                p.deb_str4[mbpos, 1] = str4_a[mbpos, 1]
+                p.deb_ab[mbpos, 1, 0] = ab((qpy + int(qpy_a[tp]) + 1) >> 1)
+                for c in range(2):
+                    p.deb_ab[mbpos, 1, 1 + c] = ab(
+                        (qpc[c] + int(qpc_a[tp, c]) + 1) >> 1)
+            if strh & ~255:
+                p.deb_ab[mbpos, 1, 3] = ab(qpy)
+                for e in range(1, 4):
+                    p.deb_str[mbpos, 1, e] = (strh >> (8 * e)) & 255
+                if (strh >> 16) & 255:
+                    for c in range(2):
+                        p.deb_ab[mbpos, 1, 4 + c] = ab(qpc[c])
+    return p

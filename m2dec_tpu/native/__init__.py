@@ -83,3 +83,78 @@ def load_m2v():
     except Exception:
         _m2v_lib = None
     return _m2v_lib
+
+
+# ---------------------------------------------------------------- H.264 --
+
+_h264_lib = None
+_h264_tried = False
+
+
+class H264SliceParams(ctypes.Structure):
+    _fields_ = [
+        ("slice_type", ctypes.c_int32),
+        ("is_cabac", ctypes.c_int32),
+        ("cabac_init_idc", ctypes.c_int32),
+        ("qp", ctypes.c_int32),
+        ("first_mb", ctypes.c_int32),
+        ("num_ref_idx", ctypes.c_int32 * 2),
+        ("constrained_intra", ctypes.c_int32),
+        ("t8x8_mode", ctypes.c_int32),
+        ("chroma_qp_index", ctypes.c_int32 * 2),
+        ("direct_spatial", ctypes.c_int32),
+        ("weighted_mode", ctypes.c_int32),
+        ("deb_idc_plus1", ctypes.c_int32),
+        ("alpha_ofs", ctypes.c_int32),
+        ("beta_ofs", ctypes.c_int32),
+        ("poc", ctypes.c_int32),
+        ("lt_poc", ctypes.c_int32),
+        ("bit_offset", ctypes.c_int64),
+    ]
+
+
+def _build_h264():
+    _BUILD.mkdir(parents=True, exist_ok=True)
+    src = _HERE / "h264parse.cpp"
+    out = _BUILD / "libh264parse.so"
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    inc = _HERE / "h264_tables.inc"
+    if not inc.exists() or inc.stat().st_mtime < src.stat().st_mtime - 864000:
+        subprocess.run(
+            ["python3", str(_REPO / "tools" / "gen_h264_tables_c.py")],
+            check=True,
+        )
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", str(out), str(src)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def load_h264():
+    """Return the native H.264 Phase-A library, or None."""
+    global _h264_lib, _h264_tried
+    if _h264_tried:
+        return _h264_lib
+    _h264_tried = True
+    if os.environ.get("M2DEC_TPU_NO_NATIVE"):
+        return None
+    try:
+        path = _build_h264()
+        lib = ctypes.CDLL(str(path))
+        lib.h264p_new.restype = ctypes.c_void_p
+        lib.h264p_new.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.h264p_free.argtypes = [ctypes.c_void_p]
+        lib.h264p_begin_picture.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p)]
+        lib.h264p_set_refs.argtypes = [ctypes.c_void_p] + [
+            ctypes.c_void_p] * 10
+        lib.h264p_slice.restype = ctypes.c_int
+        lib.h264p_slice.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(H264SliceParams),
+            ctypes.POINTER(ctypes.c_int32)]
+        _h264_lib = lib
+    except Exception:
+        _h264_lib = None
+    return _h264_lib

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <initializer_list>
 
 #include "h264_tables.inc"
 
@@ -210,9 +211,8 @@ struct Ctx {
     int32_t *curr_ref;
     int32_t *curr_mv;
     // temporal-direct scaling inputs (Python precomputes)
-    int32_t map_col_to_list0[17];   // +1 offset like reference
-    int32_t scale_tab[17];          // dist scale factors per col ref
-    int32_t poc0_tab[17];
+    int32_t map_col_to_list0[16];   // bdirect_map
+    int32_t scale_tab[16];          // bdirect_scale
     int mb_x, mb_y, mb_pos, firstline;
     int qp, qp_chroma[2];
     int32_t qmaty[16], qmaty8[64], qmatc_buf[2][16];
@@ -502,10 +502,12 @@ static void store_strength_intra(Ctx &s, int64_t str_all) {
     s.plan.deb_qpy[p] = s.qp;
     s.plan.deb_qpc[p * 2] = s.qp_chroma[0];
     s.plan.deb_qpc[p * 2 + 1] = s.qp_chroma[1];
-    s.plan.deb_str4[p * 2] = 1;      // vert
-    s.plan.deb_str4[p * 2 + 1] = 1;  // horiz
-    s.plan.deb_str[p * 2] = str_all;      // str_vert
-    s.plan.deb_str[p * 2 + 1] = str_all;  // str_horiz
+    /* index 0 = vertical-edge set (reference str4_horiz/str_horiz),
+     * index 1 = horizontal-edge set (str4_vert/str_vert) */
+    s.plan.deb_str4[p * 2] = 1;
+    s.plan.deb_str4[p * 2 + 1] = 1;
+    s.plan.deb_str[p * 2] = str_all;
+    s.plan.deb_str[p * 2 + 1] = str_all;
 }
 
 static void intra_save_info(Ctx &s, int transform8x8) {
@@ -918,3 +920,257 @@ static int mb_intrapcm(Ctx &s, BitReader &r) {
     intra_save_info(s, 0);
     return 0;
 }
+
+// ---------------------------------------------------------------------
+// CAVLC/CABAC syntax dispatchers (CABAC arms filled in the CABAC stage)
+// ---------------------------------------------------------------------
+static int cabac_residual(Ctx &s, BitReader &r, int32_t *coeff,
+                          const int32_t *qmat, int avail, int pos4x4,
+                          int cat);
+static int cabac_cbp(Ctx &s, BitReader &r, int avail);
+static int cabac_qp_delta(Ctx &s, BitReader &r);
+static int cabac_intra4x4_pred_mode(Ctx &s, BitReader &r, int pa, int pb);
+static int cabac_intra_chroma_pred_mode(Ctx &s, BitReader &r, int avail);
+static int cabac_transform8x8_flag(Ctx &s, BitReader &r, int avail);
+
+static int residual_block_any(Ctx &s, BitReader &r, int na, int nb,
+                              int32_t *coeff, const int32_t *qmat, int cat,
+                              int pos4x4, int avail) {
+    int cnum;
+    if (s.sp.is_cabac) {
+        cnum = cabac_residual(s, r, coeff, qmat, avail, pos4x4, cat);
+        return cnum;
+    }
+    cnum = cavlc_residual(s, r, na, nb, coeff, qmat, cat);
+    if (cnum > 0)
+        s.cbf |= (uint32_t)(cat == 5 ? 0xF : 1) << pos4x4;
+    return cnum;
+}
+
+static int read_cbp_any(Ctx &s, BitReader &r, int avail, int inter) {
+    if (s.sp.is_cabac) return cabac_cbp(s, r, avail);
+    return read_me_cbp(r, inter);
+}
+
+static int read_qp_delta_any(Ctx &s, BitReader &r) {
+    if (s.sp.is_cabac) return cabac_qp_delta(s, r);
+    return read_qp_delta_cavlc(s, r);
+}
+
+static int read_intra_pred_mode_any(Ctx &s, BitReader &r, int pa, int pb) {
+    if (s.sp.is_cabac) return cabac_intra4x4_pred_mode(s, r, pa, pb);
+    int p = pa < pb ? pa : pb;
+    if (!r.get1()) {
+        int rem = r.get(3);
+        p = rem < p ? rem : rem + 1;
+    }
+    return p;
+}
+
+static int read_chroma_mode_any(Ctx &s, BitReader &r, int avail_intra) {
+    int mode;
+    if (s.sp.is_cabac) {
+        mode = cabac_intra_chroma_pred_mode(s, r, avail_intra);
+    } else {
+        mode = r.ue();
+        mode = (mode >= 0 && mode <= 3) ? mode : 0;
+        s.chroma_pred_mode = mode;
+    }
+    return mode;
+}
+
+static int read_transform8x8_any(Ctx &s, BitReader &r, int avail) {
+    if (s.sp.is_cabac) return cabac_transform8x8_flag(s, r, avail);
+    return r.get1();
+}
+
+// ---------------------------------------------------------------------
+// MB layer dispatch (intra kinds; inter added in later stages)
+// ---------------------------------------------------------------------
+static int mb_inter_dispatch(Ctx &s, BitReader &r, int mbtype, int avail);
+
+static int mb_dispatch(Ctx &s, BitReader &r, int mbtype, int avail) {
+    if (mbtype == MB_INxN) {
+        if (s.sp.t8x8_mode) {
+            if (read_transform8x8_any(s, r, avail))
+                return mb_intra8x8(s, r, avail);
+            return mb_intra4x4(s, r, avail);
+        }
+        return mb_intra4x4(s, r, avail);
+    }
+    if (mbtype < MB_IPCM) return mb_intra16x16(s, r, mbtype, avail);
+    if (mbtype == MB_IPCM) return mb_intrapcm(s, r);
+    return mb_inter_dispatch(s, r, mbtype, avail);
+}
+
+static int macroblock_layer(Ctx &s, BitReader &r) {
+    int mbtype = r.ue();
+    if (mbtype < 0) return -2;
+    int st = s.sp.slice_type;
+    if (st == P_SLICE) {
+        mbtype -= 5;
+        if (mbtype < 0) mbtype += MB_PSKIP;
+    } else if (st == B_SLICE) {
+        mbtype -= 23;
+        if (mbtype < 0) mbtype += 23 + MB_PSKIP;
+    }
+    s.mb_type = mbtype;
+    int avail = get_avail(s);
+    return mb_dispatch(s, r, mbtype, avail);
+}
+
+// ---------------------------------------------------------------------
+// slice data loop (slice_data, h264.cpp:10210-10251)
+// ---------------------------------------------------------------------
+static int skip_mbs(Ctx &s, int skip_num);  // inter stage
+static int slice_data_cabac(Ctx &s, BitReader &r);
+
+static int slice_data(Ctx &s, BitReader &r) {
+    if (s.sp.is_cabac) return slice_data_cabac(s, r);
+    for (;;) {
+        if (s.sp.slice_type != I_SLICE) {
+            int skip_num = r.ue();
+            if (skip_num < 0) return -2;
+            if (skip_num) {
+                int e = skip_mbs(s, skip_num);
+                if (e == -1) break;
+                if (e < -1) return e;
+            }
+            if (!r.more_rbsp_data()) break;
+        }
+        int e = macroblock_layer(s, r);
+        if (e < 0) return e;
+        s.mbleft.mb_skip = 0;
+        top_of(s).mb_skip = 0;
+        if (increment_mb_pos(s) < 0) break;
+        if (!r.more_rbsp_data()) break;
+    }
+    return 0;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------
+extern "C" {
+
+void *h264p_new(int max_x, int max_y) {
+    Ctx *s = new Ctx();
+    memset(s, 0, sizeof(Ctx));
+    s->max_x = max_x;
+    s->max_y = max_y;
+    s->nmb = max_x * max_y;
+    s->top_pred = new int32_t[max_x * 4]();
+    s->top_coef = new int32_t[max_x * 8]();
+    s->mbtop = new PrevMb[max_x + 2]();
+    return s;
+}
+
+void h264p_free(void *ctx) {
+    Ctx *s = (Ctx *)ctx;
+    delete[] s->top_pred;
+    delete[] s->top_coef;
+    delete[] s->mbtop;
+    delete s;
+}
+
+void h264p_begin_picture(void *ctx, void **plan_ptrs) {
+    Ctx *s = (Ctx *)ctx;
+    PlanPtrs &p = s->plan;
+    int i = 0;
+    p.kind = (int32_t *)plan_ptrs[i++];
+    p.t8x8 = (int32_t *)plan_ptrs[i++];
+    p.coef_luma = (int32_t *)plan_ptrs[i++];
+    p.coef_chroma = (int32_t *)plan_ptrs[i++];
+    p.i4_modes = (int32_t *)plan_ptrs[i++];
+    p.i4_avail = (int32_t *)plan_ptrs[i++];
+    p.i8_modes = (int32_t *)plan_ptrs[i++];
+    p.i8_avail = (int32_t *)plan_ptrs[i++];
+    p.i16_mode = (int32_t *)plan_ptrs[i++];
+    p.chroma_mode = (int32_t *)plan_ptrs[i++];
+    p.mb_avail = (int32_t *)plan_ptrs[i++];
+    p.mv = (int32_t *)plan_ptrs[i++];
+    p.slot = (int32_t *)plan_ptrs[i++];
+    p.wp = (int32_t *)plan_ptrs[i++];
+    p.pcm = (uint8_t *)plan_ptrs[i++];
+    p.deb_idc = (int32_t *)plan_ptrs[i++];
+    p.deb_qpy = (int32_t *)plan_ptrs[i++];
+    p.deb_qpc = (int32_t *)plan_ptrs[i++];
+    p.deb_slicehdr = (int32_t *)plan_ptrs[i++];
+    p.deb_str4 = (int32_t *)plan_ptrs[i++];
+    p.deb_str = (int64_t *)plan_ptrs[i++];
+    s->curr_type = (int32_t *)plan_ptrs[i++];
+    s->curr_ref = (int32_t *)plan_ptrs[i++];
+    s->curr_mv = (int32_t *)plan_ptrs[i++];
+}
+
+void h264p_set_refs(void *ctx, const int32_t *refs /* [2][16][4] */,
+                    const int32_t *col_type, const int32_t *col_ref,
+                    const int32_t *col_mv, const int32_t *col_map,
+                    const int32_t *map_col_to_list0 /* [16] */,
+                    const int32_t *scale_tab /* [16] */,
+                    const int32_t *wtab /* [2][32][3][2] */,
+                    const int32_t *wshift /* [2] */,
+                    const int32_t *implicit_w /* [32][32][2] */) {
+    Ctx *s = (Ctx *)ctx;
+    for (int lx = 0; lx < 2; lx++)
+        for (int k = 0; k < 16; k++) {
+            const int32_t *e = refs + (lx * 16 + k) * 4;
+            s->refs[lx][k].frame_idx = e[0];
+            s->refs[lx][k].poc = e[1];
+            s->refs[lx][k].in_use = e[2];
+            s->refs[lx][k].col_idx = e[3];
+        }
+    s->col_type = col_type;
+    s->col_ref = col_ref;
+    s->col_mv = col_mv;
+    s->col_map = col_map;
+    if (map_col_to_list0)
+        memcpy(s->map_col_to_list0, map_col_to_list0, 16 * sizeof(int32_t));
+    if (scale_tab) memcpy(s->scale_tab, scale_tab, 16 * sizeof(int32_t));
+    if (wtab) memcpy(s->wtab, wtab, sizeof(s->wtab));
+    if (wshift) { s->wshift[0] = wshift[0]; s->wshift[1] = wshift[1]; }
+    if (implicit_w) memcpy(s->implicit_w, implicit_w, sizeof(s->implicit_w));
+}
+
+/* Returns 0 ok / negative error; out_state = {mb_pos, mb_x, mb_y,
+ * firstline} after the slice. */
+int h264p_slice(void *ctx, const uint8_t *payload, int64_t nbytes,
+                const SliceParams *sp, int32_t *out_state) {
+    Ctx *s = (Ctx *)ctx;
+    s->sp = *sp;
+    set_mb_pos(*s, sp->first_mb);
+    set_qp(*s, sp->qp);
+    s->plan.deb_slicehdr[sp->first_mb * 2] = sp->alpha_ofs;
+    s->plan.deb_slicehdr[sp->first_mb * 2 + 1] = sp->beta_ofs;
+    s->plan.deb_idc[sp->first_mb] = sp->deb_idc_plus1;
+    BitReader r;
+    r.init(payload, nbytes, sp->bit_offset);
+    int e = slice_data(*s, r);
+    out_state[0] = s->mb_pos;
+    out_state[1] = s->mb_x;
+    out_state[2] = s->mb_y;
+    out_state[3] = s->firstline;
+    return e;
+}
+
+}  // extern "C"
+
+namespace {
+// placeholder stubs (replaced by the inter/CABAC stages)
+static int mb_inter_dispatch(Ctx &, BitReader &, int, int) { return -9; }
+static int skip_mbs(Ctx &, int) { return -9; }
+static int slice_data_cabac(Ctx &, BitReader &) { return -9; }
+static int cabac_residual(Ctx &, BitReader &, int32_t *, const int32_t *,
+                          int, int, int) { return -9; }
+static int cabac_cbp(Ctx &, BitReader &, int) { return -9; }
+static int cabac_qp_delta(Ctx &, BitReader &) { return -9; }
+static int cabac_intra4x4_pred_mode(Ctx &, BitReader &, int, int) {
+    return -9;
+}
+static int cabac_intra_chroma_pred_mode(Ctx &, BitReader &, int) {
+    return -9;
+}
+static int cabac_transform8x8_flag(Ctx &, BitReader &, int) { return -9; }
+}  // namespace
