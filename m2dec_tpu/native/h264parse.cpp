@@ -203,9 +203,9 @@ struct Ctx {
     int32_t implicit_w[32][32][2];  // [idx0][idx1] -> (w0, w1)
     // temporal direct scale tables (bdirect), per col ref
     // colocated pages
-    const int32_t *col_type;   // [n]
-    const int32_t *col_ref;    // [n][4]
-    const int32_t *col_mv;     // [n][16][2]
+    int32_t *col_type;   // [n] (mutated by pred_direct16x16)
+    int32_t *col_ref;    // [n][4]
+    int32_t *col_mv;     // [n][16][2]
     const int32_t *col_map;    // map_col_frameidx [16]
     int32_t *curr_type;        // current picture col page
     int32_t *curr_ref;
@@ -1048,6 +1048,2286 @@ static int slice_data(Ctx &s, BitReader &r) {
     return 0;
 }
 
+
+// =====================================================================
+// Inter stage: MV prediction, partitions, skip, B-direct, strengths
+// (mirrors m2dec_tpu/codecs/h264/inter.py and bdirect.py)
+// =====================================================================
+typedef int32_t V2[2];
+static const V2 ZMV = {0, 0};
+
+struct Prev8x8 {  // prev8x8_t (h264.h:350-354)
+    int32_t ref[2];
+    int32_t mv[4][2][2];
+    int32_t mvd[4][2][2];
+    void init() {
+        ref[0] = ref[1] = -1;
+        memset(mv, 0, sizeof(mv));
+        memset(mvd, 0, sizeof(mvd));
+    }
+};
+
+static inline int med3(int a, int b, int c) {
+    return (a <= b) ? ((b <= c) ? b : (a <= c ? c : a))
+                    : ((a <= c) ? a : (b <= c ? c : b));
+}
+
+struct PMV {
+    int32_t pmx, pmy;
+    const int32_t *mvd_a, *mvd_b;
+};
+
+static PMV determine_pmv(const int32_t *mva, const int32_t *mvb,
+                         const int32_t *mvc, int avail, int idx_map,
+                         const int32_t *mvd_a, const int32_t *mvd_b) {
+    PMV o;
+    o.mvd_a = mvd_a;
+    o.mvd_b = mvd_b;
+    if ((avail & 7) == 1 || idx_map == 1) {
+        o.pmx = mva[0]; o.pmy = mva[1];
+    } else if (0xE9 & (1 << idx_map)) {
+        o.pmx = med3(mva[0], mvb[0], mvc[0]);
+        o.pmy = med3(mva[1], mvb[1], mvc[1]);
+    } else if (idx_map == 2) {
+        o.pmx = mvb[0]; o.pmy = mvb[1];
+    } else {
+        o.pmx = mvc[0]; o.pmy = mvc[1];
+    }
+    return o;
+}
+
+static PMV calc_mv16x16(Ctx &s, int lx, int ref_idx, int avail) {
+    PrevMb &left = s.mbleft;
+    PrevMb &top = top_of(s);
+    PrevMb &topr = topright_of(s);
+    int idx_map = 0;
+    const int32_t *mva = ZMV, *mvd_a = ZMV, *mvb = ZMV, *mvd_b = ZMV,
+                  *mvc = ZMV;
+    if (avail & 1) {
+        idx_map = (ref_idx == left.ref[0][lx]);
+        mva = left.mov[0][lx];
+        mvd_a = left.mvd[0][lx];
+    }
+    if (avail & 2) {
+        idx_map |= (ref_idx == top.ref[0][lx]) * 2;
+        mvb = top.mov[0][lx];
+        mvd_b = top.mvd[0][lx];
+    }
+    if (avail & 4) {
+        idx_map |= (ref_idx == topr.ref[0][lx]) * 4;
+        mvc = topr.mov[0][lx];
+    } else if (avail & 8) {
+        idx_map |= (ref_idx == s.lefttop_ref[lx]) * 4;
+        mvc = s.lefttop_mv[lx];
+    }
+    return determine_pmv(mva, mvb, mvc, avail, idx_map, mvd_a, mvd_b);
+}
+
+static PMV calc_mv16x8top(Ctx &s, int lx, int ref_idx, int avail) {
+    PrevMb &left = s.mbleft;
+    PrevMb &top = top_of(s);
+    PrevMb &topr = topright_of(s);
+    const int32_t *mva = ZMV, *mvd_a = ZMV, *mvb = ZMV, *mvd_b = ZMV,
+                  *mvc = ZMV;
+    int idx_map = 0;
+    if (avail & 2) {
+        mvd_b = top.mvd[0][lx];
+        if (ref_idx == top.ref[0][lx]) {
+            mvd_a = (avail & 1) ? left.mvd[0][lx] : ZMV;
+            PMV o = {top.mov[0][lx][0], top.mov[0][lx][1], mvd_a, mvd_b};
+            return o;
+        }
+        mvb = top.mov[0][lx];
+    }
+    if (avail & 1) {
+        idx_map = (ref_idx == left.ref[0][lx]);
+        mva = left.mov[0][lx];
+        mvd_a = left.mvd[0][lx];
+    }
+    if (avail & 4) {
+        idx_map |= (ref_idx == topr.ref[0][lx]) * 4;
+        mvc = topr.mov[0][lx];
+    } else if (avail & 8) {
+        idx_map |= (ref_idx == s.lefttop_ref[lx]) * 4;
+        mvc = s.lefttop_mv[lx];
+    }
+    if (avail & 2) idx_map |= (ref_idx == top.ref[0][lx]) * 2;
+    return determine_pmv(mva, mvb, mvc, avail, idx_map, mvd_a, mvd_b);
+}
+
+static PMV calc_mv16x8bottom(Ctx &s, int lx, int ref_idx, int avail,
+                             int prev_ref, const V2 *prev_mv,
+                             const V2 *prev_mvd) {
+    PrevMb &left = s.mbleft;
+    const int32_t *mva = ZMV, *mvd_a = ZMV, *mvc = ZMV;
+    int idx_map = 0;
+    if (avail & 1) {
+        mvd_a = left.mvd[2][lx];
+        if (ref_idx == left.ref[1][lx]) {
+            PMV o = {left.mov[2][lx][0], left.mov[2][lx][1], mvd_a,
+                     prev_mvd[lx]};
+            return o;
+        }
+        idx_map = (ref_idx == left.ref[0][lx]) * 4;
+        mva = left.mov[2][lx];
+        mvc = left.mov[1][lx];
+    }
+    const int32_t *mvb = prev_mv[lx];
+    const int32_t *mvd_b = prev_mvd[lx];
+    idx_map |= (ref_idx == prev_ref) * 2;
+    return determine_pmv(mva, mvb, mvc, avail | 2, idx_map, mvd_a, mvd_b);
+}
+
+static PMV calc_mv8x16left(Ctx &s, int lx, int ref_idx, int avail) {
+    PrevMb &left = s.mbleft;
+    PrevMb &top = top_of(s);
+    const int32_t *mva = ZMV, *mvd_a = ZMV, *mvb = ZMV, *mvd_b = ZMV,
+                  *mvc = ZMV;
+    if (avail & 1) {
+        mvd_a = left.mvd[0][lx];
+        if (ref_idx == left.ref[0][lx]) {
+            mvd_b = (avail & 2) ? top.mvd[0][lx] : ZMV;
+            PMV o = {left.mov[0][lx][0], left.mov[0][lx][1], mvd_a, mvd_b};
+            return o;
+        }
+        mva = left.mov[0][lx];
+    }
+    int idx_map = 0;
+    if (avail & 2) {
+        idx_map |= (ref_idx == top.ref[0][lx]) * 2;
+        idx_map |= (ref_idx == top.ref[1][lx]) * 4;
+        avail |= 4;
+        mvb = top.mov[0][lx];
+        mvd_b = top.mvd[0][lx];
+        mvc = top.mov[2][lx];
+    } else {
+        avail &= ~4;
+        if (avail & 8) {
+            idx_map |= (ref_idx == s.lefttop_ref[lx]) * 4;
+            mvc = s.lefttop_mv[lx];
+        }
+    }
+    if ((avail & 1) && ref_idx == left.ref[0][lx]) idx_map |= 1;
+    return determine_pmv(mva, mvb, mvc, avail, idx_map, mvd_a, mvd_b);
+}
+
+static PMV calc_mv8x16right(Ctx &s, int lx, int ref_idx, int avail,
+                            int prev_ref, const V2 *prev_mv,
+                            const V2 *prev_mvd) {
+    PrevMb &top = top_of(s);
+    PrevMb &topr = topright_of(s);
+    int idx_map = 0;
+    const int32_t *mva = ZMV, *mvd_a = ZMV, *mvb = ZMV, *mvd_b = ZMV,
+                  *mvc = ZMV;
+    if (avail & 4) {
+        if (ref_idx == topr.ref[0][lx]) {
+            mvd_a = prev_mvd[lx];
+            mvd_b = (avail & 2) ? top.mvd[2][lx] : ZMV;
+            PMV o = {topr.mov[0][lx][0], topr.mov[0][lx][1], mvd_a, mvd_b};
+            return o;
+        }
+        mvc = topr.mov[0][lx];
+    } else if (avail & 2) {
+        idx_map = (ref_idx == top.ref[0][lx]) * 4;
+        mvd_b = top.mvd[2][lx];
+        if (idx_map) {
+            mvd_a = prev_mvd[lx];
+            PMV o = {top.mov[1][lx][0], top.mov[1][lx][1], mvd_a, mvd_b};
+            return o;
+        }
+        mvc = top.mov[1][lx];
+    }
+    idx_map |= (ref_idx == prev_ref);
+    mva = prev_mv[lx];
+    mvd_a = prev_mvd[lx];
+    avail |= 1;
+    if (avail & 2) {
+        idx_map |= (ref_idx == top.ref[1][lx]) * 2;
+        mvb = top.mov[2][lx];
+        mvd_b = top.mvd[2][lx];
+    } else {
+        mvb = ZMV;
+        mvd_b = ZMV;
+    }
+    return determine_pmv(mva, mvb, mvc, avail, idx_map, mvd_a, mvd_b);
+}
+
+struct CRes { const int32_t *mvc; int idx; int avail; };
+
+static CRes calc8x8_c(Ctx &s, int sub_kind, int lx, int ref_idx, int avail,
+                      int blk_idx, Prev8x8 *pblk, int sub) {
+    PrevMb &left = s.mbleft;
+    PrevMb &top = top_of(s);
+    PrevMb &topr = topright_of(s);
+    CRes o = {ZMV, 0, avail};
+    if (sub_kind == 0) {
+        if (blk_idx == 0) {
+            if (avail & 2) {
+                o.idx = (ref_idx == top.ref[1][lx]) * 4;
+                o.mvc = top.mov[2][lx];
+                o.avail = avail | 4;
+            } else if (avail & 8) {
+                o.idx = (ref_idx == s.lefttop_ref[lx]) * 4;
+                o.mvc = s.lefttop_mv[lx];
+                o.avail = avail | 4;
+            } else {
+                o.avail = avail & ~4;
+            }
+        } else if (blk_idx == 1) {
+            if (avail & 4) {
+                o.idx = (ref_idx == topr.ref[0][lx]) * 4;
+                o.mvc = topr.mov[0][lx];
+            } else if (avail & 2) {
+                o.idx = (ref_idx == top.ref[0][lx]) * 4;
+                o.mvc = top.mov[1][lx];
+            }
+        } else if (blk_idx == 2) {
+            o.idx = (ref_idx == pblk[1].ref[lx]) * 4;
+            o.mvc = pblk[1].mv[2][lx];
+            o.avail = avail | 4;
+        } else {
+            o.idx = (ref_idx == pblk[0].ref[lx]) * 4;
+            o.mvc = pblk[0].mv[3][lx];
+            o.avail = avail | 4;
+        }
+        return o;
+    }
+    if (sub_kind == 1) {
+        int y = sub;
+        if (blk_idx == 0) {
+            if (y == 0) {
+                if (avail & 2) {
+                    o.idx = (ref_idx == top.ref[1][lx]) * 4;
+                    o.mvc = top.mov[2][lx];
+                    o.avail = avail | 4;
+                } else if (avail & 8) {
+                    o.idx = (ref_idx == s.lefttop_ref[lx]) * 4;
+                    o.mvc = s.lefttop_mv[lx];
+                    o.avail = avail | 4;
+                } else {
+                    o.avail = avail & ~4;
+                }
+            } else if (avail & 1) {
+                o.idx = (ref_idx == left.ref[0][lx]) * 4;
+                o.mvc = left.mov[0][lx];
+                o.avail = avail | 4;
+            } else {
+                o.avail = avail & ~4;
+            }
+        } else if (blk_idx == 1) {
+            if (y == 0) {
+                if (avail & 4) {
+                    o.idx = (ref_idx == topr.ref[0][lx]) * 4;
+                    o.mvc = topr.mov[0][lx];
+                    o.avail = avail | 4;
+                } else if (avail & 2) {
+                    o.idx = (ref_idx == top.ref[0][lx]) * 4;
+                    o.mvc = top.mov[1][lx];
+                    o.avail = avail | 4;
+                }
+            } else {
+                o.idx = (ref_idx == pblk[0].ref[lx]) * 4;
+                o.mvc = pblk[0].mv[1][lx];
+                o.avail = avail | 4;
+            }
+        } else if (blk_idx == 2) {
+            if (y == 0) {
+                o.idx = (ref_idx == pblk[1].ref[lx]) * 4;
+                o.mvc = pblk[1].mv[2][lx];
+                o.avail = avail | 4;
+            } else if (avail & 1) {
+                o.idx = (ref_idx == left.ref[1][lx]) * 4;
+                o.mvc = left.mov[2][lx];
+                o.avail = avail | 4;
+            } else {
+                o.avail = avail & ~4;
+            }
+        } else {
+            o.idx = (ref_idx == pblk[y * 2].ref[lx]) * 4;
+            o.mvc = pblk[y * 2].mv[3 - y * 2][lx];
+            o.avail = avail | 4;
+        }
+        return o;
+    }
+    if (sub_kind == 2) {
+        int x = sub;
+        if (blk_idx == 0) {
+            if (avail & 2) {
+                o.idx = (ref_idx == top.ref[x][lx]) * 4;
+                o.mvc = top.mov[x + 1][lx];
+                o.avail = avail | 4;
+            } else {
+                o.avail = avail & ~4;
+                if (x == 0 && (o.avail & 8)) {
+                    o.idx = (ref_idx == s.lefttop_ref[lx]) * 4;
+                    o.mvc = s.lefttop_mv[lx];
+                }
+            }
+        } else if (blk_idx == 1) {
+            if (x == 0) {
+                if (avail & 2) {
+                    o.idx = (ref_idx == top.ref[1][lx]) * 4;
+                    o.mvc = top.mov[3][lx];
+                    o.avail = avail | 4;
+                } else {
+                    o.avail = avail & ~4;
+                }
+            } else if (avail & 4) {
+                o.idx = (ref_idx == topr.ref[0][lx]) * 4;
+                o.mvc = topr.mov[0][lx];
+            } else if (avail & 2) {
+                o.idx = (ref_idx == top.ref[1][lx]) * 4;
+                o.mvc = (top.ref[1][lx] >= 0) ? top.mov[2][lx] : ZMV;
+            }
+        } else if (blk_idx == 2) {
+            o.idx = (ref_idx == pblk[x].ref[lx]) * 4;
+            o.mvc = pblk[x].mv[3 - x][lx];
+            o.avail = avail | 4;
+        } else {
+            o.idx = (ref_idx == pblk[1].ref[lx]) * 4;
+            o.mvc = pblk[1].mv[3 - x][lx];
+            o.avail = avail | 4;
+        }
+        return o;
+    }
+    // sub_kind == 3 (4x4)
+    int xy = sub;
+    if (blk_idx == 0) {
+        if (xy == 0) {
+            if (avail & 2) {
+                o.idx = (ref_idx == top.ref[0][lx]) * 4;
+                o.mvc = top.mov[1][lx];
+                o.avail = avail | 4;
+            } else if (avail & 8) {
+                o.idx = (ref_idx == s.lefttop_ref[lx]) * 4;
+                o.mvc = s.lefttop_mv[lx];
+                o.avail = avail & ~4;
+            } else {
+                o.avail = avail & ~4;
+            }
+        } else if (xy == 1) {
+            if (avail & 2) {
+                o.idx = (ref_idx == top.ref[1][lx]) * 4;
+                o.mvc = top.mov[2][lx];
+                o.avail = avail | 4;
+            } else {
+                o.avail = avail & ~4;
+            }
+        } else {
+            o.idx = 4;
+            o.mvc = pblk[blk_idx].mv[3 - xy][lx];
+            o.avail = avail | 4;
+        }
+        return o;
+    }
+    if (blk_idx == 1) {
+        if (xy == 0) {
+            if (avail & 2) {
+                o.idx = (ref_idx == top.ref[1][lx]) * 4;
+                o.mvc = top.mov[3][lx];
+                o.avail = avail | 4;
+            } else {
+                o.avail = avail & ~4;
+            }
+        } else if (xy == 1) {
+            if (avail & 4) {
+                o.idx = (ref_idx == topr.ref[0][lx]) * 4;
+                o.mvc = topr.mov[0][lx];
+            } else if (avail & 2) {
+                o.idx = (ref_idx == top.ref[1][lx]) * 4;
+                o.mvc = top.mov[2][lx];
+                o.avail = avail | 4;
+            }
+        } else {
+            o.idx = 4;
+            o.mvc = pblk[blk_idx].mv[3 - xy][lx];
+            o.avail = avail | 4;
+        }
+        return o;
+    }
+    if (blk_idx == 2) {
+        if (xy == 0 || xy == 1) {
+            o.idx = (ref_idx == pblk[xy].ref[lx]) * 4;
+            o.mvc = pblk[xy].mv[3 - xy][lx];
+            o.avail = avail | 4;
+        } else {
+            o.idx = 4;
+            o.mvc = pblk[2].mv[3 - xy][lx];
+            o.avail = avail | 4;
+        }
+        return o;
+    }
+    if (xy == 0 || xy == 1) {
+        o.idx = (ref_idx == pblk[1].ref[lx]) * 4;
+        o.mvc = pblk[1].mv[3 - xy][lx];
+        o.avail = avail | 4;
+    } else {
+        o.idx = 4;
+        o.mvc = pblk[3].mv[3 - xy][lx];
+        o.avail = avail | 4;
+    }
+    return o;
+}
+
+static PMV calc_mv8x8(Ctx &s, int sub_kind, int lx, int ref_idx, int avail,
+                      int blk_idx, Prev8x8 *pblk, int sub) {
+    PrevMb &left = s.mbleft;
+    PrevMb &top = top_of(s);
+    int idx_map = 0;
+    const int32_t *mva = ZMV, *mvd_a = ZMV, *mvb = ZMV, *mvd_b = ZMV;
+    // A neighbor
+    if (sub_kind == 2 && sub != 0) {
+        idx_map = 1;
+        mva = pblk[blk_idx].mv[0][lx];
+        mvd_a = pblk[blk_idx].mvd[0][lx];
+        avail |= 1;
+    } else if (sub_kind == 3 && (sub & 1)) {
+        idx_map = 1;
+        mva = pblk[blk_idx].mv[sub - 1][lx];
+        mvd_a = pblk[blk_idx].mvd[sub - 1][lx];
+        avail |= 1;
+    } else if (blk_idx & 1) {
+        idx_map = (ref_idx == pblk[blk_idx - 1].ref[lx]);
+        if (sub_kind == 1) {
+            mva = pblk[blk_idx - 1].mv[sub * 2 + 1][lx];
+            mvd_a = pblk[blk_idx - 1].mvd[sub * 2 + 1][lx];
+        } else if (sub_kind == 3) {
+            mva = pblk[blk_idx - 1].mv[sub + 1][lx];
+            mvd_a = pblk[blk_idx - 1].mvd[sub + 1][lx];
+        } else {
+            mva = pblk[blk_idx - 1].mv[1][lx];
+            mvd_a = pblk[blk_idx - 1].mvd[1][lx];
+        }
+        avail |= 1;
+    } else if (avail & 1) {
+        idx_map = (ref_idx == left.ref[blk_idx >> 1][lx]);
+        int k;
+        if (sub_kind == 1) k = (blk_idx & 2) + sub;
+        else if (sub_kind == 3) k = blk_idx + (sub >> 1);
+        else k = blk_idx;
+        mva = left.mov[k][lx];
+        mvd_a = left.mvd[k][lx];
+    }
+    // B neighbor
+    if (sub_kind == 1 && sub != 0) {
+        idx_map |= 2;
+        mvb = pblk[blk_idx].mv[0][lx];
+        mvd_b = pblk[blk_idx].mvd[0][lx];
+        avail |= 2;
+    } else if (sub_kind == 3 && (sub & 2)) {
+        idx_map |= 2;
+        mvb = pblk[blk_idx].mv[sub - 2][lx];
+        mvd_b = pblk[blk_idx].mvd[sub - 2][lx];
+        avail |= 2;
+    } else if (blk_idx & 2) {
+        idx_map |= (ref_idx == pblk[blk_idx - 2].ref[lx]) * 2;
+        if (sub_kind == 2 || sub_kind == 3) {
+            int x = (sub_kind == 2) ? sub : (sub & 1);
+            mvb = pblk[blk_idx - 2].mv[2 + x][lx];
+            mvd_b = pblk[blk_idx - 2].mvd[2 + x][lx];
+        } else {
+            mvb = pblk[blk_idx - 2].mv[2][lx];
+            mvd_b = pblk[blk_idx - 2].mvd[2][lx];
+        }
+        avail |= 2;
+    } else if (avail & 2) {
+        int ri = (sub_kind == 0) ? blk_idx : (blk_idx & 1);
+        idx_map |= (ref_idx == top.ref[ri][lx]) * 2;
+        int k;
+        if (sub_kind == 2) k = blk_idx * 2 + sub;
+        else if (sub_kind == 3) k = blk_idx * 2 + (sub & 1);
+        else k = blk_idx * 2;
+        mvb = top.mov[k][lx];
+        mvd_b = top.mvd[k][lx];
+    }
+    CRes c = calc8x8_c(s, sub_kind, lx, ref_idx, avail, blk_idx, pblk, sub);
+    idx_map |= c.idx;
+    return determine_pmv(mva, mvb, c.mvc, c.avail, idx_map, mvd_a, mvd_b);
+}
+
+// ---------------------------------------------------------------------
+// plan recording for inter partitions (PlanRecorder.inter semantics)
+// ---------------------------------------------------------------------
+static void rec_inter(Ctx &s, int ox, int oy, int bw, int bh,
+                      const int32_t *ref_idx, const int32_t mv[2][2],
+                      const int32_t wp[3][4]) {
+    int slots[2] = {-1, -1};
+    for (int lx = 0; lx < 2; lx++)
+        if (ref_idx[lx] >= 0) slots[lx] = s.refs[lx][ref_idx[lx]].frame_idx;
+    int mb = s.mb_pos;
+    PlanPtrs &p = s.plan;
+    for (int by = oy >> 2; by < (oy + bh) >> 2; by++) {
+        for (int bx = ox >> 2; bx < (ox + bw) >> 2; bx++) {
+            int blk = by * 4 + bx;
+            int q = (by >> 1) * 2 + (bx >> 1);
+            p.slot[(mb * 4 + q) * 2] = slots[0];
+            p.slot[(mb * 4 + q) * 2 + 1] = slots[1];
+            memcpy(&p.wp[(mb * 4 + q) * 12], wp, 12 * sizeof(int32_t));
+            for (int lx = 0; lx < 2; lx++) {
+                if (slots[lx] >= 0) {
+                    p.mv[((mb * 16 + blk) * 2 + lx) * 2] = mv[lx][0];
+                    p.mv[((mb * 16 + blk) * 2 + lx) * 2 + 1] = mv[lx][1];
+                }
+            }
+        }
+    }
+}
+
+/* inter_pred_basic / weighted1 / weighted2: in the plan engine these
+ * only RECORD the partition (Phase B does the pixels). */
+static void inter_pred_basic(Ctx &s, const int32_t *ref_idx,
+                             const int32_t mv[2][2], int bw, int bh,
+                             int ox, int oy) {
+    int r0 = ref_idx[0], r1 = ref_idx[1];
+    if (r0 < 0 && r1 < 0) return;
+    int wm = s.sp.weighted_mode;
+    int32_t wp[3][4];
+    if (wm == 1) {
+        int sy = s.wshift[0], sc = s.wshift[1];
+        if (r0 >= 0 && r1 >= 0) {
+            for (int pl = 0; pl < 3; pl++) {
+                int sh = pl == 0 ? sy : sc;
+                wp[pl][0] = s.wtab[0][r0][pl][0];
+                wp[pl][1] = s.wtab[1][r1][pl][0];
+                wp[pl][2] = (s.wtab[0][r0][pl][1] + s.wtab[1][r1][pl][1]
+                             + 1) >> 1;
+                wp[pl][3] = sh + 1;
+            }
+        } else {
+            int lx = r0 >= 0 ? 0 : 1;
+            int idx = r0 >= 0 ? r0 : r1;
+            for (int pl = 0; pl < 3; pl++) {
+                int sh = pl == 0 ? sy : sc;
+                wp[pl][0] = s.wtab[lx][idx][pl][0];
+                wp[pl][1] = 0;
+                wp[pl][2] = s.wtab[lx][idx][pl][1];
+                wp[pl][3] = sh;
+            }
+        }
+    } else if (wm == 2 && r0 >= 0 && r1 >= 0) {
+        const int32_t *iw = &s.implicit_w[r0][r1][0];
+        for (int pl = 0; pl < 3; pl++) {
+            wp[pl][0] = iw[0];
+            wp[pl][1] = iw[1];
+            wp[pl][2] = 0;
+            wp[pl][3] = 6;
+        }
+    } else if (r0 >= 0 && r1 >= 0) {
+        for (int pl = 0; pl < 3; pl++) {
+            wp[pl][0] = 1; wp[pl][1] = 1; wp[pl][2] = 0; wp[pl][3] = 1;
+        }
+    } else {
+        for (int pl = 0; pl < 3; pl++) {
+            wp[pl][0] = 1; wp[pl][1] = 0; wp[pl][2] = 0; wp[pl][3] = 0;
+        }
+    }
+    rec_inter(s, ox, oy, bw, bh, ref_idx, mv, wp);
+}
+
+// ---------------------------------------------------------------------
+// inter residual (decoder.py _residual_luma_inter*)
+// ---------------------------------------------------------------------
+static const int64_t EXPAND_STR8x8[16] = {
+    0x00000000, 0x000A000A, 0x00A000A0, 0x00AA00AA,
+    0x000A0000, 0x000A000A, 0x00AA00A0, 0x00AA00AA,
+    0x00A00000, 0x00AA000A, 0x00A000A0, 0x00AA00AA,
+    0x00AA0000, 0x00AA000A, 0x00AA00A0, 0x00AA00AA};
+static const int CBP_TRANS8x8[16] = {0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13,
+                                     10, 11, 14, 15};
+static const int64_t STR_MAP_BIT[16] = {
+    0x2, 0x8, 0x200, 0x800, 0x20, 0x80, 0x2000, 0x8000,
+    0x20000, 0x80000, 0x2000000, 0x8000000, 0x200000, 0x800000,
+    0x20000000, 0x80000000ll};
+
+static int64_t transposition(int64_t a) {
+    int64_t b = 0;
+    for (int y = 0; y < 8; y += 2)
+        for (int x = 0; x < 32; x += 8) {
+            b |= (a & 3) << (x + y);
+            a >>= 2;
+        }
+    return b;
+}
+
+static void no_residual_inter(Ctx &s) {
+    s.prev_qp_delta = 0;
+    for (int k = 0; k < 8; k++) {
+        s.left_coef[k] = 0;
+        s.top_coef[s.mb_x * 8 + k] = 0;
+    }
+    s.mbleft.transform8x8 = 0;
+    top_of(s).transform8x8 = 0;
+    s.plan.deb_str[s.mb_pos * 2] = 0;      // vertical-edge set
+    s.plan.deb_str[s.mb_pos * 2 + 1] = 0;  // horizontal-edge set
+}
+
+static int residual_luma_inter4x4(Ctx &s, BitReader &r, int cbp) {
+    int avail = (int)s.avail_saved;
+    int nc[16] = {0};
+    int64_t str_map = 0;
+    int32_t coeff[64];
+    int32_t *cl = &s.plan.coef_luma[s.mb_pos * 256];
+    for (int i = 0; i < 16; i++) {
+        if (!(cbp & (1 << (i >> 2)))) continue;
+        int na = nc_resolve(s, NC_WIRING[i][0], nc, avail, true);
+        int nb = nc_resolve(s, NC_WIRING[i][1], nc, avail, false);
+        int cnum = residual_block_any(s, r, na, nb, coeff, s.qmaty, 2, i,
+                                      avail);
+        if (cnum < 0) return -2;
+        nc[i] = cnum;
+        if (cnum) {
+            int by = ZPOS_Y[i], bx = ZPOS_X[i];
+            int blk = (by >> 2) * 4 + (bx >> 2);
+            memcpy(cl + blk * 16, coeff, 16 * sizeof(int32_t));
+            str_map |= STR_MAP_BIT[i];
+        }
+    }
+    s.left_coef[0] = nc[5]; s.left_coef[1] = nc[7];
+    s.left_coef[2] = nc[13]; s.left_coef[3] = nc[15];
+    int32_t *tc = &s.top_coef[s.mb_x * 8];
+    tc[0] = nc[10]; tc[1] = nc[11]; tc[2] = nc[14]; tc[3] = nc[15];
+    int64_t str_h = transposition(str_map);
+    s.plan.deb_str[s.mb_pos * 2 + 1] = ((str_h << 8) | str_h) & 0xFFFFFFFFll;
+    s.plan.deb_str[s.mb_pos * 2] = ((str_map << 8) | str_map) & 0xFFFFFFFFll;
+    return 0;
+}
+
+static int residual_luma_inter8x8(Ctx &s, BitReader &r, int cbp) {
+    int avail = (int)s.avail_saved;
+    int32_t coeff[64];
+    cbp &= 15;
+    int cs[4] = {0, 0, 0, 0};
+    int32_t *lc = s.left_coef;
+    int32_t *tcf = &s.top_coef[s.mb_x * 8];
+    int32_t *cl = &s.plan.coef_luma[s.mb_pos * 256];
+    for (int b = 0; b < 4; b++) {
+        if (!(cbp & (1 << b))) continue;
+        int na, nb;
+        if (b == 0) {
+            na = (avail & 1) ? lc[0] : -1;
+            nb = (avail & 2) ? tcf[0] : -1;
+        } else if (b == 1) {
+            na = cs[0];
+            nb = (avail & 2) ? tcf[2] : -1;
+        } else if (b == 2) {
+            na = (avail & 1) ? lc[2] : -1;
+            nb = cs[1];
+        } else {
+            na = cs[2];
+            nb = cs[1];
+        }
+        int cnum = residual_block_any(s, r, na, nb, coeff, s.qmaty8, 5,
+                                      b * 4, avail);
+        if (cnum < 0) return -2;
+        cs[b] = cnum;
+        if (cnum) memcpy(cl + b * 64, coeff, 64 * sizeof(int32_t));
+    }
+    lc[0] = cs[1]; lc[1] = cs[1]; lc[2] = cs[3]; lc[3] = cs[3];
+    tcf[0] = cs[2]; tcf[1] = cs[2]; tcf[2] = cs[3]; tcf[3] = cs[3];
+    s.plan.deb_str[s.mb_pos * 2] = EXPAND_STR8x8[cbp];
+    s.plan.deb_str[s.mb_pos * 2 + 1] = EXPAND_STR8x8[CBP_TRANS8x8[cbp]];
+    return 0;
+}
+
+static int residual_luma_inter(Ctx &s, BitReader &r, int cbp) {
+    /* cbp carries NeedTransform8x8 at 0x80 (decoder.py) */
+    if (s.sp.t8x8_mode && s.sp.is_cabac) {
+        int t8 = 0;
+        if ((cbp & 0x8F) > 0x80) {
+            t8 = read_transform8x8_any(s, r, (int)s.avail_saved);
+            if (t8 < 0) return -2;
+        }
+        int qp_delta = read_qp_delta_any(s, r);
+        if (qp_delta) set_qp(s, s.qp + qp_delta);
+        s.mbleft.transform8x8 = t8 ? 1 : 0;
+        top_of(s).transform8x8 = t8 ? 1 : 0;
+        if (t8) {
+            s.plan.t8x8[s.mb_pos] = 1;
+            return residual_luma_inter8x8(s, r, cbp);
+        }
+        return residual_luma_inter4x4(s, r, cbp);
+    }
+    int qp_delta = read_qp_delta_any(s, r);
+    if (qp_delta) set_qp(s, s.qp + qp_delta);
+    return residual_luma_inter4x4(s, r, cbp);
+}
+
+// ---------------------------------------------------------------------
+// deblock strength recording (inter.py)
+// ---------------------------------------------------------------------
+static inline bool dif4(int a, int b) { return 16 <= (a - b) * (a - b); }
+
+static inline int frame_idx_of(Ctx &s, int ref_idx, int lx) {
+    return ref_idx >= 0 ? s.refs[lx][ref_idx].frame_idx : -1;
+}
+
+static int64_t str_previous_coef(int64_t map, const int32_t *prev4x4) {
+    for (int i = 0; i < 4; i++)
+        if (prev4x4[i]) map |= 2ll << (i * 2);
+    return map;
+}
+
+static inline int64_t str_or_mask(int64_t str, int64_t mask) {
+    return str | (((str >> 1) ^ mask) & mask);
+}
+
+static int64_t str_mv16x16_mv(int64_t str, int ref0, int ref1, int prev_ref0,
+                              int offset, const int32_t mvs[2][2],
+                              const PrevMb &prev) {
+    if (ref0 >= 0 && ref1 >= 0) {
+        if (ref0 == ref1) {
+            for (int j = 0; j < 2; j++) {
+                int64_t mask = 2ll << ((j + offset) * 2);
+                if (!(str & mask)) {
+                    const int32_t *p0 = prev.mov[j + offset][0];
+                    const int32_t *p1 = prev.mov[j + offset][1];
+                    const int32_t *c0 = mvs[0], *c1 = mvs[1];
+                    if ((dif4(c0[0], p0[0]) || dif4(c0[1], p0[1])
+                         || dif4(c1[0], p1[0]) || dif4(c1[1], p1[1]))
+                        && (dif4(c0[0], p1[0]) || dif4(c0[1], p1[1])
+                            || dif4(c1[0], p0[0]) || dif4(c1[1], p0[1])))
+                        str |= mask >> 1;
+                }
+            }
+        } else {
+            int lx0 = (ref0 != prev_ref0);
+            int lx1 = lx0 ^ 1;
+            for (int j = 0; j < 2; j++) {
+                int64_t mask = 2ll << ((j + offset) * 2);
+                if (!(str & mask)) {
+                    if (dif4(mvs[lx0][0], prev.mov[j + offset][0][0])
+                        || dif4(mvs[lx0][1], prev.mov[j + offset][0][1])
+                        || dif4(mvs[lx1][0], prev.mov[j + offset][1][0])
+                        || dif4(mvs[lx1][1], prev.mov[j + offset][1][1]))
+                        str |= mask >> 1;
+                }
+            }
+        }
+    } else {
+        int lx_curr, lx_prev;
+        if (ref0 >= 0) { lx_curr = 0; lx_prev = (ref0 != prev_ref0); }
+        else { lx_curr = 1; lx_prev = (ref1 != prev_ref0); }
+        for (int j = 0; j < 2; j++) {
+            int64_t mask = 2ll << ((j + offset) * 2);
+            if (!(str & mask)) {
+                const int32_t *p = prev.mov[j + offset][lx_prev];
+                if (dif4(mvs[lx_curr][0], p[0]) || dif4(mvs[lx_curr][1], p[1]))
+                    str |= mask >> 1;
+            }
+        }
+    }
+    return str;
+}
+
+static int64_t str_mv_calc16x16(Ctx &s, int64_t str, const int32_t mvs[2][2],
+                                const int32_t *ref_idx, const PrevMb &prev) {
+    int ref0 = frame_idx_of(s, ref_idx[0], 0);
+    int ref1 = frame_idx_of(s, ref_idx[1], 1);
+    int64_t mask = 0xA;
+    for (int i = 0; i < 2; i++) {
+        if ((str & mask) != mask) {
+            int prev0 = prev.frmidx[i][0];
+            int prev1 = prev.frmidx[i][1];
+            if ((prev0 != ref0 || prev1 != ref1)
+                && (prev1 != ref0 || prev0 != ref1)) {
+                str = str_or_mask(str, mask >> 1);
+            } else {
+                str = str_mv16x16_mv(str, ref0, ref1, prev0, i * 2, mvs,
+                                     prev);
+            }
+        }
+        mask <<= 4;
+    }
+    return str;
+}
+
+struct StrRet { int64_t str; int s4; };
+
+static StrRet store_str_inter16xedge(Ctx &s, const PrevMb &prev,
+                                     const int32_t mvs[2][2],
+                                     const int32_t *ref_idx, int64_t str,
+                                     const int32_t *coeff4x4) {
+    if (prev.type <= MB_IPCM) return {str | 0xAA, 1};
+    str = str_previous_coef(str, coeff4x4);
+    str = str_mv_calc16x16(s, str, mvs, ref_idx, prev);
+    return {str, 0};
+}
+
+static int64_t str_mv_calc16x8_left(Ctx &s, int64_t str,
+                                    const int32_t pairs[2][2],
+                                    const int32_t mv_sets[2][2][2],
+                                    const PrevMb &prev) {
+    for (int i = 0; i < 2; i++) {
+        int64_t mask = 0xAll << (i * 4);
+        if ((str & mask) != mask) {
+            int prev0 = prev.frmidx[i][0];
+            int prev1 = prev.frmidx[i][1];
+            int ref0 = frame_idx_of(s, pairs[i][0], 0);
+            int ref1 = frame_idx_of(s, pairs[i][1], 1);
+            if ((prev0 != ref0 || prev1 != ref1)
+                && (prev1 != ref0 || prev0 != ref1)) {
+                str = str_or_mask(str, mask >> 1);
+            } else {
+                str = str_mv16x16_mv(str, ref0, ref1, prev0, i * 2,
+                                     mv_sets[i], prev);
+            }
+        }
+    }
+    return str;
+}
+
+static StrRet store_str_inter8xedge(Ctx &s, const PrevMb &prev,
+                                    const int32_t mv_sets[2][2][2],
+                                    const int32_t pairs[2][2], int64_t str,
+                                    const int32_t *coeff4x4) {
+    if (prev.type <= MB_IPCM) return {str | 0xAA, 1};
+    str = str_previous_coef(str, coeff4x4);
+    str = str_mv_calc16x8_left(s, str, pairs, mv_sets, prev);
+    return {str, 0};
+}
+
+static int64_t str_mv_calc16x8_vert(Ctx &s, int64_t str,
+                                    const int32_t *ref_idx4,
+                                    const int32_t mv_sets[2][2][2]) {
+    if ((str & 0xAA0000) == 0xAA0000) return str;
+    int t0 = frame_idx_of(s, ref_idx4[0], 0);
+    int t1 = frame_idx_of(s, ref_idx4[1], 1);
+    int b0 = frame_idx_of(s, ref_idx4[2], 0);
+    int b1 = frame_idx_of(s, ref_idx4[3], 1);
+    bool diff = (t0 != b0 || t1 != b1) && (t1 != b0 || t0 != b1);
+    if (!diff) {
+        if (t0 >= 0 && t1 >= 0) {
+            const int32_t *ta, *tb;
+            if (t0 == b0) { ta = mv_sets[0][0]; tb = mv_sets[0][1]; }
+            else { tb = mv_sets[0][0]; ta = mv_sets[0][1]; }
+            const int32_t *ba = mv_sets[1][0];
+            const int32_t *bb = mv_sets[1][1];
+            diff = dif4(ta[0], ba[0]) || dif4(tb[0], bb[0])
+                || dif4(ta[1], ba[1]) || dif4(tb[1], bb[1]);
+        } else {
+            const int32_t *t = mv_sets[0][t0 < 0 ? 1 : 0];
+            const int32_t *b = mv_sets[1][b0 < 0 ? 1 : 0];
+            diff = dif4(t[0], b[0]) || dif4(t[1], b[1]);
+        }
+    }
+    if (diff) str = str_or_mask(str, 0x550000);
+    return str;
+}
+
+static int64_t str_mv_calc8x8_edge(Ctx &s, int64_t str, Prev8x8 *pblk,
+                                   const PrevMb &prev, int n) {
+    for (int i = 0; i < 2; i++) {
+        int64_t mask = 0xAll << (i * 4);
+        if ((str & mask) != mask) {
+            Prev8x8 &p = pblk[i * n];
+            int prev0 = prev.frmidx[i][0];
+            int prev1 = prev.frmidx[i][1];
+            int ref0 = frame_idx_of(s, p.ref[0], 0);
+            int ref1 = frame_idx_of(s, p.ref[1], 1);
+            if ((prev0 != ref0 || prev1 != ref1)
+                && (prev1 != ref0 || prev0 != ref1)) {
+                str = str_or_mask(str, mask >> 1);
+            } else if (ref0 >= 0 && ref1 >= 0) {
+                int lx = (ref0 != prev0);
+                for (int j = 0; j < 2; j++) {
+                    int64_t bit = 2ll << ((j + i * 2) * 2);
+                    if (!(str & bit)) {
+                        const int32_t *cm0 = p.mv[j * n][lx];
+                        const int32_t *cm1 = p.mv[j * n][lx ^ 1];
+                        const int32_t *pm0 = prev.mov[j + i * 2][0];
+                        const int32_t *pm1 = prev.mov[j + i * 2][1];
+                        if (dif4(cm0[0], pm0[0]) || dif4(cm0[1], pm0[1])
+                            || dif4(cm1[0], pm1[0]) || dif4(cm1[1], pm1[1]))
+                            str |= bit >> 1;
+                    }
+                }
+            } else {
+                int lx_s, lx_d;
+                if (ref0 >= 0) { lx_s = 0; lx_d = (ref0 != prev0); }
+                else { lx_s = 1; lx_d = (ref1 != prev0); }
+                for (int j = 0; j < 2; j++) {
+                    int64_t bit = 2ll << ((j + i * 2) * 2);
+                    if (!(str & bit)) {
+                        const int32_t *cm = p.mv[j * n][lx_s];
+                        const int32_t *pm = prev.mov[j + i * 2][lx_d];
+                        if (dif4(cm[0], pm[0]) || dif4(cm[1], pm[1]))
+                            str |= bit >> 1;
+                    }
+                }
+            }
+        }
+    }
+    return str;
+}
+
+static int64_t str8x8_mv_mid(Ctx &s, int64_t str, Prev8x8 &p, int offset,
+                             int n) {
+    int ref0 = frame_idx_of(s, p.ref[0], 0);
+    int ref1 = frame_idx_of(s, p.ref[1], 1);
+    for (int j = 0; j < 2; j++) {
+        int64_t bit = 2ll << ((j + offset) * 2);
+        if (str & bit) continue;
+        const int32_t (*a)[2] = p.mv[j * n];
+        const int32_t (*b)[2] = p.mv[j * n + (3 - n)];
+        bool d;
+        if (ref0 >= 0 && ref1 >= 0) {
+            if (ref0 == ref1) {
+                d = ((dif4(a[0][0], b[0][0]) || dif4(a[0][1], b[0][1])
+                      || dif4(a[1][0], b[1][0]) || dif4(a[1][1], b[1][1]))
+                     && (dif4(a[0][0], b[1][0]) || dif4(a[0][1], b[1][1])
+                         || dif4(a[1][0], b[0][0]) || dif4(a[1][1], b[0][1])));
+            } else {
+                d = (dif4(a[0][0], b[0][0]) || dif4(a[0][1], b[0][1])
+                     || dif4(a[1][0], b[1][0]) || dif4(a[1][1], b[1][1]));
+            }
+        } else {
+            int lx = (ref1 >= 0);
+            d = dif4(a[lx][0], b[lx][0]) || dif4(a[lx][1], b[lx][1]);
+        }
+        if (d) str |= bit >> 1;
+    }
+    return str;
+}
+
+static int64_t str_mv_calc8x8_inner_blk(Ctx &s, int64_t str, Prev8x8 *pblk,
+                                        int n) {
+    for (int i = 0; i < 2; i++) {
+        int64_t mask = 0xA00ll << (i * 4);
+        if ((str & mask) != mask)
+            str = str8x8_mv_mid(s, str, pblk[i * n], i * 2 + 4, n);
+    }
+    for (int i = 0; i < 2; i++) {
+        int64_t mask = 0xA0000ll << (i * 4);
+        if ((str & mask) != mask) {
+            Prev8x8 &p0 = pblk[i * n];
+            Prev8x8 &p1 = pblk[i * n + (3 - n)];
+            int prev0 = frame_idx_of(s, p0.ref[0], 0);
+            int prev1 = frame_idx_of(s, p0.ref[1], 1);
+            int ref0 = frame_idx_of(s, p1.ref[0], 0);
+            int ref1 = frame_idx_of(s, p1.ref[1], 1);
+            int offset = i * 2 + 8;
+            if ((prev0 != ref0 || prev1 != ref1)
+                && (prev1 != ref0 || prev0 != ref1)) {
+                str = str_or_mask(str, 5ll << (offset * 2));
+            } else if (ref0 >= 0 && ref1 >= 0) {
+                int lx = (ref0 != prev0);
+                for (int j = 0; j < 2; j++) {
+                    int64_t bit = 2ll << ((j + offset) * 2);
+                    if (!(str & bit)) {
+                        const int32_t *mv0a = p0.mv[j * n + (3 - n)][0];
+                        const int32_t *mv0b = p0.mv[j * n + (3 - n)][1];
+                        const int32_t *mv1a = p1.mv[j * n][lx];
+                        const int32_t *mv1b = p1.mv[j * n][lx ^ 1];
+                        if (dif4(mv0a[0], mv1a[0]) || dif4(mv0a[1], mv1a[1])
+                            || dif4(mv0b[0], mv1b[0])
+                            || dif4(mv0b[1], mv1b[1]))
+                            str |= bit >> 1;
+                    }
+                }
+            } else {
+                int lx_d, lx_s;
+                if (ref0 >= 0) { lx_d = 0; lx_s = (ref0 != prev0); }
+                else { lx_d = 1; lx_s = (ref1 != prev0); }
+                for (int j = 0; j < 2; j++) {
+                    int64_t bit = 2ll << ((j + offset) * 2);
+                    if (!(str & bit)) {
+                        const int32_t *mv0 = p0.mv[j * n + (3 - n)][lx_s];
+                        const int32_t *mv1 = p1.mv[j * n][lx_d];
+                        if (dif4(mv0[0], mv1[0]) || dif4(mv0[1], mv1[1]))
+                            str |= bit >> 1;
+                    }
+                }
+            }
+        }
+    }
+    for (int i = 0; i < 2; i++) {
+        int64_t mask = 0xA000000ll << (i * 4);
+        if ((str & mask) != mask)
+            str = str8x8_mv_mid(s, str, pblk[i * n + (3 - n)], i * 2 + 12, n);
+    }
+    return str;
+}
+
+// ---------------------------------------------------------------------
+// store_info (inter.py store_info_*)
+// ---------------------------------------------------------------------
+static void deb_qp_store(Ctx &s) {
+    s.plan.deb_qpy[s.mb_pos] = s.qp;
+    s.plan.deb_qpc[s.mb_pos * 2] = s.qp_chroma[0];
+    s.plan.deb_qpc[s.mb_pos * 2 + 1] = s.qp_chroma[1];
+}
+
+#define STRV (s.plan.deb_str[s.mb_pos * 2])       // vertical-edge set
+#define STRH (s.plan.deb_str[s.mb_pos * 2 + 1])   // horizontal-edge set
+#define STR4V (s.plan.deb_str4[s.mb_pos * 2])
+#define STR4H (s.plan.deb_str4[s.mb_pos * 2 + 1])
+
+/* NOTE on naming: the Python DeblockInfo "str_vert" holds the strengths
+ * consumed for HORIZONTAL edges in deblock.py (curr.str_vert -> strh) —
+ * an inherited reference quirk.  In the plan arrays, index [1]
+ * corresponds to str_vert and [0] to str_horiz. */
+
+static void store_info_inter16x16(Ctx &s, const int32_t mvs[2][2],
+                                  const int32_t mvds[2][2],
+                                  const int32_t *ref_idx,
+                                  const int32_t *left4x4,
+                                  const int32_t *top4x4) {
+    deb_qp_store(s);
+    if (s.mb_y != 0) {
+        StrRet rr = store_str_inter16xedge(s, top_of(s), mvs, ref_idx,
+                                           STRH, top4x4);
+        STRH = rr.str;
+        if (rr.s4) STR4H = 1;
+    }
+    if (s.mb_x != 0) {
+        StrRet rr = store_str_inter16xedge(s, s.mbleft, mvs, ref_idx,
+                                           STRV, left4x4);
+        STRV = rr.str;
+        if (rr.s4) STR4V = 1;
+    }
+    for (int k = 0; k < 4; k++) {
+        s.top_pred[s.mb_x * 4 + k] = 2;
+        s.left_pred[k] = 2;
+    }
+    PrevMb &t = top_of(s);
+    PrevMb &l = s.mbleft;
+    t.direct8x8 = l.direct8x8 = 0;
+    for (int i = 0; i < 2; i++) {
+        s.lefttop_ref[i] = t.ref[1][i];
+        s.lefttop_mv[i][0] = t.mov[3][i][0];
+        s.lefttop_mv[i][1] = t.mov[3][i][1];
+        int ref = ref_idx[i];
+        int frm = frame_idx_of(s, ref, i);
+        for (int j = 0; j < 2; j++) {
+            t.ref[j][i] = ref;
+            t.frmidx[j][i] = frm;
+            l.ref[j][i] = ref;
+            l.frmidx[j][i] = frm;
+        }
+    }
+    for (int i = 0; i < 4; i++)
+        for (int lx = 0; lx < 2; lx++) {
+            memcpy(l.mov[i][lx], mvs[lx], 8);
+            memcpy(l.mvd[i][lx], mvds[lx], 8);
+            memcpy(t.mov[i][lx], mvs[lx], 8);
+            memcpy(t.mvd[i][lx], mvds[lx], 8);
+        }
+    int refcol;
+    const int32_t *mvcol;
+    if (ref_idx[0] >= 0) { refcol = ref_idx[0]; mvcol = mvs[0]; }
+    else { refcol = ref_idx[1]; mvcol = mvs[1]; }
+    s.curr_type[s.mb_pos] = 0;
+    for (int k = 0; k < 4; k++) s.curr_ref[s.mb_pos * 4 + k] = refcol;
+    for (int k = 0; k < 16; k++) {
+        s.curr_mv[(s.mb_pos * 16 + k) * 2] = mvcol[0];
+        s.curr_mv[(s.mb_pos * 16 + k) * 2 + 1] = mvcol[1];
+    }
+}
+
+static void store_info_inter16x8(Ctx &s, const int32_t mv_sets[2][2][2],
+                                 const int32_t mvd_sets[2][2][2],
+                                 const int32_t *ref_idx,
+                                 const int32_t *left4x4,
+                                 const int32_t *top4x4) {
+    deb_qp_store(s);
+    int32_t pairs[2][2] = {{ref_idx[0], ref_idx[1]},
+                           {ref_idx[2], ref_idx[3]}};
+    if (s.mb_y != 0) {
+        StrRet rr = store_str_inter16xedge(s, top_of(s), mv_sets[0],
+                                           ref_idx, STRH, top4x4);
+        STRH = rr.str;
+        if (rr.s4) STR4H = 1;
+    }
+    STRH = str_mv_calc16x8_vert(s, STRH, ref_idx, mv_sets);
+    if (s.mb_x != 0) {
+        StrRet rr = store_str_inter8xedge(s, s.mbleft, mv_sets, pairs,
+                                          STRV, left4x4);
+        STRV = rr.str;
+        if (rr.s4) STR4V = 1;
+    }
+    for (int k = 0; k < 4; k++) {
+        s.left_pred[k] = 2;
+        s.top_pred[s.mb_x * 4 + k] = 2;
+    }
+    PrevMb &t = top_of(s);
+    PrevMb &l = s.mbleft;
+    s.lefttop_ref[0] = t.ref[1][0];
+    s.lefttop_ref[1] = t.ref[1][1];
+    for (int i = 0; i < 2; i++) {
+        s.lefttop_mv[i][0] = t.mov[3][i][0];
+        s.lefttop_mv[i][1] = t.mov[3][i][1];
+    }
+    l.direct8x8 = t.direct8x8 = 0;
+    for (int i = 0; i < 4; i++)
+        for (int lx = 0; lx < 2; lx++) {
+            memcpy(t.mov[i][lx], mv_sets[1][lx], 8);
+            memcpy(t.mvd[i][lx], mvd_sets[1][lx], 8);
+        }
+    int r2 = pairs[1][0], r3 = pairs[1][1];
+    int f2 = frame_idx_of(s, r2, 0);
+    int f3 = frame_idx_of(s, r3, 1);
+    for (int i = 0; i < 2; i++) {
+        t.ref[i][0] = r2;
+        t.ref[i][1] = r3;
+        t.frmidx[i][0] = f2;
+        t.frmidx[i][1] = f3;
+        for (int lx = 0; lx < 2; lx++) {
+            memcpy(l.mov[i][lx], mv_sets[0][lx], 8);
+            memcpy(l.mvd[i][lx], mvd_sets[0][lx], 8);
+            memcpy(l.mov[2 + i][lx], mv_sets[1][lx], 8);
+            memcpy(l.mvd[2 + i][lx], mvd_sets[1][lx], 8);
+        }
+        l.ref[0][i] = ref_idx[i];
+        l.frmidx[0][i] = frame_idx_of(s, ref_idx[i], i);
+    }
+    l.ref[1][0] = r2;
+    l.ref[1][1] = r3;
+    l.frmidx[1][0] = f2;
+    l.frmidx[1][1] = f3;
+    s.curr_type[s.mb_pos] = 1;
+    for (int y = 0; y < 2; y++) {
+        int refcol;
+        const int32_t *mvcol;
+        if (pairs[y][0] >= 0) { refcol = pairs[y][0]; mvcol = mv_sets[y][0]; }
+        else { refcol = pairs[y][1]; mvcol = mv_sets[y][1]; }
+        s.curr_ref[s.mb_pos * 4 + y * 2] = refcol;
+        s.curr_ref[s.mb_pos * 4 + y * 2 + 1] = refcol;
+        for (int k = 0; k < 8; k++) {
+            s.curr_mv[(s.mb_pos * 16 + y * 8 + k) * 2] = mvcol[0];
+            s.curr_mv[(s.mb_pos * 16 + y * 8 + k) * 2 + 1] = mvcol[1];
+        }
+    }
+}
+
+static void store_info_inter8x16(Ctx &s, const int32_t mv_sets[2][2][2],
+                                 const int32_t mvd_sets[2][2][2],
+                                 const int32_t *ref_idx,
+                                 const int32_t *left4x4,
+                                 const int32_t *top4x4) {
+    deb_qp_store(s);
+    int32_t pairs[2][2] = {{ref_idx[0], ref_idx[1]},
+                           {ref_idx[2], ref_idx[3]}};
+    if (s.mb_y != 0) {
+        StrRet rr = store_str_inter8xedge(s, top_of(s), mv_sets, pairs,
+                                          STRH, top4x4);
+        STRH = rr.str;
+        if (rr.s4) STR4H = 1;
+    }
+    if (s.mb_x != 0) {
+        StrRet rr = store_str_inter16xedge(s, s.mbleft, mv_sets[0],
+                                           ref_idx, STRV, left4x4);
+        STRV = rr.str;
+        if (rr.s4) STR4V = 1;
+    }
+    STRV = str_mv_calc16x8_vert(s, STRV, ref_idx, mv_sets);
+    for (int k = 0; k < 4; k++) {
+        s.left_pred[k] = 2;
+        s.top_pred[s.mb_x * 4 + k] = 2;
+    }
+    PrevMb &t = top_of(s);
+    PrevMb &l = s.mbleft;
+    l.direct8x8 = t.direct8x8 = 0;
+    int r2 = pairs[1][0], r3 = pairs[1][1];
+    int f2 = frame_idx_of(s, r2, 0);
+    int f3 = frame_idx_of(s, r3, 1);
+    int32_t new_lt_ref[2] = {t.ref[1][0], t.ref[1][1]};
+    int32_t new_lt_mv[2][2] = {{t.mov[3][0][0], t.mov[3][0][1]},
+                               {t.mov[3][1][0], t.mov[3][1][1]}};
+    for (int i = 0; i < 2; i++) {
+        s.lefttop_ref[i] = new_lt_ref[i];
+        l.ref[i][0] = r2;
+        l.ref[i][1] = r3;
+        l.frmidx[i][0] = f2;
+        l.frmidx[i][1] = f3;
+        t.ref[0][i] = ref_idx[i];
+        t.frmidx[0][i] = frame_idx_of(s, ref_idx[i], i);
+        s.lefttop_mv[i][0] = new_lt_mv[i][0];
+        s.lefttop_mv[i][1] = new_lt_mv[i][1];
+        for (int lx = 0; lx < 2; lx++) {
+            memcpy(t.mov[i][lx], mv_sets[0][lx], 8);
+            memcpy(t.mvd[i][lx], mvd_sets[0][lx], 8);
+            memcpy(t.mov[i + 2][lx], mv_sets[1][lx], 8);
+            memcpy(t.mvd[i + 2][lx], mvd_sets[1][lx], 8);
+        }
+    }
+    t.ref[1][0] = r2;
+    t.ref[1][1] = r3;
+    t.frmidx[1][0] = f2;
+    t.frmidx[1][1] = f3;
+    for (int i = 0; i < 4; i++)
+        for (int lx = 0; lx < 2; lx++) {
+            memcpy(l.mov[i][lx], mv_sets[1][lx], 8);
+            memcpy(l.mvd[i][lx], mvd_sets[1][lx], 8);
+        }
+    s.curr_type[s.mb_pos] = 2;
+    for (int x = 0; x < 2; x++) {
+        int refcol;
+        const int32_t *mvcol;
+        if (pairs[x][0] >= 0) { refcol = pairs[x][0]; mvcol = mv_sets[x][0]; }
+        else { refcol = pairs[x][1]; mvcol = mv_sets[x][1]; }
+        s.curr_ref[s.mb_pos * 4 + x] = refcol;
+        s.curr_ref[s.mb_pos * 4 + x + 2] = refcol;
+        for (int row = 0; row < 4; row++)
+            for (int c = 0; c < 2; c++) {
+                int k = row * 4 + x * 2 + c;
+                s.curr_mv[(s.mb_pos * 16 + k) * 2] = mvcol[0];
+                s.curr_mv[(s.mb_pos * 16 + k) * 2 + 1] = mvcol[1];
+            }
+    }
+}
+
+static void store_info_intermb8x8(Ctx &s, Prev8x8 *pblk,
+                                  const int32_t *left4x4,
+                                  const int32_t *top4x4) {
+    deb_qp_store(s);
+    if (s.mb_y != 0) {
+        if (top_of(s).type <= MB_IPCM) {
+            STR4H = 1;
+            STRH |= 0xAA;
+        } else {
+            STRH = str_mv_calc8x8_edge(
+                s, str_previous_coef(STRH, top4x4), pblk, top_of(s), 1);
+        }
+    }
+    STRH = str_mv_calc8x8_inner_blk(s, STRH, pblk, 1);
+    if (s.mb_x != 0) {
+        if (s.mbleft.type <= MB_IPCM) {
+            STR4V = 1;
+            STRV |= 0xAA;
+        } else {
+            STRV = str_mv_calc8x8_edge(
+                s, str_previous_coef(STRV, left4x4), pblk, s.mbleft, 2);
+        }
+    }
+    STRV = str_mv_calc8x8_inner_blk(s, STRV, pblk, 2);
+    for (int k = 0; k < 4; k++) {
+        s.left_pred[k] = 2;
+        s.top_pred[s.mb_x * 4 + k] = 2;
+    }
+    PrevMb &t = top_of(s);
+    PrevMb &l = s.mbleft;
+    for (int i = 0; i < 2; i++) {
+        s.lefttop_mv[i][0] = t.mov[3][i][0];
+        s.lefttop_mv[i][1] = t.mov[3][i][1];
+        s.lefttop_ref[i] = t.ref[1][i];
+        memcpy(t.mov[0][i], pblk[2].mv[2][i], 8);
+        memcpy(t.mov[1][i], pblk[2].mv[3][i], 8);
+        memcpy(t.mov[2][i], pblk[3].mv[2][i], 8);
+        memcpy(t.mov[3][i], pblk[3].mv[3][i], 8);
+        memcpy(t.mvd[0][i], pblk[2].mvd[2][i], 8);
+        memcpy(t.mvd[1][i], pblk[2].mvd[3][i], 8);
+        memcpy(t.mvd[2][i], pblk[3].mvd[2][i], 8);
+        memcpy(t.mvd[3][i], pblk[3].mvd[3][i], 8);
+        l.ref[0][i] = pblk[1].ref[i];
+        l.frmidx[0][i] = frame_idx_of(s, pblk[1].ref[i], i);
+        l.ref[1][i] = pblk[3].ref[i];
+        l.frmidx[1][i] = frame_idx_of(s, pblk[3].ref[i], i);
+        t.ref[0][i] = pblk[2].ref[i];
+        t.frmidx[0][i] = frame_idx_of(s, pblk[2].ref[i], i);
+        t.ref[1][i] = pblk[3].ref[i];
+        t.frmidx[1][i] = frame_idx_of(s, pblk[3].ref[i], i);
+    }
+    for (int i = 0; i < 4; i++) {
+        Prev8x8 &p = pblk[(i & 2) + 1];
+        int idx = (i & 1) * 2 + 1;
+        for (int j = 0; j < 2; j++) {
+            memcpy(l.mov[i][j], p.mv[idx][j], 8);
+            memcpy(l.mvd[i][j], p.mvd[idx][j], 8);
+        }
+    }
+    s.curr_type[s.mb_pos] = 3;
+    int base = 0;
+    for (int blk = 0; blk < 4; blk++) {
+        int refcol = pblk[blk].ref[0];
+        int lx = 0;
+        if (refcol < 0) {
+            lx = 1;
+            refcol = pblk[blk].ref[1];
+        }
+        s.curr_ref[s.mb_pos * 4 + blk] = refcol;
+        const int32_t *flat = &pblk[blk].mv[0][0][0];  // [8][2] flattened
+        int32_t *mvdst = &s.curr_mv[s.mb_pos * 16 * 2];
+        memcpy(mvdst + (base + 0) * 2, flat + (0 + lx) * 2, 8);
+        memcpy(mvdst + (base + 1) * 2, flat + (2 + lx) * 2, 8);
+        memcpy(mvdst + (base + 4) * 2, flat + (4 + lx) * 2, 8);
+        memcpy(mvdst + (base + 5) * 2, flat + (6 + lx) * 2, 8);
+        base += (blk & 1) ? 6 : 2;
+    }
+}
+
+// ---------------------------------------------------------------------
+// B-direct / B-skip (bdirect.py)
+// ---------------------------------------------------------------------
+enum { COL_MB16x16 = 0, COL_MB16x8 = 1, COL_MB8x16 = 2, COL_MB8x8 = 3 };
+enum { NOT_IN_USE = 0, SHORT_TERM = 1, LONG_TERM = 2 };
+
+static void b_skip_ref_mv(Ctx &s, int avail, int32_t *ref_out,
+                          int32_t mv_out[2][2]) {
+    static const int32_t non_ref[4] = {-1, -1, -1, -1};
+    static const int32_t zero2[2][2] = {{0, 0}, {0, 0}};
+    const int32_t *ref_a, *ref_b, *ref_c;
+    const int32_t (*mv_a)[2], (*mv_b)[2], (*mv_c)[2];
+    if (avail & 1) { ref_a = s.mbleft.ref[0]; mv_a = s.mbleft.mov[0]; }
+    else { ref_a = non_ref; mv_a = zero2; }
+    if (avail & 2) { ref_b = top_of(s).ref[0]; mv_b = top_of(s).mov[0]; }
+    else { ref_b = non_ref; mv_b = zero2; }
+    if (avail & 4) {
+        ref_c = topright_of(s).ref[0];
+        mv_c = topright_of(s).mov[0];
+    } else if (avail & 8) {
+        ref_c = s.lefttop_ref;
+        mv_c = s.lefttop_mv;
+    } else {
+        ref_c = non_ref;
+        mv_c = zero2;
+    }
+    for (int lx = 0; lx < 2; lx++) {
+        uint32_t ra = (uint32_t)ref_a[lx], rb = (uint32_t)ref_b[lx],
+                 rc = (uint32_t)ref_c[lx];
+        uint32_t cand = ra < rb ? ra : rb;
+        if (rc < cand) cand = rc;
+        int32_t ref = (int32_t)cand;
+        int32_t ira = ref_a[lx], irb = ref_b[lx], irc = ref_c[lx];
+        if (ref < 0) {
+            mv_out[lx][0] = mv_out[lx][1] = 0;
+        } else if (ira == ref && irb != ref && irc != ref) {
+            mv_out[lx][0] = mv_a[lx][0]; mv_out[lx][1] = mv_a[lx][1];
+        } else if (ira != ref && irb == ref && irc != ref) {
+            mv_out[lx][0] = mv_b[lx][0]; mv_out[lx][1] = mv_b[lx][1];
+        } else if (ira != ref && irb != ref && irc == ref) {
+            mv_out[lx][0] = mv_c[lx][0]; mv_out[lx][1] = mv_c[lx][1];
+        } else {
+            mv_out[lx][0] = med3(mv_a[lx][0], mv_b[lx][0], mv_c[lx][0]);
+            mv_out[lx][1] = med3(mv_a[lx][1], mv_b[lx][1], mv_c[lx][1]);
+        }
+        ref_out[lx] = ref;
+    }
+}
+
+static inline bool mvcol_small(const int32_t *mv) {
+    return mv[0] >= -1 && mv[0] <= 1 && mv[1] >= -1 && mv[1] <= 1;
+}
+
+static inline bool mv2_any(const int32_t m[2][2]) {
+    return m[0][0] || m[0][1] || m[1][0] || m[1][1];
+}
+
+typedef int32_t MSet[2][2];
+
+static void col_zero_pred(Ctx &s, int refs_mask, const int32_t *mvcol,
+                          MSet *msets, int set_idx, const int32_t *ref_idx,
+                          int bw, int bh, int ox, int oy) {
+    MSet &cur = msets[set_idx];
+    if (refs_mask == 3) {
+        if (mv2_any(cur) && mvcol_small(mvcol)) {
+            memset(cur, 0, sizeof(MSet));
+            static const int32_t both0[2] = {0, 0};
+            inter_pred_basic(s, both0, cur, bw, bh, ox, oy);
+        } else {
+            inter_pred_basic(s, ref_idx, cur, bw, bh, ox, oy);
+        }
+    } else {
+        int lx = (refs_mask == 1) ? 0 : 1;
+        if ((cur[lx][0] || cur[lx][1]) && mvcol_small(mvcol)) {
+            cur[lx][0] = cur[lx][1] = 0;
+        }
+        inter_pred_basic(s, ref_idx, cur, bw, bh, ox, oy);
+    }
+}
+
+static void pred_direct16x16(Ctx &s, int32_t *ref_idx2, MSet *msets) {
+    RefInfo &colpic = s.refs[1][0];
+    int pos = s.mb_pos;
+    if (ref_idx2[0] < 0 && ref_idx2[1] < 0) {
+        ref_idx2[0] = 0;
+        ref_idx2[1] = 0;
+        s.col_type[pos] = COL_MB16x16;
+        memset(msets[1], 0, sizeof(MSet));
+        inter_pred_basic(s, ref_idx2, msets[0], 16, 16, 0, 0);
+        return;
+    }
+    if (colpic.in_use != SHORT_TERM) {
+        s.col_type[pos] = COL_MB16x16;
+        memset(msets[1], 0, sizeof(MSet));
+        inter_pred_basic(s, ref_idx2, msets[0], 16, 16, 0, 0);
+        return;
+    }
+    int refs_mask = (ref_idx2[0] == 0) + (ref_idx2[1] == 0) * 2;
+    int col_type = s.col_type[pos];
+    const int32_t *colmv = &s.col_mv[pos * 16 * 2];
+    const int32_t *colref = &s.col_ref[pos * 4];
+    if (refs_mask == 0) {
+        inter_pred_basic(s, ref_idx2, msets[0], 16, 16, 0, 0);
+        s.col_type[pos] = COL_MB16x16;
+        memset(msets[1], 0, sizeof(MSet));
+        return;
+    }
+    if (col_type == COL_MB16x16) {
+        if (colref[0] == 0)
+            col_zero_pred(s, refs_mask, colmv, msets, 0, ref_idx2,
+                          16, 16, 0, 0);
+        else
+            inter_pred_basic(s, ref_idx2, msets[0], 16, 16, 0, 0);
+        memset(msets[1], 0, sizeof(MSet));
+    } else if (col_type == COL_MB16x8) {
+        memcpy(msets[1], msets[0], sizeof(MSet));
+        for (int y = 0; y < 2; y++) {
+            if (colref[y * 2] == 0)
+                col_zero_pred(s, refs_mask, colmv + y * 8 * 2, msets, y,
+                              ref_idx2, 16, 8, 0, y * 8);
+            else
+                inter_pred_basic(s, ref_idx2, msets[y], 16, 8, 0, y * 8);
+        }
+        memset(msets[2], 0, sizeof(MSet));
+        memset(msets[3], 0, sizeof(MSet));
+    } else if (col_type == COL_MB8x16) {
+        memcpy(msets[1], msets[0], sizeof(MSet));
+        for (int x = 0; x < 2; x++) {
+            if (colref[x] == 0)
+                col_zero_pred(s, refs_mask, colmv + x * 2 * 2, msets, x,
+                              ref_idx2, 8, 16, x * 8, 0);
+            else
+                inter_pred_basic(s, ref_idx2, msets[x], 8, 16, x * 8, 0);
+        }
+        memset(msets[2], 0, sizeof(MSet));
+        memset(msets[3], 0, sizeof(MSet));
+    } else {
+        for (int k = 1; k < 4; k++) memcpy(msets[k], msets[0], sizeof(MSet));
+        for (int blk = 0; blk < 4; blk++) {
+            int ox = (blk & 1) * 8, oy = (blk & 2) * 4;
+            if (colref[blk] == 0) {
+                int mvi = (blk & 2) * 6 + (blk & 1) * 3;
+                col_zero_pred(s, refs_mask, colmv + mvi * 2, msets, blk,
+                              ref_idx2, 8, 8, ox, oy);
+            } else {
+                inter_pred_basic(s, ref_idx2, msets[blk], 8, 8, ox, oy);
+            }
+        }
+    }
+}
+
+static void b_skip_mb_spatial(Ctx &s, int32_t *ref_idx8, MSet *msets) {
+    int avail = get_avail(s);
+    int32_t ref2[2];
+    int32_t mv2[2][2];
+    b_skip_ref_mv(s, avail, ref2, mv2);
+    memcpy(msets[0], mv2, sizeof(MSet));
+    for (int i = 0; i < 4; i++) {
+        ref_idx8[i * 2] = ref2[0];
+        ref_idx8[i * 2 + 1] = ref2[1];
+    }
+    pred_direct16x16(s, ref_idx8, msets);  // mutates ref_idx8[0..1]
+}
+
+static void pred_direct8x8_spatial(Ctx &s, int blk_idx, Prev8x8 *pblk,
+                                   int avail, int32_t *shared_ref,
+                                   int32_t shared_mv[2][2], int type0_cnt) {
+    if (type0_cnt == 0)
+        b_skip_ref_mv(s, avail, shared_ref, shared_mv);
+    Prev8x8 &p = pblk[blk_idx];
+    p.ref[0] = shared_ref[0];
+    p.ref[1] = shared_ref[1];
+    for (int k = 0; k < 4; k++) {
+        memcpy(p.mv[k][0], shared_mv[0], 8);
+        memcpy(p.mv[k][1], shared_mv[1], 8);
+    }
+    int xoffset = (blk_idx & 1) * 8;
+    int yoffset = (blk_idx & 2) * 4;
+    if (p.ref[0] >= 0 || p.ref[1] >= 0) {
+        RefInfo &colpic = s.refs[1][0];
+        int pos = s.mb_pos;
+        const int32_t *colref = &s.col_ref[pos * 4];
+        if (colpic.in_use == SHORT_TERM && colref[blk_idx] == 0) {
+            int refs_mask = (p.ref[0] == 0) + (p.ref[1] == 0) * 2;
+            int mvi = (blk_idx & 2) * 6 + (blk_idx & 1) * 3;
+            const int32_t *mvcol = &s.col_mv[(pos * 16 + mvi) * 2];
+            if (refs_mask == 0) {
+                inter_pred_basic(s, p.ref, p.mv[0], 8, 8, xoffset, yoffset);
+            } else if (refs_mask == 3) {
+                if ((p.mv[0][0][0] || p.mv[0][0][1] || p.mv[0][1][0]
+                     || p.mv[0][1][1]) && mvcol_small(mvcol)) {
+                    memset(p.mv, 0, sizeof(p.mv));
+                    static const int32_t both0[2] = {0, 0};
+                    inter_pred_basic(s, both0, p.mv[0], 8, 8, xoffset,
+                                     yoffset);
+                } else {
+                    inter_pred_basic(s, p.ref, p.mv[0], 8, 8, xoffset,
+                                     yoffset);
+                }
+            } else {
+                int lx = (refs_mask == 1) ? 0 : 1;
+                if ((p.mv[0][lx][0] || p.mv[0][lx][1])
+                    && mvcol_small(mvcol)) {
+                    for (int k = 0; k < 4; k++)
+                        p.mv[k][lx][0] = p.mv[k][lx][1] = 0;
+                }
+                inter_pred_basic(s, p.ref, p.mv[0], 8, 8, xoffset, yoffset);
+            }
+        } else {
+            inter_pred_basic(s, p.ref, p.mv[0], 8, 8, xoffset, yoffset);
+        }
+    } else {
+        p.ref[0] = 0;
+        p.ref[1] = 0;
+        memset(p.mv, 0, sizeof(p.mv));
+        inter_pred_basic(s, p.ref, p.mv[0], 8, 8, xoffset, yoffset);
+    }
+}
+
+// temporal direct
+static void temporal_vector(int mvcol, int scale, int32_t *t0, int32_t *t1) {
+    int t = (mvcol * scale + 128) >> 8;
+    *t0 = t;
+    *t1 = t - mvcol;
+}
+
+static void temporal_block8(Ctx &s, int blk_idx, MSet *msets, int set_idx,
+                            int bw, int bh, int ox, int oy, int32_t *rp) {
+    int pos = s.mb_pos;
+    int colref = s.col_ref[pos * 4 + blk_idx];
+    int ref = colref >= 0 ? s.map_col_to_list0[colref] : 0;
+    rp[0] = ref;
+    rp[1] = 0;
+    MSet &mv = msets[set_idx];
+    if (colref >= 0 && s.refs[0][ref].in_use != LONG_TERM) {
+        int mvi = (blk_idx & 2) * 6 + (blk_idx & 1) * 3;
+        const int32_t *mvcol = &s.col_mv[(pos * 16 + mvi) * 2];
+        int scale = s.scale_tab[ref];
+        temporal_vector(mvcol[0], scale, &mv[0][0], &mv[1][0]);
+        temporal_vector(mvcol[1], scale, &mv[0][1], &mv[1][1]);
+    } else {
+        memset(mv, 0, sizeof(MSet));
+    }
+    inter_pred_basic(s, rp, mv, bw, bh, ox, oy);
+}
+
+static void b_skip_mb_temporal(Ctx &s, int32_t *ref_idx8, MSet *msets) {
+    int col_type = s.col_type[s.mb_pos];
+    int32_t rp[2];
+    if (col_type == COL_MB16x16) {
+        temporal_block8(s, 0, msets, 0, 16, 16, 0, 0, rp);
+        for (int i = 0; i < 4; i++) {
+            ref_idx8[i * 2] = rp[0];
+            ref_idx8[i * 2 + 1] = rp[1];
+        }
+        memset(msets[1], 0, sizeof(MSet));
+    } else if (col_type == COL_MB16x8) {
+        for (int y = 0; y < 2; y++) {
+            temporal_block8(s, y * 2, msets, y, 16, 8, 0, y * 8, rp);
+            ref_idx8[y * 2] = rp[0];
+            ref_idx8[y * 2 + 1] = rp[1];
+        }
+        for (int k = 0; k < 4; k++) ref_idx8[4 + k] = ref_idx8[k];
+        memset(msets[2], 0, sizeof(MSet));
+        memset(msets[3], 0, sizeof(MSet));
+    } else if (col_type == COL_MB8x16) {
+        for (int x = 0; x < 2; x++) {
+            temporal_block8(s, x, msets, x, 8, 16, x * 8, 0, rp);
+            ref_idx8[x * 2] = rp[0];
+            ref_idx8[x * 2 + 1] = rp[1];
+        }
+        for (int k = 0; k < 4; k++) ref_idx8[4 + k] = ref_idx8[k];
+        memset(msets[2], 0, sizeof(MSet));
+        memset(msets[3], 0, sizeof(MSet));
+    } else {
+        for (int blk = 0; blk < 4; blk++) {
+            temporal_block8(s, blk, msets, blk, 8, 8, (blk & 1) * 8,
+                            (blk & 2) * 4, rp);
+            ref_idx8[blk * 2] = rp[0];
+            ref_idx8[blk * 2 + 1] = rp[1];
+        }
+    }
+}
+
+static void pred_direct8x8_temporal(Ctx &s, int blk_idx, Prev8x8 *pblk) {
+    Prev8x8 &p = pblk[blk_idx];
+    int pos = s.mb_pos;
+    int colref = s.col_ref[pos * 4 + blk_idx];
+    int ref = colref >= 0 ? s.map_col_to_list0[colref] : 0;
+    p.ref[0] = ref;
+    p.ref[1] = 0;
+    if (colref >= 0 && s.refs[0][ref].in_use != LONG_TERM) {
+        int mvi = (blk_idx & 2) * 6 + (blk_idx & 1) * 3;
+        const int32_t *mvcol = &s.col_mv[(pos * 16 + mvi) * 2];
+        int scale = s.scale_tab[ref];
+        int32_t l0x, l1x, l0y, l1y;
+        temporal_vector(mvcol[0], scale, &l0x, &l1x);
+        temporal_vector(mvcol[1], scale, &l0y, &l1y);
+        for (int k = 0; k < 4; k++) {
+            p.mv[k][0][0] = l0x; p.mv[k][0][1] = l0y;
+            p.mv[k][1][0] = l1x; p.mv[k][1][1] = l1y;
+        }
+    } else {
+        memset(p.mv, 0, sizeof(p.mv));
+    }
+    inter_pred_basic(s, p.ref, p.mv[0], 8, 8, (blk_idx & 1) * 8,
+                     (blk_idx & 2) * 4);
+}
+
+// store for skip / direct16x16 (vector-set layout)
+static int64_t str8x8_inner_vecset(Ctx &s, int64_t str, const int32_t *ref8,
+                                   MSet *msets, int is_horiz) {
+    int64_t mask_acc = 0;
+    for (int x = 0; x < 2; x++) {
+        int shift = x * 4;
+        int t0, t1, b0, b1;
+        const MSet *mv_top, *mv_bot;
+        if (is_horiz) {
+            t0 = frame_idx_of(s, ref8[x * 4 + 0], 0);
+            t1 = frame_idx_of(s, ref8[x * 4 + 1], 1);
+            b0 = frame_idx_of(s, ref8[x * 4 + 2], 0);
+            b1 = frame_idx_of(s, ref8[x * 4 + 3], 1);
+            mv_top = &msets[x * 2];
+            mv_bot = &msets[x * 2 + 1];
+        } else {
+            t0 = frame_idx_of(s, ref8[x * 2 + 0], 0);
+            t1 = frame_idx_of(s, ref8[x * 2 + 1], 1);
+            b0 = frame_idx_of(s, ref8[x * 2 + 4], 0);
+            b1 = frame_idx_of(s, ref8[x * 2 + 5], 1);
+            mv_top = &msets[x];
+            mv_bot = &msets[x + 2];
+        }
+        int64_t center_mask = 0xA0000ll << shift;
+        int64_t bits;
+        if ((t0 != b0 || t1 != b1) && (t1 != b0 || t0 != b1)) {
+            bits = 0x50000ll << shift;
+        } else {
+            bits = 0;
+            if ((str & center_mask) != center_mask) {
+                bool d;
+                if (t0 >= 0 && t1 >= 0) {
+                    int lx = (t0 != b0);
+                    d = dif4((*mv_top)[0][0], (*mv_bot)[lx][0])
+                        || dif4((*mv_top)[0][1], (*mv_bot)[lx][1])
+                        || dif4((*mv_top)[1][0], (*mv_bot)[lx ^ 1][0])
+                        || dif4((*mv_top)[1][1], (*mv_bot)[lx ^ 1][1]);
+                } else {
+                    int tlx = (t0 < 0);
+                    int blx = (b0 < 0);
+                    d = dif4((*mv_top)[tlx][0], (*mv_bot)[blx][0])
+                        || dif4((*mv_top)[tlx][1], (*mv_bot)[blx][1]);
+                }
+                if (d) bits = center_mask >> 1;
+            }
+        }
+        mask_acc |= bits;
+    }
+    return str | (((str >> 1) ^ mask_acc) & mask_acc);
+}
+
+static void store_info_inter8x8_vecset(Ctx &s, MSet *msets,
+                                       const int32_t *ref8,
+                                       const int32_t *left4x4,
+                                       const int32_t *top4x4) {
+    deb_qp_store(s);
+    if (s.mb_y != 0) {
+        int32_t pairs[2][2] = {{ref8[0], ref8[1]}, {ref8[2], ref8[3]}};
+        int32_t mvs2[2][2][2];
+        memcpy(mvs2[0], msets[0], sizeof(MSet));
+        memcpy(mvs2[1], msets[1], sizeof(MSet));
+        StrRet rr = store_str_inter8xedge(s, top_of(s), mvs2, pairs,
+                                          STRH, top4x4);
+        STRH = rr.str;
+        if (rr.s4) STR4H = 1;
+    }
+    STRH = str8x8_inner_vecset(s, STRH, ref8, msets, 0);
+    if (s.mb_x != 0) {
+        int32_t pairs[2][2] = {{ref8[0], ref8[1]}, {ref8[4], ref8[5]}};
+        int32_t mvs2[2][2][2];
+        memcpy(mvs2[0], msets[0], sizeof(MSet));
+        memcpy(mvs2[1], msets[2], sizeof(MSet));
+        StrRet rr = store_str_inter8xedge(s, s.mbleft, mvs2, pairs,
+                                          STRV, left4x4);
+        STRV = rr.str;
+        if (rr.s4) STR4V = 1;
+    }
+    STRV = str8x8_inner_vecset(s, STRV, ref8, msets, 1);
+    for (int k = 0; k < 4; k++) {
+        s.left_pred[k] = 2;
+        s.top_pred[s.mb_x * 4 + k] = 2;
+    }
+    PrevMb &t = top_of(s);
+    PrevMb &l = s.mbleft;
+    for (int i = 0; i < 2; i++) {
+        s.lefttop_ref[i] = t.ref[1][i];
+        s.lefttop_mv[i][0] = t.mov[3][i][0];
+        s.lefttop_mv[i][1] = t.mov[3][i][1];
+        int r = ref8[i * 2 + 4];
+        t.ref[i][0] = r;
+        t.frmidx[i][0] = frame_idx_of(s, r, 0);
+        r = ref8[i * 2 + 5];
+        t.ref[i][1] = r;
+        t.frmidx[i][1] = frame_idx_of(s, r, 1);
+        r = ref8[i * 4 + 2];
+        l.ref[i][0] = r;
+        l.frmidx[i][0] = frame_idx_of(s, r, 0);
+        r = ref8[i * 4 + 3];
+        l.ref[i][1] = r;
+        l.frmidx[i][1] = frame_idx_of(s, r, 1);
+    }
+    for (int i = 0; i < 4; i++) {
+        memcpy(t.mov[i], msets[(i >> 1) + 2], sizeof(MSet));
+        memcpy(l.mov[i], msets[(i >> 1) * 2 + 1], sizeof(MSet));
+    }
+    memset(t.mvd, 0, sizeof(t.mvd));
+    memset(l.mvd, 0, sizeof(l.mvd));
+    s.curr_type[s.mb_pos] = 3;
+    int base = 0;
+    for (int blk = 0; blk < 4; blk++) {
+        int refcol = ref8[blk * 2];
+        int lx = 0;
+        if (refcol < 0) {
+            lx = 1;
+            refcol = ref8[blk * 2 + 1];
+        }
+        s.curr_ref[s.mb_pos * 4 + blk] = refcol;
+        const int32_t *src = msets[blk][lx];
+        int32_t *mvdst = &s.curr_mv[s.mb_pos * 16 * 2];
+        memcpy(mvdst + (base + 0) * 2, src, 8);
+        memcpy(mvdst + (base + 1) * 2, src, 8);
+        memcpy(mvdst + (base + 4) * 2, src, 8);
+        memcpy(mvdst + (base + 5) * 2, src, 8);
+        base += (blk & 1) ? 6 : 2;
+    }
+}
+
+static void store_info_direct(Ctx &s, MSet *msets, const int32_t *ref8,
+                              const int32_t *left4x4, const int32_t *top4x4,
+                              int col_type) {
+    if (col_type == COL_MB16x16) {
+        store_info_inter16x16(s, msets[0], msets[1], ref8, left4x4, top4x4);
+    } else if (col_type == COL_MB16x8) {
+        store_info_inter16x8(s, &msets[0], &msets[2], ref8, left4x4,
+                             top4x4);
+    } else if (col_type == COL_MB8x16) {
+        store_info_inter8x16(s, &msets[0], &msets[2], ref8, left4x4,
+                             top4x4);
+    } else {
+        store_info_inter8x8_vecset(s, msets, ref8, left4x4, top4x4);
+    }
+}
+
+// ---------------------------------------------------------------------
+// inter MB layer (decoder.py _PSliceMixin + B extensions)
+// ---------------------------------------------------------------------
+static int cabac_ref_idx_sub(Ctx &s, BitReader &r, int inc);
+static int cabac_mvd_xy(Ctx &s, BitReader &r, const int32_t *mvd_a,
+                        const int32_t *mvd_b, int32_t *out);
+static int cabac_sub_mb_type_p(Ctx &s, BitReader &r);
+static int cabac_sub_mb_type_b_one(Ctx &s, BitReader &r);
+
+static int read_mvd_xy(Ctx &s, BitReader &r, const int32_t *mvd_a,
+                       const int32_t *mvd_b, int32_t *out) {
+    if (s.sp.is_cabac) return cabac_mvd_xy(s, r, mvd_a, mvd_b, out);
+    out[0] = r.se();
+    out[1] = r.se();
+    return 0;
+}
+
+// CABAC ref_idx context increments (decoder.py _ref_inc*)
+static int ref_inc16x16(Ctx &s, int lx, int avail) {
+    PrevMb &l = s.mbleft;
+    PrevMb &tp = top_of(s);
+    return ((avail & 1) && !(l.direct8x8 & 1) && l.ref[0][lx] > 0)
+         + ((avail & 2) && !(tp.direct8x8 & 1) && tp.ref[0][lx] > 0) * 2;
+}
+
+static int read_ref16x16(Ctx &s, BitReader &r, int lx, int avail) {
+    int t = s.sp.num_ref_idx[lx];
+    if (!t) return 0;
+    if (!s.sp.is_cabac) return read_te(r, t);
+    return cabac_ref_idx_sub(s, r, ref_inc16x16(s, lx, avail));
+}
+
+static int ref_inc16x8_p1(Ctx &s, int lx, int avail, const int32_t *ref_idx,
+                          int vertical) {
+    PrevMb &l = s.mbleft;
+    PrevMb &tp = top_of(s);
+    if (vertical)
+        return (ref_idx[lx] > 0)
+             + ((avail & 2) && !(tp.direct8x8 & 2) && tp.ref[1][lx] > 0) * 2;
+    return ((avail & 1) && !(l.direct8x8 & 2) && l.ref[1][lx] > 0)
+         + (ref_idx[lx] > 0) * 2;
+}
+
+static int read_ref16x8_p1(Ctx &s, BitReader &r, int lx, int avail,
+                           const int32_t *ref_idx, int vertical) {
+    int t = s.sp.num_ref_idx[lx];
+    if (!t) return 0;
+    if (!s.sp.is_cabac) return read_te(r, t);
+    return cabac_ref_idx_sub(s, r,
+                             ref_inc16x8_p1(s, lx, avail, ref_idx, vertical));
+}
+
+static int ref_inc8x8(Ctx &s, int lx, int avail, int i, Prev8x8 *pblk,
+                      const int *sub_dirs) {
+    PrevMb &l = s.mbleft;
+    PrevMb &tp = top_of(s);
+    auto vb = [&](int b) {
+        return (int)(sub_dirs[b] >= 0 && pblk[b].ref[lx] > 0);
+    };
+    if (i == 0)
+        return ((avail & 1) && !(l.direct8x8 & 1) && l.ref[0][lx] > 0)
+             + ((avail & 2) && !(tp.direct8x8 & 1) && tp.ref[0][lx] > 0) * 2;
+    if (i == 1)
+        return vb(0)
+             + ((avail & 2) && !(tp.direct8x8 & 2) && tp.ref[1][lx] > 0) * 2;
+    if (i == 2)
+        return ((avail & 1) && !(l.direct8x8 & 2) && l.ref[1][lx] > 0)
+             + vb(0) * 2;
+    return vb(2) + vb(1) * 2;
+}
+
+static int read_ref8x8(Ctx &s, BitReader &r, int lx, int avail, int i,
+                       Prev8x8 *pblk, const int *sub_dirs, int t) {
+    if (!t) return 0;
+    if (!s.sp.is_cabac) return read_te(r, t);
+    return cabac_ref_idx_sub(s, r, ref_inc8x8(s, lx, avail, i, pblk,
+                                              sub_dirs));
+}
+
+static int mb_inter16x16(Ctx &s, BitReader &r, int avail, int refmap) {
+    s.avail_saved = avail;
+    int32_t ref_idx[2] = {-1, -1};
+    for (int lx = 0; lx < 2; lx++)
+        if (refmap & (1 << lx)) {
+            ref_idx[lx] = read_ref16x16(s, r, lx, avail);
+            if (ref_idx[lx] < 0) return -2;
+        }
+    int32_t mvs[2][2] = {{0, 0}, {0, 0}};
+    int32_t mvds[2][2] = {{0, 0}, {0, 0}};
+    for (int lx = 0; lx < 2; lx++)
+        if (refmap & (1 << lx)) {
+            PMV p = calc_mv16x16(s, lx, ref_idx[lx], avail);
+            int32_t d[2];
+            if (read_mvd_xy(s, r, p.mvd_a, p.mvd_b, d) < 0) return -2;
+            mvds[lx][0] = d[0];
+            mvds[lx][1] = d[1];
+            mvs[lx][0] = p.pmx + d[0];
+            mvs[lx][1] = p.pmy + d[1];
+        }
+    inter_pred_basic(s, ref_idx, mvs, 16, 16, 0, 0);
+    int32_t left4x4[4], top4x4[4];
+    memcpy(left4x4, s.left_coef, 16);
+    memcpy(top4x4, &s.top_coef[s.mb_x * 8], 16);
+    int cbp = read_cbp_any(s, r, avail, 1);
+    if (cbp < 0) return -2;
+    s.cbp = cbp;
+    if (cbp) {
+        if (residual_luma_inter(s, r, 0x80 | cbp) < 0) return -2;
+    } else {
+        no_residual_inter(s);
+    }
+    store_info_inter16x16(s, mvs, mvds, ref_idx, left4x4, top4x4);
+    residual_chroma(s, r, cbp, avail);
+    return 0;
+}
+
+static int mb_inter16x8(Ctx &s, BitReader &r, int avail, int refmap,
+                        int vertical) {
+    s.avail_saved = avail;
+    int32_t ref_idx[4] = {-1, -1, -1, -1};
+    for (int lx = 0; lx < 2; lx++) {
+        int m = refmap >> (lx * 2);
+        if (m & 1) {
+            ref_idx[lx] = read_ref16x16(s, r, lx, avail);
+            if (ref_idx[lx] < 0) return -2;
+        }
+        if (m & 2) {
+            ref_idx[lx + 2] = read_ref16x8_p1(s, r, lx, avail, ref_idx,
+                                              vertical);
+            if (ref_idx[lx + 2] < 0) return -2;
+        }
+    }
+    int32_t mv_sets[2][2][2] = {};
+    int32_t mvd_sets[2][2][2] = {};
+    for (int lx = 0; lx < 2; lx++) {
+        int m = refmap >> (lx * 2);
+        if (m & 1) {
+            PMV p = vertical ? calc_mv8x16left(s, lx, ref_idx[lx], avail)
+                             : calc_mv16x8top(s, lx, ref_idx[lx], avail);
+            int32_t d[2];
+            if (read_mvd_xy(s, r, p.mvd_a, p.mvd_b, d) < 0) return -2;
+            mvd_sets[0][lx][0] = d[0];
+            mvd_sets[0][lx][1] = d[1];
+            mv_sets[0][lx][0] = p.pmx + d[0];
+            mv_sets[0][lx][1] = p.pmy + d[1];
+        }
+        if (m & 2) {
+            PMV p = vertical
+                ? calc_mv8x16right(s, lx, ref_idx[lx + 2], avail,
+                                   ref_idx[lx], mv_sets[0], mvd_sets[0])
+                : calc_mv16x8bottom(s, lx, ref_idx[lx + 2], avail,
+                                    ref_idx[lx], mv_sets[0], mvd_sets[0]);
+            int32_t d[2];
+            if (read_mvd_xy(s, r, p.mvd_a, p.mvd_b, d) < 0) return -2;
+            mvd_sets[1][lx][0] = d[0];
+            mvd_sets[1][lx][1] = d[1];
+            mv_sets[1][lx][0] = p.pmx + d[0];
+            mv_sets[1][lx][1] = p.pmy + d[1];
+        }
+    }
+    if (vertical) {
+        inter_pred_basic(s, ref_idx, mv_sets[0], 8, 16, 0, 0);
+        inter_pred_basic(s, ref_idx + 2, mv_sets[1], 8, 16, 8, 0);
+    } else {
+        inter_pred_basic(s, ref_idx, mv_sets[0], 16, 8, 0, 0);
+        inter_pred_basic(s, ref_idx + 2, mv_sets[1], 16, 8, 0, 8);
+    }
+    int32_t left4x4[4], top4x4[4];
+    memcpy(left4x4, s.left_coef, 16);
+    memcpy(top4x4, &s.top_coef[s.mb_x * 8], 16);
+    int cbp = read_cbp_any(s, r, avail, 1);
+    if (cbp < 0) return -2;
+    s.cbp = cbp;
+    if (cbp) {
+        if (residual_luma_inter(s, r, 0x80 | cbp) < 0) return -2;
+    } else {
+        no_residual_inter(s);
+    }
+    if (vertical)
+        store_info_inter8x16(s, mv_sets, mvd_sets, ref_idx, left4x4,
+                             top4x4);
+    else
+        store_info_inter16x8(s, mv_sets, mvd_sets, ref_idx, left4x4,
+                             top4x4);
+    residual_chroma(s, r, cbp, avail);
+    return 0;
+}
+
+static void sub_mb_mv(Ctx &s, BitReader &r, int avail, int blk_idx,
+                      Prev8x8 *pblk, int lx, int sub_type, int *err) {
+    Prev8x8 &p = pblk[blk_idx];
+    if (p.ref[lx] < 0) return;
+    int idx = p.ref[lx];
+    int32_t d[2];
+    if (sub_type == 0) {
+        PMV pm = calc_mv8x8(s, 0, lx, idx, avail, blk_idx, pblk, 0);
+        if (read_mvd_xy(s, r, pm.mvd_a, pm.mvd_b, d) < 0) { *err = -2; return; }
+        for (int k = 0; k < 4; k++) {
+            p.mv[k][lx][0] = pm.pmx + d[0];
+            p.mv[k][lx][1] = pm.pmy + d[1];
+            p.mvd[k][lx][0] = d[0];
+            p.mvd[k][lx][1] = d[1];
+        }
+    } else if (sub_type == 1) {
+        for (int y = 0; y < 2; y++) {
+            PMV pm = calc_mv8x8(s, 1, lx, idx, avail, blk_idx, pblk, y);
+            if (read_mvd_xy(s, r, pm.mvd_a, pm.mvd_b, d) < 0) { *err = -2; return; }
+            for (int c = 0; c < 2; c++) {
+                p.mv[y * 2 + c][lx][0] = pm.pmx + d[0];
+                p.mv[y * 2 + c][lx][1] = pm.pmy + d[1];
+                p.mvd[y * 2 + c][lx][0] = d[0];
+                p.mvd[y * 2 + c][lx][1] = d[1];
+            }
+        }
+    } else if (sub_type == 2) {
+        for (int x = 0; x < 2; x++) {
+            PMV pm = calc_mv8x8(s, 2, lx, idx, avail, blk_idx, pblk, x);
+            if (read_mvd_xy(s, r, pm.mvd_a, pm.mvd_b, d) < 0) { *err = -2; return; }
+            for (int c = 0; c < 2; c++) {
+                p.mv[x + c * 2][lx][0] = pm.pmx + d[0];
+                p.mv[x + c * 2][lx][1] = pm.pmy + d[1];
+                p.mvd[x + c * 2][lx][0] = d[0];
+                p.mvd[x + c * 2][lx][1] = d[1];
+            }
+        }
+    } else {
+        for (int xy = 0; xy < 4; xy++) {
+            PMV pm = calc_mv8x8(s, 3, lx, idx, avail, blk_idx, pblk, xy);
+            if (read_mvd_xy(s, r, pm.mvd_a, pm.mvd_b, d) < 0) { *err = -2; return; }
+            p.mv[xy][lx][0] = pm.pmx + d[0];
+            p.mv[xy][lx][1] = pm.pmy + d[1];
+            p.mvd[xy][lx][0] = d[0];
+            p.mvd[xy][lx][1] = d[1];
+        }
+    }
+}
+
+static void sub_mb_dec(Ctx &s, int blk_idx, Prev8x8 *pblk, int sub_type) {
+    Prev8x8 &p = pblk[blk_idx];
+    int ox = (blk_idx & 1) * 8;
+    int oy = (blk_idx & 2) * 4;
+    if (sub_type == 0) {
+        inter_pred_basic(s, p.ref, p.mv[0], 8, 8, ox, oy);
+    } else if (sub_type == 1) {
+        for (int y = 0; y < 2; y++)
+            inter_pred_basic(s, p.ref, p.mv[y * 2], 8, 4, ox, oy + y * 4);
+    } else if (sub_type == 2) {
+        for (int x = 0; x < 2; x++)
+            inter_pred_basic(s, p.ref, p.mv[x], 4, 8, ox + x * 4, oy);
+    } else {
+        for (int xy = 0; xy < 4; xy++)
+            inter_pred_basic(s, p.ref, p.mv[xy], 4, 4, ox + (xy & 1) * 4,
+                             oy + (xy & 2) * 2);
+    }
+}
+
+static int mb_inter8x8p(Ctx &s, BitReader &r, int avail, int ref0) {
+    s.avail_saved = avail;
+    Prev8x8 pblk[4];
+    for (int i = 0; i < 4; i++) pblk[i].init();
+    int sub_mb_type[4];
+    if (s.sp.is_cabac) {
+        for (int i = 0; i < 4; i++) {
+            sub_mb_type[i] = cabac_sub_mb_type_p(s, r);
+            if (sub_mb_type[i] < 0) return -2;
+        }
+    } else {
+        for (int i = 0; i < 4; i++) {
+            sub_mb_type[i] = r.ue();
+            if (sub_mb_type[i] < 0 || sub_mb_type[i] > 3) return -2;
+        }
+    }
+    static const int subdirs1[4] = {1, 1, 1, 1};
+    int t = ref0 ? 0 : s.sp.num_ref_idx[0];
+    for (int i = 0; i < 4; i++) {
+        pblk[i].ref[0] = read_ref8x8(s, r, 0, avail, i, pblk, subdirs1, t);
+        if (pblk[i].ref[0] < 0) return -2;
+    }
+    int err = 0;
+    for (int i = 0; i < 4; i++) {
+        sub_mb_mv(s, r, avail, i, pblk, 0, sub_mb_type[i], &err);
+        if (err) return err;
+    }
+    for (int i = 0; i < 4; i++) sub_mb_dec(s, i, pblk, sub_mb_type[i]);
+    int32_t left4x4[4], top4x4[4];
+    memcpy(left4x4, s.left_coef, 16);
+    memcpy(top4x4, &s.top_coef[s.mb_x * 8], 16);
+    int cbp = read_cbp_any(s, r, avail, 1);
+    if (cbp < 0) return -2;
+    s.cbp = cbp;
+    bool need8 = sub_mb_type[0] == 0 && sub_mb_type[1] == 0
+              && sub_mb_type[2] == 0 && sub_mb_type[3] == 0;
+    if (cbp) {
+        if (residual_luma_inter(s, r, (need8 ? 0x80 : 0) | cbp) < 0)
+            return -2;
+    } else {
+        no_residual_inter(s);
+    }
+    store_info_intermb8x8(s, pblk, left4x4, top4x4);
+    s.mbleft.direct8x8 = 0;
+    top_of(s).direct8x8 = 0;
+    residual_chroma(s, r, cbp, avail);
+    return 0;
+}
+
+// -- P skip -------------------------------------------------------------
+static void p_skip_mb(Ctx &s, int32_t mvs[2][2], int32_t *ref_idx) {
+    int avail = get_avail(s);
+    mvs[0][0] = mvs[0][1] = mvs[1][0] = mvs[1][1] = 0;
+    if ((avail & 3) == 3) {
+        PrevMb &left = s.mbleft;
+        PrevMb &top = top_of(s);
+        bool l_zero = left.ref[0][0] == 0 && !left.mov[0][0][0]
+                   && !left.mov[0][0][1];
+        bool t_zero = top.ref[0][0] == 0 && !top.mov[0][0][0]
+                   && !top.mov[0][0][1];
+        if (!l_zero && !t_zero) {
+            PMV p = calc_mv16x16(s, 0, 0, avail);
+            mvs[0][0] = p.pmx;
+            mvs[0][1] = p.pmy;
+        }
+    }
+    ref_idx[0] = 0;
+    ref_idx[1] = -1;
+    inter_pred_basic(s, ref_idx, mvs, 16, 16, 0, 0);
+}
+
+// -- B-direct 16x16 / skip run -------------------------------------------
+static int mb_bdirect16x16(Ctx &s, BitReader &r, int avail) {
+    s.avail_saved = avail;
+    MSet msets[16];
+    memset(msets, 0, sizeof(msets));
+    int32_t ref8[8];
+    for (int k = 0; k < 8; k++) ref8[k] = -1;
+    if (s.sp.direct_spatial)
+        b_skip_mb_spatial(s, ref8, msets);
+    else
+        b_skip_mb_temporal(s, ref8, msets);
+    int32_t left4x4[4], top4x4[4];
+    memcpy(left4x4, s.left_coef, 16);
+    memcpy(top4x4, &s.top_coef[s.mb_x * 8], 16);
+    int cbp = read_cbp_any(s, r, avail, 1);
+    if (cbp < 0) return -2;
+    s.cbp = cbp;
+    if (cbp) {
+        if (residual_luma_inter(s, r, 0x80 | cbp) < 0) return -2;
+    } else {
+        no_residual_inter(s);
+    }
+    int col_type = s.col_type[s.mb_pos];
+    store_info_direct(s, msets, ref8, left4x4, top4x4, col_type);
+    s.mbleft.direct8x8 = 3;
+    top_of(s).direct8x8 = 3;
+    residual_chroma(s, r, cbp, avail);
+    return 0;
+}
+
+static int skip_mbs(Ctx &s, int skip_num) {
+    int slice_type = s.sp.slice_type;
+    int max_run = s.nmb - s.mb_pos;
+    if (skip_num > max_run) skip_num = max_run;
+    for (int k = 0; k < 4; k++) s.left_pred[k] = 2;
+    int32_t left4x4[4], top4x4[4];
+    memcpy(left4x4, s.left_coef, 16);
+    for (int k = 0; k < 4; k++) s.left_coef[k] = 0;
+    s.cbp = 0;
+    s.cbf = 0;
+    int32_t mvds[2][2] = {};
+    while (skip_num) {
+        int32_t mvs[2][2];
+        int32_t ref_idx[2];
+        MSet msets[16];
+        int32_t ref8[8];
+        int col_type = 0;
+        if (slice_type == P_SLICE) {
+            p_skip_mb(s, mvs, ref_idx);
+        } else {
+            memset(msets, 0, sizeof(msets));
+            for (int k = 0; k < 8; k++) ref8[k] = -1;
+            if (s.sp.direct_spatial)
+                b_skip_mb_spatial(s, ref8, msets);
+            else
+                b_skip_mb_temporal(s, ref8, msets);
+        }
+        for (int k = 0; k < 4; k++) s.top_pred[s.mb_x * 4 + k] = 2;
+        memcpy(top4x4, &s.top_coef[s.mb_x * 8], 16);
+        for (int k = 0; k < 4; k++) s.top_coef[s.mb_x * 8 + k] = 0;
+        if (slice_type == B_SLICE) col_type = s.col_type[s.mb_pos];
+        no_residual_inter(s);
+        if (slice_type == P_SLICE)
+            store_info_inter16x16(s, mvs, mvds, ref_idx, left4x4, top4x4);
+        else
+            store_info_direct(s, msets, ref8, left4x4, top4x4, col_type);
+        for (int k = 0; k < 4; k++) left4x4[k] = 0;
+        s.prev_qp_delta = 0;
+        s.mb_type = MB_PSKIP;
+        for (PrevMb *n : {&s.mbleft, &top_of(s)}) {
+            n->type = MB_PSKIP;
+            n->mb_skip = 1;
+            n->direct8x8 = 3;
+        }
+        if (increment_mb_pos(s) < 0) return -1;
+        skip_num -= 1;
+    }
+    return 0;
+}
+
+// -- B partitions ----------------------------------------------------------
+// adjusted B mb_type -> (kind, refmap); kind 0 direct, 1 16x16, 2 16x8,
+// 3 8x16, 4 8x8 (decoder.py _B_MB_TABLE)
+static void b_mb_table(int mbtype, int *kind, int *refmap) {
+    static const int cbps[9] = {0x3, 0xC, 0x9, 0x6, 0xB, 0xE, 0x7, 0xD,
+                                0xF};
+    if (mbtype == 31) { *kind = 0; *refmap = 0; return; }
+    if (mbtype <= 34) { *kind = 1; *refmap = mbtype - 31; return; }
+    if (mbtype == 53) { *kind = 4; *refmap = 0; return; }
+    int i = (mbtype - 35) >> 1;
+    *kind = (mbtype - 35) & 1 ? 3 : 2;
+    *refmap = cbps[i];
+}
+
+// sub_mb_type -> (shape, dir); shape 0=8x8,1=8x4,2=4x8,3=4x4; dir -1 direct
+static const int B_SUB_SHAPE[13] = {0, 0, 0, 0, 1, 2, 1, 2, 1, 2, 3, 3, 3};
+static const int B_SUB_DIR[13] = {-1, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3};
+
+static int mb_inter8x8b(Ctx &s, BitReader &r, int avail) {
+    s.avail_saved = avail;
+    Prev8x8 pblk[4];
+    for (int i = 0; i < 4; i++) pblk[i].init();
+    int sub_mb_type[4];
+    int type0_cnt = 0;
+    int32_t shared_ref[2] = {0, 0};
+    int32_t shared_mv[2][2] = {};
+    for (int i = 0; i < 4; i++) {
+        int t;
+        if (s.sp.is_cabac) {
+            t = cabac_sub_mb_type_b_one(s, r);
+        } else {
+            t = r.ue();
+        }
+        if (t < 0 || t > 12) return -2;
+        sub_mb_type[i] = t;
+        if (t == 0) {
+            if (s.sp.direct_spatial)
+                pred_direct8x8_spatial(s, i, pblk, avail, shared_ref,
+                                       shared_mv, type0_cnt);
+            else
+                pred_direct8x8_temporal(s, i, pblk);
+            type0_cnt++;
+        }
+    }
+    int sub_dirs[4];
+    for (int i = 0; i < 4; i++) sub_dirs[i] = B_SUB_DIR[sub_mb_type[i]];
+    for (int lx = 0; lx < 2; lx++) {
+        int t = s.sp.num_ref_idx[lx];
+        int dirbit = 1 << lx;
+        for (int i = 0; i < 4; i++) {
+            int dmask = sub_dirs[i];
+            if (dmask >= 0) {
+                if (dirbit & dmask) {
+                    pblk[i].ref[lx] = read_ref8x8(s, r, lx, avail, i, pblk,
+                                                  sub_dirs, t);
+                    if (pblk[i].ref[lx] < 0) return -2;
+                } else {
+                    pblk[i].ref[lx] = -1;
+                }
+            }
+        }
+    }
+    int err = 0;
+    for (int lx = 0; lx < 2; lx++)
+        for (int i = 0; i < 4; i++)
+            if (sub_mb_type[i] != 0) {
+                sub_mb_mv(s, r, avail, i, pblk, lx,
+                          B_SUB_SHAPE[sub_mb_type[i]], &err);
+                if (err) return err;
+            }
+    for (int i = 0; i < 4; i++)
+        if (sub_mb_type[i] != 0)
+            sub_mb_dec(s, i, pblk, B_SUB_SHAPE[sub_mb_type[i]]);
+    int32_t left4x4[4], top4x4[4];
+    memcpy(left4x4, s.left_coef, 16);
+    memcpy(top4x4, &s.top_coef[s.mb_x * 8], 16);
+    int cbp = read_cbp_any(s, r, avail, 1);
+    if (cbp < 0) return -2;
+    s.cbp = cbp;
+    if (cbp) {
+        if (residual_luma_inter(s, r, 0x80 | cbp) < 0) return -2;
+    } else {
+        no_residual_inter(s);
+    }
+    store_info_intermb8x8(s, pblk, left4x4, top4x4);
+    s.mbleft.direct8x8 = ((sub_mb_type[3] == 0) * 2) | (sub_mb_type[1] == 0);
+    top_of(s).direct8x8 = ((sub_mb_type[3] == 0) * 2) | (sub_mb_type[2] == 0);
+    residual_chroma(s, r, cbp, avail);
+    return 0;
+}
+
+static int mb_inter_dispatch(Ctx &s, BitReader &r, int mbtype,
+                                  int avail) {
+    if (s.sp.slice_type == B_SLICE && mbtype > MB_IPCM) {
+        int kind, refmap;
+        b_mb_table(mbtype, &kind, &refmap);
+        switch (kind) {
+        case 0: return mb_bdirect16x16(s, r, avail);
+        case 1: return mb_inter16x16(s, r, avail, refmap);
+        case 2: return mb_inter16x8(s, r, avail, refmap, 0);
+        case 3: return mb_inter16x8(s, r, avail, refmap, 1);
+        default: return mb_inter8x8b(s, r, avail);
+        }
+    }
+    switch (mbtype) {
+    case MB_P16x16: return mb_inter16x16(s, r, avail, 1);
+    case MB_P16x8: return mb_inter16x8(s, r, avail, 3, 0);
+    case MB_P8x16: return mb_inter16x8(s, r, avail, 3, 1);
+    case MB_P8x8: return mb_inter8x8p(s, r, avail, 0);
+    case MB_P8x8REF0: return mb_inter8x8p(s, r, avail, 1);
+    default: return -9;
+    }
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------
@@ -1122,9 +3402,9 @@ void h264p_set_refs(void *ctx, const int32_t *refs /* [2][16][4] */,
             s->refs[lx][k].in_use = e[2];
             s->refs[lx][k].col_idx = e[3];
         }
-    s->col_type = col_type;
-    s->col_ref = col_ref;
-    s->col_mv = col_mv;
+    s->col_type = (int32_t *)col_type;
+    s->col_ref = (int32_t *)col_ref;
+    s->col_mv = (int32_t *)col_mv;
     s->col_map = col_map;
     if (map_col_to_list0)
         memcpy(s->map_col_to_list0, map_col_to_list0, 16 * sizeof(int32_t));
@@ -1159,8 +3439,6 @@ int h264p_slice(void *ctx, const uint8_t *payload, int64_t nbytes,
 
 namespace {
 // placeholder stubs (replaced by the inter/CABAC stages)
-static int mb_inter_dispatch(Ctx &, BitReader &, int, int) { return -9; }
-static int skip_mbs(Ctx &, int) { return -9; }
 static int slice_data_cabac(Ctx &, BitReader &) { return -9; }
 static int cabac_residual(Ctx &, BitReader &, int32_t *, const int32_t *,
                           int, int, int) { return -9; }
@@ -1173,4 +3451,9 @@ static int cabac_intra_chroma_pred_mode(Ctx &, BitReader &, int) {
     return -9;
 }
 static int cabac_transform8x8_flag(Ctx &, BitReader &, int) { return -9; }
+static int cabac_ref_idx_sub(Ctx &, BitReader &, int) { return -9; }
+static int cabac_mvd_xy(Ctx &, BitReader &, const int32_t *, const int32_t *,
+                        int32_t *) { return -9; }
+static int cabac_sub_mb_type_p(Ctx &, BitReader &) { return -9; }
+static int cabac_sub_mb_type_b_one(Ctx &, BitReader &) { return -9; }
 }  // namespace

@@ -87,3 +87,46 @@ def test_native_ipcm():
 def test_native_multi_slice():
     plan_diff(H264MultiSliceGen(64, 48, seed=2, rows_per_slice=2, qp=29,
                                 disable_deblock=False), "II")
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_native_p(seed):
+    plan_diff(H264InterGen(48, 32, seed=seed, skip_prob=0.2), "IPPI")
+
+
+def test_native_p_multiref():
+    plan_diff(H264InterGen(64, 48, seed=5, num_ref_frames=4), "IPPPPI")
+
+
+@pytest.mark.parametrize("spatial", [0, 1])
+def test_native_b(spatial):
+    plan_diff(
+        H264BGen(48, 32, seed=spatial, skip_prob=0.25, intra_prob=0.15,
+                 num_ref_frames=2, b_direct_prob=0.3,
+                 direct_spatial=spatial), "IPBPBB")
+
+
+def test_native_b_cif():
+    plan_diff(
+        H264BGen(176, 144, seed=11, skip_prob=0.2, intra_prob=0.1,
+                 num_ref_frames=4, b_direct_prob=0.3, direct_spatial=1,
+                 qp=30), "IPBBPBB")
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_native_high_cavlc(seed):
+    plan_diff(H264HighGen(48, 32, seed=seed, intra_prob=0.2,
+                          skip_prob=0.15), "IPPI")
+
+
+def test_native_weighted_explicit():
+    plan_diff(H264WeightedGen(48, 32, seed=0, skip_prob=0.15,
+                              intra_prob=0.1, num_ref_frames=2,
+                              b_direct_prob=0), "IPP")
+
+
+@pytest.mark.parametrize("idc", [1, 2])
+def test_native_weighted_b(idc):
+    plan_diff(H264WeightedGen(48, 32, seed=idc, skip_prob=0.15,
+                              intra_prob=0.1, num_ref_frames=2,
+                              b_direct_prob=0.3, bipred_idc=idc), "IPBPB")
