@@ -218,6 +218,8 @@ struct Ctx {
     int32_t qmaty[16], qmaty8[64], qmatc_buf[2][16];
     const int32_t *qmatc[2];
     int prev_qp_delta;
+    uint32_t cab_range, cab_offset;
+    int32_t cab_ctx[460];
     int cbp;
     uint32_t cbf;
     int mb_type;
@@ -3328,6 +3330,487 @@ static int mb_inter_dispatch(Ctx &s, BitReader &r, int mbtype,
     }
 }
 
+
+// =====================================================================
+// CABAC stage (mirrors m2dec_tpu/codecs/h264/cabac.py; engine semantics
+// from the reference's shared core, m2d.h:130-279)
+// =====================================================================
+
+static void cabac_init_context(Ctx &s, int slice_qp, int idc) {
+    for (int i = 0; i < 460; i++) {
+        int m = CTX_MN[idc][i][0], n = CTX_MN[idc][i][1];
+        int pre = ((m * slice_qp) >> 4) + n;
+        if (pre < 64) {
+            pre = pre <= 0 ? 1 : pre;
+            s.cab_ctx[i] = (63 - pre) * 2;
+        } else {
+            pre = pre > 126 ? 126 : pre;
+            s.cab_ctx[i] = (pre - 64) * 2 + 1;
+        }
+    }
+}
+
+static void cabac_init_engine(Ctx &s, BitReader &r) {
+    s.cab_range = 0x1FE;
+    s.cab_offset = r.get(9);
+}
+
+static inline void cabac_renorm(Ctx &s, BitReader &r, uint32_t rng,
+                                uint32_t off) {
+    int bits = rng ? (9 - (32 - __builtin_clz(rng))) : 9;
+    s.cab_range = rng << bits;
+    s.cab_offset = (off << bits) | r.get(bits);
+}
+
+static int cabac_decision(Ctx &s, BitReader &r, int idx) {
+    int c = s.cab_ctx[idx];
+    int mps = c & 1;
+    int st = c >> 1;
+    uint32_t lps = RANGE_TAB_LPS[st][(s.cab_range >> 6) & 3];
+    uint32_t rng = s.cab_range - lps;
+    uint32_t off = s.cab_offset;
+    if (off < rng) {
+        s.cab_ctx[idx] = ((st + (st < 62)) * 2) | mps;
+        if (rng >= 256) {
+            s.cab_range = rng;
+            return mps;
+        }
+    } else {
+        off -= rng;
+        rng = lps;
+        s.cab_ctx[idx] = STATE_TRANS[st] ^ mps;
+        mps ^= 1;
+    }
+    cabac_renorm(s, r, rng, off);
+    return mps;
+}
+
+static int cabac_bypass(Ctx &s, BitReader &r) {
+    uint32_t off = (s.cab_offset << 1) | r.get1();
+    if (off < s.cab_range) {
+        s.cab_offset = off;
+        return 0;
+    }
+    s.cab_offset = off - s.cab_range;
+    return 1;
+}
+
+static uint32_t cabac_multibypass(Ctx &s, BitReader &r, int num) {
+    uint64_t rng = s.cab_range;
+    uint64_t off = ((uint64_t)s.cab_offset << num) | r.get(num);
+    uint32_t out = 0;
+    int n = num;
+    while (n) {
+        out *= 2;
+        if (rng <= (off >> (n - 1))) {
+            off -= rng << (n - 1);
+            out |= 1;
+        }
+        n -= 1;
+    }
+    s.cab_offset = (uint32_t)off;
+    return out;
+}
+
+static int cabac_terminate(Ctx &s, BitReader &r) {
+    uint32_t rng = s.cab_range - 2;
+    if (rng <= s.cab_offset) {
+        s.cab_range = rng;
+        return 1;
+    }
+    if (rng < 256)
+        cabac_renorm(s, r, rng, s.cab_offset);
+    else
+        s.cab_range = rng;
+    return 0;
+}
+
+// -- syntax elements -------------------------------------------------
+static int cabac_mb_type_I(Ctx &s, BitReader &r, int avail, int ctx_idx,
+                           int slice_type) {
+    int is_i = slice_type == I_SLICE;
+    if (is_i) {
+        int add = (((avail & 2) && top_of(s).type != MB_INxN) ? 1 : 0)
+                + (((avail & 1) && s.mbleft.type != MB_INxN) ? 1 : 0);
+        if (!cabac_decision(s, r, ctx_idx + add)) return MB_INxN;
+        ctx_idx = 5;
+    } else if (!cabac_decision(s, r, ctx_idx)) {
+        return MB_INxN;
+    }
+    if (cabac_terminate(s, r)) return MB_IPCM;
+    int mb_type = cabac_decision(s, r, ctx_idx + 1) * 12 + 1;
+    if (cabac_decision(s, r, ctx_idx + 2))
+        mb_type += cabac_decision(s, r, ctx_idx + 2 + is_i) * 4 + 4;
+    mb_type += cabac_decision(s, r, ctx_idx + 3 + is_i) * 2;
+    mb_type += cabac_decision(s, r, ctx_idx + 3 + is_i * 2);
+    return mb_type;
+}
+
+static int cabac_mb_type_P(Ctx &s, BitReader &r, int avail) {
+    if (cabac_decision(s, r, 14))
+        return 5 + cabac_mb_type_I(s, r, avail, 17, P_SLICE);
+    if (cabac_decision(s, r, 15))
+        return cabac_decision(s, r, 17) ? 1 : 2;
+    return cabac_decision(s, r, 16) ? 3 : 0;
+}
+
+static int cabac_mb_type_B(Ctx &s, BitReader &r, int avail) {
+    int idx = 27 + (((avail & 1) && s.mbleft.type != MB_PSKIP) ? 1 : 0)
+            + (((avail & 2) && top_of(s).type != MB_PSKIP) ? 1 : 0);
+    if (!cabac_decision(s, r, idx)) return 0;
+    if (!cabac_decision(s, r, 27 + 3))
+        return 1 + cabac_decision(s, r, 27 + 5);
+    idx = 27 + 4;
+    int mode = cabac_decision(s, r, idx) * 8;
+    idx += 1;
+    mode += cabac_decision(s, r, idx) * 4;
+    mode += cabac_decision(s, r, idx) * 2;
+    mode += cabac_decision(s, r, idx);
+    if (mode < 8) return mode + 3;
+    if (mode < 13) return mode * 2 + cabac_decision(s, r, idx) - 4;
+    if (mode == 13) return 23 + cabac_mb_type_I(s, r, avail, 32, P_SLICE);
+    if (mode == 14) return 11;
+    return 22;
+}
+
+static int cabac_mb_skip(Ctx &s, BitReader &r, int slice_type) {
+    int avail = get_avail(s);
+    int ofs = slice_type == P_SLICE ? 11 : 24;
+    if ((avail & 1) && s.mbleft.mb_skip == 0) ofs += 1;
+    if ((avail & 2) && top_of(s).mb_skip == 0) ofs += 1;
+    return cabac_decision(s, r, ofs);
+}
+
+static int cabac_intra4x4_pred_mode(Ctx &s, BitReader &r, int pa, int pb) {
+    int pred = pa < pb ? pa : pb;
+    if (!cabac_decision(s, r, 68)) {
+        int rem = cabac_decision(s, r, 69);
+        rem += cabac_decision(s, r, 69) * 2;
+        rem += cabac_decision(s, r, 69) * 4;
+        pred = rem < pred ? rem : rem + 1;
+    }
+    return pred;
+}
+
+static int cabac_intra_chroma_pred_mode(Ctx &s, BitReader &r, int avail) {
+    int idx = 64
+        + (((avail & 2) && top_of(s).type < MB_IPCM
+            && top_of(s).chroma_pred_mode != 0) ? 1 : 0)
+        + (((avail & 1) && s.mbleft.type < MB_IPCM
+            && s.mbleft.chroma_pred_mode != 0) ? 1 : 0);
+    int mode = cabac_decision(s, r, idx);
+    if (mode) {
+        while (mode < 3 && cabac_decision(s, r, 64 + 3)) mode += 1;
+    }
+    s.chroma_pred_mode = mode;
+    return mode;
+}
+
+static int cabac_cbp(Ctx &s, BitReader &r, int avail) {
+    int cbp_a = (avail & 1) ? s.mbleft.cbp : 0x0F;
+    int cbp_b = (avail & 2) ? top_of(s).cbp : 0x0F;
+    int inc = (!(cbp_a & 2)) + (!(cbp_b & 4)) * 2;
+    int v = cabac_decision(s, r, 73 + inc);
+    inc = (!(v & 1)) + (!(cbp_b & 8)) * 2;
+    v += cabac_decision(s, r, 73 + inc) * 2;
+    inc = (!(cbp_a & 8)) + (!(v & 1)) * 2;
+    v += cabac_decision(s, r, 73 + inc) * 4;
+    inc = (!(v & 4)) + (!(v & 2)) * 2;
+    v += cabac_decision(s, r, 73 + inc) * 8;
+    cbp_a >>= 4;
+    cbp_b >>= 4;
+    inc = (cbp_a != 0) + (cbp_b != 0) * 2;
+    if (cabac_decision(s, r, 77 + inc)) {
+        inc = (cbp_a >> 1) + (cbp_b & 2);
+        v = v + cabac_decision(s, r, 77 + 4 + inc) * 16 + 16;
+    }
+    return v;
+}
+
+static int cabac_qp_delta(Ctx &s, BitReader &r) {
+    int idx = 60 + (s.prev_qp_delta != 0);
+    int v = cabac_decision(s, r, idx);
+    if (v) {
+        int x = 0;
+        int uidx = 62;
+        int limit = 52;
+        while (limit) {
+            if (cabac_decision(s, r, uidx)) {
+                x += 1;
+                uidx = 63;
+            } else {
+                break;
+            }
+            limit -= 1;
+        }
+        v = x + 1;
+        v = (((v & 1) ? v : -v) + 1) >> 1;
+    }
+    s.prev_qp_delta = v;
+    return v;
+}
+
+static int cabac_mvd_one(Ctx &s, BitReader &r, int ctx_base, int mva,
+                         int mvb) {
+    int sum = (mva < 0 ? -mva : mva) + (mvb < 0 ? -mvb : mvb);
+    int inc = sum < 3 ? 0 : (sum <= 32 ? 1 : 2);
+    if (!cabac_decision(s, r, ctx_base + inc)) return 0;
+    int v = 1;
+    int idx = ctx_base + 3;
+    while (cabac_decision(s, r, idx)) {
+        idx += v < 4 ? 1 : 0;
+        v += 1;
+        if (v >= 9) {
+            int exp = 3;
+            while (cabac_bypass(s, r) && exp < 16) {
+                v += 1 << exp;
+                exp += 1;
+            }
+            while (exp) {
+                exp -= 1;
+                v += cabac_bypass(s, r) << exp;
+            }
+            break;
+        }
+    }
+    return cabac_bypass(s, r) ? -v : v;
+}
+
+static int cabac_mvd_xy(Ctx &s, BitReader &r, const int32_t *mvd_a,
+                        const int32_t *mvd_b, int32_t *out) {
+    out[0] = cabac_mvd_one(s, r, 40, mvd_a[0], mvd_b[0]);
+    out[1] = cabac_mvd_one(s, r, 47, mvd_a[1], mvd_b[1]);
+    return 0;
+}
+
+static int cabac_ref_idx_sub(Ctx &s, BitReader &r, int inc) {
+    int idx = 0;
+    while (cabac_decision(s, r, 54 + inc)) {
+        inc = (inc >> 2) + 4;
+        idx += 1;
+        if (idx > 32) return -2;
+    }
+    return idx;
+}
+
+static int cabac_sub_mb_type_p(Ctx &s, BitReader &r) {
+    if (cabac_decision(s, r, 21)) return 0;
+    if (!cabac_decision(s, r, 22)) return 1;
+    return cabac_decision(s, r, 23) ? 2 : 3;
+}
+
+static int cabac_sub_mb_type_b_one(Ctx &s, BitReader &r) {
+    if (!cabac_decision(s, r, 36)) return 0;
+    if (!cabac_decision(s, r, 37))
+        return 1 + cabac_decision(s, r, 39);
+    int t;
+    if (cabac_decision(s, r, 38)) {
+        if (cabac_decision(s, r, 39))
+            return 11 + cabac_decision(s, r, 39);
+        t = 7;
+    } else {
+        t = 3;
+    }
+    t += cabac_decision(s, r, 39) * 2;
+    return t + cabac_decision(s, r, 39);
+}
+
+static int cabac_transform8x8_flag(Ctx &s, BitReader &r, int avail) {
+    int ofs = 399 + (((avail & 2) && top_of(s).transform8x8 != 0) ? 1 : 0)
+            + (((avail & 1) && s.mbleft.transform8x8 != 0) ? 1 : 0);
+    return cabac_decision(s, r, ofs);
+}
+
+// -- residual ---------------------------------------------------------
+static uint32_t cabac_bypass_coeff(Ctx &s, BitReader &r) {
+    int ln = 0;
+    while (cabac_bypass(s, r)) {
+        ln += 1;
+        if (ln > 30) return 0;
+    }
+    uint32_t v0 = (1u << ln) - 1;
+    if (ln) v0 += cabac_multibypass(s, r, ln);
+    return v0;
+}
+
+static inline int lt_ipcm(Ctx &s) { return s.mb_type < MB_IPCM; }
+
+static int ctxidxinc_cbf(Ctx &s, int pos4x4, uint32_t cbf, int avail) {
+    PrevMb &l = s.mbleft;
+    PrevMb &t = top_of(s);
+    switch (pos4x4) {
+    case 0: {
+        int ab = (avail & 1) ? (l.cbf & 1) : lt_ipcm(s);
+        ab += (avail & 2) ? (t.cbf & 1) * 2 : lt_ipcm(s) * 2;
+        return ab;
+    }
+    case 1: {
+        int ab = cbf & 1;
+        ab += (avail & 2) ? (t.cbf & 2) : lt_ipcm(s) * 2;
+        return ab;
+    }
+    case 2: {
+        int ab = (avail & 1) ? ((l.cbf >> 1) & 1) : lt_ipcm(s);
+        return ab + ((cbf * 2) & 2);
+    }
+    case 3: return ((cbf >> 2) & 1) | (cbf & 2);
+    case 4: {
+        int ab = (cbf >> 1) & 1;
+        ab += (avail & 2) ? ((t.cbf >> 1) & 2) : lt_ipcm(s) * 2;
+        return ab;
+    }
+    case 5: {
+        int ab = (cbf >> 4) & 1;
+        ab += (avail & 2) ? ((t.cbf >> 2) & 2) : lt_ipcm(s) * 2;
+        return ab;
+    }
+    case 6: return (cbf >> 3) & 3;
+    case 7: return ((cbf >> 6) & 1) | ((cbf >> 4) & 2);
+    case 8: {
+        int ab = (avail & 1) ? ((l.cbf >> 2) & 1) : lt_ipcm(s);
+        return ab + ((cbf >> 1) & 2);
+    }
+    case 9: return ((cbf >> 8) & 1) | ((cbf >> 2) & 2);
+    case 10: {
+        int ab = (avail & 1) ? ((l.cbf >> 3) & 1) : lt_ipcm(s);
+        return ab + ((cbf >> 7) & 2);
+    }
+    case 11: return ((cbf >> 10) & 1) | ((cbf >> 8) & 2);
+    case 12: return ((cbf >> 9) & 1) | ((cbf >> 5) & 2);
+    case 13: return ((cbf >> 12) & 1) | ((cbf >> 6) & 2);
+    case 14: return (cbf >> 11) & 3;
+    case 15: return ((cbf >> 14) & 1) | ((cbf >> 12) & 2);
+    case 16: case 17: {
+        int n = pos4x4 - 16;
+        int ab = (avail & 1) ? ((l.cbf >> (4 + n)) & 1) : lt_ipcm(s);
+        ab += (avail & 2) ? ((t.cbf >> (3 + n)) & 2) : lt_ipcm(s) * 2;
+        return ab;
+    }
+    case 18: case 22: {
+        int n = pos4x4 == 18 ? 0 : 1;
+        int ab = (avail & 1) ? ((l.cbf >> (6 + n * 2)) & 1) : lt_ipcm(s);
+        ab += (avail & 2) ? ((t.cbf >> (5 + n * 2)) & 2) : lt_ipcm(s) * 2;
+        return ab;
+    }
+    case 19: case 23: {
+        int n = pos4x4 == 19 ? 0 : 1;
+        int ab = (cbf >> (18 + n * 4)) & 1;
+        ab += (avail & 2) ? ((t.cbf >> (6 + n * 2)) & 2) : lt_ipcm(s) * 2;
+        return ab;
+    }
+    case 20: case 24: {
+        int n = pos4x4 == 20 ? 0 : 1;
+        int ab = (cbf >> (17 + n * 4)) & 2;
+        ab += (avail & 1) ? ((l.cbf >> (7 + n * 2)) & 1) : lt_ipcm(s);
+        return ab;
+    }
+    case 21: case 25: {
+        int n = pos4x4 == 21 ? 18 : 22;
+        return ((cbf >> (n + 2)) & 1) | ((cbf >> n) & 2);
+    }
+    default: {  // 26: intra16x16 DC
+        int inc = (avail & 1) ? ((l.cbf >> 10) & 1) : 1;
+        inc += (avail & 2) ? ((t.cbf >> 9) & 2) : 2;
+        return inc;
+    }
+    }
+}
+
+static int cabac_residual(Ctx &s, BitReader &r, int32_t *coeff,
+                          const int32_t *qmat, int avail, int pos4x4,
+                          int cat) {
+    uint32_t flag;
+    if (cat != 5) {
+        int inc = ctxidxinc_cbf(s, pos4x4, s.cbf, avail);
+        flag = cabac_decision(s, r, 85 + inc + cat * 4);
+        if (!flag) return 0;
+    } else {
+        flag = 0xF;
+    }
+    s.cbf |= flag << pos4x4;
+    const CatInfo &ci = CATS[cat];
+    int sig_ofs = SIG_OFS[cat][0], last_ofs = SIG_OFS[cat][1];
+    const int16_t (*latter)[3] = (cat == 5) ? SIG64 : SIG16;
+    int coeff_map[64];
+    int nmap = 0;
+    bool ended = false;
+    for (int i = 0; i < ci.num - 1; i++) {
+        if (cabac_decision(s, r, sig_ofs + latter[i][1])) {
+            coeff_map[nmap++] = i;
+            if (cabac_decision(s, r, last_ofs + latter[i][0])) {
+                ended = true;
+                break;
+            }
+        }
+    }
+    if (!ended) coeff_map[nmap++] = ci.num - 1;
+    int abs_base = ABS_LEVEL_OFS[cat] + 227;
+    for (int k = ci.ofs; k < ci.ofs + ci.num; k++) coeff[k] = 0;
+    int node = 0;
+    for (int mp = nmap - 1; mp >= 0; mp--) {
+        int64_t lvl;
+        if (!cabac_decision(s, r, abs_base + COEFF_ABS_LEVEL_CTX[0][node])) {
+            lvl = 1;
+            node = COEFF_ABS_LEVEL_TRANS[0][node];
+        } else {
+            lvl = 2;
+            int idx = abs_base + COEFF_ABS_LEVEL_CTX[1][node];
+            node = COEFF_ABS_LEVEL_TRANS[1][node];
+            while (lvl < 15 && cabac_decision(s, r, idx)) lvl += 1;
+            if (lvl == 15) lvl += cabac_bypass_coeff(s, r);
+        }
+        int zi = ci.zz[coeff_map[mp] + ci.ofs];
+        if (cabac_bypass(s, r)) lvl = -lvl;
+        coeff[zi] = (int32_t)(lvl * qmat[zi & ci.dc_mask]);
+    }
+    return nmap <= 15 ? nmap : 15;
+}
+
+// -- CABAC slice loop --------------------------------------------------
+static int macroblock_layer_cabac(Ctx &s, BitReader &r) {
+    int st = s.sp.slice_type;
+    int avail = get_avail(s);
+    int mbtype;
+    if (st == P_SLICE) {
+        mbtype = cabac_mb_type_P(s, r, avail) - 5;
+        if (mbtype < 0) mbtype += MB_PSKIP;
+    } else if (st == B_SLICE) {
+        mbtype = cabac_mb_type_B(s, r, avail) - 23;
+        if (mbtype < 0) mbtype += 23 + MB_PSKIP;
+    } else {
+        mbtype = cabac_mb_type_I(s, r, avail, 3, st);
+    }
+    s.mb_type = mbtype;
+    int e = mb_dispatch(s, r, mbtype, avail);
+    if (e < 0) return e;
+    if (mbtype == MB_IPCM) cabac_init_engine(s, r);
+    return 0;
+}
+
+static int slice_data_cabac(Ctx &s, BitReader &r) {
+    cabac_init_context(s, s.qp, s.sp.cabac_init_idc);
+    r.byte_align();
+    cabac_init_engine(s, r);
+    for (;;) {
+        if (s.sp.slice_type != I_SLICE) {
+            if (cabac_mb_skip(s, r, s.sp.slice_type)) {
+                int e = skip_mbs(s, 1);
+                if (e == -1) break;
+                if (e < -1) return e;
+                if (cabac_terminate(s, r)) break;
+                continue;
+            }
+        }
+        int e = macroblock_layer_cabac(s, r);
+        if (e < 0) return e;
+        s.mbleft.mb_skip = 0;
+        top_of(s).mb_skip = 0;
+        if (increment_mb_pos(s) < 0) break;
+        if (cabac_terminate(s, r)) break;
+    }
+    return 0;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------
@@ -3439,21 +3922,4 @@ int h264p_slice(void *ctx, const uint8_t *payload, int64_t nbytes,
 
 namespace {
 // placeholder stubs (replaced by the inter/CABAC stages)
-static int slice_data_cabac(Ctx &, BitReader &) { return -9; }
-static int cabac_residual(Ctx &, BitReader &, int32_t *, const int32_t *,
-                          int, int, int) { return -9; }
-static int cabac_cbp(Ctx &, BitReader &, int) { return -9; }
-static int cabac_qp_delta(Ctx &, BitReader &) { return -9; }
-static int cabac_intra4x4_pred_mode(Ctx &, BitReader &, int, int) {
-    return -9;
-}
-static int cabac_intra_chroma_pred_mode(Ctx &, BitReader &, int) {
-    return -9;
-}
-static int cabac_transform8x8_flag(Ctx &, BitReader &, int) { return -9; }
-static int cabac_ref_idx_sub(Ctx &, BitReader &, int) { return -9; }
-static int cabac_mvd_xy(Ctx &, BitReader &, const int32_t *, const int32_t *,
-                        int32_t *) { return -9; }
-static int cabac_sub_mb_type_p(Ctx &, BitReader &) { return -9; }
-static int cabac_sub_mb_type_b_one(Ctx &, BitReader &) { return -9; }
 }  // namespace

@@ -130,3 +130,51 @@ def test_native_weighted_b(idc):
     plan_diff(H264WeightedGen(48, 32, seed=idc, skip_prob=0.15,
                               intra_prob=0.1, num_ref_frames=2,
                               b_direct_prob=0.3, bipred_idc=idc), "IPBPB")
+
+
+# -- CABAC ---------------------------------------------------------------
+import random  # noqa: E402
+
+from streamgen.h264_transcode import transcode_to_cabac  # noqa: E402
+
+
+def test_native_cabac_intra():
+    plan_diff(H264CabacIGen(64, 48, seed=7, qp=30, disable_deblock=False),
+              "II")
+
+
+def plan_diff_cabac(gen, pattern, seed=0):
+    cavlc = gen.generate(pattern)
+    data = transcode_to_cabac(cavlc, random.Random(seed))
+
+    class _Pre:
+        def generate(self, _):
+            return data
+
+    plan_diff(_Pre(), pattern)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_native_cabac_p(seed):
+    plan_diff_cabac(H264InterGen(48, 32, seed=seed, skip_prob=0.2), "IPPI")
+
+
+@pytest.mark.parametrize("spatial", [0, 1])
+def test_native_cabac_b(spatial):
+    plan_diff_cabac(
+        H264BGen(48, 32, seed=spatial, skip_prob=0.25, intra_prob=0.15,
+                 num_ref_frames=2, b_direct_prob=0.3,
+                 direct_spatial=spatial), "IPBPBB")
+
+
+def test_native_cabac_b_cif():
+    plan_diff_cabac(
+        H264BGen(176, 144, seed=11, skip_prob=0.2, intra_prob=0.1,
+                 num_ref_frames=4, b_direct_prob=0.3, direct_spatial=1,
+                 qp=30), "IPBBPBB")
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_native_cabac_high(seed):
+    plan_diff_cabac(H264HighGen(48, 32, seed=seed, intra_prob=0.2,
+                                skip_prob=0.15), "IPPI", seed=seed)
