@@ -12,7 +12,7 @@ import ctypes
 import numpy as np
 
 from m2dec_tpu.native import H264SliceParams, load_h264
-from .plan import PicturePlan, finalize_deblock
+from .plan import PicturePlan
 
 _VOIDP = ctypes.c_void_p
 
@@ -150,9 +150,9 @@ class NativeH264Session:
     # ------------------------------------------------------------------
     def finish_picture(self, dec):
         plan = self.plan
-        finalize_deblock(plan, self.raw_idc, self.raw_slicehdr,
-                         self.raw_qpy, self.raw_qpc, self.raw_str4,
-                         self.raw_str, dec.firstline)
+        self.lib.h264p_finalize_deblock(
+            self.ctx, dec.firstline, _ptr(plan.deb_str),
+            _ptr(plan.deb_str4), _ptr(plan.deb_ab))
         kinds = np.nonzero(plan.kind == 4)[0]
         for mbpos in kinds:
             d = self.pcm_dense[mbpos]

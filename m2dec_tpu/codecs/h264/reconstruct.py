@@ -875,20 +875,24 @@ def _diag_lanes(mb_w, mb_h):
     return out
 
 
-def _recon_picture(coef_luma, coef_chroma, t8x8, kind, i4m, i4a, i8m, i8a,
-                   i16m, cmode, mb_avail, mv, slot, wp, deb_str, deb_str4,
-                   deb_ab, refs_y, refs_cb, refs_cr, diag, pcm_y, pcm_cb,
-                   pcm_cr, *, mb_w, mb_h, has_i8, has_pcm, deblock):
+def _recon_core(P, refs_y, refs_cb, refs_cr, diag, pcm_y, pcm_cb,
+                pcm_cr, *, mb_w, mb_h, has_i8, has_pcm, deblock):
+    """One picture's Phase-B graph; P = dict of plan tensors."""
     import jax
     import jax.numpy as jnp
 
     xp = jnp
     H, W = mb_h * 16, mb_w * 16
     Hc, Wc = H >> 1, W >> 1
-    res_y = residual_mb(coef_luma, t8x8, xp)        # [n,16,16]
-    res_c = residual_chroma(coef_chroma, xp)        # [n,2,8,8]
+    kind = P["kind"]
+    res_y = residual_mb(P["coef_luma"], P["t8x8"], xp)
+    res_c = residual_chroma(P["coef_chroma"], xp)
+    P = dict(P)
+    P["res_y"] = res_y
+    P["res_c"] = res_c
     pred_y, pred_cb, pred_cr = inter_pass(
-        mv, slot, wp, refs_y, refs_cb, refs_cr, mb_w, mb_h, xp)
+        P["mv"], P["slot"], P["wp"], refs_y, refs_cb, refs_cr, mb_w, mb_h,
+        xp)
     is_inter = (kind == 0)[:, None, None]
     inter_y = xp.where(is_inter, xp.clip(pred_y + res_y, 0, 255), 0)
     inter_cb = xp.where(is_inter, xp.clip(pred_cb + res_c[:, 0], 0, 255), 0)
@@ -905,13 +909,6 @@ def _recon_picture(coef_luma, coef_chroma, t8x8, kind, i4m, i4a, i8m, i8a,
         cr_plane = xp.where(kpixc == 4, pcm_cr.astype(xp.int32), cr_plane)
 
     # ---- intra wavefront ----
-    P = {
-        "kind": kind, "res_y": res_y, "res_c": res_c,
-        "mb_avail": mb_avail, "i4_modes": i4m, "i4_avail": i4a,
-        "i8_modes": i8m, "i8_avail": i8a, "i16_mode": i16m,
-        "chroma_mode": cmode,
-        "deb_str": deb_str, "deb_str4": deb_str4, "deb_ab": deb_ab,
-    }
     ypad = xp.zeros((1 + H, 1 + W + 8), xp.int32)
     ypad = ypad.at[1 : 1 + H, 1 : 1 + W].set(y_plane)
     cbpad = xp.zeros((1 + Hc, 1 + Wc), xp.int32)
@@ -949,6 +946,93 @@ def _recon_picture(coef_luma, coef_chroma, t8x8, kind, i4m, i4a, i8m, i8a,
 
     return (y_plane.astype(xp.uint8), cb_plane.astype(xp.uint8),
             cr_plane.astype(xp.uint8))
+
+
+_PLAN_KEYS = ("coef_luma", "coef_chroma", "t8x8", "kind", "i4_modes",
+              "i4_avail", "i8_modes", "i8_avail", "i16_mode",
+              "chroma_mode", "mb_avail", "mv", "slot", "wp", "deb_str",
+              "deb_str4", "deb_ab")
+
+
+def _recon_picture(coef_luma, coef_chroma, t8x8, kind, i4m, i4a, i8m, i8a,
+                   i16m, cmode, mb_avail, mv, slot, wp, deb_str, deb_str4,
+                   deb_ab, refs_y, refs_cb, refs_cr, diag, pcm_y, pcm_cb,
+                   pcm_cr, *, mb_w, mb_h, has_i8, has_pcm, deblock):
+    P = {"coef_luma": coef_luma, "coef_chroma": coef_chroma, "t8x8": t8x8,
+         "kind": kind, "i4_modes": i4m, "i4_avail": i4a, "i8_modes": i8m,
+         "i8_avail": i8a, "i16_mode": i16m, "chroma_mode": cmode,
+         "mb_avail": mb_avail, "mv": mv, "slot": slot, "wp": wp,
+         "deb_str": deb_str, "deb_str4": deb_str4, "deb_ab": deb_ab}
+    return _recon_core(P, refs_y, refs_cb, refs_cr, diag, pcm_y, pcm_cb,
+                       pcm_cr, mb_w=mb_w, mb_h=mb_h, has_i8=has_i8,
+                       has_pcm=has_pcm, deblock=deblock)
+
+
+def _recon_batch(pool_y, pool_cb, pool_cr, stacked, cur_idx, diag, *,
+                 mb_w, mb_h, has_i8, deblock):
+    """Reconstruct a batch of pictures in one graph: lax.scan over
+    pictures with the frame pool carried on device (the GOP-level
+    batching that amortizes host<->device round trips)."""
+    import jax
+
+    def step(pool, xs):
+        py, pcb, pcr = pool
+        y, cb, cr = _recon_core(
+            xs["plan"], py, pcb, pcr, diag, None, None, None,
+            mb_w=mb_w, mb_h=mb_h, has_i8=has_i8, has_pcm=False,
+            deblock=deblock)
+        idx = xs["cur_idx"]
+        py = py.at[idx].set(y)
+        pcb = pcb.at[idx].set(cb)
+        pcr = pcr.at[idx].set(cr)
+        return (py, pcb, pcr), (y, cb, cr)
+
+    xs = {"plan": stacked, "cur_idx": cur_idx}
+    pool, outs = jax.lax.scan(step, (pool_y, pool_cb, pool_cr), xs)
+    return pool, outs
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_recon_batch(mb_w, mb_h, has_i8, deblock):
+    import jax
+
+    fn = functools.partial(_recon_batch, mb_w=mb_w, mb_h=mb_h,
+                           has_i8=has_i8, deblock=deblock)
+    return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+
+class BatchedPhaseB:
+    """Device-resident frame pool + batched multi-picture Phase B.
+
+    Feed plans in decode order; slot arrays index the pool directly
+    (frame_idx values), so no per-picture remap is needed."""
+
+    def __init__(self, mb_w, mb_h, pool_size):
+        import jax.numpy as jnp
+
+        self.mb_w, self.mb_h = mb_w, mb_h
+        H, W = mb_h * 16, mb_w * 16
+        self.pool = (jnp.zeros((pool_size, H, W), jnp.uint8),
+                     jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8),
+                     jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8))
+        self.diag = _diag_lanes(mb_w, mb_h)
+
+    def run(self, plans):
+        """Returns list of (y, cb, cr) numpy planes per plan."""
+        if any(p.pcm for p in plans):
+            raise NotImplementedError("PCM pictures in batched Phase B")
+        stacked = {k: np.stack([getattr(p, k) for p in plans])
+                   for k in _PLAN_KEYS}
+        cur_idx = np.array([p.cur_idx for p in plans], np.int32)
+        has_i8 = bool(stacked["kind"].max() >= 2) or bool(
+            ((stacked["t8x8"] != 0) & (stacked["kind"] == 0)).any())
+        deblock = bool(stacked["deb_str"].any()
+                       or stacked["deb_str4"].any())
+        fn = _jitted_recon_batch(self.mb_w, self.mb_h, has_i8, deblock)
+        self.pool, outs = fn(self.pool[0], self.pool[1], self.pool[2],
+                             stacked, cur_idx, self.diag)
+        ys, cbs, crs = (np.asarray(o) for o in outs)
+        return [(ys[i], cbs[i], crs[i]) for i in range(len(plans))]
 
 
 @functools.lru_cache(maxsize=32)

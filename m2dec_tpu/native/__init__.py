@@ -149,6 +149,9 @@ def load_h264():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p)]
         lib.h264p_set_refs.argtypes = [ctypes.c_void_p] + [
             ctypes.c_void_p] * 10
+        lib.h264p_finalize_deblock.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.h264p_slice.restype = ctypes.c_int
         lib.h264p_slice.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,

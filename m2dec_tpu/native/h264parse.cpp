@@ -19,8 +19,17 @@
 #include <initializer_list>
 
 #include "h264_tables.inc"
+#include <x86intrin.h>
+
+static uint64_t g_prof[8];
 
 namespace {
+struct ProfScope {
+    int slot;
+    uint64_t t0;
+    ProfScope(int k) : slot(k), t0(__rdtsc()) {}
+    ~ProfScope() { g_prof[slot] += __rdtsc() - t0; }
+};
 
 // ---------------------------------------------------------------------
 // bit reader (payload is already emulation-prevention-stripped)
@@ -396,6 +405,7 @@ static int level_prefix(BitReader &r) {
  * coefficients into coeff[] (raster) for positions it touches. */
 static int cavlc_residual(Ctx &s, BitReader &r, int na, int nb,
                           int32_t *coeff, const int32_t *qmat, int cat) {
+    ProfScope _p(1);
     const CatInfo &ci = CATS[cat];
     int ctv;
     if (ci.num <= 4) {
@@ -637,6 +647,7 @@ static void intra_chroma_pred(Ctx &s, BitReader &r, int avail_intra) {
 }
 
 static void residual_chroma(Ctx &s, BitReader &r, int cbp, int avail) {
+    ProfScope _p(7);
     int cbp_c = cbp >> 4;
     int32_t *lc = s.left_coef;
     int32_t *tc = &s.top_coef[s.mb_x * 8];
@@ -1553,6 +1564,7 @@ static PMV calc_mv8x8(Ctx &s, int sub_kind, int lx, int ref_idx, int avail,
 static void rec_inter(Ctx &s, int ox, int oy, int bw, int bh,
                       const int32_t *ref_idx, const int32_t mv[2][2],
                       const int32_t wp[3][4]) {
+    ProfScope _p(5);
     int slots[2] = {-1, -1};
     for (int lx = 0; lx < 2; lx++)
         if (ref_idx[lx] >= 0) slots[lx] = s.refs[lx][ref_idx[lx]].frame_idx;
@@ -2796,6 +2808,7 @@ static void store_info_inter8x8_vecset(Ctx &s, MSet *msets,
 static void store_info_direct(Ctx &s, MSet *msets, const int32_t *ref8,
                               const int32_t *left4x4, const int32_t *top4x4,
                               int col_type) {
+    ProfScope _p(6);
     if (col_type == COL_MB16x16) {
         store_info_inter16x16(s, msets[0], msets[1], ref8, left4x4, top4x4);
     } else if (col_type == COL_MB16x8) {
@@ -3167,6 +3180,7 @@ static int mb_bdirect16x16(Ctx &s, BitReader &r, int avail) {
 }
 
 static int skip_mbs(Ctx &s, int skip_num) {
+    ProfScope _p(2);
     int slice_type = s.sp.slice_type;
     int max_run = s.nmb - s.mb_pos;
     if (skip_num > max_run) skip_num = max_run;
@@ -3910,13 +3924,82 @@ int h264p_slice(void *ctx, const uint8_t *payload, int64_t nbytes,
     s->plan.deb_idc[sp->first_mb] = sp->deb_idc_plus1;
     BitReader r;
     r.init(payload, nbytes, sp->bit_offset);
+    uint64_t t0 = __rdtsc();
     int e = slice_data(*s, r);
+    g_prof[0] += __rdtsc() - t0;
     out_state[0] = s->mb_pos;
     out_state[1] = s->mb_x;
     out_state[2] = s->mb_y;
     out_state[3] = s->firstline;
     return e;
 }
+
+
+/* finalize_deblock (plan.py): flatten raw per-MB deblock records into
+ * edge parameters with deblock_pb's raster-order running state
+ * (h264.cpp:10540-10663). out arrays: str [n][2][4], str4 [n][2],
+ * ab [n][2][6][2] (pre-filled with -16 by the caller). */
+void h264p_finalize_deblock(void *ctx, int firstline, int32_t *out_str,
+                            int32_t *out_str4, int32_t *out_ab) {
+    Ctx *s = (Ctx *)ctx;
+    int max_x = s->max_x, max_y = s->max_y;
+    int idc = 0, a_ofs = 0, b_ofs = 0;
+    for (int y = 0; y < max_y; y++) {
+        for (int x = 0; x < max_x; x++) {
+            int p = y * max_x + x;
+            if (s->plan.deb_idc[p]) {
+                idc = s->plan.deb_idc[p] - 1;
+                a_ofs = s->plan.deb_slicehdr[p * 2];
+                b_ofs = s->plan.deb_slicehdr[p * 2 + 1];
+            }
+            if (idc == 1) continue;
+            int qpy = s->plan.deb_qpy[p];
+            int qpc0 = s->plan.deb_qpc[p * 2];
+            int qpc1 = s->plan.deb_qpc[p * 2 + 1];
+            int64_t strv = s->plan.deb_str[p * 2];
+            int64_t strh = s->plan.deb_str[p * 2 + 1];
+            int32_t *ab = out_ab + p * 24;       // [2][6][2]
+            int32_t *st = out_str + p * 8;       // [2][4]
+            int32_t *s4 = out_str4 + p * 2;
+#define AB(dst, qp)                                                           do {                                                                          int q_ = (qp);                                                            (dst)[0] = (q_ + a_ofs < 51 ? q_ + a_ofs : 51) - 16;                      (dst)[1] = (q_ + b_ofs < 51 ? q_ + b_ofs : 51) - 16;                  } while (0)
+            if (x != 0 && (!idc || firstline != max_x) && (strv & 255)) {
+                st[0] = strv & 255;
+                s4[0] = s->plan.deb_str4[p * 2];
+                AB(ab + 0, (qpy + s->plan.deb_qpy[p - 1] + 1) >> 1);
+                AB(ab + 2, (qpc0 + s->plan.deb_qpc[(p - 1) * 2] + 1) >> 1);
+                AB(ab + 4, (qpc1 + s->plan.deb_qpc[(p - 1) * 2 + 1] + 1) >> 1);
+            }
+            if (strv & ~255ll) {
+                AB(ab + 6, qpy);
+                for (int e = 1; e < 4; e++) st[e] = (strv >> (8 * e)) & 255;
+                if ((strv >> 16) & 255) {
+                    AB(ab + 8, qpc0);
+                    AB(ab + 10, qpc1);
+                }
+            }
+            if (y != 0 && (!idc || firstline < 0) && (strh & 255)) {
+                int tp = p - max_x;
+                st[4] = strh & 255;
+                s4[1] = s->plan.deb_str4[p * 2 + 1];
+                AB(ab + 12, (qpy + s->plan.deb_qpy[tp] + 1) >> 1);
+                AB(ab + 14, (qpc0 + s->plan.deb_qpc[tp * 2] + 1) >> 1);
+                AB(ab + 16, (qpc1 + s->plan.deb_qpc[tp * 2 + 1] + 1) >> 1);
+            }
+            if (strh & ~255ll) {
+                AB(ab + 18, qpy);
+                for (int e = 1; e < 4; e++)
+                    st[4 + e] = (strh >> (8 * e)) & 255;
+                if ((strh >> 16) & 255) {
+                    AB(ab + 20, qpc0);
+                    AB(ab + 22, qpc1);
+                }
+            }
+#undef AB
+        }
+    }
+}
+
+uint64_t *h264p_profile() { return g_prof; }
 
 }  // extern "C"
 

@@ -127,3 +127,33 @@ def test_plan_weighted_b(idc):
 def test_plan_multi_slice(rps):
     roundtrip(H264MultiSliceGen(64, 48, seed=rps, rows_per_slice=rps,
                                 qp=29, disable_deblock=False), "II")
+
+
+def test_batched_phase_b():
+    """BatchedPhaseB (GOP-level scan with device-resident pool) must match
+    the per-picture reconstruction exactly."""
+    from m2dec_tpu.codecs.h264.reconstruct import BatchedPhaseB
+
+    gen = H264BGen(48, 32, seed=3, skip_prob=0.25, intra_prob=0.15,
+                   num_ref_frames=2, b_direct_prob=0.3, direct_spatial=1,
+                   qp=30)
+    data = gen.generate("IPBPBB")
+    dec = H264Decoder(dpb_max=1, record_plans=True)
+    dec.set_data(data)
+    shadow = None
+    expected = []
+    while dec.decode_picture() == 1:
+        if shadow is None:
+            h, w = dec.frames[0].y.shape
+            shadow = [Frame(w, h) for _ in dec.frames]
+        plan = dec.plans[-1]
+        reconstruct_plan_np(plan, shadow)
+        f = shadow[plan.cur_idx]
+        expected.append((f.y.copy(), f.cb.copy(), f.cr.copy()))
+    b = BatchedPhaseB(dec.max_x, dec.max_y, len(dec.frames))
+    # two batches to exercise the carried pool
+    outs = b.run(dec.plans[:3]) + b.run(dec.plans[3:])
+    assert len(outs) == len(expected)
+    for k, (got, exp) in enumerate(zip(outs, expected)):
+        for pi, pl in enumerate(("y", "cb", "cr")):
+            assert np.array_equal(got[pi], exp[pi]), f"pic {k} {pl}"
