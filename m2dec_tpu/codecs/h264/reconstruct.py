@@ -1017,8 +1017,9 @@ class BatchedPhaseB:
                      jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8))
         self.diag = _diag_lanes(mb_w, mb_h)
 
-    def run(self, plans):
-        """Returns list of (y, cb, cr) numpy planes per plan."""
+    def run_async(self, plans):
+        """Dispatch a batch; returns device arrays (not materialized),
+        letting host Phase A overlap with device Phase B."""
         if any(p.pcm for p in plans):
             raise NotImplementedError("PCM pictures in batched Phase B")
         stacked = {k: np.stack([getattr(p, k) for p in plans])
@@ -1031,8 +1032,17 @@ class BatchedPhaseB:
         fn = _jitted_recon_batch(self.mb_w, self.mb_h, has_i8, deblock)
         self.pool, outs = fn(self.pool[0], self.pool[1], self.pool[2],
                              stacked, cur_idx, self.diag)
+        return outs
+
+    @staticmethod
+    def materialize(outs, n):
         ys, cbs, crs = (np.asarray(o) for o in outs)
-        return [(ys[i], cbs[i], crs[i]) for i in range(len(plans))]
+        return [(ys[i], cbs[i], crs[i]) for i in range(n)]
+
+    def run(self, plans):
+        """Returns list of (y, cb, cr) numpy planes per plan."""
+        outs = self.run_async(plans)
+        return self.materialize(outs, len(plans))
 
 
 @functools.lru_cache(maxsize=32)

@@ -405,7 +405,6 @@ static int level_prefix(BitReader &r) {
  * coefficients into coeff[] (raster) for positions it touches. */
 static int cavlc_residual(Ctx &s, BitReader &r, int na, int nb,
                           int32_t *coeff, const int32_t *qmat, int cat) {
-    ProfScope _p(1);
     const CatInfo &ci = CATS[cat];
     int ctv;
     if (ci.num <= 4) {
@@ -647,7 +646,6 @@ static void intra_chroma_pred(Ctx &s, BitReader &r, int avail_intra) {
 }
 
 static void residual_chroma(Ctx &s, BitReader &r, int cbp, int avail) {
-    ProfScope _p(7);
     int cbp_c = cbp >> 4;
     int32_t *lc = s.left_coef;
     int32_t *tc = &s.top_coef[s.mb_x * 8];
@@ -1564,7 +1562,6 @@ static PMV calc_mv8x8(Ctx &s, int sub_kind, int lx, int ref_idx, int avail,
 static void rec_inter(Ctx &s, int ox, int oy, int bw, int bh,
                       const int32_t *ref_idx, const int32_t mv[2][2],
                       const int32_t wp[3][4]) {
-    ProfScope _p(5);
     int slots[2] = {-1, -1};
     for (int lx = 0; lx < 2; lx++)
         if (ref_idx[lx] >= 0) slots[lx] = s.refs[lx][ref_idx[lx]].frame_idx;
@@ -1701,8 +1698,11 @@ static int residual_luma_inter4x4(Ctx &s, BitReader &r, int cbp) {
     int32_t *tc = &s.top_coef[s.mb_x * 8];
     tc[0] = nc[10]; tc[1] = nc[11]; tc[2] = nc[14]; tc[3] = nc[15];
     int64_t str_h = transposition(str_map);
-    s.plan.deb_str[s.mb_pos * 2 + 1] = ((str_h << 8) | str_h) & 0xFFFFFFFFll;
-    s.plan.deb_str[s.mb_pos * 2] = ((str_map << 8) | str_map) & 0xFFFFFFFFll;
+    /* plan index 0 = vertical-edge set (reference str_horiz, the
+     * TRANSPOSED map); index 1 = horizontal-edge set (str_vert) */
+    s.plan.deb_str[s.mb_pos * 2] = ((str_h << 8) | str_h) & 0xFFFFFFFFll;
+    s.plan.deb_str[s.mb_pos * 2 + 1] = ((str_map << 8) | str_map)
+                                       & 0xFFFFFFFFll;
     return 0;
 }
 
@@ -1738,8 +1738,8 @@ static int residual_luma_inter8x8(Ctx &s, BitReader &r, int cbp) {
     }
     lc[0] = cs[1]; lc[1] = cs[1]; lc[2] = cs[3]; lc[3] = cs[3];
     tcf[0] = cs[2]; tcf[1] = cs[2]; tcf[2] = cs[3]; tcf[3] = cs[3];
-    s.plan.deb_str[s.mb_pos * 2] = EXPAND_STR8x8[cbp];
-    s.plan.deb_str[s.mb_pos * 2 + 1] = EXPAND_STR8x8[CBP_TRANS8x8[cbp]];
+    s.plan.deb_str[s.mb_pos * 2] = EXPAND_STR8x8[CBP_TRANS8x8[cbp]];
+    s.plan.deb_str[s.mb_pos * 2 + 1] = EXPAND_STR8x8[cbp];
     return 0;
 }
 
@@ -2808,7 +2808,6 @@ static void store_info_inter8x8_vecset(Ctx &s, MSet *msets,
 static void store_info_direct(Ctx &s, MSet *msets, const int32_t *ref8,
                               const int32_t *left4x4, const int32_t *top4x4,
                               int col_type) {
-    ProfScope _p(6);
     if (col_type == COL_MB16x16) {
         store_info_inter16x16(s, msets[0], msets[1], ref8, left4x4, top4x4);
     } else if (col_type == COL_MB16x8) {
@@ -3180,7 +3179,6 @@ static int mb_bdirect16x16(Ctx &s, BitReader &r, int avail) {
 }
 
 static int skip_mbs(Ctx &s, int skip_num) {
-    ProfScope _p(2);
     int slice_type = s.sp.slice_type;
     int max_run = s.nmb - s.mb_pos;
     if (skip_num > max_run) skip_num = max_run;

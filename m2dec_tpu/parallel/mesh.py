@@ -90,3 +90,55 @@ def example_batch(n, mb_w, mb_h, seed=0):
         *refs,
     )
     return args
+
+
+# ---------------------------------------------------------------- H.264 --
+
+def h264_gop_step(mesh, mb_w, mb_h, axis="frame"):
+    """Multi-chip H.264 decode: each mesh shard reconstructs its own GOP
+    (independent picture group / stream) with a device-resident frame
+    pool — level-1 data parallelism where throughput scales with chips.
+
+    Input: per-GOP pools [G, P, H, W] and stacked plan tensors with a
+    leading [G, N_pics, ...] axis, G sharded over the mesh."""
+    from m2dec_tpu.codecs.h264.reconstruct import _recon_batch
+
+    fn = functools.partial(_recon_batch, mb_w=mb_w, mb_h=mb_h,
+                           has_i8=True, deblock=True)
+    vf = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, None))
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        vf,
+        in_shardings=(shard, shard, shard, shard, shard, repl),
+        out_shardings=((shard, shard, shard), (shard, shard, shard)),
+    )
+
+
+def h264_example_gops(n_gops, n_pics, mb_w, mb_h, pool_size=4, seed=0):
+    """Tiny synthetic plan batch for the multi-chip dry run."""
+    from m2dec_tpu.codecs.h264.plan import PicturePlan
+    from m2dec_tpu.codecs.h264.reconstruct import _PLAN_KEYS, _diag_lanes
+
+    rng = np.random.default_rng(seed)
+    plans = []
+    for _ in range(n_gops * n_pics):
+        p = PicturePlan(mb_w, mb_h)
+        p.kind[:] = rng.integers(0, 2, p.n)  # mix of inter / intra4x4
+        p.i4_avail[:] = 0
+        p.mv[:] = rng.integers(-8, 8, p.mv.shape)
+        p.slot[:, :, 0] = 0
+        p.wp[:, :, :, 0] = 1
+        plans.append(p)
+    stacked = {
+        k: np.stack([getattr(p, k) for p in plans]).reshape(
+            (n_gops, n_pics) + getattr(plans[0], k).shape)
+        for k in _PLAN_KEYS
+    }
+    cur_idx = np.tile(np.arange(n_pics, dtype=np.int32) % pool_size,
+                      (n_gops, 1))
+    H, W = mb_h * 16, mb_w * 16
+    pools = (np.zeros((n_gops, pool_size, H, W), np.uint8),
+             np.zeros((n_gops, pool_size, H >> 1, W >> 1), np.uint8),
+             np.zeros((n_gops, pool_size, H >> 1, W >> 1), np.uint8))
+    return pools, stacked, cur_idx, _diag_lanes(mb_w, mb_h)

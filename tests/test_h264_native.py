@@ -178,3 +178,30 @@ def test_native_cabac_b_cif():
 def test_native_cabac_high(seed):
     plan_diff_cabac(H264HighGen(48, 32, seed=seed, intra_prob=0.2,
                                 skip_prob=0.15), "IPPI", seed=seed)
+
+
+# -- deblock-enabled inter coverage (strengths survive finalize only
+#    when the in-loop filter is on, so these exercise the recorded maps)
+@pytest.mark.parametrize("seed", range(2))
+def test_native_b_deblock(seed):
+    plan_diff(
+        H264BGen(80, 64, seed=42 + seed, num_ref_frames=2,
+                 b_direct_prob=0.3, skip_prob=0.35, intra_prob=0.08,
+                 qp=30, disable_deblock=False), "IPBPBP")
+
+
+def test_native_p_deblock():
+    plan_diff(H264InterGen(80, 48, seed=3, skip_prob=0.2, qp=29,
+                           disable_deblock=False), "IPPP")
+
+
+def test_native_high_deblock():
+    plan_diff(H264HighGen(80, 48, seed=1, intra_prob=0.15, skip_prob=0.15,
+                          qp=29, disable_deblock=False), "IPPI")
+
+
+def test_native_cabac_b_deblock():
+    plan_diff_cabac(
+        H264BGen(80, 64, seed=42, num_ref_frames=2, b_direct_prob=0.3,
+                 skip_prob=0.35, intra_prob=0.08, qp=30,
+                 disable_deblock=False), "IPBPBP")
