@@ -289,94 +289,272 @@ def _sel_mode(stack, mode, xp):
     return out
 
 
+
+# =====================================================================
+# gather-table intra modes: every predicted sample of every mode is
+# fir3(A,B,C) or fir2(B,C) over one per-block "reference line" vector,
+# with constant index tables — collapses the per-position expression
+# trees into 3 gathers + 2 formulas + 1 select (TPU scan bodies shrink
+# ~15x). copy(x) = fir2(x,x); DC = fir2(dc,dc) with dc a line entry.
+# =====================================================================
+
+def _mk_tables4():
+    """Index tables for the 9 4x4 modes over line layout:
+    [0..3]=left, [4]=corner, [5..12]=top(+topright/substituted),
+    [13]=DC."""
+    L_, C_, T_, DC_ = 0, 4, 5, 13
+    IA = np.zeros((9, 16), np.int32)
+    IB = np.zeros((9, 16), np.int32)
+    IC = np.zeros((9, 16), np.int32)
+    K3 = np.zeros((9, 16), bool)
+
+    def put(m, y, x, kind, a, b, c=0):
+        p = y * 4 + x
+        K3[m, p] = kind
+        IA[m, p], IB[m, p], IC[m, p] = a, b, c
+        if not kind:  # fir2 uses (B, C)
+            IA[m, p] = b
+
+    for y in range(4):
+        for x in range(4):
+            # 0 vert / 1 horiz / 2 dc
+            put(0, y, x, False, 0, T_ + x, T_ + x)
+            put(1, y, x, False, 0, L_ + y, L_ + y)
+            put(2, y, x, False, 0, DC_, DC_)
+            # 3 ddl
+            i = x + y
+            put(3, y, x, True, T_ + i, T_ + i + 1, T_ + min(i + 2, 7))
+            # 4 ddr: line = [l3..l0, c, t0..t3], center j = 4 + x - y
+            def ddr_idx(j):
+                if j < 4:
+                    return L_ + 3 - j
+                if j == 4:
+                    return C_
+                return T_ + j - 5
+            j = 4 + x - y
+            put(4, y, x, True, ddr_idx(j - 1), ddr_idx(j), ddr_idx(j + 1))
+            # 5 vr
+            def tfull(k):
+                return C_ if k == 0 else T_ + k - 1
+            def lfull(k):
+                return C_ if k == 0 else L_ + k - 1
+            z = 2 * x - y
+            if z >= 0:
+                i = x - (y >> 1)
+                if z & 1:
+                    put(5, y, x, True, tfull(i - 1), tfull(i), tfull(i + 1))
+                else:
+                    put(5, y, x, False, 0, tfull(i), tfull(i + 1))
+            elif z == -1:
+                put(5, y, x, True, L_ + 0, C_, T_ + 0)
+            else:
+                put(5, y, x, True, lfull(y), lfull(y - 1), lfull(y - 2))
+            # 6 hd
+            z = 2 * y - x
+            if z >= 0:
+                i = y - (x >> 1)
+                if z & 1:
+                    put(6, y, x, True, lfull(i - 1), lfull(i), lfull(i + 1))
+                else:
+                    put(6, y, x, False, 0, lfull(i), lfull(i + 1))
+            elif z == -1:
+                put(6, y, x, True, T_ + 0, C_, L_ + 0)
+            else:
+                put(6, y, x, True, tfull(x), tfull(x - 1), tfull(x - 2))
+            # 7 vl
+            i = x + (y >> 1)
+            if y & 1:
+                put(7, y, x, True, T_ + i, T_ + i + 1, T_ + min(i + 2, 7))
+            else:
+                put(7, y, x, False, 0, T_ + i, T_ + i + 1)
+            # 8 hu
+            z = x + 2 * y
+            if z < 5:
+                i = y + (x >> 1)
+                if z & 1:
+                    put(8, y, x, True, L_ + i, L_ + i + 1,
+                        L_ + min(i + 2, 3))
+                else:
+                    put(8, y, x, False, 0, L_ + i, L_ + i + 1)
+            elif z == 5:
+                put(8, y, x, True, L_ + 2, L_ + 3, L_ + 3)
+            else:
+                put(8, y, x, False, 0, L_ + 3, L_ + 3)
+    return IA, IB, IC, K3
+
+
+_I4_TAB = _mk_tables4()
+
+
 def intra4_modes(l, t, c, avail, mode, xp):
-    """All 9 4x4 modes; l[L,4], t[L,8] (raw top+topright), c[L],
-    avail[L] bits(1=left,2=top,4=tr); returns [L,4,4]."""
+    """All 9 4x4 modes via the gather tables; l[L,4], t[L,8] raw
+    top+topright, c[L], avail bits; returns [L,4,4]."""
     av1 = (avail & 1) != 0
     av2 = (avail & 2) != 0
     av4 = (avail & 4) != 0
     t4 = t[:, :4]
     th = xp.where(av4[:, None], t[:, 4:8], t[:, 3:4])
-    tt = xp.concatenate([t4, th], axis=1)  # [L,8] ddl/vl line
-
-    L = l.shape[0]
-
-    def grid(fn):
-        rows = []
-        for y in range(4):
-            rows.append(xp.stack([fn(y, x) for x in range(4)], axis=-1))
-        return xp.stack(rows, axis=-2)  # [L,4,4]
-
-    m_vert = grid(lambda y, x: t4[:, x])
-    m_horiz = grid(lambda y, x: l[:, y])
-
     sl = l.sum(axis=1)
     st = t4.sum(axis=1)
     dc = xp.where(av1 & av2, (sl + st + 4) >> 3,
          xp.where(av1, (sl + 2) >> 2,
          xp.where(av2, (st + 2) >> 2, 0x80)))
-    m_dc = xp.broadcast_to(dc[:, None, None], (L, 4, 4))
+    line = xp.concatenate([l, c[:, None], t4, th, dc[:, None]], axis=1)
+    IA, IB, IC, K3 = _I4_TAB
+    A = line[:, IA]
+    B = line[:, IB]
+    C = line[:, IC]
+    vals = xp.where(K3[None], (A + 2 * B + C + 2) >> 2, (B + C + 1) >> 1)
+    idx = mode[:, None, None]
+    out = xp.take_along_axis(vals, xp.broadcast_to(idx, (l.shape[0], 1, 16)),
+                             axis=1)[:, 0]
+    return out.reshape(l.shape[0], 4, 4)
 
-    m_ddl = grid(lambda y, x: _fir3(tt[:, x + y], tt[:, x + y + 1],
-                                    tt[:, min(x + y + 2, 7)]))
 
-    # ddr: line = [l3,l2,l1,l0, c, t0..t3]
-    line = xp.concatenate([l[:, ::-1], c[:, None], t4], axis=1)  # [L,9]
-    m_ddr = grid(lambda y, x: _fir3(line[:, 3 + x - y], line[:, 4 + x - y],
-                                    line[:, 5 + x - y]))
+def _mk_tables8():
+    """Index tables for the 9 8x8 modes over line layout:
+    [0..7]=filtered left, [8]=filtered corner, [9..24]=filtered top
+    run t'[0..15], [25]=DC."""
+    LF, COR, TP, DC_ = 0, 8, 9, 25
+    IA = np.zeros((9, 64), np.int32)
+    IB = np.zeros((9, 64), np.int32)
+    IC = np.zeros((9, 64), np.int32)
+    K3 = np.zeros((9, 64), bool)
 
-    tfull = xp.concatenate([c[:, None], t4], axis=1)  # [L,5]
-    lfull = xp.concatenate([c[:, None], l], axis=1)
+    def put(m, y, x, kind, a, b, c=0):
+        p = y * 8 + x
+        K3[m, p] = kind
+        IA[m, p], IB[m, p], IC[m, p] = (a if kind else b), b, c
 
-    def vr(y, x):
-        z = 2 * x - y
-        if z >= 0:
-            i = x - (y >> 1)
-            if z & 1:
-                return _fir3(tfull[:, i - 1], tfull[:, i], tfull[:, i + 1])
-            return _fir2(tfull[:, i], tfull[:, i + 1])
-        if z == -1:
-            return _fir3(l[:, 0], c, t4[:, 0])
-        return _fir3(lfull[:, y], lfull[:, y - 1], lfull[:, y - 2])
+    def q(j):  # [cor] + lf
+        return COR if j == 0 else LF + j - 1
 
-    m_vr = grid(vr)
+    # hd rows resolved recursively to static indices
+    def hd_entry(y, x):
+        while y > 0 and x >= 2:
+            y -= 1
+            x -= 2
+        if y == 0:
+            if x == 0:
+                return (False, 0, LF + 0, COR)
+            if x == 1:
+                return (True, LF + 0, COR, TP + 0)
+            if x == 2:
+                return (True, COR, TP + 0, TP + 1)
+            return (True, TP + x - 3, TP + x - 2, TP + x - 1)
+        zn = y + 1 if y + 1 < 9 else 8
+        if x == 0:
+            return (False, 0, q(y), q(zn))
+        return (True, q(y - 1), q(y), q(zn))
 
-    def hd(y, x):
-        z = 2 * y - x
-        if z >= 0:
-            i = y - (x >> 1)
-            if z & 1:
-                return _fir3(lfull[:, i - 1], lfull[:, i], lfull[:, i + 1])
-            return _fir2(lfull[:, i], lfull[:, i + 1])
-        if z == -1:
-            return _fir3(t4[:, 0], c, l[:, 0])
-        return _fir3(tfull[:, x], tfull[:, x - 1], tfull[:, x - 2])
+    for y in range(8):
+        for x in range(8):
+            put(0, y, x, False, 0, TP + x, TP + x)        # vert
+            put(1, y, x, False, 0, LF + y, LF + y)        # horiz
+            put(2, y, x, False, 0, DC_, DC_)              # dc
+            k = x + y                                     # ddl
+            put(3, y, x, True, TP + k, TP + k + 1, TP + min(k + 2, 15))
+            # ddr
+            if x >= y:
+                d = x - y
+                if d == 0:
+                    put(4, y, x, True, TP + 0, COR, LF + 0)
+                elif d == 1:
+                    put(4, y, x, True, COR, TP + 0, TP + 1)
+                else:
+                    put(4, y, x, True, TP + d - 2, TP + d - 1, TP + d)
+            else:
+                j = y - x - 1
+                put(4, y, x, True, q(j), q(j + 1), q(min(j + 2, 8)))
+            # vr
+            kk, odd = divmod(y, 2)
+            if x >= kk:
+                i = x - kk
+                if odd:
+                    if i == 0:
+                        put(5, y, x, True, TP + 0, COR, LF + 0)
+                    elif i == 1:
+                        put(5, y, x, True, COR, TP + 0, TP + 1)
+                    else:
+                        put(5, y, x, True, TP + i - 2, TP + i - 1, TP + i)
+                else:
+                    if i == 0:
+                        put(5, y, x, False, 0, COR, TP + 0)
+                    else:
+                        put(5, y, x, False, 0, TP + i - 1, TP + i)
+            else:
+                j = 2 * (kk - x) - 2 + odd
+                put(5, y, x, True, q(j), q(j + 1), q(min(j + 2, 8)))
+            # hd
+            kind, a, b, cc = hd_entry(y, x)
+            put(6, y, x, kind, a, b, cc)
+            # vl
+            i = x + kk
+            if odd:
+                put(7, y, x, True, TP + i, TP + i + 1, TP + i + 2)
+            else:
+                put(7, y, x, False, 0, TP + i, TP + i + 1)
+            # hu
+            v = 2 * y + x
+            if v < 14:
+                i, vo = divmod(v, 2)
+                if vo:
+                    put(8, y, x, True, LF + i, LF + i + 1,
+                        LF + min(i + 2, 7))
+                else:
+                    put(8, y, x, False, 0, LF + i, LF + i + 1)
+            else:
+                put(8, y, x, False, 0, LF + 7, LF + 7)
+    return IA, IB, IC, K3
 
-    m_hd = grid(hd)
 
-    def vl(y, x):
-        i = x + (y >> 1)
-        if y & 1:
-            return _fir3(tt[:, i], tt[:, i + 1], tt[:, min(i + 2, 7)])
-        return _fir2(tt[:, i], tt[:, i + 1])
+_I8_TAB = _mk_tables8()
 
-    m_vl = grid(vl)
 
-    def hu(y, x):
-        z = x + 2 * y
-        if z < 5:
-            i = y + (x >> 1)
-            if z & 1:
-                return _fir3(l[:, i], l[:, i + 1], l[:, min(i + 2, 3)])
-            return _fir2(l[:, i], l[:, i + 1])
-        if z == 5:
-            return _fir3(l[:, 2], l[:, 3], l[:, 3])
-        return l[:, 3]
+def intra8_modes(t, l, c, tr, avail, mode, xp):
+    """All 9 8x8 modes with reference-sample filtering (pred8x8.py),
+    gather-table form."""
+    L = t.shape[0]
+    av1 = (avail & 1) != 0
+    av2 = (avail & 2) != 0
+    av4 = (avail & 4) != 0
+    av8 = (avail & 8) != 0
 
-    m_hu = grid(hu)
+    def fir3v(a, b, cc):
+        return (a + 2 * b + cc + 2) >> 2
 
-    return _sel_mode([m_vert, m_horiz, m_dc, m_ddl, m_ddr, m_vr, m_hd,
-                      m_vl, m_hu], mode, xp)
+    cprev = xp.where(av8, c, t[:, 0])
+    prevv = xp.concatenate([cprev[:, None], t[:, :6]], axis=1)  # [L,7]
+    tp7 = fir3v(prevv, t[:, :7], t[:, 1:8])
+    full = xp.concatenate([t, tr], axis=1)  # [L,16]
+    ext = fir3v(full[:, 6:15], full[:, 7:16],
+                xp.concatenate([full[:, 8:16], full[:, 15:16]], axis=1))
+    with_tr = xp.concatenate([tp7, ext], axis=1)  # [L,16]
+    no_tr = xp.concatenate(
+        [tp7, ((t[:, 6] + 3 * t[:, 7] + 2) >> 2)[:, None],
+         xp.broadcast_to(t[:, 7:8], (L, 8))], axis=1)
+    tp16 = xp.where(av4[:, None], with_tr, no_tr)
+    lprev = xp.where(av8, c, l[:, 0])
+    lprevv = xp.concatenate([lprev[:, None], l[:, :6]], axis=1)
+    lf7 = fir3v(lprevv, l[:, :7], l[:, 1:8])
+    lf = xp.concatenate([lf7, ((l[:, 6] + 3 * l[:, 7] + 2) >> 2)[:, None]],
+                        axis=1)
+    cor = (l[:, 0] + 2 * c + t[:, 0] + 2) >> 2
+    sl = lf.sum(axis=1)
+    st = tp16[:, :8].sum(axis=1)
+    dc = xp.where(av1 & av2, (sl + st + 8) >> 4,
+         xp.where(av1, (sl + 4) >> 3,
+         xp.where(av2, (st + 4) >> 3, 0x80)))
+    line = xp.concatenate([lf, cor[:, None], tp16, dc[:, None]], axis=1)
+    IA, IB, IC, K3 = _I8_TAB
+    A = line[:, IA]
+    B = line[:, IB]
+    C = line[:, IC]
+    vals = xp.where(K3[None], (A + 2 * B + C + 2) >> 2, (B + C + 1) >> 1)
+    idx = mode[:, None, None]
+    out = xp.take_along_axis(vals, xp.broadcast_to(idx, (L, 1, 64)),
+                             axis=1)[:, 0]
+    return out.reshape(L, 8, 8)
 
 
 def intra16_modes(l16, t16, c, avail, mode, xp):
@@ -447,130 +625,6 @@ def intra_chroma_modes(l8, t8, c, avail, mode, xp):
            + (ys[None, :, None] - 3) * v[:, None, None] + 16) >> 5
     m_plane = xp.clip(val, 0, 255)
     return _sel_mode([m_dc, m_horiz, m_vert, m_plane], mode, xp)
-
-
-def intra8_modes(t, l, c, tr, avail, mode, xp):
-    """All 9 8x8 modes with reference-sample filtering (pred8x8.py).
-
-    t/l/tr [L,8] raw, c [L] raw corner; avail bits incl 8=topleft."""
-    L = t.shape[0]
-    av1 = (avail & 1) != 0
-    av2 = (avail & 2) != 0
-    av4 = (avail & 4) != 0
-    av8 = (avail & 8) != 0
-
-    cprev = xp.where(av8, c, t[:, 0])
-
-    def filt_line(line, prev0):
-        """fir3 chain: out[k] = fir3(prev, line[k], line[k+1]) k<len-1."""
-        outs = []
-        prev = prev0
-        for k in range(line.shape[1] - 1):
-            outs.append(_fir3(prev, line[:, k], line[:, k + 1]))
-            prev = line[:, k]
-        return outs, prev
-
-    # t' [0..7]
-    tp7_list, _ = filt_line(t, cprev)          # entries 0..6
-    t8 = xp.where(av4, tr[:, 0], t[:, 7])
-    tp8 = xp.stack(tp7_list + [_fir3(t[:, 6], t[:, 7], t8)], axis=1)
-    # t' [0..15]
-    full = xp.concatenate([t, tr], axis=1)     # [L,16]
-    ext = []
-    for k in range(7, 16):
-        nxt = full[:, k + 1] if k + 1 < 16 else full[:, 15]
-        ext.append(_fir3(full[:, k - 1], full[:, k], nxt))
-    with_tr = xp.stack(tp7_list + ext, axis=1)  # [L,16]
-    no_tr = xp.stack(
-        tp7_list + [(t[:, 6] + 3 * t[:, 7] + 2) >> 2] + [t[:, 7]] * 8,
-        axis=1)
-    tp16 = xp.where(av4[:, None], with_tr, no_tr)
-    # left filtered
-    lprev = xp.where(av8, c, l[:, 0])
-    lf_list, _ = filt_line(l, lprev)
-    lf = xp.stack(lf_list + [(l[:, 6] + 3 * l[:, 7] + 2) >> 2], axis=1)
-    # filtered corner: (l0 + 2c + t0 + 2) >> 2 on RAW samples
-    cor = (l[:, 0] + 2 * c + t[:, 0] + 2) >> 2
-
-    def grid(fn):
-        rows = []
-        for y in range(8):
-            rows.append(xp.stack([fn(y, x) for x in range(8)], axis=-1))
-        return xp.stack(rows, axis=-2)
-
-    m_vert = xp.broadcast_to(tp8[:, None, :], (L, 8, 8))
-    m_horiz = xp.broadcast_to(lf[:, :, None], (L, 8, 8))
-    sl = lf.sum(axis=1)
-    st = tp8.sum(axis=1)
-    dc = xp.where(av1 & av2, (sl + st + 8) >> 4,
-         xp.where(av1, (sl + 4) >> 3,
-         xp.where(av2, (st + 4) >> 3, 0x80)))
-    m_dc = xp.broadcast_to(dc[:, None, None], (L, 8, 8))
-    # ddl
-    d = [_fir3(tp16[:, k], tp16[:, k + 1], tp16[:, k + 2]) for k in range(14)]
-    d.append(_fir3(tp16[:, 14], tp16[:, 15], tp16[:, 15]))
-    m_ddl = grid(lambda y, x: d[x + y])
-    # ddr
-    u = [_fir3(tp8[:, 0], cor, lf[:, 0]), _fir3(cor, tp8[:, 0], tp8[:, 1])]
-    for x in range(2, 8):
-        u.append(_fir3(tp8[:, x - 2], tp8[:, x - 1], tp8[:, x]))
-    q = [cor] + [lf[:, k] for k in range(8)]
-    ins = [_fir3(q[j], q[j + 1], q[j + 2]) for j in range(6)]
-    ins.append(_fir3(q[6], q[7], q[8]))
-    m_ddr = grid(lambda y, x: u[x - y] if x >= y else ins[y - x - 1])
-    # vr
-    e = [_fir2(cor, tp8[:, 0])] + [
-        _fir2(tp8[:, x - 1], tp8[:, x]) for x in range(1, 8)]
-    o = [_fir3(tp8[:, 0], cor, lf[:, 0]), _fir3(cor, tp8[:, 0], tp8[:, 1])]
-    for x in range(2, 8):
-        o.append(_fir3(tp8[:, x - 2], tp8[:, x - 1], tp8[:, x]))
-    z = [cor] + [lf[:, k] for k in range(8)]
-    ins_vr = [_fir3(z[j], z[j + 1], z[j + 2]) for j in range(7)]
-
-    def vr(y, x):
-        k, odd = divmod(y, 2)
-        base = o if odd else e
-        if x >= k:
-            return base[x - k]
-        return ins_vr[2 * (k - x) - 2 + odd]
-
-    m_vr = grid(vr)
-    # hd
-    tp7 = xp.stack(tp7_list, axis=1)
-    row0 = [_fir2(lf[:, 0], cor), _fir3(lf[:, 0], cor, tp7[:, 0]),
-            _fir3(cor, tp7[:, 0], tp7[:, 1])]
-    for x in range(3, 8):
-        row0.append(_fir3(tp7[:, x - 3], tp7[:, x - 2], tp7[:, x - 1]))
-    zh = [cor] + [lf[:, k] for k in range(8)]
-    rows = [row0]
-    prev = row0
-    for y in range(1, 8):
-        znext = zh[y + 1] if y + 1 < 9 else zh[8]
-        pair = [_fir2(zh[y], znext), _fir3(zh[y - 1], zh[y], znext)]
-        row = [pair[0], pair[1]] + prev[:6]
-        rows.append(row)
-        prev = row
-    m_hd = grid(lambda y, x: rows[y][x])
-    # vl
-    def vl(y, x):
-        k, odd = divmod(y, 2)
-        if odd:
-            return _fir3(tp16[:, x + k], tp16[:, x + k + 1],
-                         tp16[:, x + k + 2])
-        return _fir2(tp16[:, x + k], tp16[:, x + k + 1])
-
-    m_vl = grid(vl)
-    # hu
-    v = []
-    for i in range(7):
-        v.append(_fir2(lf[:, i], lf[:, i + 1]))
-        v.append(_fir3(lf[:, i], lf[:, i + 1],
-                       lf[:, i + 2] if i + 2 < 8 else lf[:, 7]))
-    v.extend([lf[:, 7]] * 8)
-    m_hu = grid(lambda y, x: v[2 * y + x])
-
-    return _sel_mode([m_vert, m_horiz, m_dc, m_ddl, m_ddr, m_vr, m_hd,
-                      m_vl, m_hu], mode, xp)
 
 
 # =====================================================================
@@ -953,6 +1007,40 @@ _PLAN_KEYS = ("coef_luma", "coef_chroma", "t8x8", "kind", "i4_modes",
               "chroma_mode", "mb_avail", "mv", "slot", "wp", "deb_str",
               "deb_str4", "deb_ab")
 
+#: wire dtypes for host->device plan transfer (upcast to int32 on
+#: device). Values that can overflow the narrow type (coefficients,
+#: weights, MVs in extreme streams) are range-checked at pack time with
+#: an int32 fallback.
+_WIRE_DTYPES = {
+    "coef_luma": np.int16, "coef_chroma": np.int16, "t8x8": np.int8,
+    "kind": np.int8, "i4_modes": np.int8, "i4_avail": np.int8,
+    "i8_modes": np.int8, "i8_avail": np.int8, "i16_mode": np.int8,
+    "chroma_mode": np.int8, "mb_avail": np.int8, "mv": np.int16,
+    "slot": np.int8, "wp": np.int16, "deb_str": np.int16,
+    "deb_str4": np.int8, "deb_ab": np.int8,
+}
+
+_RANGE_CHECKED = ("coef_luma", "coef_chroma", "mv", "wp")
+
+
+def _pack_wire(stacked):
+    """Narrow plan tensors for transfer; keep int32 where values
+    overflow the wire dtype (rare, per-field fallback)."""
+    out = {}
+    for k, v in stacked.items():
+        dt = _WIRE_DTYPES[k]
+        if k in _RANGE_CHECKED:
+            info = np.iinfo(dt)
+            if v.min() < info.min or v.max() > info.max:
+                out[k] = v
+                continue
+        out[k] = v.astype(dt)
+    return out
+
+
+def _unpack_wire(stacked, xp):
+    return {k: v.astype(xp.int32) for k, v in stacked.items()}
+
 
 def _recon_picture(coef_luma, coef_chroma, t8x8, kind, i4m, i4a, i8m, i8a,
                    i16m, cmode, mb_avail, mv, slot, wp, deb_str, deb_str4,
@@ -977,8 +1065,11 @@ def _recon_batch(pool_y, pool_cb, pool_cr, stacked, cur_idx, diag, *,
 
     def step(pool, xs):
         py, pcb, pcr = pool
+        import jax.numpy as jnp
+
         y, cb, cr = _recon_core(
-            xs["plan"], py, pcb, pcr, diag, None, None, None,
+            _unpack_wire(xs["plan"], jnp), py, pcb, pcr, diag, None, None,
+            None,
             mb_w=mb_w, mb_h=mb_h, has_i8=has_i8, has_pcm=False,
             deblock=deblock)
         idx = xs["cur_idx"]
@@ -1029,6 +1120,7 @@ class BatchedPhaseB:
             ((stacked["t8x8"] != 0) & (stacked["kind"] == 0)).any())
         deblock = bool(stacked["deb_str"].any()
                        or stacked["deb_str4"].any())
+        stacked = _pack_wire(stacked)
         fn = _jitted_recon_batch(self.mb_w, self.mb_h, has_i8, deblock)
         self.pool, outs = fn(self.pool[0], self.pool[1], self.pool[2],
                              stacked, cur_idx, self.diag)

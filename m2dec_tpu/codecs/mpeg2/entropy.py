@@ -162,9 +162,12 @@ class Mpeg2EntropyDecoder:
         # table selector includes concealment bit (mpeg2.cpp:485):
         # m2d_dct_tables[ivf] with [2]=[0], [3]=[1] (vld.h:326-331)
         self.intra_vlc = (pic.concealment_motion_vectors * 2) | pic.intra_vlc_format
+        # frame_mode (set_coding_extension_param, mpeg2.cpp:489-497):
+        # field pictures (structure 1/2) -> 0; frames -> 1/3
         if pic.picture_structure != 3:
-            raise NotImplementedError("field pictures not yet supported")
-        self.frame_mode = 3 if pic.frame_pred_frame_dct else 1
+            self.frame_mode = 0
+        else:
+            self.frame_mode = 3 if pic.frame_pred_frame_dct else 1
         self.plan = PicturePlan.empty(
             pic.coding_type, pic.temporal_reference, seq.mb_w, seq.mb_h
         )
@@ -296,21 +299,33 @@ class Mpeg2EntropyDecoder:
         if mb_type & MB_MC:
             if fm & 1:
                 idx = r.get_bits(2) if fm == 1 else 2
+                if idx == 2:
+                    self.motion_type = (1, 0, 0)  # frame MVs
+                elif idx == 1:
+                    self.motion_type = (2, 1, 0)  # field MVs in frame pic
+                elif idx == 3:
+                    # dual prime: the reference parses the dmvectors and
+                    # DISCARDS them, then frame-MCs with the single
+                    # field-unit MV (m2d_motion_type[0][3] mv_count=1 +
+                    # m2d_motion_comp, mpeg2.cpp:819-825, :1212-1220)
+                    self.motion_type = (1, 1, 1)
+                else:
+                    raise NotImplementedError("motion_type 0")
             else:
+                # field picture: m2d_motion_type[1][idx] (mpeg2.cpp:826-831)
                 idx = r.get_bits(2)
-                raise NotImplementedError("field pictures")
-            if idx == 2:
-                self.motion_type = (1, 0, 0)  # frame MVs
-            elif idx == 1:
-                self.motion_type = (2, 1, 0)  # field MVs in frame picture
-            elif idx == 3:
-                # dual prime: the reference parses the dmvectors and
-                # DISCARDS them, then frame-MCs with the single field-unit
-                # MV (m2d_motion_type[0][3] mv_count=1 + m2d_motion_comp,
-                # mpeg2.cpp:819-825, :1212-1220, :1277-1291)
-                self.motion_type = (1, 1, 1)
-            else:
-                raise NotImplementedError("motion_type 0")
+                if idx == 1:
+                    # field MC, 1 mv: vertical_field_select read+discarded,
+                    # m2d_motion_comp takes the mv_count==1 (plain) path
+                    self.motion_type = (1, 1, 0)
+                elif idx == 2:
+                    self.motion_type = (2, 1, 0)  # 16x8 MC (pair path)
+                elif idx == 3:
+                    self.motion_type = (1, 1, 1)  # field dual prime
+                else:
+                    raise NotImplementedError("motion_type 0")
+        elif fm == 0:
+            self.motion_type = (1, 1, 0)  # m2d_motion_type[1][1]
         else:
             self.motion_type = (1, 0, 0)
         if fm == 1 and (mb_type & (MB_PATTERN | MB_INTRA)):
