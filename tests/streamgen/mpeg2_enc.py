@@ -778,3 +778,152 @@ class Mpeg2FieldMcGen(Mpeg2StreamGen):
             if r_size > 0:
                 self.w_bits.put_bits(residual, r_size)
         self.pmv2[s][pair][xy] = mv << is_field
+
+
+class Mpeg2FieldPicGen(Mpeg2FieldMcGen):
+    """Field *pictures* (picture_structure 1/2), one field per pattern
+    letter, alternating top/bottom.
+
+    Mirrors the reference's field-picture decode model exactly
+    (mpeg2.cpp): frame_mode=0, so every MB omits the dct_type bit
+    (forced 1), motion_type comes from m2d_motion_type[1][idx]
+    (1 = field MC decoded as a plain frame MC with the field-unit MV
+    and a discarded vertical_field_select, 2 = 16x8 MC via the
+    stride-doubled pair path, 3 = field dual prime with discarded
+    dmvectors), and each field rotates the frame pool as its own
+    picture. All mb rows are coded so no stale buffer content leaks
+    into the output (the reference never clears its frame heap)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._structure = 1
+
+    def _picture_coding_extension(self, ct):
+        rng = self.rng
+        w = self.w_bits
+        self._put_start(0xB5)
+        w.put_bits(8, 4)
+        for _ in range(4):
+            w.put_bits(self.f_code, 4)
+        self.dc_precision = (
+            rng.randrange(3) if self.opt_dcp is None else self.opt_dcp
+        )
+        w.put_bits(self.dc_precision, 2)
+        w.put_bits(self._structure, 2)  # field picture (top/bottom)
+        self._structure = 3 - self._structure
+        w.put_bits(0, 1)  # top_field_first
+        w.put_bits(0, 1)  # frame_pred_frame_dct
+        w.put_bits(0, 1)  # concealment
+        self.q_scale_type = (
+            rng.randrange(2) if self.opt_qst is None else self.opt_qst
+        )
+        w.put_bits(self.q_scale_type, 1)
+        self.intra_vlc_format = (
+            rng.randrange(2) if self.opt_ivf is None else self.opt_ivf
+        )
+        w.put_bits(self.intra_vlc_format, 1)
+        self.alternate_scan = (
+            rng.randrange(2) if self.opt_alt is None else self.opt_alt
+        )
+        w.put_bits(self.alternate_scan, 1)
+        w.put_bits(0, 1)
+        w.put_bits(1, 1)
+        w.put_bits(0, 1)  # progressive_frame
+        w.put_bits(0, 1)
+
+    def _macroblock(self, ct, mbx, mby):
+        rng = self.rng
+        w = self.w_bits
+        if ct == I:
+            mb_type = rng.choice([MB_INTRA, MB_INTRA | MB_QUANT])
+        elif ct == P:
+            mb_type = rng.choice([
+                MB_FORWARD | MB_PATTERN,
+                MB_FORWARD | MB_PATTERN | MB_QUANT,
+                MB_FORWARD,
+                MB_PATTERN,
+                MB_INTRA,
+            ])
+        else:
+            mb_type = rng.choice([
+                MB_FORWARD | MB_BACKWARD,
+                MB_FORWARD | MB_BACKWARD | MB_PATTERN,
+                MB_FORWARD,
+                MB_FORWARD | MB_PATTERN,
+                MB_BACKWARD,
+                MB_BACKWARD | MB_PATTERN | MB_QUANT,
+                MB_INTRA,
+            ])
+        self._vlc(ENC_MB_TYPE[ct - 1], mb_type)
+
+        prev_intra = self.prev_type & MB_INTRA
+        now_intra = mb_type & MB_INTRA
+        if now_intra and not prev_intra:
+            self._reset_dc()
+        if not now_intra and prev_intra:
+            self._reset_mv()
+        self.prev_type = mb_type
+
+        use_16x8 = False
+        use_dual = False
+        if mb_type & MB_MC:
+            u = rng.random()
+            if u < self.dual_prob and not (mb_type & MB_BACKWARD):
+                use_dual = True
+                w.put_bits(3, 2)
+            elif u < self.dual_prob + self.field_prob:
+                use_16x8 = True
+                w.put_bits(2, 2)  # 16x8 MC
+            else:
+                w.put_bits(1, 2)  # field MC (plain frame MC in the ref)
+        # frame_mode == 0: NO dct_type bit
+        if mb_type & MB_QUANT:
+            code = rng.randrange(1, 32)
+            self.q_scale = self.qmap[code]
+            w.put_bits(code, 5)
+
+        if now_intra:
+            self._intra_blocks()
+            return
+
+        if mb_type & MB_MC:
+            if mb_type & MB_FORWARD:
+                self._motion_vectors_fieldpic(0, mbx, mby, use_16x8,
+                                              use_dual)
+            if mb_type & MB_BACKWARD:
+                self._motion_vectors_fieldpic(1, mbx, mby, use_16x8, False)
+        else:
+            self._reset_dc()
+            self._reset_mv()
+
+        if mb_type & MB_PATTERN:
+            cbp = rng.randrange(1, 64)
+            self._vlc(ENC_CBP, cbp)
+            for blk in range(6):
+                bit = (1 << (5 - blk)) if blk < 4 else (1 << (1 - (blk - 4)))
+                if cbp & bit:
+                    self._inter_block()
+
+    def _motion_vectors_fieldpic(self, s, mbx, mby, use_16x8, use_dual):
+        rng = self.rng
+        if use_dual or use_16x8:
+            # identical bit/PMV/MC model to the frame-picture variants
+            self._motion_vectors2(s, mbx, mby, use_16x8, use_dual=use_dual)
+            return
+        # field MC, 1 mv: vertical_field_select read-and-discarded, MV
+        # decoded with is_field=1 vertical predictor but APPLIED as a
+        # plain frame MC (m2d_motion_comp mv_count==1, mpeg2.cpp:1288)
+        x0, x1, y0, y1 = self._safe_mv_range(mbx, mby)
+        self.w_bits.put_bits(rng.randrange(2), 1)  # vfs (discarded)
+        pred = self.pmv2[s][0][0]
+        tx = pred if x0 <= pred <= x1 and rng.random() < 0.3 \
+            else (rng.randint(x0, x1) if x0 <= x1 else 0)
+        self._emit_mv2(s, 0, 0, tx, 0)
+        predy = self.pmv2[s][0][1] >> 1
+        ty = predy if y0 <= predy <= y1 and rng.random() < 0.3 \
+            else (rng.randint(max(y0, -30), min(y1, 30)) if y0 <= y1 else 0)
+        self._emit_mv2(s, 0, 1, ty, 1)
+        self.pmv2[s][1][0] = self.pmv2[s][0][0]
+        self.pmv2[s][1][1] = self.pmv2[s][0][1]
+        self.pmv[s][0] = self.pmv2[s][0][0]
+        self.pmv[s][1] = self.pmv2[s][0][1]

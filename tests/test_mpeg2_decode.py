@@ -190,3 +190,26 @@ def test_dual_prime_frame_pictures(reference_bins, tmp_path, seed):
     run_case(reference_bins, tmp_path,
              Mpeg2FieldMcGen(64, 48, seed=seed, field_prob=0.3,
                              dual_prob=0.4), "IPPBP")
+
+
+# -- field pictures (picture_structure 1/2) -----------------------------
+from streamgen.mpeg2_enc import Mpeg2FieldPicGen  # noqa: E402
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_field_pictures_ip(reference_bins, tmp_path, seed):
+    run_case(reference_bins, tmp_path,
+             Mpeg2FieldPicGen(64, 48, seed=seed), "IIPPPP")
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_field_pictures_b(reference_bins, tmp_path, seed):
+    run_case(reference_bins, tmp_path,
+             Mpeg2FieldPicGen(64, 48, seed=10 + seed, field_prob=0.4),
+             "IIPPBBPPBB")
+
+
+def test_field_pictures_dual_prime(reference_bins, tmp_path):
+    run_case(reference_bins, tmp_path,
+             Mpeg2FieldPicGen(64, 48, seed=5, field_prob=0.3,
+                              dual_prob=0.3), "IIPPPP")
