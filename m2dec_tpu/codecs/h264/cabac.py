@@ -110,6 +110,9 @@ class CabacEngine:
 # ---------------------------------------------------------------------
 MB_INxN = 0
 MB_IPCM = 25
+#: field-coded significance/last ctx offsets (h264.cpp:11492-11503)
+_SIG_OFS_FIELD = ((277, 338), (292, 353), (306, 367), (321, 382),
+                  (324, 385), (436, 451))
 MB_BDIRECT16x16 = 31
 
 
@@ -370,7 +373,12 @@ def residual_block(dec, r, coeff, qmat, avail, pos4x4, cat):
         flag = 0xF
     dec.cbf |= flag << pos4x4
     ofs, num_coeff, dc_mask = COEFF_OFS[cat]
-    sig_ofs, last_ofs = CT.SIG_OFS[cat]
+    # field slices use the field significance-map context offsets
+    # (significant_coeff_flag_offset[2][6][2], h264.cpp:11492-11503)
+    if dec.hdr.field_pic_flag:
+        sig_ofs, last_ofs = _SIG_OFS_FIELD[cat]
+    else:
+        sig_ofs, last_ofs = CT.SIG_OFS[cat]
     latter = CT.SIG64 if cat == 5 else CT.SIG16
     # significance map (get_coeff_map_cabac)
     coeff_map = []

@@ -119,6 +119,8 @@ class SliceHeader:
     adaptive_marking: int = 0
     mmcos: tuple = ()
     direct_spatial_mv_pred_flag: int = 0
+    field_pic_flag: int = 0
+    bottom_field_flag: int = 0
 
 
 class H264Decoder:
@@ -233,12 +235,16 @@ class H264Decoder:
         hdr = self.hdr
         if sps.poc_type == 0:
             lsb = r.get_bits(sps.log2_max_poc_lsb)
-            if pps.pic_order_present_flag:
-                r.se()  # delta_pic_order_cnt_bottom (frame coding only)
+            if not hdr.field_pic_flag and pps.pic_order_present_flag:
+                r.se()  # delta_pic_order_cnt_bottom
             if hdr.first_mb_in_slice != 0:
                 return
             if hdr.idr or hdr.mmco5:
-                prev_msb = prev_lsb = 0
+                prev_msb = 0
+                # mmco5 bottom field keeps prev lsb (h264.cpp:1131-1135)
+                prev_lsb = (hdr.poc_lsb if (hdr.mmco5 and hdr.field_pic_flag
+                                            and hdr.bottom_field_flag)
+                            else 0)
             else:
                 prev_lsb, prev_msb = hdr.poc_lsb, hdr.poc_msb
             hdr.poc_lsb = lsb
@@ -255,7 +261,7 @@ class H264Decoder:
             d0 = d1 = 0
             if not sps.delta_pic_order_always_zero_flag:
                 d0 = r.se()
-                if pps.pic_order_present_flag:
+                if not hdr.field_pic_flag and pps.pic_order_present_flag:
                     d1 = r.se()
             if hdr.first_mb_in_slice != 0:
                 return
@@ -345,8 +351,16 @@ class H264Decoder:
                 self.rec = PlanRecorder(self)
         hdr.frame_num = r.get_bits(sps.log2_max_frame_num)
         if not sps.frame_mbs_only_flag:
-            if r.get_onebit():
-                raise NotImplementedError("field pictures")
+            # the reference parses field_pic_flag/bottom_field_flag and
+            # otherwise decodes the picture with frame machinery
+            # (h264.cpp:1453-1466); is_field only selects the CABAC
+            # significance-map context offsets
+            hdr.field_pic_flag = r.get_onebit()
+            hdr.bottom_field_flag = (r.get_onebit()
+                                     if hdr.field_pic_flag else 0)
+        else:
+            hdr.field_pic_flag = 0
+            hdr.bottom_field_flag = 0
         if (self.nal_id & 31) == SLICE_IDR_NAL:
             hdr.idr = 1
             hdr.idr_pic_id = r.ue()

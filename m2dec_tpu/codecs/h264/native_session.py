@@ -132,6 +132,7 @@ class NativeH264Session:
         sp.alpha_ofs = hdr.alpha_c0_offset
         sp.beta_ofs = hdr.beta_offset
         sp.poc = hdr.poc
+        sp.is_field = hdr.field_pic_flag
         sp.bit_offset = r.bitpos
         self.set_refs(dec)
         out_state = (ctypes.c_int32 * 4)()

@@ -108,7 +108,7 @@ class H264SliceParams(ctypes.Structure):
         ("alpha_ofs", ctypes.c_int32),
         ("beta_ofs", ctypes.c_int32),
         ("poc", ctypes.c_int32),
-        ("lt_poc", ctypes.c_int32),
+        ("is_field", ctypes.c_int32),
         ("bit_offset", ctypes.c_int64),
     ]
 

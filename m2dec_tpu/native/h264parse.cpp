@@ -180,7 +180,7 @@ struct SliceParams {
     int32_t deb_idc_plus1;    // stored at first_mb
     int32_t alpha_ofs, beta_ofs;
     int32_t poc;              // current picture POC (temporal direct)
-    int32_t lt_poc;           // reserved
+    int32_t is_field;         // field_pic_flag (CABAC sig ctx offsets)
     int64_t bit_offset;       // slice-header size in bits
 };
 
@@ -3741,7 +3741,19 @@ static int cabac_residual(Ctx &s, BitReader &r, int32_t *coeff,
     }
     s.cbf |= flag << pos4x4;
     const CatInfo &ci = CATS[cat];
-    int sig_ofs = SIG_OFS[cat][0], last_ofs = SIG_OFS[cat][1];
+    /* field slices use the field significance-map context offsets
+     * (significant_coeff_flag_offset[2][6][2], h264.cpp:11492-11503) */
+    static const int16_t SIG_OFS_FIELD[6][2] = {
+        {277, 338}, {292, 353}, {306, 367}, {321, 382}, {324, 385},
+        {436, 451}};
+    int sig_ofs, last_ofs;
+    if (s.sp.is_field) {
+        sig_ofs = SIG_OFS_FIELD[cat][0];
+        last_ofs = SIG_OFS_FIELD[cat][1];
+    } else {
+        sig_ofs = SIG_OFS[cat][0];
+        last_ofs = SIG_OFS[cat][1];
+    }
     const int16_t (*latter)[3] = (cat == 5) ? SIG64 : SIG16;
     int coeff_map[64];
     int nmap = 0;

@@ -25,6 +25,11 @@ ENC_ME_CBP = [
 
 
 class H264StreamGen:
+    #: emit frame_mbs_only=0 + per-slice field_pic_flag/bottom_field_flag
+    #: (decoded with frame machinery by the reference; CABAC switches to
+    #: the field significance-map contexts)
+    field_pics = False
+
     def __init__(self, width, height, seed=0, qp=26, num_ref_frames=1,
                  disable_deblock=True, level_idc=40, chroma_qp_index=0):
         assert width % 16 == 0 and height % 16 == 0
@@ -62,7 +67,14 @@ class H264StreamGen:
         w.put_bits(0, 1)  # gaps
         w.ue(self.mb_w - 1)
         w.ue(self.mb_h - 1)
-        w.put_bits(1, 1)  # frame_mbs_only
+        if self.field_pics:
+            # frame_mbs_only=0: the reference keeps frame geometry and
+            # only consumes the per-slice field flags (h264.cpp:345-346,
+            # :1453-1466)
+            w.put_bits(0, 1)
+            w.put_bits(0, 1)  # mb_adaptive_frame_field
+        else:
+            w.put_bits(1, 1)  # frame_mbs_only
         w.put_bits(1, 1)  # direct_8x8_inference (required for B parity)
         w.put_bits(0, 1)  # cropping
         w.put_bits(0, 1)  # vui
@@ -106,12 +118,20 @@ class H264StreamGen:
         self.poc_lsb = (self.poc_lsb + 2) % (1 << self.log2_max_poc_lsb)
 
     # ----------------------------------------------------------- slice ---
+    def _emit_field_flags(self, w):
+        if not self.field_pics:
+            return
+        w.put_bits(1, 1)  # field_pic_flag
+        w.put_bits(getattr(self, "_bottom", 0), 1)
+        self._bottom = 1 - getattr(self, "_bottom", 0)
+
     def _slice_I(self, w, idr):
         rng = self.rng
         w.ue(0)  # first_mb_in_slice
         w.ue(7)  # slice_type: I (all slices)
         w.ue(0)  # pps_id
         w.put_bits(self.frame_num, self.log2_max_frame_num)
+        self._emit_field_flags(w)
         if idr:
             w.ue(0)  # idr_pic_id
         w.put_bits(self.poc_lsb, self.log2_max_poc_lsb)
@@ -628,6 +648,7 @@ class H264InterGen(H264IntraGen):
         w.ue(5)  # slice_type P (all)
         w.ue(0)  # pps
         w.put_bits(self.frame_num, self.log2_max_frame_num)
+        self._emit_field_flags(w)
         w.put_bits(self.poc_lsb, self.log2_max_poc_lsb)
         w.put_bits(0, 1)  # num_ref_idx_active_override
         w.put_bits(0, 1)  # ref_pic_list_reordering
@@ -884,6 +905,7 @@ class H264BGen(H264InterGen):
         w.ue(6)  # slice_type B (all)
         w.ue(0)  # pps
         w.put_bits(self.frame_num, self.log2_max_frame_num)
+        self._emit_field_flags(w)
         w.put_bits(self.poc_lsb, self.log2_max_poc_lsb)
         w.put_bits(self.direct_spatial, 1)
         w.put_bits(0, 1)  # num_ref_idx_active_override
@@ -1170,12 +1192,20 @@ class H264CabacIGen(H264IntraGen):
         return _AE._CTXIDXINC_CBF[pos4x4](self, self.cbf, self.avail)
 
     # -- slice ----------------------------------------------------------
+    def _emit_field_flags(self, w):
+        if not self.field_pics:
+            return
+        w.put_bits(1, 1)  # field_pic_flag
+        w.put_bits(getattr(self, "_bottom", 0), 1)
+        self._bottom = 1 - getattr(self, "_bottom", 0)
+
     def _slice_I(self, w, idr):
         rng = self.rng
         w.ue(0)
         w.ue(7)
         w.ue(0)
         w.put_bits(self.frame_num, self.log2_max_frame_num)
+        self._emit_field_flags(w)
         if idr:
             w.ue(0)  # idr_pic_id
         w.put_bits(self.poc_lsb, self.log2_max_poc_lsb)
@@ -1330,7 +1360,11 @@ class H264CabacIGen(H264IntraGen):
             self.cbf |= 1 << pos4x4
         else:
             self.cbf |= 0xF << pos4x4
-        sig_ofs, last_ofs = _CT.SIG_OFS[cat]
+        if self.field_pics:
+            from m2dec_tpu.codecs.h264.cabac import _SIG_OFS_FIELD
+            sig_ofs, last_ofs = _SIG_OFS_FIELD[cat]
+        else:
+            sig_ofs, last_ofs = _CT.SIG_OFS[cat]
         latter = _CT.SIG64 if cat == 5 else _CT.SIG16
         posset = {p for p, _ in coefs}
         lastpos = max(posset)

@@ -422,3 +422,37 @@ def test_multi_slice_pictures(reference_bins, tmp_path, rps):
         reference_bins, tmp_path,
         H264MultiSliceGen(64, 48, seed=rps, rows_per_slice=rps, qp=29,
                           disable_deblock=False), "II", 2)
+
+
+# -- field_pic_flag streams (reference decodes them with frame machinery;
+#    CABAC selects the field significance-map contexts) ------------------
+class _FieldIntraGen(H264IntraGen):
+    field_pics = True
+
+
+class _FieldCabacIGen(H264CabacIGen):
+    field_pics = True
+
+
+class _FieldBGen(H264BGen):
+    field_pics = True
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_field_flag_intra(reference_bins, tmp_path, seed):
+    run_case(reference_bins, tmp_path,
+             _FieldIntraGen(64, 48, seed=seed, qp=28,
+                            disable_deblock=False), "III", 2)
+
+
+def test_field_flag_cabac_intra(reference_bins, tmp_path):
+    run_case(reference_bins, tmp_path,
+             _FieldCabacIGen(64, 48, seed=7, qp=30, disable_deblock=False),
+             "II", 1)
+
+
+def test_field_flag_b(reference_bins, tmp_path):
+    run_case_b(reference_bins, tmp_path,
+               _FieldBGen(48, 32, seed=1, skip_prob=0.25, intra_prob=0.15,
+                          num_ref_frames=2, b_direct_prob=0.3,
+                          direct_spatial=1), "IPBPB", 5)

@@ -205,3 +205,21 @@ def test_native_cabac_b_deblock():
         H264BGen(80, 64, seed=42, num_ref_frames=2, b_direct_prob=0.3,
                  skip_prob=0.35, intra_prob=0.08, qp=30,
                  disable_deblock=False), "IPBPBP")
+
+
+# -- field_pic_flag (CABAC field significance contexts) -------------------
+def test_native_field_cabac():
+    class _FieldCabacIGen(H264CabacIGen):
+        field_pics = True
+
+    plan_diff(_FieldCabacIGen(64, 48, seed=7, qp=30,
+                              disable_deblock=False), "II")
+
+
+def test_native_field_b():
+    class _FieldBGen(H264BGen):
+        field_pics = True
+
+    plan_diff(_FieldBGen(48, 32, seed=1, skip_prob=0.25, intra_prob=0.15,
+                         num_ref_frames=2, b_direct_prob=0.3,
+                         direct_spatial=1), "IPBPB")
