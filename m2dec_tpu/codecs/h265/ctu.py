@@ -47,6 +47,14 @@ class PredInfo:
         self.ref_idx = [-1, -1]
         self.mv = [[0, 0], [0, 0]]
 
+    def reset(self):
+        """neighbour_init (h265.cpp:4743-4750): only skip/pu_intra/
+        pred_mode/depth are reset; tu_*/pred stay stale on purpose."""
+        self.skip = 0
+        self.pu_intra = 1
+        self.pred_mode = INTRA_DC
+        self.depth = 0
+
     def copy(self):
         p = PredInfo()
         p.ref_idx = list(self.ref_idx)
@@ -67,6 +75,14 @@ class Neighbour:
     tu_intra: int = 1
     tu_nonzero_coef: int = 0
     pred: PredInfo = dataclasses.field(default_factory=PredInfo)
+
+    def reset(self):
+        """neighbour_init (h265.cpp:4743-4750): only skip/pu_intra/
+        pred_mode/depth are reset; tu_*/pred stay stale on purpose."""
+        self.skip = 0
+        self.pu_intra = 1
+        self.pred_mode = INTRA_DC
+        self.depth = 0
 
     def copy(self):
         n = Neighbour(self.skip, self.pu_intra, self.pred_mode,
@@ -115,15 +131,13 @@ class Ctu:
     """h265d_ctu_t equivalent over planar numpy planes."""
 
     def __init__(self, sps, pps, hdr, frame):
+        """Persistent context (h265d_ctu_t): allocated once per sequence;
+        per-slice state is (re)set by init_slice (= reference ctu_init,
+        h265.cpp:4752-4800). sao_map / deblock storage / coeff_buf and the
+        qp-scale cache persist across slices AND pictures (stale-read
+        quirks carried on purpose)."""
         self.sps = sps
-        self.pps = pps
-        self.hdr = hdr
-        self.frame = frame  # dict y/cb/cr planes
         self.cb = C.H265Cabac()
-        slice_type = hdr.slice_type
-        idc = (2 - (slice_type ^ hdr.cabac_init_flag)) if slice_type < 2 \
-            else 0
-        self.cb.init_context(hdr.slice_qpy, idc)
         self.size_log2 = sps.log2_ctb
         self.size_log2_min = sps.log2_min_cb
         self.transform_log2 = sps.log2_max_tb
@@ -133,21 +147,16 @@ class Ctu:
         self.rows = (sps.pic_height + (1 << self.size_log2) - 1) \
             >> self.size_log2
         self.stride = self.columns << self.size_log2
-        self.pos_x = 0
-        self.pos_y = 0
-        self.idx_in_slice = 0
-        self.valid_x = sps.pic_width
-        self.valid_y = min(sps.pic_height, 1 << self.size_log2)
-        self.qpy = hdr.slice_qpy
         self.intra_split = 0
         self.order_luma = [0, 0, 0, 0]
         self.order_chroma = 0
         self.qp_delta_req = 0
         self.coeff_buf = [0] * (32 * 32)  # persistent (stale-read quirk)
-        self.qp_history = [[self.qpy] * 17, [self.qpy] * 17]
-        from m2dec_tpu.codecs.h265.residual import qp_to_scale
-
-        self.qp_scale = qp_to_scale(self.qpy, hdr.qpc_delta)
+        # reference h265d_ctu_t is zero-initialized: qpy starts 0 and the
+        # qp-scale cache is only refreshed when slice_qpy differs
+        self.qpy = 0
+        self.qp_scale = ([0] * 64, [0] * 64, [0] * 64)
+        self.qpc_delta = (0, 0)
         self.neighbour_left = [Neighbour() for _ in range(NEIGHBOUR_NUM + 2)]
         self.neighbour_top = [Neighbour()
                               for _ in range(self.columns * NEIGHBOUR_NUM)]
@@ -157,6 +166,37 @@ class Ctu:
         self.deblocking = Deblocking(self)
         self.colpics = None  # set by the decoder when a pool exists
         self.sao_map = [SaoMap() for _ in range(self.columns * self.rows)]
+        self.init_slice(pps, hdr, frame)
+
+    def init_slice(self, pps, hdr, frame):
+        """ctu_init (h265.cpp:4752-4800): per-slice-segment reset."""
+        self.pps = pps
+        self.hdr = hdr
+        self.frame = frame
+        sps = self.sps
+        slice_type = hdr.slice_type
+        idc = (2 - (slice_type ^ hdr.cabac_init_flag)) if slice_type < 2 \
+            else 0
+        self.cb.init_context(hdr.slice_qpy, idc)
+        addr = hdr.slice_addr
+        self.pos_y = addr // self.columns
+        self.pos_x = addr - self.pos_y * self.columns
+        self.idx_in_slice = 0
+        self.valid_x = sps.pic_width - (self.pos_x << self.size_log2)
+        self.valid_y = min(sps.pic_height - (self.pos_y << self.size_log2),
+                           1 << self.size_log2)
+        if self.qpy != hdr.slice_qpy:
+            from m2dec_tpu.codecs.h265.residual import qp_to_scale
+
+            self.qpy = hdr.slice_qpy
+            self.qp_scale = qp_to_scale(self.qpy, hdr.qpc_delta)
+            self.qpc_delta = hdr.qpc_delta
+        for nb in self.neighbour_left:
+            nb.reset()
+        for nb in self.neighbour_top:
+            nb.reset()
+        self.deblocking.reset_slice(hdr.deblocking_disabled, self.pos_x)
+        self.qp_history = [[self.qpy] * 17, [self.qpy] * 17]
 
     # -- per-CTU --------------------------------------------------------
     def decode_ctu(self, r):

@@ -52,7 +52,17 @@ class Deblocking:
         n = self.edgemax
         self.boundary = [[[0, 0] for _ in range(8 * 17)] for _ in range(2)]
         self.topedge = [[0, 0] for _ in range(ctu.columns * n)]
-        self.disabled = ctu.hdr.deblocking_disabled
+        self.disabled = True
+
+    def reset_slice(self, disabled, pos_x):
+        """set_ctu (h265modules.h:600-612): per-slice clear of the
+        boundary records and the whole topedge row."""
+        self.disabled = disabled
+        for d in range(2):
+            for e in self.boundary[d]:
+                e[0] = e[1] = 0
+        for e in self.topedge:
+            e[0] = e[1] = 0
 
     # -- recording ------------------------------------------------------
     def _fill_base(self, dirn, offset_x, offset_y):

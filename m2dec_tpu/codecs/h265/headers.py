@@ -358,6 +358,7 @@ class SliceHeader:
 
     nal_type: int = 19
     first_slice: int = 1
+    slice_addr: int = 0
     pps_id: int = 0
     slice_type: int = 2
     slice_qpy: int = 26
@@ -388,13 +389,32 @@ def parse_slice_header(r: BitReader, nal_type: int, dec,
     h = SliceHeader(nal_type=nal_type)
     h.ref_list = dec.ref_list_state  # persistent stale-entry storage
     h.first_slice = r.get_onebit()
-    if not h.first_slice:
-        raise NotImplementedError("multi-slice H.265 pictures")
     if 16 <= nal_type <= 23:
         r.get_onebit()  # no_output_of_prior_pics_flag
     h.pps_id = r.ue()
     pps = pps_store[h.pps_id]
     sps = sps_store[pps.sps_id]
+    h.slice_addr = 0
+    if not h.first_slice:
+        # slice segment address (h265.cpp:910-917); dependent slice
+        # segments stay excluded (the reference inherits a stale header).
+        # Mid-row segment starts are excluded too: the reference derives
+        # the segment's chroma base as luma_offset >> 1 (h265.cpp:4786),
+        # which lands 8px left / across row boundaries in linear NV12
+        # memory — not representable on planar planes.
+        if pps.dependent_slice_segments_enabled:
+            if r.get_onebit():
+                raise NotImplementedError("dependent slice segments")
+        log2 = sps.log2_ctb
+        cols = (sps.pic_width + (1 << log2) - 1) >> log2
+        rows = (sps.pic_height + (1 << log2) - 1) >> log2
+        # the reference's "log2ceil" is floor(log2)+1 == bit_length
+        # (h265.cpp:523-534)
+        nbits = (cols * rows).bit_length()
+        h.slice_addr = r.get_bits(nbits)
+        if h.slice_addr % cols:
+            raise NotImplementedError(
+                "mid-row slice segment start (reference chroma-base bug)")
     h.slice_type = r.ue()
     if pps.output_flag_present:
         r.get_onebit()
@@ -524,6 +544,8 @@ class H265Decoder:
         self.sps_store = {}
         self.pps_store = {}
         self.pool = None  # 8-frame pool (H265D_MAX_FRAME_NUM)
+        self._ctu = None  # persistent h265d_ctu_t equivalent
+        self._cur = None
         self.lru = [0] * 8
         self.dpb = []  # (poc, frame_idx, is_idr), POC-sorted
         self.poc_lsb = 0
@@ -636,10 +658,18 @@ class H265Decoder:
                         w - sps.pic_width + sps.cropping[1],
                         sps.cropping[2],
                         hgt - sps.pic_height + sps.cropping[3])
-                cur = self._find_empty_frame()
+                # find_empty_frame only on the first slice segment of a
+                # picture (h265.cpp:4852-4854); later segments reuse it
+                if hdr.first_slice or self._cur is None:
+                    self._cur = self._find_empty_frame()
+                cur = self._cur
                 frame = self.pool[cur]
                 frame["poc"] = hdr.poc
-                ctu = Ctu(sps, pps, hdr, frame)
+                if self._ctu is None or self._ctu.sps is not sps:
+                    self._ctu = Ctu(sps, pps, hdr, frame)
+                else:
+                    self._ctu.init_slice(pps, hdr, frame)
+                ctu = self._ctu
                 ctu.ref_frames = self.pool
                 from m2dec_tpu.codecs.h265.colpics import Colpics
 

@@ -228,11 +228,16 @@ class H265StreamGen:
         w.rbsp_trailing_bits()
 
     # -- slice ----------------------------------------------------------
-    def _slice_header(self, w, slice_type=2, poc=0, rps_idx=0):
-        w.put_bits(1, 1)  # first_slice_segment_in_pic
+    def _slice_header(self, w, slice_type=2, poc=0, rps_idx=0, first=1,
+                      addr=0):
+        w.put_bits(first, 1)  # first_slice_segment_in_pic
         if slice_type == 2:
             w.put_bits(0, 1)  # no_output_of_prior_pics (IRAP)
         w.ue(0)  # pps_id
+        if not first:
+            n_ctu = self.cols * self.rows
+            nbits = n_ctu.bit_length()  # reference log2ceil = floor+1
+            w.put_bits(addr, nbits)  # slice_segment_address
         w.ue(slice_type)
         if slice_type != 2:
             w.put_bits(poc & 0xFF, 8)  # pic_order_cnt_lsb
@@ -826,9 +831,10 @@ class H265StreamGen:
         else:
             self._emit_cu(enc, size_log2, unavail, left, li, top, ti)
 
-    def _slice(self, w, slice_type=2, poc=0, rps_idx=0):
+    def _slice(self, w, slice_type=2, poc=0, rps_idx=0, first=1, addr=0,
+               end=None):
         self.slice_type = slice_type
-        self._slice_header(w, slice_type, poc, rps_idx)
+        self._slice_header(w, slice_type, poc, rps_idx, first, addr)
         idc = 0 if slice_type == 2 else 2 - slice_type
         enc = H265CabacEncoder(w, self.qp, idc)
         nn = 16
@@ -836,16 +842,17 @@ class H265StreamGen:
                 for _ in range(nn + 2)]
         top = [{"mode": 1, "depth": 0, "skip": 0}
                for _ in range(self.cols * nn)]
-        n_ctu = self.cols * self.rows
+        n_ctu = self.cols * self.rows if end is None else end
         ctb = 1 << self.ctb_log2
-        for i in range(n_ctu):
+        for i in range(addr, n_ctu):
+            islice = i - addr  # idx_in_slice (availability is per-slice)
             py, px = divmod(i, self.cols)
             if self.sao:
                 self._emit_sao(enc, px, py)
             valid_x = self.w - px * ctb
             valid_y = min(self.h - py * ctb, ctb)
-            unavail = (((not py or i < self.cols) * 10)
-                       | ((not px or not i) * 5) | 4)
+            unavail = (((not py or islice < self.cols) * 10)
+                       | ((not px or not islice) * 5) | 4)
             self._emit_quad(enc, self.ctb_log2, unavail, valid_x,
                             valid_y, left, 2, top, px * nn)
             # neighbour maintenance mirroring ctu_pos_increment
@@ -896,15 +903,30 @@ class H265StreamGen:
                     plan.append(("B", nextpoc + k, 15))
                 nextpoc = anchor + 1
                 i += 1 + nb
+        # Row-aligned slice segments only: the reference computes a
+        # mid-row segment's chroma base as luma_offset >> 1
+        # (ctu_init, h265.cpp:4776-4786), planting chroma 8px left and
+        # across row boundaries in linear NV12 memory — excluded as a
+        # reference-bug domain (not representable on planar planes).
+        n_ctu = self.cols * self.rows
+        nslices = max(1, min(getattr(self, "slices_per_pic", 1),
+                             self.rows))
+        rb = [self.rows * k // nslices for k in range(nslices + 1)]
+        bounds = [r * self.cols for r in rb]
+        segs = [(bounds[k] == 0, bounds[k], bounds[k + 1])
+                for k in range(nslices) if bounds[k] < bounds[k + 1]]
         for ch, poc, rps in plan:
-            if ch == "I":
-                self._nal(out, NAL_IDR_W_RADL,
-                          lambda w: self._slice(w, 2, 0))
-            else:
-                st = 0 if ch == "B" else 1
-                self._nal(out, NAL_TRAIL_R,
-                          lambda w, s=st, p=poc, ri=rps:
-                          self._slice(w, s, p, ri))
+            for first, addr, end in segs:
+                if ch == "I":
+                    self._nal(out, NAL_IDR_W_RADL,
+                              lambda w, f=first, a=addr, e=end:
+                              self._slice(w, 2, 0, 0, 1 if f else 0, a, e))
+                else:
+                    st = 0 if ch == "B" else 1
+                    self._nal(out, NAL_TRAIL_R,
+                              lambda w, s=st, p=poc, ri=rps, f=first,
+                              a=addr, e=end:
+                              self._slice(w, s, p, ri, 1 if f else 0, a, e))
         return bytes(out)
 
 

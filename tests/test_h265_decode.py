@@ -312,3 +312,23 @@ def test_inter_amp(reference_bins, tmp_path):
              H265StreamGen(64, 48, seed=92, qp=14, cbf_prob=0.4,
                            modes=ALL_MODES, tmvp=1, part_mode_prob=0.6,
                            amp=1), "IPB")
+
+
+# -- multi-slice pictures (slice_segment_address; per-segment whole-frame
+#    SAO + duplicate DPB insert, exactly like the reference) -------------
+class _MultiSliceGen(H265StreamGen):
+    def __init__(self, *args, slices_per_pic=2, **kw):
+        super().__init__(*args, **kw)
+        self.slices_per_pic = slices_per_pic
+
+
+@pytest.mark.parametrize("nsl", [2, 3])
+def test_h265_multi_slice_intra(reference_bins, tmp_path, nsl):
+    run_case(reference_bins, tmp_path,
+             _MultiSliceGen(64, 48, seed=6, slices_per_pic=nsl), 2)
+
+
+def test_h265_multi_slice_sao(reference_bins, tmp_path):
+    run_case(reference_bins, tmp_path,
+             _MultiSliceGen(64, 48, seed=7, sao=True,
+                            slices_per_pic=2), 2)
