@@ -1,4 +1,4 @@
-"""H.264 decoder CLI (reference src/app/h264dec.cpp parity).
+"""H.264/H.265 decoder CLI (reference src/app/h264dec.cpp parity).
 
 Usage: python -m m2dec_tpu.apps.h264dec [-o out | -O out] [-n N] <in.264>
   -o  raw NV12 output      -O  per-frame MD5 lines
@@ -33,11 +33,15 @@ def main(argv=None):
     ap.add_argument("infile")
     args = ap.parse_args(argv)
 
-    from m2dec_tpu.codecs.h264.decoder import H264Decoder
     from m2dec_tpu.runtime.output import cropped_nv12_bytes, frame_md5_line
 
     data = pathlib.Path(args.infile).read_bytes()
-    dec = H264Decoder()
+    # codec by extension (reference detect_file, m2decoder.h:236-260)
+    if args.infile.endswith((".265", ".hevc", ".h265")):
+        from m2dec_tpu.codecs.h265.headers import H265Decoder as Dec
+    else:
+        from m2dec_tpu.codecs.h264.decoder import H264Decoder as Dec
+    dec = Dec()
     dec.set_data(data)
     raw = open(args.raw_out, "wb") if args.raw_out else None
     md5 = open(args.md5_out, "wb") if args.md5_out else None

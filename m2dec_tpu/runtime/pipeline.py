@@ -69,6 +69,10 @@ class Pipeline:
             return "ps"
         if code == 0xB3:
             return "mpeg2"
+        # H.265 NAL header: forbidden bit 0, 6-bit type; streams lead
+        # with VPS (32) / SPS (33) -> first bytes 0x40/0x42
+        if code in (0x40, 0x42, 0x44, 0x26, 0x02, 0x28):
+            return "h265"
         if (code & 0x1F) in (7, 1, 5) and (code >> 5) <= 3 and code not in (
                 0xB3, 0xB8):
             return "h264"
@@ -103,11 +107,22 @@ class Pipeline:
                 from m2dec_tpu.codecs.h264.decoder import H264Decoder
 
                 dec = H264Decoder()
+            elif self.codec == "h265":
+                from m2dec_tpu.codecs.h265.headers import H265Decoder
+
+                dec = H265Decoder()
             else:
                 from m2dec_tpu.codecs.mpeg2.decoder import Mpeg2Decoder
 
                 dec = Mpeg2Decoder()
             dec.set_data(data)
+            if self.codec == "h265":
+                with self.timers["decoder"]:
+                    for frm in dec.decode_all():
+                        self.qout.put(frm)
+                self.qout.put(_END)
+                self.qin.get()
+                return
             if self.codec == "h264":
                 while True:
                     with self.timers["decoder"]:

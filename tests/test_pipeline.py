@@ -40,3 +40,26 @@ def test_pipeline_h264():
     dec.set_data(es)
     ref = [cropped_nv12_bytes(f) for f in dec.decode_all()]
     assert _run(Pipeline(es)) == ref
+
+
+def test_pipeline_h265(reference_bins, tmp_path):
+    """Pipeline facade auto-detects and decodes H.265 elementary streams
+    (M2Decoder codec-switch parity, m2decoder.h:236-260)."""
+    import subprocess
+
+    from streamgen.h265_enc import H265StreamGen
+    from m2dec_tpu.runtime.pipeline import Pipeline
+    from m2dec_tpu.runtime.output import cropped_nv12_bytes
+
+    data = H265StreamGen(64, 48, seed=3).generate(2)
+    src = tmp_path / "in.265"
+    src.write_bytes(data)
+    subprocess.run([str(reference_bins["h264dec"]), "-o", "in.265"],
+                   cwd=tmp_path, capture_output=True)
+    golden = (tmp_path / "in.out").read_bytes()
+    p = Pipeline(data)
+    assert p.codec == "h265"
+    frames = []
+    p.run(frames.append)
+    ours = b"".join(cropped_nv12_bytes(f) for f in frames)
+    assert ours == golden
