@@ -100,7 +100,10 @@ def turbo_decode(data, check_golden=None):
     """Native Phase A + batched async Phase B. Returns (nframes, seconds,
     md5-of-output)."""
     from m2dec_tpu.codecs.h264.decoder import H264Decoder
-    from m2dec_tpu.codecs.h264.reconstruct import BatchedPhaseB
+    from m2dec_tpu.codecs.h264.reconstruct import (
+        BatchedPhaseB,
+        get_batched_phase_b,
+    )
 
     t0 = time.perf_counter()
     dec = H264Decoder(native=True)
@@ -111,7 +114,8 @@ def turbo_decode(data, check_golden=None):
     results = []
     while dec.decode_picture() == 1:
         if batcher is None:
-            batcher = BatchedPhaseB(dec.max_x, dec.max_y, len(dec.frames))
+            batcher = get_batched_phase_b(dec.max_x, dec.max_y,
+                                          len(dec.frames))
         while len(dec.plans) - plans_done >= BATCH:
             chunk = dec.plans[plans_done : plans_done + BATCH]
             pending.append((batcher.run_async(chunk), chunk))

@@ -20,3 +20,22 @@ reconstruction byte-for-byte (per-frame MD5, reference `test.sh:1-3`).
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_host_allocator():
+    """Keep large numpy/plan buffers in the malloc arena instead of
+    per-allocation mmap/munmap: this environment's page-fault path is
+    extremely slow (~16 MB/s for fresh pages), and glibc's default
+    128KB mmap threshold makes every big temp refault. Retaining arena
+    memory turns steady-state buffer churn into warm-page writes."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_host_allocator()

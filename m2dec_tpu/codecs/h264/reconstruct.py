@@ -1016,16 +1016,44 @@ _WIRE_DTYPES = {
     "kind": np.int8, "i4_modes": np.int8, "i4_avail": np.int8,
     "i8_modes": np.int8, "i8_avail": np.int8, "i16_mode": np.int8,
     "chroma_mode": np.int8, "mb_avail": np.int8, "mv": np.int16,
-    "slot": np.int8, "wp": np.int16, "deb_str": np.int16,
+    "slot": np.int8, "wp": np.int16, "deb_str": np.uint8,
     "deb_str4": np.int8, "deb_ab": np.int8,
 }
 
 _RANGE_CHECKED = ("coef_luma", "coef_chroma", "mv", "wp")
 
+#: row shapes for palette-compressed fields: values repeat heavily
+#: (one MV per partition, a handful of weight rows, few alpha/beta
+#: combos), so ship a unique-row palette + small indices instead
+_PALETTED = {"mv": (4, np.int16), "wp": (12, np.int16),
+             "deb_ab": (24, np.int8)}
+
+
+def _palette_pack(k, v):
+    """v: narrowed array whose trailing dims flatten to the row size.
+    Returns {"pal": [K, row], "idx": [...]} or None (too many rows)."""
+    row, dt = _PALETTED[k]
+    lead = v.shape[: v.ndim - _PAL_NDIM[k]]
+    flat = np.ascontiguousarray(v).reshape(-1, row)
+    voids = flat.view([("", "V%d" % (row * flat.dtype.itemsize))]).ravel()
+    pal_v, inv = np.unique(voids, return_inverse=True)
+    if len(pal_v) > 65535:
+        return None
+    pal = pal_v.view(flat.dtype).reshape(len(pal_v), row)
+    idt = np.uint8 if len(pal_v) <= 255 else np.uint16
+    return {"pal": pal, "idx": inv.astype(idt).reshape(lead)}
+
+
+#: trailing dims folded into a palette row
+_PAL_NDIM = {"mv": 2, "wp": 2, "deb_ab": 3}
+
 
 def _pack_wire(stacked):
     """Narrow plan tensors for transfer; keep int32 where values
-    overflow the wire dtype (rare, per-field fallback)."""
+    overflow the wire dtype (rare, per-field fallback). Coefficient
+    tensors additionally ship sparse (bitmap + packed nonzero values):
+    conforming content is ~5-10% nonzero, and the host->device link is
+    the bottleneck on tunneled TPUs."""
     out = {}
     for k, v in stacked.items():
         dt = _WIRE_DTYPES[k]
@@ -1034,12 +1062,57 @@ def _pack_wire(stacked):
             if v.min() < info.min or v.max() > info.max:
                 out[k] = v
                 continue
-        out[k] = v.astype(dt)
+        w = v.astype(dt)
+        if k in _PALETTED:
+            packed = _palette_pack(k, w)
+            if packed is not None:
+                out[k] = packed
+                continue
+        if k in ("coef_luma", "coef_chroma"):
+            n = w.shape[0]
+            flat = w.reshape(n, -1)
+            mask = flat != 0
+            counts = mask.sum(axis=1)
+            cap = 1 << max(9, int(counts.max()).bit_length())
+            bits = np.packbits(mask, axis=1)
+            vals = np.zeros((n, cap), dt)
+            for i in range(n):
+                nz = flat[i][mask[i]]
+                vals[i, : len(nz)] = nz
+            out[k] = {"bits": bits, "vals": vals}
+            continue
+        out[k] = w
     return out
 
 
-def _unpack_wire(stacked, xp):
-    return {k: v.astype(xp.int32) for k, v in stacked.items()}
+def _unpack_wire(stacked, xp, pals=None):
+    out = {}
+    for k, v in stacked.items():
+        if isinstance(v, dict) and "idx" in v:
+            pal = (pals[k] if pals else v["pal"]).astype(xp.int32)
+            idx = v["idx"].astype(xp.int32)
+            row, _ = _PALETTED[k]
+            dense = pal[idx]  # [..., row]
+            tail = {"mv": (2, 2), "wp": (3, 4), "deb_ab": (2, 6, 2)}[k]
+            out[k] = dense.reshape(idx.shape + tail)
+            continue
+        if isinstance(v, dict):
+            bits8 = v["bits"]
+            lead = bits8.shape[:-1]
+            shifts = xp.arange(7, -1, -1, dtype=xp.int32)
+            bits = ((bits8[..., None].astype(xp.int32) >> shifts) & 1)
+            bits = bits.reshape(lead + (-1,))
+            idx = xp.cumsum(bits, axis=-1) - 1
+            vals = v["vals"].astype(xp.int32)
+            dense = xp.take_along_axis(
+                vals, xp.clip(idx, 0, vals.shape[-1] - 1), axis=-1) * bits
+            m = bits.shape[-1]
+            shape = ((m // 256, 256) if k == "coef_luma"
+                     else (m // 128, 2, 4, 16))
+            out[k] = dense.reshape(lead + shape)
+        else:
+            out[k] = v.astype(xp.int32)
+    return out
 
 
 def _recon_picture(coef_luma, coef_chroma, t8x8, kind, i4m, i4a, i8m, i8a,
@@ -1056,7 +1129,7 @@ def _recon_picture(coef_luma, coef_chroma, t8x8, kind, i4m, i4a, i8m, i8a,
                        has_pcm=has_pcm, deblock=deblock)
 
 
-def _recon_batch(pool_y, pool_cb, pool_cr, stacked, cur_idx, diag, *,
+def _recon_batch(pool_y, pool_cb, pool_cr, stacked, pals, cur_idx, diag, *,
                  mb_w, mb_h, has_i8, deblock):
     """Reconstruct a batch of pictures in one graph: lax.scan over
     pictures with the frame pool carried on device (the GOP-level
@@ -1068,8 +1141,8 @@ def _recon_batch(pool_y, pool_cb, pool_cr, stacked, cur_idx, diag, *,
         import jax.numpy as jnp
 
         y, cb, cr = _recon_core(
-            _unpack_wire(xs["plan"], jnp), py, pcb, pcr, diag, None, None,
-            None,
+            _unpack_wire(xs["plan"], jnp, pals), py, pcb, pcr, diag, None,
+            None, None,
             mb_w=mb_w, mb_h=mb_h, has_i8=has_i8, has_pcm=False,
             deblock=deblock)
         idx = xs["cur_idx"]
@@ -1099,13 +1172,21 @@ class BatchedPhaseB:
     (frame_idx values), so no per-picture remap is needed."""
 
     def __init__(self, mb_w, mb_h, pool_size):
+        import jax
         import jax.numpy as jnp
 
         self.mb_w, self.mb_h = mb_w, mb_h
         H, W = mb_h * 16, mb_w * 16
-        self.pool = (jnp.zeros((pool_size, H, W), jnp.uint8),
-                     jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8),
-                     jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8))
+
+        # build the pool ON DEVICE (a jitted fill): plain jnp.zeros
+        # round-trips ~100MB through tunneled backends
+        @jax.jit
+        def _mk():
+            return (jnp.zeros((pool_size, H, W), jnp.uint8),
+                    jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8),
+                    jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8))
+
+        self.pool = _mk()
         self.diag = _diag_lanes(mb_w, mb_h)
 
     def run_async(self, plans):
@@ -1120,10 +1201,12 @@ class BatchedPhaseB:
             ((stacked["t8x8"] != 0) & (stacked["kind"] == 0)).any())
         deblock = bool(stacked["deb_str"].any()
                        or stacked["deb_str4"].any())
-        stacked = _pack_wire(stacked)
-        fn = _jitted_recon_batch(self.mb_w, self.mb_h, has_i8, deblock)
+        wire = _pack_wire(stacked)
+        blob, layout, pals = _flatten_wire(wire)
+        fn = _jitted_recon_blob(layout, self.mb_w, self.mb_h, has_i8,
+                                deblock)
         self.pool, outs = fn(self.pool[0], self.pool[1], self.pool[2],
-                             stacked, cur_idx, self.diag)
+                             blob, pals, cur_idx, self.diag)
         return outs
 
     @staticmethod
@@ -1198,3 +1281,92 @@ def reconstruct_plan_jax(plan, frames):
     f.y[:] = np.asarray(y)
     f.cb[:] = np.asarray(cb)
     f.cr[:] = np.asarray(cr)
+
+
+@functools.lru_cache(maxsize=4)
+def get_batched_phase_b(mb_w, mb_h, pool_size):
+    """Process-wide BatchedPhaseB per geometry: device pool buffers and
+    their (donated) allocations are reused across decode runs — fresh
+    instances pay a multi-second device-allocation round trip on
+    tunneled backends. Correct across runs: plan slot indices only ever
+    reference pictures written earlier in the same run."""
+    return BatchedPhaseB(mb_w, mb_h, pool_size)
+
+
+# ---------------------------------------------------------------------
+# single-blob transport: tunneled backends pay high per-transfer RPC
+# latency, so the whole wire dict ships as ONE uint8 buffer that the
+# graph slices/bitcasts back into fields (static layout per jit key)
+# ---------------------------------------------------------------------
+
+
+def _flatten_wire(wire):
+    """-> (blob uint8[1-D], layout tuple, pals dict).
+
+    layout entries: (path, dtype-name, shape, offset, nbytes); paths are
+    ("k",) or ("k", "bits"/"vals"/"idx")."""
+    leaves = []
+    pals = {}
+    for k in sorted(wire):
+        v = wire[k]
+        if isinstance(v, dict):
+            if "pal" in v:
+                pals[k] = v["pal"]
+            for sub in sorted(v):
+                if sub == "pal":
+                    continue
+                leaves.append(((k, sub), v[sub]))
+        else:
+            leaves.append(((k,), v))
+    layout = []
+    total = 0
+    for path, a in leaves:
+        a = np.ascontiguousarray(a)
+        nb = a.nbytes
+        layout.append((path, a.dtype.name, a.shape, total, nb))
+        total += (nb + 7) & ~7  # 8-byte aligned fields
+    blob = np.empty(total, np.uint8)
+    for (path, _, _, off, nb), (_, a) in zip(layout, leaves):
+        blob[off : off + nb] = np.ascontiguousarray(a).view(np.uint8).ravel()
+    return blob, tuple(layout), pals
+
+
+def _unflatten_wire(blob, layout, xp):
+    import jax
+
+    out = {}
+    for path, dtname, shape, off, nb in layout:
+        raw = jax.lax.dynamic_slice(blob, (off,), (nb,))
+        dt = np.dtype(dtname)
+        if dt.itemsize > 1:
+            raw = jax.lax.bitcast_convert_type(
+                raw.reshape(-1, dt.itemsize), dt)
+        else:
+            raw = raw.astype(dt) if dtname != "uint8" else raw
+            if dtname == "int8":
+                raw = jax.lax.bitcast_convert_type(raw, np.int8)
+        arr = raw.reshape(shape)
+        if len(path) == 1:
+            out[path[0]] = arr
+        else:
+            out.setdefault(path[0], {})[path[1]] = arr
+    return out
+
+
+def _recon_batch_blob(pool_y, pool_cb, pool_cr, blob, pals, cur_idx, diag,
+                      *, layout, mb_w, mb_h, has_i8, deblock):
+    import jax.numpy as jnp
+
+    stacked = _unflatten_wire(blob, layout, jnp)
+    return _recon_batch(pool_y, pool_cb, pool_cr, stacked, pals, cur_idx,
+                        diag, mb_w=mb_w, mb_h=mb_h, has_i8=has_i8,
+                        deblock=deblock)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_recon_blob(layout, mb_w, mb_h, has_i8, deblock):
+    import jax
+
+    fn = functools.partial(_recon_batch_blob, layout=layout, mb_w=mb_w,
+                           mb_h=mb_h, has_i8=has_i8, deblock=deblock)
+    return jax.jit(fn, donate_argnums=(0, 1, 2))

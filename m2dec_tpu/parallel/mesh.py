@@ -103,8 +103,11 @@ def h264_gop_step(mesh, mb_w, mb_h, axis="frame"):
     leading [G, N_pics, ...] axis, G sharded over the mesh."""
     from m2dec_tpu.codecs.h264.reconstruct import _recon_batch
 
-    fn = functools.partial(_recon_batch, mb_w=mb_w, mb_h=mb_h,
-                           has_i8=True, deblock=True)
+    def fn(py, pcb, pcr, stacked, cur_idx, diag):
+        return _recon_batch(py, pcb, pcr, stacked, {}, cur_idx, diag,
+                            mb_w=mb_w, mb_h=mb_h, has_i8=True,
+                            deblock=True)
+
     vf = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, None))
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
