@@ -165,6 +165,7 @@ class Ctu:
 
         self.deblocking = Deblocking(self)
         self.colpics = None  # set by the decoder when a pool exists
+        self.rec = None  # optional plan.PlanRecorder (Phase-A tap)
         self.sao_map = [SaoMap() for _ in range(self.columns * self.rows)]
         self.init_slice(pps, hdr, frame)
 
@@ -466,11 +467,17 @@ class Ctu:
         vy = -1 if unavail & 1 else valid_y
         y0 = (self.pos_y << self.size_log2) + offset_y
         x0 = (self.pos_x << self.size_log2) + offset_x
+        if self.rec is not None:
+            self.rec.intra_op(True, y0, x0, size_log2,
+                              self.order_luma[pred_idx], vx, vy)
         intra.predict(self.frame["y"], y0, x0, size_log2, vx, vy,
                       self.order_luma[pred_idx], True,
                       self.sps.strong_intra_smoothing)
         if size_log2 == 2:
             return
+        if self.rec is not None:
+            self.rec.intra_op(False, y0 >> 1, x0 >> 1, size_log2 - 1,
+                              self.order_chroma, vx >> 1, vy >> 1)
         for plane in ("cb", "cr"):
             intra.predict(self.frame[plane], y0 >> 1, x0 >> 1,
                           size_log2 - 1, vx >> 1, vy >> 1,
@@ -483,6 +490,9 @@ class Ctu:
         x0 = (self.pos_x << self.size_log2) + offset_x
         vx = -1 if unavail & 2 else (valid_x >> 1)
         vy = -1 if unavail & 1 else (valid_y >> 1)
+        if self.rec is not None:
+            self.rec.intra_op(False, y0 >> 1, x0 >> 1, size_log2,
+                              self.order_chroma, vx, vy)
         for plane in ("cb", "cr"):
             intra.predict(self.frame[plane], y0 >> 1, x0 >> 1, size_log2,
                           vx, vy, self.order_chroma, False, False)

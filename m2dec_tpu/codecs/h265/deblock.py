@@ -306,6 +306,9 @@ class Deblocking:
                 return
             get = lambda r, c: int(plane[y + c, x + r])  # noqa: E731
             put = lambda r, c, v: plane.__setitem__((y + c, x + r), v)  # noqa: E731,E501
+        if self.ctu.rec is not None:
+            self.ctu.rec.deblock_luma(y, x, vert, str_,
+                                      Q_THR[beta_qp][0], Q_THR[tc_qp][1])
         dp0 = abs(get(0, 1) - 2 * get(0, 2) + get(0, 3))
         dq0 = abs(get(0, 4) - 2 * get(0, 5) + get(0, 6))
         dp3 = abs(get(3, 1) - 2 * get(3, 2) + get(3, 3))
@@ -398,6 +401,9 @@ class Deblocking:
                 return
             get = lambda r, c: int(plane[y + c, x + r])  # noqa: E731
             put = lambda r, c, v: plane.__setitem__((y + c, x + r), v)  # noqa: E731,E501
+        if self.ctu.rec is not None:
+            ci = int(plane is self.ctu.frame["cr"])
+            self.ctu.rec.deblock_chroma(y, x, vert, ci, tc)
         for r in range(2):
             p1 = get(r, 0)
             p0 = get(r, 1)

@@ -601,9 +601,14 @@ class H265Decoder:
         self.dpb.insert(bisect.bisect_right(pocs, poc),
                         (poc, frame_idx, is_idr))
 
-    def decode_all(self):
+    def decode_all(self, collect_plans=False, keep_oracle=False):
         """Decode every slice NAL; returns DecodedFrames in output order
-        (DPB POC-sorted pops, h265.cpp:4953-5008)."""
+        (DPB POC-sorted pops, h265.cpp:4953-5008).
+
+        With ``collect_plans`` the Phase-A plan recorder taps the decode
+        and the per-picture H265Plan list lands in ``self.plans``
+        (decode order); ``keep_oracle`` additionally snapshots each
+        picture's reconstructed planes for differential tests."""
         import numpy as np
 
         from m2dec_tpu.codecs.h265.ctu import Ctu
@@ -612,6 +617,19 @@ class H265Decoder:
 
         out = []
         geom = {}
+        self.plans = []
+        self._rec = None
+
+        def finish_plan():
+            if self._rec is None:
+                return
+            plan = self._rec.finalize()
+            if keep_oracle:
+                f = self.pool[plan.cur_idx]
+                plan.oracle = (f["y"].copy(), f["cb"].copy(),
+                               f["cr"].copy())
+            self.plans.append(plan)
+            self._rec = None
 
         def emit(frame_idx, out_list):
             f = self.pool[frame_idx]
@@ -661,6 +679,7 @@ class H265Decoder:
                 # find_empty_frame only on the first slice segment of a
                 # picture (h265.cpp:4852-4854); later segments reuse it
                 if hdr.first_slice or self._cur is None:
+                    finish_plan()
                     self._cur = self._find_empty_frame()
                 cur = self._cur
                 frame = self.pool[cur]
@@ -670,6 +689,18 @@ class H265Decoder:
                 else:
                     self._ctu.init_slice(pps, hdr, frame)
                 ctu = self._ctu
+                if collect_plans:
+                    if self._rec is None:
+                        from m2dec_tpu.codecs.h265.plan import PlanRecorder
+
+                        self._rec = PlanRecorder(ctu, cur)
+                        self._rec.plan.poc = hdr.poc
+                    else:
+                        self._rec.note_slice(hdr.first_slice)
+                        self._rec.ctu = ctu
+                    ctu.rec = self._rec
+                else:
+                    ctu.rec = None
                 ctu.ref_frames = self.pool
                 from m2dec_tpu.codecs.h265.colpics import Colpics
 
@@ -685,6 +716,7 @@ class H265Decoder:
                 self._insert_dpb(cur, hdr.poc,
                                  nal_type in (NAL_IDR_W_RADL,
                                               NAL_IDR_N_LP), out, emit)
+        finish_plan()
         while self.dpb:
             emit(self.dpb.pop(0)[1], out)
         return out

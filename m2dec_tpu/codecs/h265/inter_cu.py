@@ -249,6 +249,15 @@ def motion_compensate(ctu, pred, offset_x, offset_y, width, height,
     y0 = (ctu.pos_y << ctu.size_log2) + offset_y
     x0 = (ctu.pos_x << ctu.size_log2) + offset_x
     ref0, ref1 = pred.ref_idx
+    if ctu.rec is not None:
+        bidir = ref0 >= 0 and ref1 >= 0 and not no_bidir
+        s0 = ctu.hdr.ref_list[0][ref0][1] if ref0 >= 0 else -1
+        s1 = ctu.hdr.ref_list[1][ref1][1] if (ref1 >= 0 and bidir) else -1
+        if s0 < 0 and not bidir and ref1 >= 0:
+            # uni-L1 routes through slot1 (Phase B mirrors the lx pick)
+            s1 = ctu.hdr.ref_list[1][ref1][1]
+        ctu.rec.inter(x0, y0, width, height, s0, s1,
+                      pred.mv[0], pred.mv[1])
     if ref0 >= 0 and ref1 >= 0 and not no_bidir:
         lv0, ls0, cb0, cr0 = _pred_onedir(ctu, 0, ref0, pred.mv[0],
                                           offset_x, offset_y, width,

@@ -183,9 +183,12 @@ def residual_coding(ctu, r, size_log2, colour, plane, y0, x0, order_idx,
                 coeff[last_wp] = -coeff[last_wp]
         num = 15
         i -= 1
+    use_dst = is_intra and colour == 0 and size_log2 == 2
+    if ctu.rec is not None:
+        ctu.rec.residual(colour, y0, x0, size_log2, coeff, xy_pos_sum,
+                         tskip, use_dst)
     if not tskip:
-        transform(coeff, size_log2, plane, y0, x0, xy_pos_sum,
-                  is_intra and colour == 0 and size_log2 == 2)
+        transform(coeff, size_log2, plane, y0, x0, xy_pos_sum, use_dst)
     else:
         skip_transform(coeff, plane, y0, x0, xy_pos_sum)
 
