@@ -601,20 +601,30 @@ class H265Decoder:
         self.dpb.insert(bisect.bisect_right(pocs, poc),
                         (poc, frame_idx, is_idr))
 
-    def decode_all(self, collect_plans=False, keep_oracle=False):
+    def decode_all(self, collect_plans=False, keep_oracle=False,
+                   backend=None):
         """Decode every slice NAL; returns DecodedFrames in output order
         (DPB POC-sorted pops, h265.cpp:4953-5008).
 
         With ``collect_plans`` the Phase-A plan recorder taps the decode
         and the per-picture H265Plan list lands in ``self.plans``
         (decode order); ``keep_oracle`` additionally snapshots each
-        picture's reconstructed planes for differential tests."""
+        picture's reconstructed planes for differential tests.
+
+        ``backend="jax"``: every completed picture is reconstructed by
+        the Phase-B TPU graph (codecs/h265/reconstruct.py) from its plan
+        and the frame pool, and the pool frame is replaced with the
+        Phase-B product — the emitted output is the TPU path's.
+        Multi-slice pictures keep the Python reconstruction (the
+        reference runs its whole-frame SAO pass once per slice
+        segment)."""
         import numpy as np
 
         from m2dec_tpu.codecs.h265.ctu import Ctu
         from m2dec_tpu.codecs.h265.sao import sao_oneframe
         from m2dec_tpu.codecs.mpeg2.decoder import DecodedFrame
 
+        collect_plans = collect_plans or backend == "jax"
         out = []
         geom = {}
         self.plans = []
@@ -628,6 +638,25 @@ class H265Decoder:
                 f = self.pool[plan.cur_idx]
                 plan.oracle = (f["y"].copy(), f["cb"].copy(),
                                f["cr"].copy())
+            if backend == "jax" and not plan.multi_slice:
+                from m2dec_tpu.codecs.h265 import reconstruct as _RC
+
+                # Phase B needs the pool as it was at picture START:
+                # other frames are untouched by this picture's Phase A,
+                # but pool[cur] was reconstructed in place — substitute
+                # the pre-picture snapshot (stale padding-domain reads
+                # depend on it)
+                py = np.stack([f["y"] for f in self.pool])
+                pcb = np.stack([f["cb"] for f in self.pool])
+                pcr = np.stack([f["cr"] for f in self.pool])
+                f = self.pool[plan.cur_idx]
+                py[plan.cur_idx] = self._pre_pic[0]
+                pcb[plan.cur_idx] = self._pre_pic[1]
+                pcr[plan.cur_idx] = self._pre_pic[2]
+                y, cb, cr = _RC.recon_plan(plan, py, pcb, pcr)
+                f["y"][:] = np.asarray(y)
+                f["cb"][:] = np.asarray(cb)
+                f["cr"][:] = np.asarray(cr)
             self.plans.append(plan)
             self._rec = None
 
@@ -681,6 +710,11 @@ class H265Decoder:
                 if hdr.first_slice or self._cur is None:
                     finish_plan()
                     self._cur = self._find_empty_frame()
+                    if backend == "jax":
+                        f0 = self.pool[self._cur]
+                        self._pre_pic = (f0["y"].copy(),
+                                         f0["cb"].copy(),
+                                         f0["cr"].copy())
                 cur = self._cur
                 frame = self.pool[cur]
                 frame["poc"] = hdr.poc

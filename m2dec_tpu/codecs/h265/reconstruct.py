@@ -92,7 +92,9 @@ def residual_plane(coef, tu, sizes, xp, with_dst):
     H, W = coef.shape
     res = xp.zeros((H, W), xp.int32)
     coef = coef.astype(xp.int32)
-    for si, s in enumerate(sizes):
+    for s in sizes:
+        if H % s or W % s:
+            continue  # TU size exceeds the CTB (plane is CTB-aligned)
         sl2 = s.bit_length() - 1
         T = xp.asarray(_TMAT[sl2])
         N1, N2 = H // s, W // s
@@ -311,3 +313,777 @@ def inter_pass(slot, mv, pool_y, pool_cb, pool_cr, pic_w, pic_h, xp):
     mc_cr = (out_cr.reshape(ch, cw, 2, 2).transpose(0, 2, 1, 3)
              .reshape(H >> 1, W >> 1))
     return mask.reshape(ch, cw), mc_y, mc_cb, mc_cr
+
+
+# =====================================================================
+# deblocking: whole-frame vertical-then-horizontal passes
+# =====================================================================
+
+
+def _clip3d(v, lim, xp):
+    return xp.minimum(xp.maximum(v, -lim), lim)
+
+
+def _deblock_luma_windows(win, s, beta, tc, xp):
+    """win [..., 4, 8] (rows x p3 p2 p1 p0 q0 q1 q2 q3), recorded
+    strength/beta/tc [...]. Port of deblocking_edge_luma_block
+    (h265.cpp:4220-4299 / deblock.py:_edge_luma_block)."""
+    s = s.astype(xp.int32)
+    beta = beta.astype(xp.int32)
+    tc = tc.astype(xp.int32)
+
+    def g(r, c):
+        return win[..., r, c]
+
+    dp0 = xp.abs(g(0, 1) - 2 * g(0, 2) + g(0, 3))
+    dq0 = xp.abs(g(0, 4) - 2 * g(0, 5) + g(0, 6))
+    dp3 = xp.abs(g(3, 1) - 2 * g(3, 2) + g(3, 3))
+    dq3 = xp.abs(g(3, 4) - 2 * g(3, 5) + g(3, 6))
+    dpq0 = dp0 + dq0
+    dpq3 = dp3 + dq3
+    act = (s > 0) & ((dpq0 + dpq3) < beta)
+
+    def dsam(dpq, p3, p0, q0, q3):
+        return ((dpq * 2) < (beta >> 2)) \
+            & (xp.abs(p0 - q0) < ((5 * tc + 1) >> 1)) \
+            & ((xp.abs(p3 - p0) + xp.abs(q0 - q3)) < (beta >> 3))
+
+    strong = act & dsam(dpq0, g(0, 0), g(0, 3), g(0, 4), g(0, 7)) \
+        & dsam(dpq3, g(3, 0), g(3, 3), g(3, 4), g(3, 7))
+    weak = act & ~strong
+
+    p3, p2, p1, p0 = (win[..., 0], win[..., 1], win[..., 2], win[..., 3])
+    q0, q1, q2, q3 = (win[..., 4], win[..., 5], win[..., 6], win[..., 7])
+    tc2 = (tc * 2)[..., None]
+    # strong (all 4 rows, 6 samples, & 0xFF stores)
+    sp2 = (p2 + _clip3d(((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3) - p2,
+                        tc2, xp)) & 0xFF
+    sp1 = (p1 + _clip3d(((p2 + p1 + p0 + q0 + 2) >> 2) - p1, tc2, xp)) \
+        & 0xFF
+    sp0 = (p0 + _clip3d(
+        ((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3) - p0, tc2, xp)) \
+        & 0xFF
+    sq0 = (q0 + _clip3d(
+        ((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3) - q0, tc2, xp)) \
+        & 0xFF
+    sq1 = (q1 + _clip3d(((p0 + q0 + q1 + q2 + 2) >> 2) - q1, tc2, xp)) \
+        & 0xFF
+    sq2 = (q2 + _clip3d(
+        ((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3) - q2, tc2, xp)) & 0xFF
+    # weak
+    beta2 = (beta + (beta >> 1)) >> 3
+    de_p = ((dp0 + dp3) < beta2)[..., None]
+    de_q = ((dq0 + dq3) < beta2)[..., None]
+    tcb = tc[..., None]
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    wrow = xp.abs(delta) < tcb * 10
+    delta = _clip3d(delta, tcb, xp)
+    wp0 = _clip255(p0 + delta, xp)
+    wq0 = _clip255(q0 - delta, xp)
+    wp1 = _clip255(p1 + _clip3d(
+        ((((p2 + p0 + 1) >> 1) - p1 + delta) >> 1), tcb >> 1, xp), xp)
+    wq1 = _clip255(q1 + _clip3d(
+        ((((q2 + q0 + 1) >> 1) - q1 - delta) >> 1), tcb >> 1, xp), xp)
+
+    sm = strong[..., None]
+    wm = weak[..., None] & wrow
+    np2_ = xp.where(sm, sp2, p2)
+    np1_ = xp.where(sm, sp1, xp.where(wm & de_p, wp1, p1))
+    np0_ = xp.where(sm, sp0, xp.where(wm, wp0, p0))
+    nq0_ = xp.where(sm, sq0, xp.where(wm, wq0, q0))
+    nq1_ = xp.where(sm, sq1, xp.where(wm & de_q, wq1, q1))
+    nq2_ = xp.where(sm, sq2, q2)
+    return xp.stack([p3, np2_, np1_, np0_, nq0_, nq1_, nq2_, q3], axis=-1)
+
+
+def _deblock_chroma_windows(win, tc, xp):
+    """win [..., 2, 4] (p1 p0 q0 q1), tc [...] (-1 = off)."""
+    act = (tc >= 0)[..., None]
+    tcb = tc.astype(xp.int32)[..., None]
+    p1, p0 = win[..., 0], win[..., 1]
+    q0, q1 = win[..., 2], win[..., 3]
+    delta = _clip3d(((q0 - p0) * 4 + p1 - q1 + 4) >> 3, tcb, xp)
+    np0_ = xp.where(act, _clip255(p0 + delta, xp), p0)
+    nq0_ = xp.where(act, _clip255(q0 - delta, xp), q0)
+    return xp.stack([p1, np0_, nq0_, q1], axis=-1)
+
+
+def _deblock_dir_luma(plane, dmap, xp):
+    """One direction of luma deblocking on [H, W]: windows at columns
+    8k+4 (vertical edges; call on the transposed plane + transposed
+    map for horizontal)."""
+    H, W = plane.shape
+    K = W // 8 - 1
+    if K <= 0:
+        return plane
+    body = plane[:, 4 : 4 + 8 * K]
+    win = body.reshape(H // 4, 4, K, 8).transpose(0, 2, 1, 3)
+    prm = dmap[: H // 4, :K].astype(xp.int32)
+    out = _deblock_luma_windows(win, prm[..., 0], prm[..., 1],
+                                prm[..., 2], xp)
+    out = out.transpose(0, 2, 1, 3).reshape(H, 8 * K)
+    if xp is np:
+        plane = plane.copy()
+        plane[:, 4 : 4 + 8 * K] = out
+        return plane
+    return plane.at[:, 4 : 4 + 8 * K].set(out)
+
+
+def _deblock_dir_chroma(plane, cmap, xp):
+    """One direction of chroma deblocking: 2x4 windows at columns
+    8k+6 (chroma samples)."""
+    Hc, Wc = plane.shape
+    K = (Wc - 10) // 8 + 1
+    if K <= 0:
+        return plane
+    body = plane[:, 6 : 6 + 8 * K]
+    win = body.reshape(Hc // 2, 2, K, 8).transpose(0, 2, 1, 3)
+    sub = win[..., :4]
+    out4 = _deblock_chroma_windows(sub, cmap[: Hc // 2, :K].astype(
+        xp.int32), xp)
+    out = xp.concatenate([out4, win[..., 4:]], axis=-1)
+    out = out.transpose(0, 2, 1, 3).reshape(Hc, 8 * K)
+    if xp is np:
+        plane = plane.copy()
+        plane[:, 6 : 6 + 8 * K] = out
+        return plane
+    return plane.at[:, 6 : 6 + 8 * K].set(out)
+
+
+def deblock_frame(y, cb, cr, dbv, dbh, dbcv, dbch, xp):
+    y = _deblock_dir_luma(y, dbv, xp)
+    y = _deblock_dir_luma(y.T, xp.swapaxes(dbh, 0, 1), xp).T
+    cb = _deblock_dir_chroma(cb, dbcv[..., 0], xp)
+    cb = _deblock_dir_chroma(cb.T, xp.swapaxes(dbch[..., 0], 0, 1), xp).T
+    cr = _deblock_dir_chroma(cr, dbcv[..., 1], xp)
+    cr = _deblock_dir_chroma(cr.T, xp.swapaxes(dbch[..., 1], 0, 1), xp).T
+    return y, cb, cr
+
+
+# =====================================================================
+# SAO: pure per-pixel map over the pre-SAO plane
+# =====================================================================
+
+_EO_IDX_T = np.array(
+    [-1, 2, 1, -1, 2, 3, -1, 2, 1, -1, 0, 1, -1, 2, 1, -1], np.int32)
+
+#: (sign0 dy,dx), (sign2 dy,dx) per edge class (sao.py:_eo_block)
+_EO_NBR = np.array([
+    [[0, -1], [0, 1]],
+    [[-1, 0], [1, 0]],
+    [[-1, -1], [1, 1]],
+    [[-1, 1], [1, -1]],
+], np.int32)
+
+
+def _signe(a, b, xp):
+    return xp.where(a > b, 1, xp.where(a < b, 2, 0))
+
+
+def _shift2d(plane, dy, dx, xp):
+    """plane shifted so out[y,x] = plane[y+dy, x+dx] (edge-replicated;
+    boundary pixels are masked out before use)."""
+    H, W = plane.shape
+    ys = xp.clip(xp.arange(H) + dy, 0, H - 1)
+    xs = xp.clip(xp.arange(W) + dx, 0, W - 1)
+    return plane[ys][:, xs]
+
+
+def sao_plane(plane, idx_c, opt_c, off_c, csl2, pic_w, pic_h, xp):
+    """One plane's SAO: idx/opt/off per CTU ([rows, cols], [rows,
+    cols], [rows, cols, 4]); csl2 = CTU size log2 in this plane's
+    sample units; pic_w/pic_h in this plane's units."""
+    H, W = plane.shape
+    s = 1 << csl2
+
+    def up(m):
+        return xp.repeat(xp.repeat(m, s, axis=0), s, axis=1)[:H, :W]
+
+    idx = up(idx_c.astype(xp.int32))
+    opt = up(opt_c.astype(xp.int32))
+    offs = xp.stack([up(off_c[:, :, k].astype(xp.int32))
+                     for k in range(4)], axis=-1)  # [H,W,4]
+    yy = xp.arange(H, dtype=xp.int32)[:, None]
+    xx = xp.arange(W, dtype=xp.int32)[None, :]
+    inpic = (yy < pic_h) & (xx < pic_w)
+    d = plane.astype(xp.int32)
+    # band offset
+    dif = d - (opt << 3)
+    bmask = (idx == 1) & (0 <= dif) & (dif < 32) & inpic
+    bval = xp.take_along_axis(offs, xp.clip(dif >> 3, 0, 3)[..., None],
+                              axis=-1)[..., 0]
+    # edge offset
+    nbr = xp.asarray(_EO_NBR)
+    s0 = xp.zeros((H, W), xp.int32)
+    s2 = xp.zeros((H, W), xp.int32)
+    for cls in range(4):
+        m = opt == cls
+        n0 = _shift2d(d, int(_EO_NBR[cls, 0, 0]), int(_EO_NBR[cls, 0, 1]),
+                      xp)
+        n1 = _shift2d(d, int(_EO_NBR[cls, 1, 0]), int(_EO_NBR[cls, 1, 1]),
+                      xp)
+        s0 = xp.where(m, _signe(d, n0, xp), s0)
+        s2 = xp.where(m, _signe(d, n1, xp), s2)
+    del nbr
+    eidx = xp.asarray(_EO_IDX_T)[s2 * 4 + s0]
+    xtrim = (opt == 0) | (opt == 2) | (opt == 3)
+    ytrim = (opt == 1) | (opt == 2) | (opt == 3)
+    etrim = (~xtrim | ((1 <= xx) & (xx <= pic_w - 2))) \
+        & (~ytrim | ((1 <= yy) & (yy <= pic_h - 2)))
+    emask = (idx == 2) & (eidx >= 0) & etrim & inpic
+    eval_ = xp.take_along_axis(offs, xp.clip(eidx, 0, 3)[..., None],
+                               axis=-1)[..., 0]
+    out = xp.where(bmask, _clip255(d + bval, xp),
+                   xp.where(emask, _clip255(d + eval_, xp), d))
+    return out
+
+
+# =====================================================================
+# intra: angular host tables (derived from intrapos_tables exactly as
+# intra_angular.py walks them)
+# =====================================================================
+
+_REFCAP = 66
+_FILTER_THR = (56, 48, 48, 48, 48, 48, 48, 32, 0, 32, 48, 48, 48, 48,
+               48, 48)
+
+
+def _build_ang_tables():
+    n_m = 33
+    sel = np.full((n_m, 4, _REFCAP), 2, np.int32)  # 1 extra, 0 main, 2 pad
+    pos = np.zeros((n_m, 4, _REFCAP), np.int32)
+    fix_on = np.zeros((n_m, 4), np.int32)
+    fix_idx = np.zeros((n_m, 4), np.int32)
+    fix_pos = np.zeros((n_m, 4), np.int32)
+    row_start = np.zeros((n_m, 4, 32), np.int32)
+    coef_c1 = np.zeros((n_m, 32), np.int32)
+    filt_kind = np.zeros((n_m, 4), np.int32)
+    transp = np.zeros(n_m, np.int32)
+    for m in range(n_m):
+        coef, inc = _ACOEF[m]
+        coef_c1[m] = coef
+        transp[m] = int(m < 16 and (m & 7) != 0)
+        for s in range(4):
+            sl2 = s + 2
+            pt = _APOS[m][s]
+            el = pt[0]
+            extras = pt[1 : 1 + el]
+            bp = pt[1 + el]
+            bl = pt[2 + el]
+            assert all(p >= 0 for p in extras)
+            for k in range(el):
+                sel[m, s, k] = 1
+                pos[m, s, k] = extras[k]
+            for i in range(bl):
+                sel[m, s, el + i] = 0
+                pos[m, s, el + i] = bp + i
+            if bp + bl == (2 << sl2):
+                fix_on[m, s] = 1
+                fix_idx[m, s] = el + bl - 1
+                fix_pos[m, s] = bp + bl
+            filt_kind[m, s] = int((_FILTER_THR[m & 15] & (1 << sl2)) != 0)
+            src = inc[0] >> (3 - s)
+            step = inc[1]
+            for yy in range(1 << sl2):
+                row_start[m, s, yy] = src
+                if m & 7:
+                    if 1 + yy < len(inc):
+                        src += inc[1 + yy]
+                else:
+                    src += step
+    return (sel, pos, fix_on, fix_idx, fix_pos, row_start, coef_c1,
+            filt_kind, transp)
+
+
+_ANG = _build_ang_tables()
+
+
+# =====================================================================
+# intra: per-op neighbour pipelines + mode families
+# =====================================================================
+
+
+def _side_arrays(RAW, omin, om, corner_param, NV, xp):
+    """Dense raw/filtered/strong neighbour values at logical positions
+    p = -1..NV-1 from an unclamped source vector RAW [L, NV+2]
+    (RAW[:, i] = src[i-1]).  omin in {-1,0}, om = clamped offset_max.
+    corner_param patches the filtered run's E[-2] (the reference's
+    get_ref corner quirk, h265.cpp:2590)."""
+    P = np.arange(-1, NV)  # NV+1 positions
+    Pj = xp.asarray(P)
+    hi = xp.maximum(om - 1, omin)
+
+    def clamp_at(p):
+        idx = xp.clip(p[None, :], omin[:, None], hi[:, None]) + 1
+        return xp.take_along_axis(RAW, idx, axis=1)
+
+    rawc = clamp_at(Pj)
+    e_prev = clamp_at(Pj - 1)
+    use_cp = (Pj[None, :] == -1) & (omin[:, None] == -1)
+    e_prev = xp.where(use_cp, corner_param[:, None], e_prev)
+    e_next = clamp_at(Pj + 1)
+    filt = (e_prev + 2 * rawc + e_next + 2) >> 2
+    c0s = xp.where(omin == -1, RAW[:, 0], RAW[:, 1])
+    c1i = xp.minimum(63, hi) + 1
+    c1s = xp.take_along_axis(RAW, c1i[:, None], axis=1)[:, 0]
+    strong = ((63 - Pj[None, :]) * c0s[:, None]
+              + (Pj[None, :] + 1) * c1s[:, None] + 32) >> 6
+    return rawc, filt, strong
+
+
+def _extra_vals(RAW, pos, omin, valid, kind, NV, xp):
+    """Pointwise get_pix_{raw,filtered,strong} at extras positions
+    (intra_angular.py:25-45); pos [L, K] >= 0; kind [L] 0/1/2."""
+    cap = RAW.shape[1] - 1
+
+    def s_at(p):
+        return xp.take_along_axis(RAW, xp.clip(p + 1, 0, cap), axis=1)
+
+    c1 = s_at(pos)
+    prev = s_at(pos - 1)
+    nxt = s_at(pos + 1)
+    fir = (prev + 2 * c1 + nxt + 2) >> 2
+    tail = (prev + 3 * c1 + 2) >> 2
+    head = (3 * c1 + nxt + 2) >> 2
+    filt = xp.where(pos <= omin[:, None], head,
+                    xp.where(pos >= (valid - 1)[:, None], tail, fir))
+    raw = s_at(xp.clip(pos, omin[:, None],
+                       xp.maximum(valid - 1, omin)[:, None]))
+    c0 = xp.where(omin == -1, RAW[:, 0], RAW[:, 1])[:, None]
+    c1s = s_at(xp.broadcast_to(
+        xp.minimum(63, xp.maximum(valid - 1, 0))[:, None], pos.shape))
+    strg = ((63 - pos) * c0 + (pos + 1) * c1s + 32) >> 6
+    return xp.where((kind == 0)[:, None], raw,
+                    xp.where((kind == 1)[:, None], filt, strg))
+
+
+def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
+                    consts, xp):
+    """Apply one z-order intra op slot across all wavefront lanes.
+
+    plane/resid: padded int32 planes (content at [0:H, 0:W], pad >=
+    S+1 below/right); op [L, 7] = (used, y0, x0, sl2, mode, vx, vy).
+    Evaluates planar/DC/H/V/angular exactly as intra.py /
+    intra_angular.py and writes the masked (size x size [+ DC stray
+    pixel]) region fused with the residual plane."""
+    (SEL, POSA, FIXON, FIXIDX, FIXPOS, ROWST, COEFC1, FILTK,
+     TRANSP) = consts
+    used = op[:, 0]
+    y0, x0 = op[:, 1], op[:, 2]
+    sl2 = xp.clip(op[:, 3], 2, 5)
+    mode = op[:, 4]
+    vx, vy = op[:, 5], op[:, 6]
+    Lb = op.shape[0]
+    size = xp.left_shift(1, sl2)
+    two_sz = xp.left_shift(2, sl2)
+    NV = 2 * S + 2
+    ar = xp.arange(-1, NV + 1)
+    ly = xp.clip(y0[:, None] + ar[None, :], 0, H - 1)
+    lxc = xp.clip(x0 - 1, 0, W - 1)
+    RAWL = plane[ly, lxc[:, None]]                       # src_L[-1..NV]
+    tyc = xp.clip(y0 - 1, 0, H - 1)
+    tx = xp.clip(x0[:, None] + ar[None, :], 0, W - 1)
+    RAWT = plane[tyc[:, None], tx]                       # src_T[-1..NV]
+    corner = RAWT[:, 0]
+    L0 = RAWL[:, 1]
+    T0 = RAWT[:, 1]
+    omin_L = xp.where(vx > 0, -1, 0)
+    omin_T = xp.where(vy > 0, -1, 0)
+    omL = xp.minimum(two_sz, vy)
+    omT = xp.minimum(two_sz, vx)
+    rawcL, filtL, strongL = _side_arrays(RAWL, omin_L, omL, T0, NV, xp)
+    rawcT, filtT, strongT = _side_arrays(RAWT, omin_T, omT, L0, NV, xp)
+
+    ys = xp.arange(S)
+    xs = xp.arange(S)
+    gy = ys[None, :, None]
+    gx = xs[None, None, :]
+    sz3 = size[:, None, None]
+
+    # ---- strong-smoothing detect (h265.cpp:2435-2456) ----
+    if is_luma and strong_en:
+        def onedir(lt, RAW, vl):
+            d64 = lt + RAW[:, 64] - 2 * RAW[:, 32]
+            d32 = lt - RAW[:, 32]
+            return xp.where(vl >= 64, d64 * d64 < 64,
+                            xp.where(vl >= 32, d32 * d32 < 64, True))
+
+        dflag = xp.where(
+            vx > 0,
+            xp.where(vy > 0,
+                     onedir(corner, RAWT, vx) & onedir(corner, RAWL, vy),
+                     onedir(T0, RAWT, vx)),
+            xp.where(vy > 0, onedir(L0, RAWL, vy), False))
+        dflag = dflag & (sl2 == 5)
+    else:
+        dflag = xp.zeros((Lb,), bool)
+
+    # ---- planar (h265.cpp:2411-2430) ----
+    if is_luma:
+        pl_filt = sl2 >= 3
+        lineL = xp.where((pl_filt & dflag)[:, None], strongL,
+                         xp.where(pl_filt[:, None], filtL, rawcL))
+        lineT = xp.where((pl_filt & dflag)[:, None], strongT,
+                         xp.where(pl_filt[:, None], filtT, rawcT))
+    else:
+        lineL, lineT = rawcL, rawcT
+    left_bn = xp.where((vy > 0)[:, None], lineL[:, 1 : S + 2],
+                       T0[:, None])
+    top_bn = xp.where((vx > 0)[:, None], lineT[:, 1 : S + 2],
+                      L0[:, None])
+    lb = xp.take_along_axis(left_bn, size[:, None], 1)[:, 0]
+    rt = xp.take_along_axis(top_bn, size[:, None], 1)[:, 0]
+    lv = left_bn[:, :S]
+    tbn = top_bn[:, :S]
+    planar = ((xp.left_shift(lv, sl2[:, None])[:, :, None]
+               + (ys + 1)[None, :, None] * lb[:, None, None]
+               + (xs + 1)[None, None, :]
+               * (rt[:, None, None] - lv[:, :, None])
+               + tbn[:, None, :] * (sz3 - 1 - gy)
+               + sz3) >> (sl2[:, None, None] + 1))
+    planar = xp.where(((vx <= 0) & (vy <= 0))[:, None, None], 128,
+                      planar)
+
+    # ---- DC (h265.cpp:2348-2410) ----
+    TT = RAWT[:, 1 : S + 1]
+    LL = RAWL[:, 1 : S + 1]
+    idxS = xp.arange(S)
+
+    def edge_sum(vec, vm, vs, fb):
+        msk = idxS[None, :] < xp.minimum(size, xp.maximum(vm, 0))[:, None]
+        sfull = xp.sum(vec * msk, axis=1)
+        lastv = xp.take_along_axis(
+            vec, xp.clip(vm - 1, 0, S - 1)[:, None], 1)[:, 0]
+        return xp.where(size <= vm, sfull,
+                        xp.where(vm > 0, sfull + lastv * (size - vm),
+                                 xp.where(vs > 0, fb * size, 128 * size)))
+
+    st = edge_sum(TT, vx, vy, L0)
+    slf = edge_sum(LL, vy, vx, T0)
+    dc = (st + slf + size) >> (sl2 + 1)
+    dcg = xp.broadcast_to(dc[:, None, None], (Lb, S, S))
+    dc1v = (T0 + 3 * dc + 2) >> 2
+    if is_luma:
+        both = (vx > 0) & (vy > 0)
+        ton = (vx > 0) & (vy <= 0)
+        lon = (vy > 0) & (vx <= 0)
+        dcb = dc[:, None]
+        row0 = xp.where((both | ton)[:, None], (TT + 3 * dcb + 2) >> 2,
+                        ((L0 + 3 * dc + 2) >> 2)[:, None])
+        col0 = xp.where(ton[:, None], dc1v[:, None],
+                        (LL + 3 * dcb + 2) >> 2)
+        pix00 = xp.where(both, (T0 + L0 + 2 * dc + 2) >> 2,
+                         xp.where(ton, (T0 + dc + 1) >> 1,
+                                  (L0 + dc + 1) >> 1))
+        dcf = xp.where((gx >= 1) & (gy == 0), row0[:, None, :], dcg)
+        dcf = xp.where((gy >= 1) & (gx == 0),
+                       col0[:, :, None] * xp.ones((1, 1, S), xp.int32),
+                       dcf)
+        dcf = xp.where((gy == 0) & (gx == 0),
+                       pix00[:, None, None], dcf)
+        apply_f = (sl2 < 5) & (both | ton | lon)
+        dcg = xp.where(apply_f[:, None, None], dcf, dcg)
+
+    # ---- horizontal / vertical (h265.cpp:2822-2885) ----
+    dcv_h = xp.where(vx > 0, T0, 128)
+    hbase = xp.where((vy > 0)[:, None], LL, dcv_h[:, None])
+    hg = xp.broadcast_to(hbase[:, :, None], (Lb, S, S))
+    dcv_v = xp.where(vy > 0, L0, 128)
+    vbase = xp.where((vx > 0)[:, None], TT, dcv_v[:, None])
+    vg = xp.broadcast_to(vbase[:, None, :], (Lb, S, S))
+    if is_luma:
+        c0h = xp.where(vy > 0, corner, dcv_h)
+        d0h = xp.where(vy > 0, L0, dcv_h)
+        row0h = _clip255(d0h[:, None] + ((TT - c0h[:, None]) >> 1), xp)
+        condh = ((sl2 < 5) & (vx > 0))[:, None, None]
+        hg = xp.where(condh & (gy == 0), row0h[:, None, :], hg)
+        c0v = xp.where(vx > 0, corner, dcv_v)
+        d0v = xp.where(vx > 0, T0, dcv_v)
+        col0v = _clip255(d0v[:, None] + ((LL - c0v[:, None]) >> 1), xp)
+        condv = ((sl2 < 5) & (vy > 0))[:, None, None]
+        vg = xp.where(condv & (gx == 0),
+                      col0v[:, :, None] * xp.ones((1, 1, S), xp.int32),
+                      vg)
+
+    # ---- angular (h265.cpp:2663-2812) ----
+    mm = xp.clip(mode - 2, 0, 32)
+    flat = mm * 4 + (sl2 - 2)
+    selr = SEL[flat]
+    posr = POSA[flat]
+    if is_luma:
+        kf = FILTK[flat]
+        kind = xp.where(kf == 0, 0, xp.where(dflag, 2, 1))
+    else:
+        kind = xp.zeros((Lb,), xp.int32)
+    horiz = (mm < 16)
+    vmain = xp.where(horiz, vy, vx)
+    vsub = xp.where(horiz, vx, vy)
+    omin_sub = xp.where(horiz[:, None], omin_T[:, None],
+                        omin_L[:, None])[:, 0]
+    h3 = horiz[:, None]
+    mainRAWC = xp.where(h3, rawcL, rawcT)
+    mainF = xp.where(h3, filtL, filtT)
+    mainS = xp.where(h3, strongL, strongT)
+    main_arr = xp.where((kind == 0)[:, None], mainRAWC,
+                        xp.where((kind == 1)[:, None], mainF, mainS))
+    subRAW = xp.where(h3, RAWT, RAWL)
+    sub_single = xp.where(horiz, L0, T0)
+    mainvals = xp.take_along_axis(main_arr,
+                                  xp.clip(posr + 1, 0, NV), axis=1)
+    fixval = xp.take_along_axis(
+        mainRAWC, xp.clip(FIXPOS[flat] + 1, 0, NV)[:, None], 1)[:, 0]
+    karr = xp.arange(_REFCAP)
+    fixmask = (karr[None, :] == FIXIDX[flat][:, None]) \
+        & ((FIXON[flat] == 1) & (vmain >= two_sz))[:, None]
+    mainvals = xp.where(fixmask, fixval[:, None], mainvals)
+    mainvals = xp.where((vmain > 0)[:, None], mainvals,
+                        xp.where((vsub > 0)[:, None],
+                                 subRAW[:, 1][:, None], 128))
+    ev = _extra_vals(subRAW, posr, omin_sub, vsub, kind, NV, xp)
+    ev = xp.where((vsub > 0)[:, None], ev,
+                  xp.where((vmain > 0)[:, None], sub_single[:, None],
+                           128))
+    ref = xp.where(selr == 1, ev, xp.where(selr == 0, mainvals, 0))
+    r0 = ROWST[flat][:, :S]
+    c1 = COEFC1[mm][:, :S]
+    idxa = xp.clip(r0[:, :, None] + xs[None, None, :], 0, _REFCAP - 2)
+    a = xp.take_along_axis(ref, idxa.reshape(Lb, -1), 1).reshape(
+        Lb, S, S)
+    b = xp.take_along_axis(ref, (idxa + 1).reshape(Lb, -1), 1).reshape(
+        Lb, S, S)
+    c13 = c1[:, :, None]
+    ang = (a * (32 - c13) + b * c13 + 16) >> 5
+    tr = (TRANSP[mm] == 1)[:, None, None]
+    ang = xp.where(tr, xp.swapaxes(ang, 1, 2), ang)
+
+    # ---- select + residual + masked write ----
+    m3 = mode[:, None, None]
+    grid = xp.where(m3 == 0, planar,
+                    xp.where(m3 == 1, dcg,
+                             xp.where(m3 == 10, hg,
+                                      xp.where(m3 == 26, vg, ang))))
+    arS1 = xp.arange(S + 1)
+    ry = (y0[:, None] + arS1)[:, :, None]
+    rx = (x0[:, None] + arS1)[:, None, :]
+    rgn = plane[ry, rx]
+    rres = resid[ry, rx]
+    gpad = xp.concatenate(
+        [xp.concatenate([grid, xp.zeros((Lb, S, 1), xp.int32)], 2),
+         xp.zeros((Lb, 1, S + 1), xp.int32)], 1)
+    gy1 = arS1[None, :, None]
+    gx1 = arS1[None, None, :]
+    inb = (gy1 < sz3) & (gx1 < sz3)
+    newv = _clip255(gpad + rres, xp)
+    out = xp.where(inb, newv, rgn)
+    if is_luma:
+        stray = (gy1 == sz3) & (gx1 == 0) \
+            & (((used >> 1) & 1) == 1)[:, None, None]
+        out = xp.where(stray, dc1v[:, None, None], out)
+    act = ((used & 1) == 1)
+    out = xp.where(act[:, None, None], out, rgn)
+    BIG = plane.shape[0] + plane.shape[1]
+    sy = xp.where(act, y0, BIG)
+    wy = (sy[:, None] + arS1)[:, :, None]
+    return plane.at[wy, rx].set(out, mode="drop")
+
+
+# =====================================================================
+# whole-picture graph + drivers
+# =====================================================================
+
+
+@functools.lru_cache(maxsize=32)
+def _ctu_diag(cols, rows):
+    """CTU indices grouped by wavefront diagonal d = cx + 2*cy (top,
+    left, top-right CTU dependences), -1 padded."""
+    diags = {}
+    for cy in range(rows):
+        for cx in range(cols):
+            diags.setdefault(cx + 2 * cy, []).append(cy * cols + cx)
+    D = max(diags) + 1
+    Lm = max(len(v) for v in diags.values())
+    out = np.full((D, Lm), -1, np.int32)
+    for d, v in diags.items():
+        out[d, : len(v)] = v
+    return out
+
+
+def _diag_ops(plan):
+    """Host prep: per-diagonal op tensors [D, Lm, CAP, 7]."""
+    diag = _ctu_diag(plan.columns, plan.rows)
+    D, Lm = diag.shape
+    dl = np.zeros((D, Lm, plan.ops_l.shape[1], 7), np.int32)
+    dc = np.zeros((D, Lm, plan.ops_c.shape[1], 7), np.int32)
+    for d in range(D):
+        for j in range(Lm):
+            ci = diag[d, j]
+            if ci >= 0:
+                dl[d, j] = plan.ops_l[ci]
+                dc[d, j] = plan.ops_c[ci]
+    return dl, dc
+
+
+def _wavefront(y, cb, cr, res_y, res_cb, res_cr, ops_dl, ops_dc,
+               strong_en, H, W):
+    import jax
+    import jax.numpy as jnp
+
+    # flatten the (m, s) leading dims so flat = m*4 + (sl2-2) indexes
+    # directly; COEFC1 (idx 6) / TRANSP (idx 8) stay m-indexed
+    consts = tuple(
+        jnp.asarray(t if i in (6, 8)
+                    else t.reshape((-1,) + t.shape[2:]))
+        for i, t in enumerate(_ANG))
+    Hc, Wc = H >> 1, W >> 1
+
+    def step(carry, xs):
+        y_, cb_, cr_ = carry
+        opsl, opsc = xs
+
+        def lbody(k, pl):
+            op = jax.lax.dynamic_slice(
+                opsl, (0, k, 0), (opsl.shape[0], 1, 7))[:, 0]
+            return _apply_intra_op(pl, res_y, op, 32, True, strong_en,
+                                   H, W, consts, jnp)
+
+        y_ = jax.lax.fori_loop(0, opsl.shape[1], lbody, y_)
+
+        def cbody(k, pls):
+            cbp, crp = pls
+            op = jax.lax.dynamic_slice(
+                opsc, (0, k, 0), (opsc.shape[0], 1, 7))[:, 0]
+            cbp = _apply_intra_op(cbp, res_cb, op, 16, False, False,
+                                  Hc, Wc, consts, jnp)
+            crp = _apply_intra_op(crp, res_cr, op, 16, False, False,
+                                  Hc, Wc, consts, jnp)
+            return (cbp, crp)
+
+        cb_, cr_ = jax.lax.fori_loop(0, opsc.shape[1], cbody,
+                                     (cb_, cr_))
+        return (y_, cb_, cr_), None
+
+    (y, cb, cr), _ = jax.lax.scan(step, (y, cb, cr), (ops_dl, ops_dc))
+    return y, cb, cr
+
+
+def _pad_plane(p, pad, xp):
+    H, W = p.shape
+    out = xp.zeros((H + pad, W + pad), xp.int32)
+    return out.at[:H, :W].set(p.astype(xp.int32)) if xp is not np else (
+        _np_pad(p, pad))
+
+
+def _np_pad(p, pad):
+    H, W = p.shape
+    out = np.zeros((H + pad, W + pad), np.int32)
+    out[:H, :W] = p
+    return out
+
+
+def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
+                   mv, ops_dl, ops_dc, dbv, dbh, dbcv, dbch, sao_idx,
+                   sao_opt, sao_off, pool_y, pool_cb, pool_cr, cur_idx,
+                   *, H, W, strong_en, has_sao, deblock, ctb_log2,
+                   pic_w, pic_h):
+    """One picture's Phase-B graph (jit-keyed on geometry + op caps)."""
+    import jax.numpy as jnp
+
+    xp = jnp
+    res_y = residual_plane(coef_y, tu_y.astype(xp.int32), (4, 8, 16, 32),
+                           xp, True)
+    res_cb = residual_plane(coef_cb, tu_cb.astype(xp.int32), (4, 8, 16),
+                            xp, False)
+    res_cr = residual_plane(coef_cr, tu_cr.astype(xp.int32), (4, 8, 16),
+                            xp, False)
+    prior_y = pool_y[cur_idx].astype(xp.int32)
+    prior_cb = pool_cb[cur_idx].astype(xp.int32)
+    prior_cr = pool_cr[cur_idx].astype(xp.int32)
+    mask, mc_y, mc_cb, mc_cr = inter_pass(slot, mv, pool_y, pool_cb,
+                                          pool_cr, pic_w, pic_h, xp)
+    mp = xp.repeat(xp.repeat(mask, 4, 0), 4, 1)
+    y = xp.where(mp, _clip255(mc_y + res_y, xp), prior_y)
+    mpc = xp.repeat(xp.repeat(mask, 2, 0), 2, 1)
+    cb = xp.where(mpc, _clip255(mc_cb + res_cb, xp), prior_cb)
+    cr = xp.where(mpc, _clip255(mc_cr + res_cr, xp), prior_cr)
+    # intra wavefront over padded planes
+    yp = _pad_plane(y, 33, xp)
+    cbp = _pad_plane(cb, 17, xp)
+    crp = _pad_plane(cr, 17, xp)
+    ryp = _pad_plane(res_y, 33, xp)
+    rcbp = _pad_plane(res_cb, 17, xp)
+    rcrp = _pad_plane(res_cr, 17, xp)
+    yp, cbp, crp = _wavefront(yp, cbp, crp, ryp, rcbp, rcrp, ops_dl,
+                              ops_dc, strong_en, H, W)
+    y = yp[:H, :W]
+    cb = cbp[: H >> 1, : W >> 1]
+    cr = crp[: H >> 1, : W >> 1]
+    if deblock:
+        y, cb, cr = deblock_frame(y, cb, cr, dbv, dbh, dbcv, dbch, xp)
+    if has_sao:
+        y = sao_plane(y, sao_idx[:, :, 0], sao_opt[:, :, 0],
+                      sao_off[:, :, 0], ctb_log2, pic_w, pic_h, xp)
+        cb = sao_plane(cb, sao_idx[:, :, 1], sao_opt[:, :, 1],
+                       sao_off[:, :, 1], ctb_log2 - 1, pic_w >> 1,
+                       pic_h >> 1, xp)
+        cr = sao_plane(cr, sao_idx[:, :, 1], sao_opt[:, :, 2],
+                       sao_off[:, :, 2], ctb_log2 - 1, pic_w >> 1,
+                       pic_h >> 1, xp)
+    return (y.astype(xp.uint8), cb.astype(xp.uint8),
+            cr.astype(xp.uint8))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_recon(H, W, capl, capc, strong_en, has_sao, deblock,
+                  ctb_log2, pic_w, pic_h):
+    import jax
+
+    fn = functools.partial(_recon_picture, H=H, W=W,
+                           strong_en=strong_en, has_sao=has_sao,
+                           deblock=deblock, ctb_log2=ctb_log2,
+                           pic_w=pic_w, pic_h=pic_h)
+    return jax.jit(fn)
+
+
+def recon_plan(plan, pool_y, pool_cb, pool_cr):
+    """Reconstruct one plan against the pool stacks; returns device
+    (y, cb, cr) uint8 planes."""
+    if plan.multi_slice:
+        raise NotImplementedError(
+            "multi-slice pictures keep the Python path (per-slice "
+            "sao_oneframe ordering)")
+    ops_dl, ops_dc = _diag_ops(plan)
+    deblock = bool(plan.dbv[..., 0].any() or plan.dbh[..., 0].any()
+                   or (plan.dbcv >= 0).any() or (plan.dbch >= 0).any())
+    fn = _jitted_recon(plan.H, plan.W, ops_dl.shape[2], ops_dc.shape[2],
+                       bool(plan.strong_intra), bool(plan.has_sao),
+                       deblock, plan.size_log2, plan.pic_width,
+                       plan.pic_height)
+    return fn(plan.coef_y, plan.tu_y, plan.coef_cb, plan.tu_cb,
+              plan.coef_cr, plan.tu_cr,
+              plan.slot.astype(np.int32), plan.mv.astype(np.int32),
+              ops_dl, ops_dc, plan.dbv.astype(np.int32),
+              plan.dbh.astype(np.int32), plan.dbcv.astype(np.int32),
+              plan.dbch.astype(np.int32), plan.sao_idx, plan.sao_opt,
+              plan.sao_off, pool_y, pool_cb, pool_cr,
+              np.int32(plan.cur_idx))
+
+
+def replay_plans(plans, pool_size=8):
+    """Replay recorded plans through Phase B over a fresh pool (the
+    decoder's zero-initialized 8-frame pool); returns per-picture
+    (y, cb, cr) uint8 numpy planes in decode order."""
+    if not plans:
+        return []
+    H, W = plans[0].H, plans[0].W
+    pool_y = np.zeros((pool_size, H, W), np.uint8)
+    pool_cb = np.zeros((pool_size, H >> 1, W >> 1), np.uint8)
+    pool_cr = np.zeros((pool_size, H >> 1, W >> 1), np.uint8)
+    outs = []
+    for p in plans:
+        y, cb, cr = recon_plan(p, pool_y, pool_cb, pool_cr)
+        y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
+        pool_y[p.cur_idx] = y
+        pool_cb[p.cur_idx] = cb
+        pool_cr[p.cur_idx] = cr
+        outs.append((y, cb, cr))
+    return outs
