@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument("-o", dest="raw_out")
     ap.add_argument("-O", dest="md5_out")
     ap.add_argument("-n", dest="frames", type=int, default=0)
+    ap.add_argument("--jax", action="store_true",
+                    help="reconstruct via the TPU Phase-B graph "
+                         "(H.265 only for now)")
     ap.add_argument("infile")
     args = ap.parse_args(argv)
 
@@ -43,10 +46,13 @@ def main(argv=None):
         from m2dec_tpu.codecs.h264.decoder import H264Decoder as Dec
     dec = Dec()
     dec.set_data(data)
+    kw = {}
+    if args.jax and args.infile.endswith((".265", ".hevc", ".h265")):
+        kw["backend"] = "jax"
     raw = open(args.raw_out, "wb") if args.raw_out else None
     md5 = open(args.md5_out, "wb") if args.md5_out else None
     n = 0
-    for frame in dec.decode_all():
+    for frame in dec.decode_all(**kw):
         if raw:
             raw.write(cropped_nv12_bytes(frame))
         if md5:

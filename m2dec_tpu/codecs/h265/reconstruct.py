@@ -1087,3 +1087,48 @@ def replay_plans(plans, pool_size=8):
         pool_cr[p.cur_idx] = cr
         outs.append((y, cb, cr))
     return outs
+
+
+def _recon_seq(pool_y, pool_cb, pool_cr, xs, *, H, W, strong_en,
+               has_sao, deblock, ctb_log2, pic_w, pic_h):
+    """A picture sequence (GOP) as ONE graph: lax.scan over pictures
+    with the frame pool carried device-resident; each step runs the
+    whole-picture Phase-B graph and writes its pool slot."""
+    import jax
+
+    def step(pool, x):
+        py, pcb, pcr = pool
+        y, cb, cr = _recon_picture(
+            x["coef_y"], x["tu_y"], x["coef_cb"], x["tu_cb"],
+            x["coef_cr"], x["tu_cr"], x["slot"], x["mv"], x["ops_dl"],
+            x["ops_dc"], x["dbv"], x["dbh"], x["dbcv"], x["dbch"],
+            x["sao_idx"], x["sao_opt"], x["sao_off"], py, pcb, pcr,
+            x["cur_idx"], H=H, W=W, strong_en=strong_en,
+            has_sao=has_sao, deblock=deblock, ctb_log2=ctb_log2,
+            pic_w=pic_w, pic_h=pic_h)
+        idx = x["cur_idx"]
+        py = py.at[idx].set(y)
+        pcb = pcb.at[idx].set(cb)
+        pcr = pcr.at[idx].set(cr)
+        return (py, pcb, pcr), (y, cb, cr)
+
+    pool, outs = jax.lax.scan(step, (pool_y, pool_cb, pool_cr), xs)
+    return pool, outs
+
+
+_SEQ_KEYS = ("coef_y", "tu_y", "coef_cb", "tu_cb", "coef_cr", "tu_cr",
+             "slot", "mv", "dbv", "dbh", "dbcv", "dbch", "sao_idx",
+             "sao_opt", "sao_off")
+
+
+def stack_plans(plans):
+    """Host prep: stacked per-picture tensors [N, ...] for _recon_seq."""
+    xs = {}
+    for k in _SEQ_KEYS:
+        xs[k] = np.stack([np.asarray(getattr(p, k), np.int32)
+                          for p in plans])
+    dl, dc = zip(*[_diag_ops(p) for p in plans])
+    xs["ops_dl"] = np.stack(dl)
+    xs["ops_dc"] = np.stack(dc)
+    xs["cur_idx"] = np.array([p.cur_idx for p in plans], np.int32)
+    return xs

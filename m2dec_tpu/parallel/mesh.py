@@ -145,3 +145,82 @@ def h264_example_gops(n_gops, n_pics, mb_w, mb_h, pool_size=4, seed=0):
              np.zeros((n_gops, pool_size, H >> 1, W >> 1), np.uint8),
              np.zeros((n_gops, pool_size, H >> 1, W >> 1), np.uint8))
     return pools, stacked, cur_idx, _diag_lanes(mb_w, mb_h)
+
+
+# ---------------------------------------------------------------- H.265 --
+
+def h265_gop_step(mesh, H, W, ctb_log2, axis="frame"):
+    """Multi-chip H.265 decode: each mesh shard reconstructs its own
+    GOP with a device-resident frame pool (level-1 data parallelism,
+    same shape as h264_gop_step). The whole-picture Phase-B graph —
+    residual matmuls, dense MC, intra wavefront, deblock, SAO — runs
+    per shard under one pjit."""
+    from m2dec_tpu.codecs.h265.reconstruct import _recon_seq
+
+    def fn(py, pcb, pcr, xs):
+        return _recon_seq(py, pcb, pcr, xs, H=H, W=W, strong_en=False,
+                          has_sao=True, deblock=True, ctb_log2=ctb_log2,
+                          pic_w=W, pic_h=H)
+
+    vf = jax.vmap(fn, in_axes=(0, 0, 0, 0))
+    shard = NamedSharding(mesh, P(axis))
+    return jax.jit(
+        vf,
+        in_shardings=(shard, shard, shard, shard),
+        out_shardings=((shard, shard, shard), (shard, shard, shard)),
+    )
+
+
+def h265_example_gops(n_gops, n_pics, H, W, ctb_log2=4, pool_size=4,
+                      seed=0):
+    """Tiny synthetic H.265 plan batch for the multi-chip dry run."""
+    import types
+
+    from m2dec_tpu.codecs.h265.plan import H265Plan
+    from m2dec_tpu.codecs.h265.reconstruct import stack_plans
+
+    rng = np.random.default_rng(seed)
+    cols, rows = W >> ctb_log2, H >> ctb_log2
+    sps = types.SimpleNamespace(pic_width=W, pic_height=H,
+                                strong_intra_smoothing=0)
+    plans = []
+    for gi in range(n_gops * n_pics):
+        p = H265Plan(sps, cols, rows, ctb_log2)
+        # an intra DC op + a residual TU per CTU, inter cells elsewhere
+        for cy in range(rows):
+            for cx in range(cols):
+                ci = cy * cols + cx
+                y0, x0 = cy << ctb_log2, cx << ctb_log2
+                p._ops_l[ci].append([1, y0, x0, 2, 1, -1, -1])
+                p._ops_c[ci].append([1, y0 >> 1, x0 >> 1, 2, 1, -1, -1])
+                p.tu_y[y0 >> 2, x0 >> 2] = 1 | (3 << 3)
+                p.coef_y[y0 : y0 + 4, x0 : x0 + 4] = rng.integers(
+                    -40, 40, (4, 4))
+        p.slot[rows << 1 :, :, 0] = 0  # lower cells inter, zero MV
+        p.has_sao = True
+        p.cur_idx = gi % pool_size
+        p.ops_l = p.ops_c = None
+        from m2dec_tpu.codecs.h265.plan import PlanRecorder  # noqa: F401
+
+        # finalize op packing without a recorder
+        def pack(lists):
+            cap = max(1, max((len(o) for o in lists), default=0))
+            b = 1
+            while b < cap:
+                b *= 2
+            arr = np.zeros((len(lists), b, 7), np.int32)
+            for i, ops in enumerate(lists):
+                if ops:
+                    arr[i, : len(ops)] = ops
+            return arr
+
+        p.ops_l = pack(p._ops_l)
+        p.ops_c = pack(p._ops_c)
+        plans.append(p)
+    xs_all = stack_plans(plans)
+    xs = {k: v.reshape((n_gops, n_pics) + v.shape[1:])
+          for k, v in xs_all.items()}
+    pools = (np.zeros((n_gops, pool_size, H, W), np.uint8),
+             np.zeros((n_gops, pool_size, H >> 1, W >> 1), np.uint8),
+             np.zeros((n_gops, pool_size, H >> 1, W >> 1), np.uint8))
+    return pools, xs
