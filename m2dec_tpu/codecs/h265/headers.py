@@ -617,7 +617,12 @@ class H265Decoder:
         Phase-B product — the emitted output is the TPU path's.
         Multi-slice pictures keep the Python reconstruction (the
         reference runs its whole-frame SAO pass once per slice
-        segment)."""
+        segment).
+
+        ``backend="native"``: the full two-phase engine — the C++ Phase
+        A (native/h265parse.cpp) entropy-decodes each slice into plan
+        tensors and the JAX Phase B reconstructs; the Python CTU decoder
+        never runs. Single-slice pictures only (Phase-B restriction)."""
         import numpy as np
 
         from m2dec_tpu.codecs.h265.ctu import Ctu
@@ -659,6 +664,24 @@ class H265Decoder:
                 f["cr"][:] = np.asarray(cr)
             self.plans.append(plan)
             self._rec = None
+
+        self._sess = getattr(self, "_sess", None)
+
+        def finish_native():
+            if self._sess is None or self._sess.plan is None:
+                return
+            plan = self._sess.finish_picture()
+            from m2dec_tpu.codecs.h265 import reconstruct as _RC
+
+            py = np.stack([f["y"] for f in self.pool])
+            pcb = np.stack([f["cb"] for f in self.pool])
+            pcr = np.stack([f["cr"] for f in self.pool])
+            y, cb, cr = _RC.recon_plan(plan, py, pcb, pcr)
+            f = self.pool[plan.cur_idx]
+            f["y"][:] = np.asarray(y)
+            f["cb"][:] = np.asarray(cb)
+            f["cr"][:] = np.asarray(cr)
+            self.plans.append(plan)
 
         def emit(frame_idx, out_list):
             f = self.pool[frame_idx]
@@ -705,6 +728,26 @@ class H265Decoder:
                         w - sps.pic_width + sps.cropping[1],
                         sps.cropping[2],
                         hgt - sps.pic_height + sps.cropping[3])
+                if backend == "native":
+                    if hdr.first_slice or self._cur is None:
+                        finish_native()
+                        self._cur = self._find_empty_frame()
+                        if self._sess is None or \
+                                self._sess.sps is not sps:
+                            from m2dec_tpu.codecs.h265.native_session \
+                                import NativeH265Session
+
+                            self._sess = NativeH265Session(sps)
+                        self._sess.begin_picture(self._cur)
+                    cur = self._cur
+                    self.pool[cur]["poc"] = hdr.poc
+                    self._sess.run_slice(hdr, pps, sps, r, self.pool,
+                                         cur, hdr.first_slice)
+                    self._insert_dpb(cur, hdr.poc,
+                                     nal_type in (NAL_IDR_W_RADL,
+                                                  NAL_IDR_N_LP), out,
+                                     emit)
+                    continue
                 # find_empty_frame only on the first slice segment of a
                 # picture (h265.cpp:4852-4854); later segments reuse it
                 if hdr.first_slice or self._cur is None:
@@ -751,6 +794,7 @@ class H265Decoder:
                                  nal_type in (NAL_IDR_W_RADL,
                                               NAL_IDR_N_LP), out, emit)
         finish_plan()
+        finish_native()
         while self.dpb:
             emit(self.dpb.pop(0)[1], out)
         return out

@@ -161,3 +161,102 @@ def load_h264():
     except Exception:
         _h264_lib = None
     return _h264_lib
+
+
+# ----------------------------------------------------------------- H.265 --
+
+class H265SliceParams(ctypes.Structure):
+    """Mirror of native/h265parse.cpp H265SliceParams (field order must
+    match)."""
+
+    _fields_ = [
+        ("slice_type", ctypes.c_int32),
+        ("slice_qpy", ctypes.c_int32),
+        ("cabac_init_flag", ctypes.c_int32),
+        ("sao_luma", ctypes.c_int32),
+        ("sao_chroma", ctypes.c_int32),
+        ("slice_addr", ctypes.c_int32),
+        ("max_merge", ctypes.c_int32),
+        ("mvd_l1_zero", ctypes.c_int32),
+        ("temporal_mvp", ctypes.c_int32),
+        ("colocated_from_l0", ctypes.c_int32),
+        ("collocated_ref_idx", ctypes.c_int32),
+        ("num_ref_idx_minus1", ctypes.c_int32 * 2),
+        ("deblock_disabled", ctypes.c_int32),
+        ("beta_offset_div2", ctypes.c_int32),
+        ("tc_offset_div2", ctypes.c_int32),
+        ("qpc_delta", ctypes.c_int32 * 2),
+        ("sign_data_hiding", ctypes.c_int32),
+        ("transform_skip", ctypes.c_int32),
+        ("cu_qp_delta", ctypes.c_int32),
+        ("max_hier_intra", ctypes.c_int32),
+        ("max_hier_inter", ctypes.c_int32),
+        ("amp", ctypes.c_int32),
+        ("log2_parallel_merge", ctypes.c_int32),
+        ("min_cb_log2", ctypes.c_int32),
+        ("max_tb_log2", ctypes.c_int32),
+        ("min_tb_log2", ctypes.c_int32),
+        ("bit_offset", ctypes.c_int64),
+        ("ref_poc", ctypes.c_int32 * 32),
+        ("ref_fidx", ctypes.c_int32 * 32),
+        ("col_page", ctypes.c_int32),
+        ("lowdelay", ctypes.c_int32),
+        ("colmv", ctypes.c_int32 * 64),
+        ("tmv", ctypes.c_int32 * 64),
+        ("fidx_curr", ctypes.c_int32 * 32),
+        ("fidx_col", ctypes.c_int32 * 32),
+        ("cb_qp_offset", ctypes.c_int32),
+        ("cr_qp_offset", ctypes.c_int32),
+    ]
+
+
+_h265_lib = None
+_h265_tried = False
+
+
+def _build_h265():
+    _BUILD.mkdir(parents=True, exist_ok=True)
+    src = _HERE / "h265parse.cpp"
+    out = _BUILD / "libh265parse.so"
+    inc = _HERE / "h265_tables.inc"
+    if not inc.exists():
+        subprocess.run(
+            ["python3", str(_REPO / "tools" / "gen_h265_tables_c.py")],
+            check=True,
+        )
+    if out.exists() and out.stat().st_mtime >= max(
+            src.stat().st_mtime, inc.stat().st_mtime):
+        return out
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", str(out), str(src)]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def load_h265():
+    """Build+load the native H.265 Phase A; None when unavailable."""
+    global _h265_lib, _h265_tried
+    if _h265_tried:
+        return _h265_lib
+    _h265_tried = True
+    if os.environ.get("M2DEC_TPU_NO_NATIVE"):
+        return None
+    try:
+        path = _build_h265()
+        lib = ctypes.CDLL(str(path))
+        lib.h265p_new.restype = ctypes.c_void_p
+        lib.h265p_new.argtypes = [ctypes.c_int] * 5
+        lib.h265p_free.argtypes = [ctypes.c_void_p]
+        lib.h265p_begin_picture.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.h265p_slice.restype = ctypes.c_int
+        lib.h265p_slice.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(H265SliceParams)]
+        lib.h265p_finish.argtypes = [ctypes.c_void_p] + [
+            ctypes.c_void_p] * 3
+        _h265_lib = lib
+    except Exception:
+        _h265_lib = None
+    return _h265_lib
