@@ -1370,3 +1370,128 @@ def _jitted_recon_blob(layout, mb_w, mb_h, has_i8, deblock):
     fn = functools.partial(_recon_batch_blob, layout=layout, mb_w=mb_w,
                            mb_h=mb_h, has_i8=has_i8, deblock=deblock)
     return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+
+# ---------------------------------------------------------------------
+# multi-stream decode: one chip, N independent streams (GOP-per-stream
+# data parallelism on a single device — the wavefront scan steps are
+# latency-bound tiny-op chains, so widening every step by a stream axis
+# raises throughput at nearly constant wall time)
+# ---------------------------------------------------------------------
+
+
+def _recon_multi_blob(pool_y, pool_cb, pool_cr, blobs, pals, cur_idx,
+                      diag, *, layout, mb_w, mb_h, has_i8, deblock):
+    import jax
+
+    fn = functools.partial(_recon_batch_blob, layout=layout, mb_w=mb_w,
+                           mb_h=mb_h, has_i8=has_i8, deblock=deblock)
+    return jax.vmap(fn, in_axes=(0, 0, 0, 0, None, 0, None))(
+        pool_y, pool_cb, pool_cr, blobs, pals, cur_idx, diag)
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_recon_multi(layout, mb_w, mb_h, has_i8, deblock):
+    import jax
+
+    fn = functools.partial(_recon_multi_blob, layout=layout, mb_w=mb_w,
+                           mb_h=mb_h, has_i8=has_i8, deblock=deblock)
+    return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+
+@functools.lru_cache(maxsize=2)
+def _jitted_checksum():
+    import jax
+    import jax.numpy as jnp
+
+    def cks(y, cb, cr):
+        out = []
+        for a in (y, cb, cr):
+            n = a.ndim
+            flat = a.reshape(a.shape[0], -1).astype(jnp.int32)
+            w = (jnp.arange(flat.shape[1], dtype=jnp.int32) % 8191) + 1
+            out.append(jnp.stack([flat.sum(axis=1),
+                                  (flat * w[None, :]).sum(axis=1)],
+                                 axis=-1))
+            del n
+        return jnp.stack(out, axis=1)  # [N, 3, 2] int32 (mod 2^32)
+
+    return jax.jit(cks)
+
+
+def host_checksum(y, cb, cr):
+    """Host mirror of _jitted_checksum for one stream's frame stack."""
+    out = np.zeros((3, 2), np.uint64)
+    for i, a in enumerate((y, cb, cr)):
+        flat = np.ascontiguousarray(a).reshape(-1).astype(np.uint64)
+        w = (np.arange(flat.size, dtype=np.uint64) % 8191) + 1
+        out[i, 0] = flat.sum() & 0xFFFFFFFF
+        out[i, 1] = (flat * w % (1 << 32)).sum() & 0xFFFFFFFF
+    return out.astype(np.int64).astype(np.uint32).view(np.int32)
+
+
+class MultiStreamPhaseB:
+    """N independent streams decoded per device call: per-stream frame
+    pools + plan blobs, one vmapped whole-GOP Phase-B graph."""
+
+    def __init__(self, n_streams, mb_w, mb_h, pool_size):
+        import jax
+        import jax.numpy as jnp
+
+        self.n = n_streams
+        self.mb_w, self.mb_h = mb_w, mb_h
+        H, W = mb_h * 16, mb_w * 16
+
+        @jax.jit
+        def _mk():
+            return (jnp.zeros((n_streams, pool_size, H, W), jnp.uint8),
+                    jnp.zeros((n_streams, pool_size, H >> 1, W >> 1),
+                              jnp.uint8),
+                    jnp.zeros((n_streams, pool_size, H >> 1, W >> 1),
+                              jnp.uint8))
+
+        self._mk = _mk
+        self.pool = _mk()
+        self.diag = _diag_lanes(mb_w, mb_h)
+
+    def reset(self):
+        self.pool = self._mk()
+
+    def run(self, plans_per_stream):
+        """plans_per_stream: list of N equal-length plan lists with
+        identical wire layouts (e.g. N copies of one stream). Returns
+        device outs (y, cb, cr) with a leading stream axis."""
+        blobs = []
+        layout0 = None
+        pals0 = None
+        curs = []
+        st0 = None
+        for plans in plans_per_stream:
+            stacked = {k: np.stack([getattr(p, k) for p in plans])
+                       for k in _PLAN_KEYS}
+            if st0 is None:
+                st0 = stacked
+            wire = _pack_wire(stacked)
+            blob, layout, pals = _flatten_wire(wire)
+            if layout0 is None:
+                layout0, pals0 = layout, pals
+            elif layout != layout0:
+                raise ValueError("stream wire layouts differ")
+            blobs.append(blob)
+            curs.append(np.array([p.cur_idx for p in plans], np.int32))
+        has_i8 = bool(st0["kind"].max() >= 2) or bool(
+            ((st0["t8x8"] != 0) & (st0["kind"] == 0)).any())
+        deblock = bool(st0["deb_str"].any() or st0["deb_str4"].any())
+        fn = _jitted_recon_multi(layout0, self.mb_w, self.mb_h, has_i8,
+                                 deblock)
+        self.pool, outs = fn(self.pool[0], self.pool[1], self.pool[2],
+                             np.stack(blobs), pals0, np.stack(curs),
+                             self.diag)
+        return outs
+
+    @staticmethod
+    def checksums(outs):
+        """Device-side per-stream checksums: forces execution while
+        pulling only a few bytes (the bit-exactness bridge between the
+        timed device-resident run and the verified materialized run)."""
+        return np.asarray(_jitted_checksum()(*outs))
