@@ -108,7 +108,7 @@ def turbo_decode(data, check_golden=None):
     )
 
     t0 = time.perf_counter()
-    dec = H264Decoder(native=True)
+    dec = H264Decoder(native=True, plan_alloc="empty")
     dec.set_data(data)
     batcher = None
     plans_done = 0
@@ -159,7 +159,7 @@ def turbo_decode(data, check_golden=None):
 def phase_a_only_fps(data):
     from m2dec_tpu.codecs.h264.decoder import H264Decoder
 
-    dec = H264Decoder(native=True)
+    dec = H264Decoder(native=True, plan_alloc="empty")
     dec.set_data(data)
     t0 = time.perf_counter()
     n = 0
@@ -170,6 +170,8 @@ def phase_a_only_fps(data):
 
 N_STREAMS = int(sys.modules["os"].environ.get("M2DEC_TPU_BENCH_STREAMS",
                                               "4"))
+PHASE_A_THREADS = int(sys.modules["os"].environ.get(
+    "M2DEC_TPU_BENCH_THREADS", str(min(4, __import__("os").cpu_count()))))
 
 
 def turbo_multi(data, n_streams, batcher=None):
@@ -185,16 +187,24 @@ def turbo_multi(data, n_streams, batcher=None):
     from m2dec_tpu.codecs.h264.reconstruct import MultiStreamPhaseB
 
     t0 = time.perf_counter()
-    plans_per_stream = []
-    pool_size = None
-    for _ in range(n_streams):
-        dec = H264Decoder(native=True)
+
+    def decode_one(_):
+        dec = H264Decoder(native=True, plan_alloc="empty")
         dec.set_data(data)
         while dec.decode_picture() == 1:
             pass
-        plans_per_stream.append(dec.plans)
-        pool_size = len(dec.frames)
-        mbw, mbh = dec.max_x, dec.max_y
+        return dec
+
+    # Phase A threads across streams: the C++ slice decode and the
+    # batch packer release the GIL, so 2 host cores run ~2 streams'
+    # entropy decode concurrently.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=PHASE_A_THREADS) as ex:
+        decs = list(ex.map(decode_one, range(n_streams)))
+    plans_per_stream = [d.plans for d in decs]
+    pool_size = len(decs[0].frames)
+    mbw, mbh = decs[0].max_x, decs[0].max_y
     if batcher is None:
         batcher = MultiStreamPhaseB(n_streams, mbw, mbh, pool_size)
     else:

@@ -127,12 +127,15 @@ class H264Decoder:
     """H.264 Annex-B elementary stream decoder (CAVLC I slices onward)."""
 
     def __init__(self, num_frames=None, dpb_max=-1, record_plans=False,
-                 native=False, phase_b=None):
+                 native=False, phase_b=None, plan_alloc="zeros"):
         """native=True: per-MB slice decode runs in C++ (Phase A), plans
         collected without Python reconstruction. phase_b: None (plans
-        only), "jax" or "np" to reconstruct frames from each plan."""
+        only), "jax" or "np" to reconstruct frames from each plan.
+        plan_alloc="empty" (native only) skips plan zero-initialization
+        (C-side clear + coded-map gating; see NativeH264Session)."""
         self.native = native
         self.phase_b = phase_b
+        self.plan_alloc = plan_alloc if native else "zeros"
         self.native_session = None
         if native:
             record_plans = True
@@ -194,7 +197,8 @@ class H264Decoder:
         if self.native:
             from .native_session import NativeH264Session
 
-            self.native_session = NativeH264Session(self.max_x, self.max_y)
+            self.native_session = NativeH264Session(
+                self.max_x, self.max_y, plan_alloc=self.plan_alloc)
         self.inited = True
 
     @staticmethod

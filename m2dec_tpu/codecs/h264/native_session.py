@@ -22,11 +22,17 @@ def _ptr(a):
 
 
 class NativeH264Session:
-    def __init__(self, max_x, max_y):
+    def __init__(self, max_x, max_y, plan_alloc="zeros"):
+        """plan_alloc="empty" is the production fast path: plan buffers
+        are np.empty and h264p_begin_picture(clear=1) memsets the
+        densely-consumed fields in C; the coefficient planes stay
+        uninitialized behind the per-MB coded map (h264pack consumes
+        them sparsely)."""
         self.lib = load_h264()
         if self.lib is None:
             raise RuntimeError("native h264parse unavailable")
         self.max_x, self.max_y = max_x, max_y
+        self.plan_alloc = plan_alloc
         self.ctx = self.lib.h264p_new(max_x, max_y)
         self.plan = None
         self._keep = None
@@ -39,16 +45,19 @@ class NativeH264Session:
     # ------------------------------------------------------------------
     def begin_picture(self, dec):
         n = self.max_x * self.max_y
-        plan = PicturePlan(self.max_x, self.max_y)
+        fast = self.plan_alloc == "empty"
+        alloc = np.empty if fast else np.zeros
+        plan = PicturePlan(self.max_x, self.max_y, alloc=self.plan_alloc)
         plan.cur_idx = dec.cur_idx
+        plan.coded = np.empty(n, np.uint32)  # always cleared in C
         # raw records for finalize_deblock
-        self.raw_idc = np.zeros(n, np.int32)
-        self.raw_qpy = np.zeros(n, np.int32)
-        self.raw_qpc = np.zeros((n, 2), np.int32)
-        self.raw_slicehdr = np.zeros((n, 2), np.int32)
-        self.raw_str4 = np.zeros((n, 2), np.int32)
-        self.raw_str = np.zeros((n, 2), np.int64)
-        self.pcm_dense = np.zeros((n, 384), np.uint8)
+        self.raw_idc = alloc(n, np.int32)
+        self.raw_qpy = alloc(n, np.int32)
+        self.raw_qpc = alloc((n, 2), np.int32)
+        self.raw_slicehdr = alloc((n, 2), np.int32)
+        self.raw_str4 = alloc((n, 2), np.int32)
+        self.raw_str = alloc((n, 2), np.int64)
+        self.pcm_dense = np.empty((n, 384), np.uint8)  # gated by kind==4
         cc = dec.curr_col
         arrays = [
             plan.kind, plan.t8x8, plan.coef_luma, plan.coef_chroma,
@@ -58,10 +67,11 @@ class NativeH264Session:
             self.raw_idc, self.raw_qpy, self.raw_qpc, self.raw_slicehdr,
             self.raw_str4, self.raw_str,
             cc["type"], cc["ref"], cc["mv"],
+            plan.coded,
         ]
         self._keep = arrays
         ptrs = (_VOIDP * len(arrays))(*[a.ctypes.data for a in arrays])
-        self.lib.h264p_begin_picture(self.ctx, ptrs)
+        self.lib.h264p_begin_picture(self.ctx, ptrs, 1 if fast else 0)
         self.plan = plan
         return plan
 

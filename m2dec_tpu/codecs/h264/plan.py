@@ -57,28 +57,38 @@ WP_AVG = (1, 1, 0, 1)
 
 
 class PicturePlan:
-    def __init__(self, mb_w, mb_h):
+    def __init__(self, mb_w, mb_h, alloc="zeros"):
+        """alloc="empty" skips zero-initialization: only valid for the
+        native Phase A, whose h264p_begin_picture(clear=1) memsets every
+        densely-consumed field in C and gates the coefficient planes
+        behind the per-MB coded map."""
         n = mb_w * mb_h
         self.mb_w, self.mb_h, self.n = mb_w, mb_h, n
-        self.kind = np.zeros(n, np.int32)
-        self.t8x8 = np.zeros(n, np.int32)
-        self.coef_luma = np.zeros((n, 256), np.int32)
-        self.coef_chroma = np.zeros((n, 2, 4, 16), np.int32)
-        self.i4_modes = np.zeros((n, 16), np.int32)
-        self.i4_avail = np.zeros((n, 16), np.int32)
-        self.i8_modes = np.zeros((n, 4), np.int32)
-        self.i8_avail = np.zeros((n, 4), np.int32)
-        self.i16_mode = np.zeros(n, np.int32)
-        self.chroma_mode = np.zeros(n, np.int32)
-        self.mb_avail = np.zeros(n, np.int32)
-        self.mv = np.zeros((n, 16, 2, 2), np.int32)
-        self.slot = np.full((n, 4, 2), -1, np.int32)
-        self.wp = np.zeros((n, 4, 3, 4), np.int32)
+        z = np.empty if alloc == "empty" else np.zeros
+        self.kind = z(n, np.int32)
+        self.t8x8 = z(n, np.int32)
+        self.coef_luma = z((n, 256), np.int32)
+        self.coef_chroma = z((n, 2, 4, 16), np.int32)
+        self.i4_modes = z((n, 16), np.int32)
+        self.i4_avail = z((n, 16), np.int32)
+        self.i8_modes = z((n, 4), np.int32)
+        self.i8_avail = z((n, 4), np.int32)
+        self.i16_mode = z(n, np.int32)
+        self.chroma_mode = z(n, np.int32)
+        self.mb_avail = z(n, np.int32)
+        self.mv = z((n, 16, 2, 2), np.int32)
+        self.slot = (np.empty((n, 4, 2), np.int32) if alloc == "empty"
+                     else np.full((n, 4, 2), -1, np.int32))
+        self.wp = z((n, 4, 3, 4), np.int32)
         self.pcm: dict = {}
         # deblock (filled by finalize_deblock)
-        self.deb_str = np.zeros((n, 2, 4), np.int32)
-        self.deb_str4 = np.zeros((n, 2), np.int32)
-        self.deb_ab = np.full((n, 2, 6, 2), -16, np.int32)
+        self.deb_str = z((n, 2, 4), np.int32)
+        self.deb_str4 = z((n, 2), np.int32)
+        self.deb_ab = (np.empty((n, 2, 6, 2), np.int32) if alloc == "empty"
+                       else np.full((n, 2, 6, 2), -16, np.int32))
+        # per-MB coded-block bitmap (native Phase A; None for the
+        # Python recorder producers)
+        self.coded = None
         # frame-pool index this picture reconstructs into (driver use)
         self.cur_idx = -1
         self.poc = 0

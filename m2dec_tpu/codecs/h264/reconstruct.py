@@ -1194,15 +1194,23 @@ class BatchedPhaseB:
         letting host Phase A overlap with device Phase B."""
         if any(p.pcm for p in plans):
             raise NotImplementedError("PCM pictures in batched Phase B")
-        stacked = {k: np.stack([getattr(p, k) for p in plans])
-                   for k in _PLAN_KEYS}
         cur_idx = np.array([p.cur_idx for p in plans], np.int32)
-        has_i8 = bool(stacked["kind"].max() >= 2) or bool(
-            ((stacked["t8x8"] != 0) & (stacked["kind"] == 0)).any())
-        deblock = bool(stacked["deb_str"].any()
-                       or stacked["deb_str4"].any())
-        wire = _pack_wire(stacked)
-        blob, layout, pals = _flatten_wire(wire)
+        from .native_pack import pack_batches
+
+        res = (pack_batches([plans])
+               if all(p.coded is not None for p in plans) else None)
+        if res is not None:
+            blobs, layout, pals_list, has_i8, deblock = res
+            blob, pals = blobs[0], pals_list[0]
+        else:
+            stacked = {k: np.stack([getattr(p, k) for p in plans])
+                       for k in _PLAN_KEYS}
+            has_i8 = bool(stacked["kind"].max() >= 2) or bool(
+                ((stacked["t8x8"] != 0) & (stacked["kind"] == 0)).any())
+            deblock = bool(stacked["deb_str"].any()
+                           or stacked["deb_str4"].any())
+            wire = _pack_wire(stacked)
+            blob, layout, pals = _flatten_wire(wire)
         fn = _jitted_recon_blob(layout, self.mb_w, self.mb_h, has_i8,
                                 deblock)
         self.pool, outs = fn(self.pool[0], self.pool[1], self.pool[2],
@@ -1386,7 +1394,7 @@ def _recon_multi_blob(pool_y, pool_cb, pool_cr, blobs, pals, cur_idx,
 
     fn = functools.partial(_recon_batch_blob, layout=layout, mb_w=mb_w,
                            mb_h=mb_h, has_i8=has_i8, deblock=deblock)
-    return jax.vmap(fn, in_axes=(0, 0, 0, 0, None, 0, None))(
+    return jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, None))(
         pool_y, pool_cb, pool_cr, blobs, pals, cur_idx, diag)
 
 
@@ -1458,34 +1466,50 @@ class MultiStreamPhaseB:
         self.pool = self._mk()
 
     def run(self, plans_per_stream):
-        """plans_per_stream: list of N equal-length plan lists with
-        identical wire layouts (e.g. N copies of one stream). Returns
-        device outs (y, cb, cr) with a leading stream axis."""
-        blobs = []
-        layout0 = None
-        pals0 = None
-        curs = []
-        st0 = None
-        for plans in plans_per_stream:
-            stacked = {k: np.stack([getattr(p, k) for p in plans])
-                       for k in _PLAN_KEYS}
-            if st0 is None:
-                st0 = stacked
-            wire = _pack_wire(stacked)
-            blob, layout, pals = _flatten_wire(wire)
-            if layout0 is None:
-                layout0, pals0 = layout, pals
-            elif layout != layout0:
-                raise ValueError("stream wire layouts differ")
-            blobs.append(blob)
-            curs.append(np.array([p.cur_idx for p in plans], np.int32))
-        has_i8 = bool(st0["kind"].max() >= 2) or bool(
-            ((st0["t8x8"] != 0) & (st0["kind"] == 0)).any())
-        deblock = bool(st0["deb_str"].any() or st0["deb_str4"].any())
+        """plans_per_stream: list of N equal-length plan lists (layouts
+        are unified by the native packer; the Python fallback requires
+        them identical). Returns device outs (y, cb, cr) with a leading
+        stream axis."""
+        curs = [np.array([p.cur_idx for p in plans], np.int32)
+                for plans in plans_per_stream]
+        from .native_pack import pack_batches
+
+        res = (pack_batches(plans_per_stream)
+               if all(p.coded is not None
+                      for plans in plans_per_stream for p in plans)
+               else None)
+        if res is not None:
+            blobs, layout0, pals_list, has_i8, deblock = res
+            pals = {k: np.stack([pl[k] for pl in pals_list])
+                    for k in pals_list[0]}
+        else:
+            blobs = []
+            layout0 = None
+            pals = None
+            st0 = None
+            pals_list = []
+            for plans in plans_per_stream:
+                stacked = {k: np.stack([getattr(p, k) for p in plans])
+                           for k in _PLAN_KEYS}
+                if st0 is None:
+                    st0 = stacked
+                wire = _pack_wire(stacked)
+                blob, layout, pl = _flatten_wire(wire)
+                if layout0 is None:
+                    layout0 = layout
+                elif layout != layout0:
+                    raise ValueError("stream wire layouts differ")
+                blobs.append(blob)
+                pals_list.append(pl)
+            pals = {k: np.stack([pl[k] for pl in pals_list])
+                    for k in pals_list[0]}
+            has_i8 = bool(st0["kind"].max() >= 2) or bool(
+                ((st0["t8x8"] != 0) & (st0["kind"] == 0)).any())
+            deblock = bool(st0["deb_str"].any() or st0["deb_str4"].any())
         fn = _jitted_recon_multi(layout0, self.mb_w, self.mb_h, has_i8,
                                  deblock)
         self.pool, outs = fn(self.pool[0], self.pool[1], self.pool[2],
-                             np.stack(blobs), pals0, np.stack(curs),
+                             np.stack(blobs), pals, np.stack(curs),
                              self.diag)
         return outs
 

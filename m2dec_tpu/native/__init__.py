@@ -146,7 +146,18 @@ def load_h264():
         lib.h264p_new.argtypes = [ctypes.c_int, ctypes.c_int]
         lib.h264p_free.argtypes = [ctypes.c_void_p]
         lib.h264p_begin_picture.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p)]
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p), ctypes.c_int]
+        lib.h264pack_new.restype = ctypes.c_void_p
+        lib.h264pack_new.argtypes = []
+        lib.h264pack_free.argtypes = [ctypes.c_void_p]
+        lib.h264pack_measure.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int64)]
+        lib.h264pack_fill.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.h264p_set_refs.argtypes = [ctypes.c_void_p] + [
             ctypes.c_void_p] * 10
         lib.h264p_finalize_deblock.argtypes = [

@@ -144,6 +144,12 @@ struct PlanPtrs {
     int32_t *deb_slicehdr; // [n][2]
     int32_t *deb_str4;     // [n][2]  (vert, horiz)
     int64_t *deb_str;      // [n][2]  (str_vert, str_horiz)
+    // per-MB coded-block bitmap for the batch packer: bits 0..15 luma
+    // (0..3 when the MB uses the 8x8 layout), 16+c*4+b chroma. A set
+    // bit means the corresponding coef block was fully written; clear
+    // bits mean the block is semantically zero and its memory may be
+    // uninitialized (the arena path skips zeroing the coef tensors).
+    uint32_t *coded;       // [n]
 };
 
 // ---------------------------------------------------------------------
@@ -690,8 +696,11 @@ static void residual_chroma(Ctx &s, BitReader &r, int cbp, int avail) {
                 if (cnum) {
                     coeff[0] = dc[i][b];
                     memcpy(dst, coeff, 16 * sizeof(int32_t));
-                } else {
+                    s.plan.coded[s.mb_pos] |= 1u << (16 + i * 4 + b);
+                } else if (dc[i][b]) {
+                    memset(dst, 0, 16 * sizeof(int32_t));
                     dst[0] = dc[i][b];
+                    s.plan.coded[s.mb_pos] |= 1u << (16 + i * 4 + b);
                 }
             }
             new_left[i * 2] = nc[1];
@@ -705,7 +714,13 @@ static void residual_chroma(Ctx &s, BitReader &r, int cbp, int avail) {
         }
     } else {
         for (int i = 0; i < 2; i++)
-            for (int b = 0; b < 4; b++) pc[i * 64 + b * 16] = dc[i][b];
+            for (int b = 0; b < 4; b++)
+                if (dc[i][b]) {
+                    int32_t *dst = pc + i * 64 + b * 16;
+                    memset(dst, 0, 16 * sizeof(int32_t));
+                    dst[0] = dc[i][b];
+                    s.plan.coded[s.mb_pos] |= 1u << (16 + i * 4 + b);
+                }
         lc[4] = lc[5] = lc[6] = lc[7] = 0;
         tc[4] = tc[5] = tc[6] = tc[7] = 0;
     }
@@ -748,7 +763,10 @@ static int mb_intra4x4(Ctx &s, BitReader &r, int avail) {
                                           i, avail_intra);
             if (cnum < 0) return -2;
             nc[i] = cnum;
-            if (cnum) memcpy(cl + blk * 16, coeff, 16 * sizeof(int32_t));
+            if (cnum) {
+                memcpy(cl + blk * 16, coeff, 16 * sizeof(int32_t));
+                s.plan.coded[s.mb_pos] |= 1u << blk;
+            }
         }
     }
     s.left_coef[0] = nc[5]; s.left_coef[1] = nc[7];
@@ -825,7 +843,10 @@ static int mb_intra8x8(Ctx &s, BitReader &r, int avail) {
                                           b * 4, avail_intra);
             if (cnum < 0) return -2;
             cs[b] = cnum;
-            if (cnum) memcpy(cl + b * 64, coeff, 64 * sizeof(int32_t));
+            if (cnum) {
+                memcpy(cl + b * 64, coeff, 64 * sizeof(int32_t));
+                s.plan.coded[s.mb_pos] |= 1u << b;
+            }
         }
     }
     lc[0] = cs[1]; lc[1] = cs[1]; lc[2] = cs[3]; lc[3] = cs[3];
@@ -874,8 +895,11 @@ static int mb_intra16x16(Ctx &s, BitReader &r, int mbtype, int avail) {
             if (cnum) {
                 coeff[0] = dc[dci];
                 memcpy(cl + blk * 16, coeff, 16 * sizeof(int32_t));
-            } else {
+                s.plan.coded[s.mb_pos] |= 1u << blk;
+            } else if (dc[dci]) {
+                memset(cl + blk * 16, 0, 16 * sizeof(int32_t));
                 cl[blk * 16] = dc[dci];
+                s.plan.coded[s.mb_pos] |= 1u << blk;
             }
         }
         new_left[0] = nc[5]; new_left[1] = nc[7];
@@ -887,7 +911,12 @@ static int mb_intra16x16(Ctx &s, BitReader &r, int mbtype, int avail) {
             s.top_coef[s.mb_x * 8 + j] = new_top[j];
         }
     } else {
-        for (int blk = 0; blk < 16; blk++) cl[blk * 16] = dc[blk];
+        for (int blk = 0; blk < 16; blk++)
+            if (dc[blk]) {
+                memset(cl + blk * 16, 0, 16 * sizeof(int32_t));
+                cl[blk * 16] = dc[blk];
+                s.plan.coded[s.mb_pos] |= 1u << blk;
+            }
         for (int j = 0; j < 4; j++) {
             s.left_coef[j] = 0;
             s.top_coef[s.mb_x * 8 + j] = 0;
@@ -1690,6 +1719,7 @@ static int residual_luma_inter4x4(Ctx &s, BitReader &r, int cbp) {
             int by = ZPOS_Y[i], bx = ZPOS_X[i];
             int blk = (by >> 2) * 4 + (bx >> 2);
             memcpy(cl + blk * 16, coeff, 16 * sizeof(int32_t));
+            s.plan.coded[s.mb_pos] |= 1u << blk;
             str_map |= STR_MAP_BIT[i];
         }
     }
@@ -1734,7 +1764,10 @@ static int residual_luma_inter8x8(Ctx &s, BitReader &r, int cbp) {
                                       b * 4, avail);
         if (cnum < 0) return -2;
         cs[b] = cnum;
-        if (cnum) memcpy(cl + b * 64, coeff, 64 * sizeof(int32_t));
+        if (cnum) {
+            memcpy(cl + b * 64, coeff, 64 * sizeof(int32_t));
+            s.plan.coded[s.mb_pos] |= 1u << b;
+        }
     }
     lc[0] = cs[1]; lc[1] = cs[1]; lc[2] = cs[3]; lc[3] = cs[3];
     tcf[0] = cs[2]; tcf[1] = cs[2]; tcf[2] = cs[3]; tcf[3] = cs[3];
@@ -3862,7 +3895,11 @@ void h264p_free(void *ctx) {
     delete s;
 }
 
-void h264p_begin_picture(void *ctx, void **plan_ptrs) {
+/* clear != 0: the caller passed uninitialized (np.empty) plan buffers;
+ * memset every densely-consumed field here (single warm-page pass in C)
+ * EXCEPT the coefficient planes and the PCM store, whose unwritten
+ * regions are gated by the per-MB coded map / kind==4 scan. */
+void h264p_begin_picture(void *ctx, void **plan_ptrs, int clear) {
     Ctx *s = (Ctx *)ctx;
     PlanPtrs &p = s->plan;
     int i = 0;
@@ -3890,6 +3927,29 @@ void h264p_begin_picture(void *ctx, void **plan_ptrs) {
     s->curr_type = (int32_t *)plan_ptrs[i++];
     s->curr_ref = (int32_t *)plan_ptrs[i++];
     s->curr_mv = (int32_t *)plan_ptrs[i++];
+    p.coded = (uint32_t *)plan_ptrs[i++];
+    int64_t n = s->nmb;
+    memset(p.coded, 0, n * 4);
+    if (clear) {
+        memset(p.kind, 0, n * 4);
+        memset(p.t8x8, 0, n * 4);
+        memset(p.i4_modes, 0, n * 64);
+        memset(p.i4_avail, 0, n * 64);
+        memset(p.i8_modes, 0, n * 16);
+        memset(p.i8_avail, 0, n * 16);
+        memset(p.i16_mode, 0, n * 4);
+        memset(p.chroma_mode, 0, n * 4);
+        memset(p.mb_avail, 0, n * 4);
+        memset(p.mv, 0, n * 256);
+        memset(p.slot, 0xFF, n * 32);  // -1 = list unused
+        memset(p.wp, 0, n * 192);
+        memset(p.deb_idc, 0, n * 4);
+        memset(p.deb_qpy, 0, n * 4);
+        memset(p.deb_qpc, 0, n * 8);
+        memset(p.deb_slicehdr, 0, n * 8);
+        memset(p.deb_str4, 0, n * 8);
+        memset(p.deb_str, 0, n * 16);
+    }
 }
 
 void h264p_set_refs(void *ctx, const int32_t *refs /* [2][16][4] */,
@@ -3954,6 +4014,10 @@ void h264p_finalize_deblock(void *ctx, int firstline, int32_t *out_str,
     Ctx *s = (Ctx *)ctx;
     int max_x = s->max_x, max_y = s->max_y;
     int idc = 0, a_ofs = 0, b_ofs = 0;
+    /* initialize outputs here so callers may pass np.empty buffers */
+    memset(out_str, 0, (int64_t)s->nmb * 8 * 4);
+    memset(out_str4, 0, (int64_t)s->nmb * 2 * 4);
+    for (int64_t i = 0; i < (int64_t)s->nmb * 24; i++) out_ab[i] = -16;
     for (int y = 0; y < max_y; y++) {
         for (int x = 0; x < max_x; x++) {
             int p = y * max_x + x;
@@ -4016,3 +4080,405 @@ uint64_t *h264p_profile() { return g_prof; }
 namespace {
 // placeholder stubs (replaced by the inter/CABAC stages)
 }  // namespace
+
+// =====================================================================
+// Batch wire packer: PicturePlan batch -> single transport blob.
+//
+// Replaces the Python np.stack + _pack_wire + _flatten_wire path
+// (m2dec_tpu/codecs/h264/reconstruct.py) which cost ~1 s/frame at
+// 1080p in numpy. Semantics are identical: coefficient planes ship
+// sparse (big-endian bitmap of nonzero positions + packed values),
+// heavily-repeating row tensors (mv/wp/deb_ab) ship as unique-row
+// palettes + small indices, everything else ships narrowed. The
+// coded-block map lets the scan skip untouched coefficient memory, so
+// the coef tensors never need zero-initialization on the fast path.
+//
+// Protocol: Python calls h264pack_measure once per batch (builds the
+// palettes, counts nonzeros, range-checks), derives the layout/caps/
+// dtypes from meta, allocates the blob, then calls h264pack_fill with
+// per-leaf destination pointers. Measure and fill must see the same
+// pictures in the same order.
+// =====================================================================
+
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct K24 {
+    uint64_t a, b, c;
+    bool operator==(const K24 &o) const {
+        return a == o.a && b == o.b && c == o.c;
+    }
+};
+struct K24Hash {
+    size_t operator()(const K24 &k) const {
+        uint64_t h = 1469598103934665603ull;
+        for (uint64_t v : {k.a, k.b, k.c}) {
+            h ^= v;
+            h *= 1099511628211ull;
+        }
+        return (size_t)h;
+    }
+};
+
+// per-picture plan pointer block (the _PLAN_KEYS order + coded)
+struct PicPtrs {
+    const int32_t *coef_luma, *coef_chroma, *t8x8, *kind;
+    const int32_t *i4_modes, *i4_avail, *i8_modes, *i8_avail;
+    const int32_t *i16_mode, *chroma_mode, *mb_avail;
+    const int32_t *mv, *slot, *wp;
+    const int32_t *deb_str, *deb_str4, *deb_ab;
+    const uint32_t *coded;
+};
+
+static PicPtrs pic_of(void **pp, int b) {
+    void **q = pp + b * 18;
+    PicPtrs o;
+    o.coef_luma = (const int32_t *)q[0];
+    o.coef_chroma = (const int32_t *)q[1];
+    o.t8x8 = (const int32_t *)q[2];
+    o.kind = (const int32_t *)q[3];
+    o.i4_modes = (const int32_t *)q[4];
+    o.i4_avail = (const int32_t *)q[5];
+    o.i8_modes = (const int32_t *)q[6];
+    o.i8_avail = (const int32_t *)q[7];
+    o.i16_mode = (const int32_t *)q[8];
+    o.chroma_mode = (const int32_t *)q[9];
+    o.mb_avail = (const int32_t *)q[10];
+    o.mv = (const int32_t *)q[11];
+    o.slot = (const int32_t *)q[12];
+    o.wp = (const int32_t *)q[13];
+    o.deb_str = (const int32_t *)q[14];
+    o.deb_str4 = (const int32_t *)q[15];
+    o.deb_ab = (const int32_t *)q[16];
+    o.coded = (const uint32_t *)q[17];
+    return o;
+}
+
+struct PackCtx {
+    // palettes (insertion-ordered rows)
+    std::unordered_map<uint64_t, int32_t> mv_map;
+    std::vector<uint64_t> mv_rows;
+    std::unordered_map<K24, int32_t, K24Hash> wp_map, ab_map;
+    std::vector<K24> wp_rows, ab_rows;
+    // measured per-row indices (u16; downcast at fill if palette small)
+    std::vector<uint16_t> mv_idx, wp_idx, ab_idx;
+    bool mv_pal_ok = true, wp_pal_ok = true;
+};
+
+// walk one picture's coded coefficient blocks; F(flat_base, width, ptr)
+template <typename F>
+static void for_coded_luma(const PicPtrs &P, int n, F f) {
+    for (int mb = 0; mb < n; mb++) {
+        uint32_t cb = P.coded[mb] & 0xFFFFu;
+        if (!cb) continue;
+        bool wide = P.t8x8[mb] || P.kind[mb] == 2;
+        int w = wide ? 64 : 16;
+        while (cb) {
+            int blk = __builtin_ctz(cb);
+            cb &= cb - 1;
+            f((int64_t)mb * 256 + blk * w, w, P.coef_luma + mb * 256 + blk * w);
+        }
+    }
+}
+
+template <typename F>
+static void for_coded_chroma(const PicPtrs &P, int n, F f) {
+    for (int mb = 0; mb < n; mb++) {
+        uint32_t cb = P.coded[mb] >> 16;
+        if (!cb) continue;
+        while (cb) {
+            int k = __builtin_ctz(cb);  // c*4 + b
+            cb &= cb - 1;
+            f((int64_t)mb * 128 + k * 16, 16, P.coef_chroma + mb * 128 + k * 16);
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void *h264pack_new() { return new PackCtx(); }
+void h264pack_free(void *pk) { delete (PackCtx *)pk; }
+
+/* meta[16]: 0 cl_maxcnt, 1 cl_min, 2 cl_max, 3 cc_maxcnt, 4 cc_min,
+ * 5 cc_max, 6 mv_rows(-1 overflow), 7 mv_min, 8 mv_max,
+ * 9 wp_rows(-1), 10 wp_min, 11 wp_max, 12 ab_rows */
+void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
+    PackCtx &pk = *(PackCtx *)pk_;
+    pk.mv_map.clear(); pk.mv_rows.clear();
+    pk.wp_map.clear(); pk.wp_rows.clear();
+    pk.ab_map.clear(); pk.ab_rows.clear();
+    pk.mv_pal_ok = pk.wp_pal_ok = true;
+    pk.mv_idx.resize((size_t)B * n * 16);
+    pk.wp_idx.resize((size_t)B * n * 4);
+    pk.ab_idx.resize((size_t)B * n);
+    int64_t cl_maxcnt = 0, cc_maxcnt = 0;
+    int64_t cl_min = 0, cl_max = 0, cc_min = 0, cc_max = 0;
+    int64_t mv_min = 0, mv_max = 0, wp_min = 0, wp_max = 0;
+    int64_t has_i8 = 0, deblock = 0;
+    for (int b = 0; b < B; b++) {
+        PicPtrs P = pic_of(pp, b);
+        // jit-variant flags (has_i8 / deblock in reconstruct.py)
+        if (!has_i8)
+            for (int mb = 0; mb < n; mb++)
+                if (P.kind[mb] == 2 || (P.t8x8[mb] && P.kind[mb] == 0)) {
+                    has_i8 = 1;
+                    break;
+                }
+        if (!deblock) {
+            for (int64_t k = 0; k < (int64_t)n * 8 && !deblock; k++)
+                if (P.deb_str[k]) deblock = 1;
+            for (int64_t k = 0; k < (int64_t)n * 2 && !deblock; k++)
+                if (P.deb_str4[k]) deblock = 1;
+        }
+        int64_t cnt = 0;
+        for_coded_luma(P, n, [&](int64_t, int w, const int32_t *v) {
+            for (int k = 0; k < w; k++) {
+                int32_t x = v[k];
+                if (x) {
+                    cnt++;
+                    if (x < cl_min) cl_min = x;
+                    if (x > cl_max) cl_max = x;
+                }
+            }
+        });
+        if (cnt > cl_maxcnt) cl_maxcnt = cnt;
+        cnt = 0;
+        for_coded_chroma(P, n, [&](int64_t, int w, const int32_t *v) {
+            for (int k = 0; k < w; k++) {
+                int32_t x = v[k];
+                if (x) {
+                    cnt++;
+                    if (x < cc_min) cc_min = x;
+                    if (x > cc_max) cc_max = x;
+                }
+            }
+        });
+        if (cnt > cc_maxcnt) cc_maxcnt = cnt;
+        // mv palette: rows of 4 int16
+        uint16_t *mi = pk.mv_idx.data() + (size_t)b * n * 16;
+        for (int64_t r = 0; r < (int64_t)n * 16; r++) {
+            const int32_t *v = P.mv + r * 4;
+            uint64_t key = 0;
+            for (int k = 0; k < 4; k++) {
+                int32_t x = v[k];
+                if (x < mv_min) mv_min = x;
+                if (x > mv_max) mv_max = x;
+                key |= (uint64_t)(uint16_t)(int16_t)x << (k * 16);
+            }
+            if (pk.mv_pal_ok) {
+                auto it = pk.mv_map.find(key);
+                int32_t id;
+                if (it == pk.mv_map.end()) {
+                    id = (int32_t)pk.mv_rows.size();
+                    if (id > 65535) { pk.mv_pal_ok = false; continue; }
+                    pk.mv_map.emplace(key, id);
+                    pk.mv_rows.push_back(key);
+                } else {
+                    id = it->second;
+                }
+                mi[r] = (uint16_t)id;
+            }
+        }
+        // wp palette: rows of 12 int16 (24 bytes)
+        uint16_t *wi = pk.wp_idx.data() + (size_t)b * n * 4;
+        for (int64_t r = 0; r < (int64_t)n * 4; r++) {
+            const int32_t *v = P.wp + r * 12;
+            K24 key = {0, 0, 0};
+            uint64_t *kp = &key.a;
+            for (int k = 0; k < 12; k++) {
+                int32_t x = v[k];
+                if (x < wp_min) wp_min = x;
+                if (x > wp_max) wp_max = x;
+                kp[k >> 2] |= (uint64_t)(uint16_t)(int16_t)x
+                              << ((k & 3) * 16);
+            }
+            if (pk.wp_pal_ok) {
+                auto it = pk.wp_map.find(key);
+                int32_t id;
+                if (it == pk.wp_map.end()) {
+                    id = (int32_t)pk.wp_rows.size();
+                    if (id > 65535) { pk.wp_pal_ok = false; continue; }
+                    pk.wp_map.emplace(key, id);
+                    pk.wp_rows.push_back(key);
+                } else {
+                    id = it->second;
+                }
+                wi[r] = (uint16_t)id;
+            }
+        }
+        // deb_ab palette: rows of 24 int8 (values always fit int8)
+        uint16_t *ai = pk.ab_idx.data() + (size_t)b * n;
+        for (int64_t r = 0; r < n; r++) {
+            const int32_t *v = P.deb_ab + r * 24;
+            K24 key = {0, 0, 0};
+            uint8_t *kb = (uint8_t *)&key;
+            for (int k = 0; k < 24; k++) kb[k] = (uint8_t)(int8_t)v[k];
+            auto it = pk.ab_map.find(key);
+            int32_t id;
+            if (it == pk.ab_map.end()) {
+                id = (int32_t)pk.ab_rows.size();
+                pk.ab_map.emplace(key, id);
+                pk.ab_rows.push_back(key);
+            } else {
+                id = it->second;
+            }
+            ai[r] = (uint16_t)(id & 0xFFFF);
+        }
+    }
+    meta[0] = cl_maxcnt; meta[1] = cl_min; meta[2] = cl_max;
+    meta[3] = cc_maxcnt; meta[4] = cc_min; meta[5] = cc_max;
+    meta[6] = pk.mv_pal_ok ? (int64_t)pk.mv_rows.size() : -1;
+    meta[7] = mv_min; meta[8] = mv_max;
+    meta[9] = pk.wp_pal_ok ? (int64_t)pk.wp_rows.size() : -1;
+    meta[10] = wp_min; meta[11] = wp_max;
+    meta[12] = (int64_t)pk.ab_rows.size() <= 65535
+                   ? (int64_t)pk.ab_rows.size() : -1;
+    meta[13] = has_i8;
+    meta[14] = deblock;
+    meta[15] = 0;
+}
+
+/* leaf destination pointers, canonical (alphabetical) wire order:
+ *  0 chroma_mode  1 coef_chroma.bits|dense  2 coef_chroma.vals
+ *  3 coef_luma.bits|dense  4 coef_luma.vals  5 deb_ab.idx|dense
+ *  6 deb_str  7 deb_str4  8 i16_mode  9 i4_avail  10 i4_modes
+ *  11 i8_avail  12 i8_modes  13 kind  14 mb_avail  15 mv.idx|dense
+ *  16 slot  17 t8x8  18 wp.idx|dense
+ * job: 0 cl_cap, 1 cl_dense, 2 cc_cap, 3 cc_dense, 4 mv_mode,
+ *      5 wp_mode, 6 ab_mode (0 pal-u8, 1 pal-u16, 2 dense-narrow,
+ *      3 dense-int32), 7/8/9 mv/wp/ab palette padded row counts */
+void h264pack_fill(void *pk_, void **pp, int B, int n, void **leaves,
+                   const int64_t *job, int16_t *mv_pal, int16_t *wp_pal,
+                   int8_t *ab_pal) {
+    PackCtx &pk = *(PackCtx *)pk_;
+    const int64_t cl_cap = job[0], cc_cap = job[2];
+    const bool cl_dense = job[1] != 0, cc_dense = job[3] != 0;
+    const int mv_mode = (int)job[4], wp_mode = (int)job[5],
+              ab_mode = (int)job[6];
+    // palettes (pad rows zeroed)
+    if (mv_mode <= 1) {
+        memset(mv_pal, 0, (size_t)job[7] * 4 * 2);
+        memcpy(mv_pal, pk.mv_rows.data(), pk.mv_rows.size() * 8);
+    }
+    if (wp_mode <= 1) {
+        memset(wp_pal, 0, (size_t)job[8] * 12 * 2);
+        memcpy(wp_pal, pk.wp_rows.data(), pk.wp_rows.size() * 24);
+    }
+    if (ab_mode <= 1) {
+        memset(ab_pal, 0, (size_t)job[9] * 24);
+        memcpy(ab_pal, pk.ab_rows.data(), pk.ab_rows.size() * 24);
+    }
+    for (int b = 0; b < B; b++) {
+        PicPtrs P = pic_of(pp, b);
+        // --- narrowed dense fields ------------------------------------
+        auto narrow8 = [&](int leaf, const int32_t *src, int64_t cnt) {
+            int8_t *d = (int8_t *)leaves[leaf] + (int64_t)b * cnt;
+            for (int64_t k = 0; k < cnt; k++) d[k] = (int8_t)src[k];
+        };
+        narrow8(0, P.chroma_mode, n);
+        narrow8(6, P.deb_str, (int64_t)n * 8);   // uint8 == same bits
+        narrow8(7, P.deb_str4, (int64_t)n * 2);
+        narrow8(8, P.i16_mode, n);
+        narrow8(9, P.i4_avail, (int64_t)n * 16);
+        narrow8(10, P.i4_modes, (int64_t)n * 16);
+        narrow8(11, P.i8_avail, (int64_t)n * 4);
+        narrow8(12, P.i8_modes, (int64_t)n * 4);
+        narrow8(13, P.kind, n);
+        narrow8(14, P.mb_avail, n);
+        narrow8(16, P.slot, (int64_t)n * 8);
+        narrow8(17, P.t8x8, n);
+        // --- coefficient planes ---------------------------------------
+        if (cl_dense) {
+            int32_t *d = (int32_t *)leaves[3] + (int64_t)b * n * 256;
+            memset(d, 0, (int64_t)n * 256 * 4);
+            for_coded_luma(P, n, [&](int64_t ofs, int w, const int32_t *v) {
+                memcpy(d + ofs, v, w * 4);
+            });
+        } else {
+            uint8_t *bits = (uint8_t *)leaves[3] + (int64_t)b * n * 32;
+            int16_t *vals = (int16_t *)leaves[4] + (int64_t)b * cl_cap;
+            memset(bits, 0, (int64_t)n * 32);
+            memset(vals, 0, cl_cap * 2);
+            int64_t c = 0;
+            for_coded_luma(P, n, [&](int64_t ofs, int w, const int32_t *v) {
+                for (int k = 0; k < w; k++) {
+                    int32_t x = v[k];
+                    if (x) {
+                        int64_t j = ofs + k;
+                        bits[j >> 3] |= 0x80u >> (j & 7);
+                        vals[c++] = (int16_t)x;
+                    }
+                }
+            });
+        }
+        if (cc_dense) {
+            int32_t *d = (int32_t *)leaves[1] + (int64_t)b * n * 128;
+            memset(d, 0, (int64_t)n * 128 * 4);
+            for_coded_chroma(P, n, [&](int64_t ofs, int w, const int32_t *v) {
+                memcpy(d + ofs, v, w * 4);
+            });
+        } else {
+            uint8_t *bits = (uint8_t *)leaves[1] + (int64_t)b * n * 16;
+            int16_t *vals = (int16_t *)leaves[2] + (int64_t)b * cc_cap;
+            memset(bits, 0, (int64_t)n * 16);
+            memset(vals, 0, cc_cap * 2);
+            int64_t c = 0;
+            for_coded_chroma(P, n, [&](int64_t ofs, int w, const int32_t *v) {
+                for (int k = 0; k < w; k++) {
+                    int32_t x = v[k];
+                    if (x) {
+                        int64_t j = ofs + k;
+                        bits[j >> 3] |= 0x80u >> (j & 7);
+                        vals[c++] = (int16_t)x;
+                    }
+                }
+            });
+        }
+        // --- paletted / dense-fallback row tensors ---------------------
+        auto put_idx = [&](int leaf, int mode, const uint16_t *idx,
+                           int64_t rows) {
+            if (mode == 0) {
+                uint8_t *d = (uint8_t *)leaves[leaf] + (int64_t)b * rows;
+                for (int64_t k = 0; k < rows; k++) d[k] = (uint8_t)idx[k];
+            } else {
+                uint16_t *d = (uint16_t *)leaves[leaf] + (int64_t)b * rows;
+                memcpy(d, idx, rows * 2);
+            }
+        };
+        if (mv_mode <= 1) {
+            put_idx(15, mv_mode, pk.mv_idx.data() + (size_t)b * n * 16,
+                    (int64_t)n * 16);
+        } else if (mv_mode == 2) {
+            int16_t *d = (int16_t *)leaves[15] + (int64_t)b * n * 64;
+            for (int64_t k = 0; k < (int64_t)n * 64; k++)
+                d[k] = (int16_t)P.mv[k];
+        } else {
+            memcpy((int32_t *)leaves[15] + (int64_t)b * n * 64, P.mv,
+                   (int64_t)n * 64 * 4);
+        }
+        if (wp_mode <= 1) {
+            put_idx(18, wp_mode, pk.wp_idx.data() + (size_t)b * n * 4,
+                    (int64_t)n * 4);
+        } else if (wp_mode == 2) {
+            int16_t *d = (int16_t *)leaves[18] + (int64_t)b * n * 48;
+            for (int64_t k = 0; k < (int64_t)n * 48; k++)
+                d[k] = (int16_t)P.wp[k];
+        } else {
+            memcpy((int32_t *)leaves[18] + (int64_t)b * n * 48, P.wp,
+                   (int64_t)n * 48 * 4);
+        }
+        if (ab_mode <= 1) {
+            put_idx(5, ab_mode, pk.ab_idx.data() + (size_t)b * n, n);
+        } else {
+            int8_t *d = (int8_t *)leaves[5] + (int64_t)b * n * 24;
+            for (int64_t k = 0; k < (int64_t)n * 24; k++)
+                d[k] = (int8_t)P.deb_ab[k];
+        }
+    }
+}
+
+}  // extern "C"

@@ -157,3 +157,105 @@ def test_batched_phase_b():
     for k, (got, exp) in enumerate(zip(outs, expected)):
         for pi, pl in enumerate(("y", "cb", "cr")):
             assert np.array_equal(got[pi], exp[pi]), f"pic {k} {pl}"
+
+
+def test_native_pack_wire():
+    """The C++ batch packer (h264pack_measure/fill) must be semantically
+    identical to the Python _pack_wire path: unpacking its blob yields
+    the exact dense plan tensors, including on empty-alloc plans (whose
+    uncoded coefficient memory is uninitialized behind the coded map)
+    and across a multi-stream batch with differing content (common
+    layout, per-stream palettes)."""
+    from m2dec_tpu.native import load_h264
+
+    if load_h264() is None:
+        pytest.skip("native toolchain unavailable")
+    import jax.numpy as jnp
+
+    from m2dec_tpu.codecs.h264 import reconstruct as R
+    from m2dec_tpu.codecs.h264.native_pack import pack_batches
+
+    gens = [
+        (H264BGen(48, 32, seed=3, skip_prob=0.25, intra_prob=0.15,
+                  num_ref_frames=2, b_direct_prob=0.3, direct_spatial=1,
+                  qp=30), "IPBPBB"),
+        (H264HighGen(48, 32, seed=9, skip_prob=0.15, intra_prob=0.2,
+                     qp=24, disable_deblock=False), "IPPIPP"),
+    ]
+    datas = [g.generate(pat) for g, pat in gens]
+    truth = []
+    fast = []
+    for data in datas:
+        d0 = H264Decoder(dpb_max=1, native=True)
+        d0.set_data(data)
+        while d0.decode_picture() == 1:
+            pass
+        truth.append({k: np.stack([getattr(p, k) for p in d0.plans])
+                      for k in R._PLAN_KEYS})
+        d1 = H264Decoder(dpb_max=1, native=True, plan_alloc="empty")
+        d1.set_data(data)
+        while d1.decode_picture() == 1:
+            pass
+        fast.append(d1.plans)
+    res = pack_batches(fast)
+    assert res is not None
+    blobs, layout, pals_list, has_i8, deblock = res
+    assert has_i8 and deblock
+    for si in range(len(datas)):
+        wire = R._unflatten_wire(jnp.asarray(blobs[si]), layout, jnp)
+        dense = R._unpack_wire(wire, jnp, pals_list[si])
+        for k in R._PLAN_KEYS:
+            a = np.asarray(dense[k]).astype(np.int64)
+            b = truth[si][k].astype(np.int64)
+            assert a.shape == b.shape, f"stream {si} {k} shape"
+            assert np.array_equal(a, b), f"stream {si} {k} values"
+
+
+def test_multistream_phase_b_mixed():
+    """MultiStreamPhaseB with DIFFERENT streams per lane (native pack
+    unifies the layout; palettes ship per-stream, stacked)."""
+    from m2dec_tpu.native import load_h264
+
+    if load_h264() is None:
+        pytest.skip("native toolchain unavailable")
+    from m2dec_tpu.codecs.h264.reconstruct import MultiStreamPhaseB
+
+    gens = [
+        H264BGen(48, 32, seed=5, skip_prob=0.3, intra_prob=0.2,
+                 num_ref_frames=2, qp=28),
+        H264BGen(48, 32, seed=21, skip_prob=0.1, intra_prob=0.05,
+                 num_ref_frames=2, b_direct_prob=0.4, direct_spatial=1,
+                 qp=33),
+    ]
+    datas = [g.generate("IPPBPB") for g in gens]
+    expected = []  # per stream: list of (y, cb, cr)
+    plans_per_stream = []
+    pool_size = mbw = mbh = None
+    for data in datas:
+        dec = H264Decoder(dpb_max=1, record_plans=True)
+        dec.set_data(data)
+        shadow = None
+        exp = []
+        while dec.decode_picture() == 1:
+            if shadow is None:
+                h, w = dec.frames[0].y.shape
+                shadow = [Frame(w, h) for _ in dec.frames]
+            plan = dec.plans[-1]
+            reconstruct_plan_np(plan, shadow)
+            f = shadow[plan.cur_idx]
+            exp.append((f.y.copy(), f.cb.copy(), f.cr.copy()))
+        expected.append(exp)
+        dn = H264Decoder(dpb_max=1, native=True, plan_alloc="empty")
+        dn.set_data(data)
+        while dn.decode_picture() == 1:
+            pass
+        plans_per_stream.append(dn.plans)
+        pool_size, mbw, mbh = len(dn.frames), dn.max_x, dn.max_y
+    ms = MultiStreamPhaseB(len(datas), mbw, mbh, pool_size)
+    outs = ms.run(plans_per_stream)
+    ys, cbs, crs = (np.asarray(o) for o in outs)
+    for si, exp in enumerate(expected):
+        for k, (ey, ecb, ecr) in enumerate(exp):
+            assert np.array_equal(ys[si, k], ey), f"s{si} pic{k} y"
+            assert np.array_equal(cbs[si, k], ecb), f"s{si} pic{k} cb"
+            assert np.array_equal(crs[si, k], ecr), f"s{si} pic{k} cr"
