@@ -125,7 +125,7 @@ def _build_h264():
             ["python3", str(_REPO / "tools" / "gen_h264_tables_c.py")],
             check=True,
         )
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
            "-o", str(out), str(src)]
     subprocess.run(cmd, check=True, capture_output=True)
     return out

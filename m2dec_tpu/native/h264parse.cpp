@@ -72,11 +72,21 @@ struct BitReader {
         }
     }
     void fill() {
-        while (ncache <= 56) {
-            uint64_t b = (p < end) ? *p++ : 0;
-            cache |= b << (56 - ncache);
+        // unaligned 32-bit loads replace the byte loop (bit-exact: same
+        // bytes, same order); cache stays >= 33 valid bits, enough for
+        // every show/get caller (max field width is 32)
+        while (ncache <= 32 && p + 4 <= end) {
+            uint32_t v;
+            memcpy(&v, p, 4);
+            cache |= (uint64_t)__builtin_bswap32(v) << (32 - ncache);
+            p += 4;
+            ncache += 32;
+        }
+        while (ncache <= 56 && p < end) {
+            cache |= (uint64_t)*p++ << (56 - ncache);
             ncache += 8;
         }
+        if (ncache <= 32) ncache = 64;  // past EOF: zero-padded tail
     }
     uint32_t show(int n) { return (uint32_t)(cache >> (64 - n)); }
     void skip(int n) {
@@ -4258,8 +4268,12 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
             }
         });
         if (cnt > cc_maxcnt) cc_maxcnt = cnt;
-        // mv palette: rows of 4 int16
+        // mv palette: rows of 4 int16. MV fields are piecewise-constant
+        // (one MV per partition), so a previous-row memo skips the hash
+        // lookup for the vast majority of rows.
         uint16_t *mi = pk.mv_idx.data() + (size_t)b * n * 16;
+        uint64_t mv_prev_key = ~0ull;
+        int32_t mv_prev_id = 0;
         for (int64_t r = 0; r < (int64_t)n * 16; r++) {
             const int32_t *v = P.mv + r * 4;
             uint64_t key = 0;
@@ -4270,21 +4284,29 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
                 key |= (uint64_t)(uint16_t)(int16_t)x << (k * 16);
             }
             if (pk.mv_pal_ok) {
-                auto it = pk.mv_map.find(key);
                 int32_t id;
-                if (it == pk.mv_map.end()) {
-                    id = (int32_t)pk.mv_rows.size();
-                    if (id > 65535) { pk.mv_pal_ok = false; continue; }
-                    pk.mv_map.emplace(key, id);
-                    pk.mv_rows.push_back(key);
+                if (key == mv_prev_key) {
+                    id = mv_prev_id;
                 } else {
-                    id = it->second;
+                    auto it = pk.mv_map.find(key);
+                    if (it == pk.mv_map.end()) {
+                        id = (int32_t)pk.mv_rows.size();
+                        if (id > 65535) { pk.mv_pal_ok = false; continue; }
+                        pk.mv_map.emplace(key, id);
+                        pk.mv_rows.push_back(key);
+                    } else {
+                        id = it->second;
+                    }
+                    mv_prev_key = key;
+                    mv_prev_id = id;
                 }
                 mi[r] = (uint16_t)id;
             }
         }
         // wp palette: rows of 12 int16 (24 bytes)
         uint16_t *wi = pk.wp_idx.data() + (size_t)b * n * 4;
+        K24 wp_prev_key = {~0ull, 0, 0};
+        int32_t wp_prev_id = 0;
         for (int64_t r = 0; r < (int64_t)n * 4; r++) {
             const int32_t *v = P.wp + r * 12;
             K24 key = {0, 0, 0};
@@ -4297,34 +4319,48 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
                               << ((k & 3) * 16);
             }
             if (pk.wp_pal_ok) {
-                auto it = pk.wp_map.find(key);
                 int32_t id;
-                if (it == pk.wp_map.end()) {
-                    id = (int32_t)pk.wp_rows.size();
-                    if (id > 65535) { pk.wp_pal_ok = false; continue; }
-                    pk.wp_map.emplace(key, id);
-                    pk.wp_rows.push_back(key);
+                if (key == wp_prev_key) {
+                    id = wp_prev_id;
                 } else {
-                    id = it->second;
+                    auto it = pk.wp_map.find(key);
+                    if (it == pk.wp_map.end()) {
+                        id = (int32_t)pk.wp_rows.size();
+                        if (id > 65535) { pk.wp_pal_ok = false; continue; }
+                        pk.wp_map.emplace(key, id);
+                        pk.wp_rows.push_back(key);
+                    } else {
+                        id = it->second;
+                    }
+                    wp_prev_key = key;
+                    wp_prev_id = id;
                 }
                 wi[r] = (uint16_t)id;
             }
         }
         // deb_ab palette: rows of 24 int8 (values always fit int8)
         uint16_t *ai = pk.ab_idx.data() + (size_t)b * n;
+        K24 ab_prev_key = {~0ull, 0, 0};
+        int32_t ab_prev_id = 0;
         for (int64_t r = 0; r < n; r++) {
             const int32_t *v = P.deb_ab + r * 24;
             K24 key = {0, 0, 0};
             uint8_t *kb = (uint8_t *)&key;
             for (int k = 0; k < 24; k++) kb[k] = (uint8_t)(int8_t)v[k];
-            auto it = pk.ab_map.find(key);
             int32_t id;
-            if (it == pk.ab_map.end()) {
-                id = (int32_t)pk.ab_rows.size();
-                pk.ab_map.emplace(key, id);
-                pk.ab_rows.push_back(key);
+            if (key == ab_prev_key) {
+                id = ab_prev_id;
             } else {
-                id = it->second;
+                auto it = pk.ab_map.find(key);
+                if (it == pk.ab_map.end()) {
+                    id = (int32_t)pk.ab_rows.size();
+                    pk.ab_map.emplace(key, id);
+                    pk.ab_rows.push_back(key);
+                } else {
+                    id = it->second;
+                }
+                ab_prev_key = key;
+                ab_prev_id = id;
             }
             ai[r] = (uint16_t)(id & 0xFFFF);
         }
