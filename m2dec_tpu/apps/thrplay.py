@@ -32,9 +32,16 @@ def main(argv=None):
     ap.add_argument("-o", dest="raw_out")
     ap.add_argument("-O", dest="md5_out")
     ap.add_argument("-t", dest="trace_out")
+    ap.add_argument("-d", "--display", choices=("ansi", "ascii", "none"),
+                    default="none",
+                    help="terminal display (ansi = truecolor half-blocks,"
+                         " ascii = aadisp-style luma art)")
+    ap.add_argument("-r", "--rate", type=float, default=0.0,
+                    help="display pacing in frames/s (0 = unpaced)")
     ap.add_argument("infile")
     args = ap.parse_args(argv)
 
+    from m2dec_tpu.runtime.display import make_display
     from m2dec_tpu.runtime.output import cropped_nv12_bytes, frame_md5_line
     from m2dec_tpu.runtime.pipeline import Pipeline
 
@@ -42,12 +49,20 @@ def main(argv=None):
     pipe = Pipeline(data)
     raw = open(args.raw_out, "wb") if args.raw_out else None
     md5 = open(args.md5_out, "wb") if args.md5_out else None
+    disp = make_display(args.display)
+    pace = (1.0 / args.rate) if args.rate > 0 else 0.0
 
     def sink(frame):
         if raw:
             raw.write(cropped_nv12_bytes(frame))
         if md5:
             md5.write(frame_md5_line(frame))
+        if disp:
+            disp.show(frame)
+            if pace:
+                import time
+
+                time.sleep(pace)
 
     n = pipe.run(sink)
     for f in (raw, md5):

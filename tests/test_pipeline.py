@@ -63,3 +63,37 @@ def test_pipeline_h265(reference_bins, tmp_path):
     p.run(frames.append)
     ours = b"".join(cropped_nv12_bytes(f) for f in frames)
     assert ours == golden
+
+
+def test_terminal_displays_and_timingchart():
+    """Display tier (aadisp/display.cpp analogs) renders frames to
+    text; timingchart.py renders the LogDump CSV as SVG."""
+    import io
+
+    from m2dec_tpu.runtime.display import AnsiDisplay, AsciiDisplay
+    from m2dec_tpu.runtime.pipeline import Pipeline
+
+    data = Mpeg2StreamGen(48, 32, seed=1).generate("IPP")
+    pipe = Pipeline(data)
+    frames = []
+    assert pipe.run(frames.append) == 3
+    buf = io.StringIO()
+    AsciiDisplay(out=buf, max_size=(40, 12)).show(frames[0])
+    art = buf.getvalue()
+    assert len(art.splitlines()) >= 4
+    assert set(art) - set(" .:-=+*#%@\n") == set()
+    buf2 = io.StringIO()
+    d = AnsiDisplay(out=buf2, max_size=(20, 10))
+    d.show(frames[0])
+    d.show(frames[1])  # second frame repaints in place
+    s = buf2.getvalue()
+    assert "▀" in s and "\x1b[38;2;" in s and "\x1b[" in s
+
+    import pathlib
+    import sys as _sys
+
+    _sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    from timingchart import parse_csv, render_svg
+
+    svg = render_svg(parse_csv(pipe.timeline_csv()))
+    assert svg.startswith("<svg") and "rect" in svg
