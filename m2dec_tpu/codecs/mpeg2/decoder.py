@@ -335,6 +335,10 @@ class Mpeg2Decoder:
             plan.coef.ctypes.data_as(ctypes.c_void_p),
             plan.covered.ctypes.data_as(ctypes.c_void_p),
             plan.dc0.ctypes.data_as(ctypes.c_void_p),
+            plan.mvf2.ctypes.data_as(ctypes.c_void_p),
+            plan.mvb2.ctypes.data_as(ctypes.c_void_p),
+            plan.fsel.ctypes.data_as(ctypes.c_void_p),
+            plan.fieldmc.ctypes.data_as(ctypes.c_void_p),
         )
         if rc < 0:
             return None  # Python fallback (unsupported syntax)

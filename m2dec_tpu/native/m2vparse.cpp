@@ -66,6 +66,10 @@ struct State {
     int32_t *mvf, *mvb;
     int16_t *coef;
     int16_t *dc0; // pre-oddification DC per block (FAST_DECODE semantics) // [N][6][64]
+    // field motion in frame pictures (motion_type=1): second field MV,
+    // field-select bits, per-MB flag (entropy.py PicturePlan)
+    int32_t *mvf2, *mvb2;
+    uint8_t *fsel, *fieldmc;
     // config
     int mb_w, mb_h, is_mpeg2, coding_type;
     int r_size[2][2];
@@ -82,6 +86,8 @@ struct State {
     int64_t mb_i;
     int mb_y;
     int dct;
+    // motion_type triple (entropy.py): mv_count, field-format, dual-prime
+    int mt_count, mt_field, mt_dmv;
 };
 
 /* bit layout from the behaviorally-dumped mb_type tables
@@ -184,14 +190,48 @@ static int one_mv(State &s, BitReader &r, int sdir, int pair, int xy,
     return 0;
 }
 
+/* dmvector[] parse, values discarded (m2d_one_mv_with_dmv,
+ * mpeg2.cpp:1212-1220) */
+static void dmvector(BitReader &r) {
+    if (r.get(1))
+        r.get(1);
+}
+
+/* m2d_motion_vectors (mpeg2.cpp:1245-1275): frame MVs, or two field MVs
+ * with per-field reference select, or dual prime (dmvectors discarded).
+ * mv2/sel are written only in the two-MV (field) format. */
 static int motion_vectors(State &s, BitReader &r, int sdir,
-                          int64_t *mx, int64_t *my) {
-    int rc = one_mv(s, r, sdir, 0, 0, 0, mx);
-    if (rc) return rc;
-    rc = one_mv(s, r, sdir, 0, 1, 0, my);
-    if (rc) return rc;
-    s.pmv[sdir][1][0] = s.pmv[sdir][0][0];
-    s.pmv[sdir][1][1] = s.pmv[sdir][0][1];
+                          int64_t *mx, int64_t *my,
+                          int64_t *mx2, int64_t *my2, int *sel) {
+    int rc;
+    if (s.mt_count == 1) {
+        if (s.mt_field && !s.mt_dmv)
+            r.get(1); // motion_vertical_field_select (discarded)
+        rc = one_mv(s, r, sdir, 0, 0, 0, mx);
+        if (rc) return rc;
+        if (s.mt_dmv)
+            dmvector(r);
+        rc = one_mv(s, r, sdir, 0, 1, s.mt_field, my);
+        if (rc) return rc;
+        if (s.mt_dmv)
+            dmvector(r);
+        s.pmv[sdir][1][0] = s.pmv[sdir][0][0];
+        s.pmv[sdir][1][1] = s.pmv[sdir][0][1];
+        *sel = 0;
+        return 0;
+    }
+    int se = 0;
+    int64_t v[2][2];
+    for (int pair = 0; pair < 2; ++pair) {
+        se |= (int)r.get(1) << pair;
+        rc = one_mv(s, r, sdir, pair, 0, 0, &v[pair][0]);
+        if (rc) return rc;
+        rc = one_mv(s, r, sdir, pair, 1, 1, &v[pair][1]);
+        if (rc) return rc;
+    }
+    *mx = v[0][0]; *my = v[0][1];
+    *mx2 = v[1][0]; *my2 = v[1][1];
+    *sel = se;
     return 0;
 }
 
@@ -303,9 +343,19 @@ static int decode_mb_mode(State &s, BitReader &r, int *out) {
     s.mb_type = mb_type;
     int fm = s.frame_mode;
     if (mb_type & MB_MC) {
+        // frame pictures only (structure 1/2 gated in Python):
+        // m2d_motion_type[0][idx] (mpeg2.cpp:819-825)
         int idx = (fm == 1) ? (int)r.get(2) : 2;
-        if (idx != 2)
-            return -3; // field MC / dual prime: Python fallback
+        if (idx == 2)
+            s.mt_count = 1, s.mt_field = 0, s.mt_dmv = 0; // frame MVs
+        else if (idx == 1)
+            s.mt_count = 2, s.mt_field = 1, s.mt_dmv = 0; // field MVs
+        else if (idx == 3)
+            s.mt_count = 1, s.mt_field = 1, s.mt_dmv = 1; // dual prime
+        else
+            return -3; // motion_type 0: Python raises NotImplementedError
+    } else {
+        s.mt_count = 1, s.mt_field = 0, s.mt_dmv = 0;
     }
     if (fm == 1 && (mb_type & (MB_PATTERN | MB_INTRA)))
         s.dct = r.get(1);
@@ -333,8 +383,9 @@ static int parse_macroblock(State &s, BitReader &r) {
         if (mb_type & MB_QUANT)
             s.q_scale = s.qmap[r.get(5)];
         if (s.concealment) {
-            int64_t mx, my;
-            rc = motion_vectors(s, r, 0, &mx, &my);
+            int64_t mx, my, mx2, my2;
+            int sel;
+            rc = motion_vectors(s, r, 0, &mx, &my, &mx2, &my2, &sel);
             if (rc) return rc;
             if (!r.get(1))
                 return -2;
@@ -365,21 +416,35 @@ static int parse_macroblock(State &s, BitReader &r) {
         if (mb_type & MB_QUANT)
             s.q_scale = s.qmap[r.get(5)];
         if (mb_type & MB_MC) {
+            int is_field = (s.mt_count == 2);
+            s.fieldmc[i] = (uint8_t)is_field;
             if (mb_type & MB_FORWARD) {
                 s.fwd[i] = 1;
-                int64_t mx, my;
-                rc = motion_vectors(s, r, 0, &mx, &my);
+                int64_t mx, my, mx2 = 0, my2 = 0;
+                int sel = 0;
+                rc = motion_vectors(s, r, 0, &mx, &my, &mx2, &my2, &sel);
                 if (rc) return rc;
                 s.mvf[i * 2] = (int32_t)mx;
                 s.mvf[i * 2 + 1] = (int32_t)my;
+                if (is_field) {
+                    s.mvf2[i * 2] = (int32_t)mx2;
+                    s.mvf2[i * 2 + 1] = (int32_t)my2;
+                    s.fsel[i] |= (uint8_t)sel;
+                }
             }
             if (mb_type & MB_BACKWARD) {
                 s.bwd[i] = 1;
-                int64_t mx, my;
-                rc = motion_vectors(s, r, 1, &mx, &my);
+                int64_t mx, my, mx2 = 0, my2 = 0;
+                int sel = 0;
+                rc = motion_vectors(s, r, 1, &mx, &my, &mx2, &my2, &sel);
                 if (rc) return rc;
                 s.mvb[i * 2] = (int32_t)mx;
                 s.mvb[i * 2 + 1] = (int32_t)my;
+                if (is_field) {
+                    s.mvb2[i * 2] = (int32_t)mx2;
+                    s.mvb2[i * 2 + 1] = (int32_t)my2;
+                    s.fsel[i] |= (uint8_t)(sel << 2);
+                }
             }
         } else {
             s.fwd[i] = 1;
@@ -431,12 +496,14 @@ int m2v_decode_picture(const uint8_t *data, int64_t data_len,
                        uint8_t *intra, uint8_t *fwd, uint8_t *bwd,
                        int32_t *mvf, int32_t *mvb,
                        uint8_t *dct_type, int16_t *coef, uint8_t *covered,
-                       int16_t *dc0) {
+                       int16_t *dc0, int32_t *mvf2, int32_t *mvb2,
+                       uint8_t *fsel, uint8_t *fieldmc) {
     State s;
     memset(&s, 0, sizeof(s));
     s.intra = intra; s.fwd = fwd; s.bwd = bwd;
     s.dct_type = dct_type; s.covered = covered;
     s.mvf = mvf; s.mvb = mvb; s.coef = coef; s.dc0 = dc0;
+    s.mvf2 = mvf2; s.mvb2 = mvb2; s.fsel = fsel; s.fieldmc = fieldmc;
     s.mb_w = pp->mb_w; s.mb_h = pp->mb_h;
     s.is_mpeg2 = pp->is_mpeg2; s.coding_type = pp->coding_type;
     for (int k = 0; k < 4; ++k) s.r_size[k >> 1][k & 1] = pp->r_size[k];
