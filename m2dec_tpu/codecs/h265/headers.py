@@ -643,7 +643,9 @@ class H265Decoder:
                 f = self.pool[plan.cur_idx]
                 plan.oracle = (f["y"].copy(), f["cb"].copy(),
                                f["cr"].copy())
-            if backend == "jax" and not plan.multi_slice:
+            if backend == "jax" and (not plan.multi_slice
+                                     or (plan.slice_aligned
+                                         and len(plan.slice_rows) > 1)):
                 from m2dec_tpu.codecs.h265 import reconstruct as _RC
 
                 # Phase B needs the pool as it was at picture START:
@@ -773,7 +775,8 @@ class H265Decoder:
                         self._rec = PlanRecorder(ctu, cur)
                         self._rec.plan.poc = hdr.poc
                     else:
-                        self._rec.note_slice(hdr.first_slice)
+                        self._rec.note_slice(hdr.first_slice,
+                                             hdr.slice_addr)
                         self._rec.ctu = ctu
                     ctu.rec = self._rec
                 else:

@@ -74,7 +74,12 @@ class NativeH265Session:
     # ------------------------------------------------------------------
     def run_slice(self, hdr, pps, sps, r, pool, cur_idx, first_slice):
         if not first_slice:
-            self.plan.multi_slice = True
+            p = self.plan
+            p.multi_slice = True
+            if hdr.slice_addr % p.columns:
+                p.slice_aligned = False
+            else:
+                p.slice_rows.append(hdr.slice_addr // p.columns)
         sp = H265SliceParams()
         sp.slice_type = hdr.slice_type
         sp.slice_qpy = hdr.slice_qpy

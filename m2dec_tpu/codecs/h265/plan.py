@@ -90,6 +90,11 @@ class H265Plan:
         self.sao_off = np.zeros((rows, columns, 3, 4), np.int8)
         self.has_sao = False
         self.multi_slice = False
+        # CTU row of each slice-segment start (row-aligned segments; the
+        # multi-slice Phase B replays the reference's per-slice
+        # decode -> deblock -> whole-frame-SAO sequence from these)
+        self.slice_rows = [0]
+        self.slice_aligned = True
         self.cur_idx = -1
         self.poc = 0
         self.oracle = None  # test-only: post-picture oracle planes
@@ -194,9 +199,14 @@ class PlanRecorder:
             p.dbch[(y - 6) >> 3, x >> 1, ci] = tc
 
     # -- finalize ---------------------------------------------------------
-    def note_slice(self, first_slice):
+    def note_slice(self, first_slice, slice_addr=0):
         if not first_slice:
-            self.plan.multi_slice = True
+            p = self.plan
+            p.multi_slice = True
+            if slice_addr % p.columns:
+                p.slice_aligned = False  # mid-row start: Python path
+            else:
+                p.slice_rows.append(slice_addr // p.columns)
 
     def finalize_sao(self):
         """Resolve the per-CTU SAO maps through their left-merge chains

@@ -984,7 +984,7 @@ def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
                    mv, ops_dl, ops_dc, dbv, dbh, dbcv, dbch, sao_idx,
                    sao_opt, sao_off, pool_y, pool_cb, pool_cr, cur_idx,
                    *, H, W, strong_en, has_sao, deblock, ctb_log2,
-                   pic_w, pic_h):
+                   pic_w, pic_h, slices=None):
     """One picture's Phase-B graph (jit-keyed on geometry + op caps)."""
     import jax.numpy as jnp
 
@@ -1017,54 +1017,144 @@ def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
     y = yp[:H, :W]
     cb = cbp[: H >> 1, : W >> 1]
     cr = crp[: H >> 1, : W >> 1]
-    if deblock:
-        y, cb, cr = deblock_frame(y, cb, cr, dbv, dbh, dbcv, dbch, xp)
-    if has_sao:
-        y = sao_plane(y, sao_idx[:, :, 0], sao_opt[:, :, 0],
-                      sao_off[:, :, 0], ctb_log2, pic_w, pic_h, xp)
-        cb = sao_plane(cb, sao_idx[:, :, 1], sao_opt[:, :, 1],
-                       sao_off[:, :, 1], ctb_log2 - 1, pic_w >> 1,
-                       pic_h >> 1, xp)
-        cr = sao_plane(cr, sao_idx[:, :, 1], sao_opt[:, :, 2],
-                       sao_off[:, :, 2], ctb_log2 - 1, pic_w >> 1,
-                       pic_h >> 1, xp)
-    return (y.astype(xp.uint8), cb.astype(xp.uint8),
-            cr.astype(xp.uint8))
+    if slices is None:
+        if deblock:
+            y, cb, cr = deblock_frame(y, cb, cr, dbv, dbh, dbcv, dbch, xp)
+        if has_sao:
+            y = sao_plane(y, sao_idx[:, :, 0], sao_opt[:, :, 0],
+                          sao_off[:, :, 0], ctb_log2, pic_w, pic_h, xp)
+            cb = sao_plane(cb, sao_idx[:, :, 1], sao_opt[:, :, 1],
+                           sao_off[:, :, 1], ctb_log2 - 1, pic_w >> 1,
+                           pic_h >> 1, xp)
+            cr = sao_plane(cr, sao_idx[:, :, 1], sao_opt[:, :, 2],
+                           sao_off[:, :, 2], ctb_log2 - 1, pic_w >> 1,
+                           pic_h >> 1, xp)
+        return (y.astype(xp.uint8), cb.astype(xp.uint8),
+                cr.astype(xp.uint8))
+    # multi-slice (row-aligned segments): the reference decodes each
+    # slice, deblocks its (-4,-4)-shifted CTU windows, then runs the
+    # WHOLE-frame SAO pass with the SAO params parsed so far
+    # (slice_layer, h265.cpp:4849-4866) — so earlier slices' rows are
+    # SAO-filtered once per remaining slice. Cross-slice intra is
+    # unavailable (idx_in_slice gate, h265.cpp CTU availability), so the
+    # pre-deblock reconstruction above is slice-order independent; only
+    # the filter sequence below replays per slice. The edge maps and SAO
+    # maps carry a leading slice axis (host-masked snapshots).
+    ctb = 1 << ctb_log2
+    st_y, st_cb, st_cr = prior_y, prior_cb, prior_cr
+    for s, (ra, rb) in enumerate(slices):
+        ly0, ly1 = ra * ctb, min(rb * ctb, H)
+        st_y = st_y.at[ly0:ly1].set(y[ly0:ly1])
+        st_cb = st_cb.at[ly0 >> 1 : ly1 >> 1].set(cb[ly0 >> 1 : ly1 >> 1])
+        st_cr = st_cr.at[ly0 >> 1 : ly1 >> 1].set(cr[ly0 >> 1 : ly1 >> 1])
+        if deblock:
+            st_y, st_cb, st_cr = deblock_frame(
+                st_y, st_cb, st_cr, dbv[s], dbh[s], dbcv[s], dbch[s], xp)
+        if has_sao:
+            st_y = sao_plane(st_y, sao_idx[s, :, :, 0], sao_opt[s, :, :, 0],
+                             sao_off[s, :, :, 0], ctb_log2, pic_w, pic_h,
+                             xp)
+            st_cb = sao_plane(st_cb, sao_idx[s, :, :, 1],
+                              sao_opt[s, :, :, 1], sao_off[s, :, :, 1],
+                              ctb_log2 - 1, pic_w >> 1, pic_h >> 1, xp)
+            st_cr = sao_plane(st_cr, sao_idx[s, :, :, 1],
+                              sao_opt[s, :, :, 2], sao_off[s, :, :, 2],
+                              ctb_log2 - 1, pic_w >> 1, pic_h >> 1, xp)
+    return (st_y.astype(xp.uint8), st_cb.astype(xp.uint8),
+            st_cr.astype(xp.uint8))
 
 
 @functools.lru_cache(maxsize=64)
 def _jitted_recon(H, W, capl, capc, strong_en, has_sao, deblock,
-                  ctb_log2, pic_w, pic_h):
+                  ctb_log2, pic_w, pic_h, slices=None):
     import jax
 
     fn = functools.partial(_recon_picture, H=H, W=W,
                            strong_en=strong_en, has_sao=has_sao,
                            deblock=deblock, ctb_log2=ctb_log2,
-                           pic_w=pic_w, pic_h=pic_h)
+                           pic_w=pic_w, pic_h=pic_h, slices=slices)
     return jax.jit(fn)
+
+
+def _slice_masked_maps(plan):
+    """Per-slice deblock edge maps + SAO snapshots (leading slice axis).
+
+    Slice s's deblock pass covers exactly the edges its CTUs process
+    through the (-4,-4)-shifted window (deblock_ctu): luma edge rows
+    y in [ra*CTB-4, rb*CTB-4) (the last slice extends to the plane
+    tail), chroma y_c in [ra*CTB/2-2, rb*CTB/2-2). SAO snapshot s keeps
+    the final params for CTU rows < rb (parsed by slices <= s) and
+    zeroes the not-yet-parsed rows (sao_map starts zeroed)."""
+    starts = plan.slice_rows
+    S = len(starts)
+    bounds = list(starts[1:]) + [plan.rows]
+    ctb = 1 << plan.size_log2
+    dbv = np.zeros((S,) + plan.dbv.shape, np.int32)
+    dbh = np.zeros((S,) + plan.dbh.shape, np.int32)
+    dbcv = np.full((S,) + plan.dbcv.shape, -1, np.int32)
+    dbch = np.full((S,) + plan.dbch.shape, -1, np.int32)
+    sao_idx = np.zeros((S,) + plan.sao_idx.shape, plan.sao_idx.dtype)
+    sao_opt = np.zeros((S,) + plan.sao_opt.shape, plan.sao_opt.dtype)
+    sao_off = np.zeros((S,) + plan.sao_off.shape, plan.sao_off.dtype)
+    for s, (ra, rb) in enumerate(zip(starts, bounds)):
+        last = s == S - 1
+        # dbv rows r hold edge y = 4r
+        lo = max(0, (ra * ctb - 4) // 4)
+        hi = plan.dbv.shape[0] if last else max(0, (rb * ctb - 4) // 4)
+        dbv[s, lo:hi] = plan.dbv[lo:hi]
+        # dbh rows r hold edge y = 8r + 4
+        lo = max(0, (ra * ctb - 8) // 8)
+        hi = plan.dbh.shape[0] if last else max(0, (rb * ctb - 8) // 8)
+        dbh[s, lo:hi] = plan.dbh[lo:hi]
+        # dbcv rows r hold chroma edge y_c = 2r
+        lo = max(0, (ra * (ctb >> 1) - 2) // 2)
+        hi = (plan.dbcv.shape[0] if last
+              else max(0, (rb * (ctb >> 1) - 2) // 2))
+        dbcv[s, lo:hi] = plan.dbcv[lo:hi]
+        # dbch rows r hold chroma edge y_c = 8r + 6
+        lo = max(0, (ra * (ctb >> 1) - 8) // 8)
+        hi = (plan.dbch.shape[0] if last
+              else max(0, (rb * (ctb >> 1) - 8) // 8))
+        dbch[s, lo:hi] = plan.dbch[lo:hi]
+        sao_idx[s, :rb] = plan.sao_idx[:rb]
+        sao_opt[s, :rb] = plan.sao_opt[:rb]
+        sao_off[s, :rb] = plan.sao_off[:rb]
+    return dbv, dbh, dbcv, dbch, sao_idx, sao_opt, sao_off
 
 
 def recon_plan(plan, pool_y, pool_cb, pool_cr):
     """Reconstruct one plan against the pool stacks; returns device
     (y, cb, cr) uint8 planes."""
-    if plan.multi_slice:
+    multi = plan.multi_slice and len(plan.slice_rows) > 1
+    if plan.multi_slice and (not plan.slice_aligned or not multi):
         raise NotImplementedError(
-            "multi-slice pictures keep the Python path (per-slice "
-            "sao_oneframe ordering)")
+            "mid-row slice-segment starts keep the Python path "
+            "(reference chroma-base domain)")
     ops_dl, ops_dc = _diag_ops(plan)
     deblock = bool(plan.dbv[..., 0].any() or plan.dbh[..., 0].any()
                    or (plan.dbcv >= 0).any() or (plan.dbch >= 0).any())
+    if multi:
+        slices = tuple(zip(plan.slice_rows,
+                           list(plan.slice_rows[1:]) + [plan.rows]))
+        (dbv, dbh, dbcv, dbch, sao_idx, sao_opt,
+         sao_off) = _slice_masked_maps(plan)
+    else:
+        slices = None
+        dbv = plan.dbv.astype(np.int32)
+        dbh = plan.dbh.astype(np.int32)
+        dbcv = plan.dbcv.astype(np.int32)
+        dbch = plan.dbch.astype(np.int32)
+        sao_idx, sao_opt, sao_off = (plan.sao_idx, plan.sao_opt,
+                                     plan.sao_off)
     fn = _jitted_recon(plan.H, plan.W, ops_dl.shape[2], ops_dc.shape[2],
                        bool(plan.strong_intra), bool(plan.has_sao),
                        deblock, plan.size_log2, plan.pic_width,
-                       plan.pic_height)
+                       plan.pic_height, slices)
     return fn(plan.coef_y, plan.tu_y, plan.coef_cb, plan.tu_cb,
               plan.coef_cr, plan.tu_cr,
               plan.slot.astype(np.int32), plan.mv.astype(np.int32),
-              ops_dl, ops_dc, plan.dbv.astype(np.int32),
-              plan.dbh.astype(np.int32), plan.dbcv.astype(np.int32),
-              plan.dbch.astype(np.int32), plan.sao_idx, plan.sao_opt,
-              plan.sao_off, pool_y, pool_cb, pool_cr,
+              ops_dl, ops_dc, dbv, dbh, dbcv, dbch, sao_idx, sao_opt,
+              sao_off, pool_y, pool_cb, pool_cr,
               np.int32(plan.cur_idx))
 
 

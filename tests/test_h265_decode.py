@@ -332,3 +332,67 @@ def test_h265_multi_slice_sao(reference_bins, tmp_path):
     run_case(reference_bins, tmp_path,
              _MultiSliceGen(64, 48, seed=7, sao=True,
                             slices_per_pic=2), 2)
+
+
+def _run_backend_case(reference_bins, tmp_path, gen, pat, backend,
+                      want_deblock=False):
+    data = gen.generate(pat)
+    golden = oracle_decode(reference_bins, data, tmp_path)
+    assert golden
+    dec = H265Decoder()
+    dec.set_data(data)
+    out = dec.decode_all(backend=backend)
+    ours = b"".join(cropped_nv12_bytes(f) for f in out)
+    assert ours == golden
+    p0 = dec.plans[0]
+    assert p0.multi_slice and p0.slice_aligned and len(p0.slice_rows) > 1
+    if want_deblock:
+        assert p0.dbv[..., 0].any() or p0.dbh[..., 0].any()
+
+
+def test_h265_multi_slice_phase_b_jax(reference_bins, tmp_path):
+    """Multi-slice pictures through the TPU Phase B: per-slice
+    decode -> window-masked deblock -> whole-frame SAO snapshot
+    sequence (slice_layer, h265.cpp:4849-4866), active deblock."""
+    from streamgen.h265_enc import ALL_MODES
+
+    _run_backend_case(
+        reference_bins, tmp_path,
+        _MultiSliceGen(64, 48, seed=41, qp=30, cbf_prob=0.5,
+                       modes=ALL_MODES, deblock=1, max_level=1,
+                       slices_per_pic=2), 3, "jax", want_deblock=True)
+
+
+def test_h265_multi_slice_phase_b_jax_inter_sao(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    _run_backend_case(
+        reference_bins, tmp_path,
+        _MultiSliceGen(64, 48, seed=45, qp=33, sao=True, cbf_prob=0.5,
+                       modes=ALL_MODES, tmvp=1, deblock=1, max_level=1,
+                       slices_per_pic=3), "IPB", "jax", want_deblock=True)
+
+
+def test_h265_multi_slice_phase_b_jax_ctb32(reference_bins, tmp_path):
+    from streamgen.h265_enc import ALL_MODES
+
+    _run_backend_case(
+        reference_bins, tmp_path,
+        _MultiSliceGen(96, 64, seed=43, qp=37, ctb_log2=5, cbf_prob=0.4,
+                       modes=ALL_MODES, deblock=1, max_level=1,
+                       slices_per_pic=2), 2, "jax", want_deblock=True)
+
+
+def test_h265_multi_slice_phase_b_native(reference_bins, tmp_path):
+    """Native C++ Phase A + multi-slice Phase B end to end."""
+    from m2dec_tpu.native import load_h265
+    from streamgen.h265_enc import ALL_MODES
+
+    if load_h265() is None:
+        pytest.skip("native toolchain unavailable")
+    _run_backend_case(
+        reference_bins, tmp_path,
+        _MultiSliceGen(64, 48, seed=45, qp=33, sao=True, cbf_prob=0.5,
+                       modes=ALL_MODES, tmvp=1, deblock=1, max_level=1,
+                       slices_per_pic=3), "IPB", "native",
+        want_deblock=True)
