@@ -1,14 +1,42 @@
-"""H.264/H.265 decoder CLI (reference src/app/h264dec.cpp parity).
+"""General decoder CLI (reference src/app/h264dec.cpp parity).
 
-Usage: python -m m2dec_tpu.apps.h264dec [-o out | -O out] [-n N] <in.264>
-  -o  raw NV12 output      -O  per-frame MD5 lines
+Flags mirror the reference tool (h264dec.cpp:88-147):
+  -b           bypass DPB (parsed + range-checked, then unused — the
+               reference parses dpb_ but never passes it to the decoder,
+               h264dec.cpp:114,170)
+  -d <size>    DPB size 0..32 (same dead variable as -b)
+  -e           emptify DPB before next frames (m2decoder.h:149-150)
+  -f <skip>    frame-skip scan + header replay; see runtime/skip.py for
+               why the reference (and therefore this tool) still decodes
+               the full stream afterwards
+  -m           force MPEG-2 elementary-stream input
+  -o / -O      raw NV12 / per-frame-MD5 output to <basename>.out in CWD
+  -s           force MPEG-2 program-stream input
+  -x           trap decode errors and force exit code 0
+Extensions beyond the reference: -n <max frames>, --jax (TPU Phase B).
+
+Codec auto-detection by extension replicates detect_file
+(m2decoder.h:236-260): m2v->MPEG-2, vob->PS, 264/jsv->H.264, 265->H.265,
+anything else MPEG-2.
 """
 
 from __future__ import annotations
 
-import argparse
+import getopt
 import pathlib
 import sys
+
+USAGE = """Usage:
+\th264dec [-b] [-d <dpb_size>] [-o|O ] <infile>
+\t\t-b: Bypass DPB
+\t\t-d <dpb_size>: Specify number of DPB frames -1, 1..16 (default: -1(auto))
+\t\t-e: emptifiy DPB before next frames
+\t\t-f <skip_num>: Specify number of frames to be skipped
+\t\t-m: MPEG2 elementary input
+\t\t-o: RAW output
+\t\t-O: MD5 output
+\t\t-s: MPEG2 PS input
+\t\t-x: Mask SIGABRT on error."""
 
 
 def _pin_platform():
@@ -24,46 +52,238 @@ def _pin_platform():
         jax.config.update("jax_platforms", "cpu")
 
 
+def _blame():
+    sys.stderr.write(USAGE)  # no trailing newline (h264dec.cpp:89-101)
+    return 1
+
+
+def _detect(path: str) -> str:
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    return {"m2v": "mpeg2", "vob": "ps", "264": "h264", "jsv": "h264",
+            "265": "h265", "hevc": "h265", "h265": "h265"}.get(ext, "mpeg2")
+
+
+def _out_path(infile: str) -> pathlib.Path:
+    """<basename minus extension>.out in the current directory
+    (h264dec.cpp outfilename, :31-48)."""
+    base = pathlib.Path(infile).name
+    stem = base.rsplit(".", 1)[0] if "." in base else base
+    return pathlib.Path(stem + ".out")
+
+
+class _Sink:
+    def __init__(self, fileobj, mode, limit):
+        from m2dec_tpu.runtime.output import cropped_nv12_bytes, \
+            frame_md5_line
+
+        self._fmt = frame_md5_line if mode == "md5" else cropped_nv12_bytes
+        self.f = fileobj
+        self.n = 0
+        self.limit = limit
+
+    def __call__(self, frame):
+        if self.limit and self.n >= self.limit:
+            return
+        if self.f is not None:
+            self.f.write(self._fmt(frame))
+        self.n += 1
+
+    @property
+    def done(self):
+        return bool(self.limit) and self.n >= self.limit
+
+
+def _announce(dec, codec, state):
+    """SetFrames' reconfig banner (m2decoder.h:75): printed once when the
+    frame pool is first sized from the headers."""
+    if state.get("announced"):
+        return
+    if codec == "h264":
+        if not dec.inited:
+            return
+        sps = next(iter(dec.sps_store.values()))
+        c = sps.frame_crop
+        print(f"{sps.pic_width - c[0] - c[1]} x "
+              f"{sps.pic_height - c[2] - c[3]} x "
+              f"{sps.num_ref_frames + 1}", file=sys.stderr)
+    elif codec == "mpeg2":
+        if not dec.seq.width:
+            return
+        # m2d_get_info (mpeg2.cpp:1664-1683): crop == align16 - raw size
+        print(f"{dec.seq.width} x {dec.seq.height} x 3", file=sys.stderr)
+    else:  # h265
+        if not dec.sps_store:
+            return
+        sps = next(iter(dec.sps_store.values()))
+        log2 = sps.log2_ctb
+        w = ((sps.pic_width + (1 << log2) - 1) >> log2) << log2
+        h = ((sps.pic_height + (1 << log2) - 1) >> log2) << log2
+        crop = (sps.cropping[0], w - sps.pic_width + sps.cropping[1],
+                sps.cropping[2], h - sps.pic_height + sps.cropping[3])
+        nfrm = min(len(sps.short_term_rps)
+                   + getattr(sps, "num_long_term_ref_pics_sps", 0), 8)
+        print(f"{w - crop[0] - crop[1]} x {h - crop[2] - crop[3]} x "
+              f"{nfrm}", file=sys.stderr)
+    state["announced"] = True
+
+
+def _decode_once(dec, post, emptify, step, announce):
+    """M2Decoder::decode (m2decoder.h:132-150): pull one frame (or all
+    pending ones under -e), then decode one more picture."""
+    ready, frm = dec.peek_decoded_frame()
+    while ready <= 0:
+        err = step()
+        announce()
+        if err < 0:
+            ready, frm = dec.peek_decoded_frame(True)
+            while ready:
+                dec.get_decoded_frame(True)
+                post(frm)
+                ready, frm = dec.peek_decoded_frame(True)
+            return err
+        ready, frm = dec.peek_decoded_frame()
+    while True:
+        ready, frm = dec.get_decoded_frame()
+        post(frm)
+        if not emptify:
+            break
+        ready, frm = dec.peek_decoded_frame()
+        if ready <= 0:
+            break
+    err = step()
+    announce()
+    return err
+
+
+def _run_pull_loop(dec, post, emptify, step, announce, stop):
+    """h264dec main decode loop (h264dec.cpp:251-257) + decode_residual
+    drain (m2decoder.h:151-157)."""
+    while True:
+        err = _decode_once(dec, post, emptify, step, announce)
+        if err < 0 or stop():
+            ready, frm = dec.peek_decoded_frame(True)
+            while ready:
+                dec.get_decoded_frame(True)
+                post(frm)
+                ready, frm = dec.peek_decoded_frame(True)
+            return
+
+
 def main(argv=None):
     _pin_platform()
-    ap = argparse.ArgumentParser(prog="h264dec")
-    ap.add_argument("-o", dest="raw_out")
-    ap.add_argument("-O", dest="md5_out")
-    ap.add_argument("-n", dest="frames", type=int, default=0)
-    ap.add_argument("--jax", action="store_true",
-                    help="reconstruct via the TPU Phase-B graph "
-                         "(H.265 only for now)")
-    ap.add_argument("infile")
-    args = ap.parse_args(argv)
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    try:
+        opts, args = getopt.gnu_getopt(argv, "bd:ef:moOsxn:", ["jax"])
+    except getopt.GetoptError:
+        return _blame()
+    codec = None
+    dpb = -1
+    emptify = False
+    skip_num = 0
+    out_mode = None
+    force_exec = False
+    limit = 0
+    use_jax = False
+    for flag, val in opts:
+        if flag == "-b":
+            dpb = 1
+        elif flag == "-d":
+            dpb = int(val, 0)
+            if dpb > 32 or dpb < 0:  # 32 < (unsigned)dpb_ (h264dec.cpp:118)
+                return _blame()
+        elif flag == "-e":
+            emptify = True
+        elif flag == "-f":
+            skip_num = int(val, 0)
+        elif flag == "-m":
+            codec = "mpeg2"
+        elif flag == "-o":
+            out_mode = "raw"
+        elif flag == "-O":
+            out_mode = "md5"
+        elif flag == "-s":
+            codec = "ps"
+        elif flag == "-x":
+            force_exec = True
+        elif flag == "-n":
+            limit = int(val)
+        elif flag == "--jax":
+            use_jax = True
+    del dpb  # parsed + validated like the reference, then unused there too
+    if not args:
+        return _blame()
+    infile = args[0]
+    try:
+        data = pathlib.Path(infile).read_bytes()
+    except OSError:
+        return _blame()
+    if codec is None:
+        codec = _detect(infile)
+    try:
+        return _decode_main(infile, data, codec, emptify, skip_num,
+                            out_mode, limit, use_jax)
+    except Exception as e:
+        if force_exec:
+            print(f"trap {e.__class__.__name__}", file=sys.stderr)
+            return 0
+        raise
 
-    from m2dec_tpu.runtime.output import cropped_nv12_bytes, frame_md5_line
 
-    data = pathlib.Path(args.infile).read_bytes()
-    # codec by extension (reference detect_file, m2decoder.h:236-260)
-    if args.infile.endswith((".265", ".hevc", ".h265")):
-        from m2dec_tpu.codecs.h265.headers import H265Decoder as Dec
-    else:
-        from m2dec_tpu.codecs.h264.decoder import H264Decoder as Dec
-    dec = Dec()
-    dec.set_data(data)
-    kw = {}
-    if args.jax and args.infile.endswith((".265", ".hevc", ".h265")):
-        kw["backend"] = "jax"
-    raw = open(args.raw_out, "wb") if args.raw_out else None
-    md5 = open(args.md5_out, "wb") if args.md5_out else None
-    n = 0
-    for frame in dec.decode_all(**kw):
-        if raw:
-            raw.write(cropped_nv12_bytes(frame))
-        if md5:
-            md5.write(frame_md5_line(frame))
-        n += 1
-        if args.frames and n >= args.frames:
-            break
-    for f in (raw, md5):
-        if f:
-            f.close()
-    print(f"{n} frames", file=sys.stderr)
+def _decode_main(infile, data, codec, emptify, skip_num, out_mode, limit,
+                 use_jax):
+    if codec == "ps":
+        from m2dec_tpu.containers.ps import PsDemuxer
+
+        data = PsDemuxer(data).video_stream()
+        codec = "mpeg2"
+
+    out_f = open(_out_path(infile), "wb") if out_mode else None
+    sink = _Sink(out_f, out_mode, limit)
+    state: dict = {}
+    try:
+        if codec == "h264":
+            from m2dec_tpu.codecs.h264.decoder import H264Decoder
+
+            dec = H264Decoder()
+            if skip_num:
+                from m2dec_tpu.runtime.skip import h264_skip_scan
+
+                skipped, nbytes, headers = h264_skip_scan(data, skip_num)
+                # header replay (m2decoder.h:121-124): parses SPS/PPS and
+                # sizes the frame pool (banner) before the Skip report
+                dec.set_data(b"".join(data[a:b] for a, b in headers))
+                dec.decode_picture()
+                _announce(dec, codec, state)
+                print(f"Skip {skipped} frames({nbytes} bytes).",
+                      file=sys.stderr)
+            # full-stream decode regardless of -f (reference bug chain;
+            # see runtime/skip.py)
+            dec.set_data(data)
+            _run_pull_loop(dec, sink, emptify, dec.decode_picture,
+                           lambda: _announce(dec, codec, state),
+                           lambda: sink.done)
+        elif codec == "mpeg2":
+            from m2dec_tpu.codecs.mpeg2.decoder import Mpeg2Decoder
+
+            dec = Mpeg2Decoder()
+            dec.set_data(data)
+            _run_pull_loop(dec, sink, emptify, dec.decode_data,
+                           lambda: _announce(dec, codec, state),
+                           lambda: sink.done)
+        else:  # h265: decode_all drain (no picture-at-a-time API yet)
+            from m2dec_tpu.codecs.h265.headers import H265Decoder
+
+            dec = H265Decoder()
+            dec.set_data(data)
+            kw = {"backend": "jax"} if use_jax else {}
+            for frame in dec.decode_all(**kw):
+                _announce(dec, codec, state)
+                sink(frame)
+                if sink.done:
+                    break
+    finally:
+        if out_f is not None:
+            out_f.close()
     return 0
 
 

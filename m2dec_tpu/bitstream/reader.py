@@ -166,7 +166,9 @@ def find_start_codes(data: bytes | np.ndarray) -> np.ndarray:
     Offsets point at the first 0x00 of the prefix.
     """
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
-    if buf.size < 4:
+    if buf.size < 3:
         return np.zeros(0, dtype=np.int64)
-    hit = (buf[:-3] == 0) & (buf[1:-2] == 0) & (buf[2:-1] == 1)
+    # include a prefix at the very end of the buffer (its NAL is empty
+    # and dropped, but the previous NAL must not absorb the 00 00 01)
+    hit = (buf[:-2] == 0) & (buf[1:-1] == 0) & (buf[2:] == 1)
     return np.flatnonzero(hit).astype(np.int64)

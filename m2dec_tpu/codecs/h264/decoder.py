@@ -18,7 +18,11 @@ import dataclasses
 import numpy as np
 
 from m2dec_tpu.bitstream import BitReader
-from m2dec_tpu.bitstream.reader import find_start_codes, unescape_nal
+from m2dec_tpu.bitstream.reader import (
+    BitstreamExhausted,
+    find_start_codes,
+    unescape_nal,
+)
 from . import cabac as AE, cavlc, dpb as dpb_mod, headers, pred, pred8x8 as P8, tables as T, transforms as X
 from .dpb import (
     LONG_TERM,
@@ -213,25 +217,32 @@ class H264Decoder:
     # ---------------------------------------------------------- decode --
     def decode_picture(self):
         """h264d_decode_picture (h264.cpp:663-693): decode NALs until one
-        picture completes. Returns 1 on completion, -1 at end of stream."""
+        picture completes. Returns 1 on completion, -1 at end of stream,
+        -2 on mid-NAL truncation (the reference's refill-longjmp error
+        containment: setjmp at h264.cpp:673 catches bitio.c:122 and
+        returns -2 with the partial picture abandoned; callers drain the
+        DPB, m2decoder.h:137-143)."""
         self.hdr.first_mb_in_slice = 1 << 30
-        while self.nal_i < len(self.nal_units):
-            nal_type, nal_byte, start, end = self.nal_units[self.nal_i]
-            self.nal_i += 1
-            payload = unescape_nal(self.data[start + 1 : end])
-            r = BitReader(payload)
-            if nal_type in (SLICE_NONIDR_NAL, SLICE_IDR_NAL):
-                self.nal_id = nal_byte
-                done = self._read_slice(r)
-                if done:
-                    return 1
-            elif nal_type == SPS_NAL:
-                sid = parse_sps(r, self.sps_store)
-                if not self.inited:
-                    self._alloc(self.sps_store[sid])
-            elif nal_type == PPS_NAL:
-                parse_pps(r, self.pps_store)
-            # SEI / AUD / others skipped
+        try:
+            while self.nal_i < len(self.nal_units):
+                nal_type, nal_byte, start, end = self.nal_units[self.nal_i]
+                self.nal_i += 1
+                payload = unescape_nal(self.data[start + 1 : end])
+                r = BitReader(payload)
+                if nal_type in (SLICE_NONIDR_NAL, SLICE_IDR_NAL):
+                    self.nal_id = nal_byte
+                    done = self._read_slice(r)
+                    if done:
+                        return 1
+                elif nal_type == SPS_NAL:
+                    sid = parse_sps(r, self.sps_store)
+                    if not self.inited:
+                        self._alloc(self.sps_store[sid])
+                elif nal_type == PPS_NAL:
+                    parse_pps(r, self.pps_store)
+                # SEI / AUD / others skipped
+        except BitstreamExhausted:
+            return -2
         return -1
 
     # -------------------------------------------------------- POC calc --

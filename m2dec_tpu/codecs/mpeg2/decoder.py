@@ -133,14 +133,21 @@ class Mpeg2Decoder:
         """Decode until one picture completes. Returns 1 on picture
         completion, -1 at end of stream (reference m2d_decode_data,
         mpeg2.cpp:1598-1622)."""
-        while self.code_i < len(self.codes):
-            off = int(self.codes[self.code_i])
-            self.code_i += 1
-            code_type = self.data[off + 3]
-            r = self._reader_at(off + 4)
-            done = self._dispatch(code_type, r)
-            if done:
-                return 1
+        from m2dec_tpu.bitstream.reader import BitstreamExhausted
+
+        try:
+            while self.code_i < len(self.codes):
+                off = int(self.codes[self.code_i])
+                self.code_i += 1
+                code_type = self.data[off + 3]
+                r = self._reader_at(off + 4)
+                done = self._dispatch(code_type, r)
+                if done:
+                    return 1
+        except BitstreamExhausted:
+            # mid-slice truncation: the reference longjmps out of the
+            # parse (setjmp at mpeg2.cpp:666) and abandons the picture
+            return -2
         return -1
 
     def _dispatch(self, code_type, r) -> bool:

@@ -107,7 +107,8 @@ def test_unescape_consecutive():
 def test_find_start_codes():
     data = bytes([0, 0, 1, 0xB3, 5, 6, 0, 0, 0, 1, 0x00, 9, 0, 0, 1])
     got = find_start_codes(data)
-    # trailing 00 00 01 at offset 12 has no payload byte after it -> by the
-    # scanner contract it is still reported only if a 4th byte exists
-    np.testing.assert_array_equal(got, [0, 7])
+    # a prefix at the very end of the buffer is reported too (its NAL is
+    # empty, but the previous NAL must not absorb the 00 00 01 — header
+    # spans replayed by the -f CLI path end in a bare start code)
+    np.testing.assert_array_equal(got, [0, 7, 12])
     assert find_start_codes(b"").size == 0
