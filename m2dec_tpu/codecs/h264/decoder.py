@@ -1399,6 +1399,38 @@ class H264Decoder:
             cnt=f.cnt,
         )
 
+    # ---------------------------------------------- checkpoint/resume ---
+    def stream_pos(self) -> int:
+        """Byte offset of the first undecoded start code in the buffer
+        last given to set_data (vtable stream_pos parity, m2d.h:69)."""
+        if self.nal_i < len(self.nal_units):
+            return self.nal_units[self.nal_i][2] - 3
+        return len(self.data)
+
+    def __getstate__(self):
+        """Picture-boundary decode-state checkpoint (SURVEY §5.4 /
+        runtime/checkpoint.py): everything persistent — header stores,
+        DPB, frame pool, ref lists + colocated pages, POC counters —
+        minus the input buffer and per-picture transients."""
+        d = self.__dict__.copy()
+        d["native_session"] = None  # per-picture scratch; rebuilt lazily
+        d["rec"] = None
+        d["tc"] = None
+        d["data"] = b""
+        d["nal_units"] = []
+        d["nal_i"] = 0
+        if d["plans"] is not None:
+            d["plans"] = []  # already-consumed Phase-B plans
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        if self.native and self.inited:
+            from .native_session import NativeH264Session
+
+            self.native_session = NativeH264Session(
+                self.max_x, self.max_y, plan_alloc=self.plan_alloc)
+
     def decode_all(self):
         """h264dec-style loop: decode + drain (m2decoder.h:132-157)."""
         frames = []

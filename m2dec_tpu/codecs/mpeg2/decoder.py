@@ -446,6 +446,29 @@ class Mpeg2Decoder:
                 self.out_state -= 2
         return ready, frame
 
+    # -- checkpoint/resume -------------------------------------------------
+    def stream_pos(self) -> int:
+        """Byte offset of the first undecoded start code (vtable
+        stream_pos parity, m2d.h:69)."""
+        if self.code_i < len(self.codes):
+            return int(self.codes[self.code_i])
+        return len(self.data)
+
+    def __getstate__(self):
+        """Picture-boundary checkpoint (SURVEY §5.4): sequence/picture
+        state, frame pool, reorder machine — minus the input buffer and
+        the per-slice entropy transients."""
+        d = self.__dict__.copy()
+        d["data"] = b""
+        d["codes"] = np.zeros(0, np.int64)
+        d["code_i"] = 0
+        d["reader"] = None
+        d["ent"] = None
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+
     # -- convenience -------------------------------------------------------
     def decode_all(self):
         """Full-stream decode -> frames in display order (the app decode

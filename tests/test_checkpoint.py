@@ -1,0 +1,145 @@
+"""Decode-state checkpoint/resume (runtime/checkpoint.py, SURVEY §5.4).
+
+Property under test: for any picture boundary k, decoding pictures
+1..k, checkpointing, restoring in a fresh decoder, and decoding the
+rest from stream_pos yields byte-identical frames to one uninterrupted
+decode — including DPB ordering, POC continuity, MMCO state, and
+colocated-MV pages (temporal direct)."""
+
+import pathlib
+import pickle
+import sys
+
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from streamgen.h264_enc import H264BGen, H264InterGen, H264MmcoGen  # noqa: E402
+from streamgen.mpeg2_enc import Mpeg2StreamGen  # noqa: E402
+
+from m2dec_tpu.codecs.h264.decoder import H264Decoder  # noqa: E402
+from m2dec_tpu.codecs.mpeg2.decoder import Mpeg2Decoder  # noqa: E402
+from m2dec_tpu.runtime import checkpoint  # noqa: E402
+from m2dec_tpu.runtime.output import cropped_nv12_bytes  # noqa: E402
+
+
+def h264_full(data):
+    dec = H264Decoder()
+    dec.set_data(data)
+    return b"".join(cropped_nv12_bytes(f) for f in dec.decode_all())
+
+
+def h264_resumed(data, k):
+    """Decode k pictures, checkpoint, resume in a new decoder."""
+    dec = H264Decoder()
+    dec.set_data(data)
+    out = []
+    for _ in range(k):
+        ready, frm = dec.peek_decoded_frame()
+        while ready:
+            dec.get_decoded_frame()
+            out.append(frm)
+            ready, frm = dec.peek_decoded_frame()
+        assert dec.decode_picture() == 1
+    blob, pos = checkpoint.save(dec)
+    assert 0 < pos <= len(data)
+    del dec
+
+    dec2 = checkpoint.load(blob)
+    dec2.set_data(data[pos:])
+    while True:
+        ready, frm = dec2.peek_decoded_frame()
+        while ready:
+            dec2.get_decoded_frame()
+            out.append(frm)
+            ready, frm = dec2.peek_decoded_frame()
+        if dec2.decode_picture() < 0:
+            ready, frm = dec2.peek_decoded_frame(True)
+            while ready:
+                dec2.get_decoded_frame(True)
+                out.append(frm)
+                ready, frm = dec2.peek_decoded_frame(True)
+            break
+    return b"".join(cropped_nv12_bytes(f) for f in out)
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_h264_b_frames_resume(k):
+    data = H264BGen(80, 48, seed=9, num_ref_frames=3,
+                    b_direct_prob=0.4).generate("IPBBPBBP")
+    assert h264_resumed(data, k) == h264_full(data)
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_h264_multigop_resume(k):
+    data = H264InterGen(80, 48, seed=2,
+                        num_ref_frames=2).generate("IPPIPPP")
+    assert h264_resumed(data, k) == h264_full(data)
+
+
+def test_h264_mmco_resume():
+    data = H264MmcoGen(80, 48, seed=4, num_ref_frames=3).generate("IPPPPP")
+    assert h264_resumed(data, 2) == h264_full(data)
+
+
+def test_h264_cabac_resume():
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from streamgen.h264_transcode import transcode_to_cabac
+
+    import random
+
+    data = H264InterGen(80, 48, seed=5, num_ref_frames=2).generate("IPPP")
+    data = transcode_to_cabac(data, random.Random(5))
+    assert h264_resumed(data, 2) == h264_full(data)
+
+
+def test_checkpoint_blob_is_self_contained():
+    """The blob round-trips through bytes (cross-process shape)."""
+    data = H264InterGen(80, 48, seed=1, num_ref_frames=2).generate("IPP")
+    dec = H264Decoder()
+    dec.set_data(data)
+    dec.decode_picture()
+    blob, pos = checkpoint.save(dec)
+    assert blob[:12] == checkpoint.MAGIC
+    rt = pickle.loads(pickle.dumps(checkpoint.load(blob)))
+    assert rt.inited and rt.max_x == dec.max_x
+    with pytest.raises(ValueError):
+        checkpoint.load(b"garbage" + blob)
+
+
+def mpeg2_full(data):
+    dec = Mpeg2Decoder()
+    dec.set_data(data)
+    return b"".join(cropped_nv12_bytes(f) for f in dec.decode_all())
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_mpeg2_resume(k):
+    data = Mpeg2StreamGen(80, 48, seed=6).generate("IPPBPB" + "I")
+    dec = Mpeg2Decoder()
+    dec.set_data(data)
+    out = []
+    for _ in range(k):
+        ready, frm = dec.peek_decoded_frame()
+        while ready:
+            dec.get_decoded_frame()
+            out.append(frm)
+            ready, frm = dec.peek_decoded_frame()
+        assert dec.decode_data() == 1
+    blob, pos = checkpoint.save(dec)
+    dec2 = checkpoint.load(blob)
+    dec2.set_data(data[pos:])
+    while True:
+        ready, frm = dec2.peek_decoded_frame()
+        while ready:
+            dec2.get_decoded_frame()
+            out.append(frm)
+            ready, frm = dec2.peek_decoded_frame()
+        if dec2.decode_data() < 0:
+            ready, frm = dec2.peek_decoded_frame(True)
+            while ready:
+                dec2.get_decoded_frame(True)
+                out.append(frm)
+                ready, frm = dec2.peek_decoded_frame(True)
+            break
+    assert b"".join(cropped_nv12_bytes(f) for f in out) == mpeg2_full(data)
