@@ -46,8 +46,11 @@ class Pipeline:
     """decode pipeline: codec auto-detect, bounded queues, timing."""
 
     def __init__(self, data: bytes, codec: str | None = None,
-                 queue_depth: int = 4):
+                 queue_depth: int = 4, emptify: bool = False):
         self.data = bytes(data)
+        #: -e DPB emptify mode (m2decoder.h:149-150): drain every ready
+        #: frame per decode call instead of one
+        self.emptify = emptify
         self.codec = codec or self._detect(self.data)
         self.qin: queue.Queue = queue.Queue(maxsize=queue_depth)
         self.qout: queue.Queue = queue.Queue(maxsize=queue_depth)
@@ -130,6 +133,8 @@ class Pipeline:
                         while ready:
                             dec.get_decoded_frame()
                             self.qout.put(frm)
+                            if not self.emptify:
+                                break  # one frame per decode call
                             ready, frm = dec.peek_decoded_frame()
                         err = dec.decode_picture()
                     if err < 0:
@@ -147,6 +152,8 @@ class Pipeline:
                         while ready:
                             dec.get_decoded_frame(False)
                             self.qout.put(frm)
+                            if not self.emptify:
+                                break  # one frame per decode call
                             ready, frm = dec.peek_decoded_frame(False)
                         err = dec.decode_data()
                     if err < 0:

@@ -151,6 +151,28 @@ def test_force_exec_traps(monkeypatch, capsys, streams, tmp_path):
     assert code == 0
 
 
+def test_thrplay_playlist(reference_bins, monkeypatch, capsys, streams):
+    """thrplay parity: -o playlist writes one <basename>.out per input
+    (FileWriterUnit::change), bytes equal to the reference decode; -s is
+    in the reference optstring but unhandled -> usage exit 1."""
+    from m2dec_tpu.apps import thrplay
+
+    monkeypatch.chdir(streams)
+    (streams / "inter.out").unlink(missing_ok=True)
+    (streams / "b.out").unlink(missing_ok=True)
+    assert thrplay.main(["-o", "-e", "inter.264", "b.264"]) == 0
+    capsys.readouterr()
+    for name in ("inter", "b"):
+        ours = (streams / f"{name}.out").read_bytes()
+        (streams / f"{name}.out").unlink()
+        run_ref(reference_bins, streams, ["-o", f"{name}.264"])
+        assert ours == (streams / f"{name}.out").read_bytes()
+    assert thrplay.main(["-s", "inter.264"]) == 1
+    assert thrplay.main([]) == 1
+    assert thrplay.main(["-f", "2", "inter.264"]) == 1  # below 3..256
+    capsys.readouterr()
+
+
 def test_skip_scan_values():
     """h264_skip_scan unit: counts frame heads, remembers last IDR."""
     from m2dec_tpu.runtime.skip import h264_skip_scan
