@@ -4,7 +4,7 @@ Replaces the host-side ``np.stack`` + ``_pack_wire`` + ``_flatten_wire``
 pipeline (reconstruct.py) with two C calls per picture batch
 (h264pack_measure / h264pack_fill in native/h264parse.cpp).  Produces a
 byte-layout-compatible transport blob: the layout tuple returned here
-plugs straight into ``_jitted_recon_blob`` / ``_jitted_recon_multi``.
+plugs straight into ``_jitted_recon_blob`` (single- and multi-stream).
 
 Multi-stream batches are packed with ONE common layout (caps, palette
 sizes, and dtype fallbacks are maxima over all streams) so a single

@@ -601,6 +601,254 @@ class H265Decoder:
         self.dpb.insert(bisect.bisect_right(pocs, poc),
                         (poc, frame_idx, is_idr))
 
+    # ---------------------------------------------------------------
+    # incremental vtable API (m2d_func_table_t parity): begin_decode +
+    # decode_picture + peek/get; decode_all below drives the same loop
+    # ---------------------------------------------------------------
+
+    def begin_decode(self, collect_plans=False, keep_oracle=False,
+                     backend=None):
+        """Arm the incremental decode (pull-mode vtable API). Must be
+        called after set_data; decode_picture() then processes one slice
+        NAL per call (the reference h265d_decode_picture returns per
+        slice_layer, h265.cpp:4898-4920)."""
+        self._cfg_collect = collect_plans or backend == "jax"
+        self._cfg_oracle = keep_oracle
+        self._cfg_backend = backend
+        self._nal_list = []
+        for k, off in enumerate(self.offs):
+            start = int(off) + 3
+            end = (int(self.offs[k + 1]) if k + 1 < len(self.offs)
+                   else len(self.data))
+            if end > start + 1:
+                self._nal_list.append(
+                    ((self.data[start] >> 1) & 0x3F, start, end))
+        self.nal_i = 0
+        self._outq = []
+        self._geom = {}
+        self.plans = []
+        self._rec = None
+        self._sess = getattr(self, "_sess", None)
+        self._eos_done = False
+
+    # -- deferred per-picture finalization (runs on the NEXT picture's
+    # -- first slice, or at end of stream) ---------------------------
+    def _finish_plan(self):
+        import numpy as np
+
+        if self._rec is None:
+            return
+        plan = self._rec.finalize()
+        if self._cfg_oracle:
+            f = self.pool[plan.cur_idx]
+            plan.oracle = (f["y"].copy(), f["cb"].copy(), f["cr"].copy())
+        if self._cfg_backend == "jax" and (
+                not plan.multi_slice
+                or (plan.slice_aligned and len(plan.slice_rows) > 1)):
+            from m2dec_tpu.codecs.h265 import reconstruct as _RC
+
+            # Phase B needs the pool as it was at picture START: other
+            # frames are untouched by this picture's Phase A, but
+            # pool[cur] was reconstructed in place — substitute the
+            # pre-picture snapshot (stale padding-domain reads depend
+            # on it)
+            py = np.stack([f["y"] for f in self.pool])
+            pcb = np.stack([f["cb"] for f in self.pool])
+            pcr = np.stack([f["cr"] for f in self.pool])
+            f = self.pool[plan.cur_idx]
+            py[plan.cur_idx] = self._pre_pic[0]
+            pcb[plan.cur_idx] = self._pre_pic[1]
+            pcr[plan.cur_idx] = self._pre_pic[2]
+            y, cb, cr = _RC.recon_plan(plan, py, pcb, pcr)
+            f["y"][:] = np.asarray(y)
+            f["cb"][:] = np.asarray(cb)
+            f["cr"][:] = np.asarray(cr)
+        self.plans.append(plan)
+        self._rec = None
+
+    def _finish_native(self):
+        import numpy as np
+
+        if self._sess is None or self._sess.plan is None:
+            return
+        plan = self._sess.finish_picture()
+        from m2dec_tpu.codecs.h265 import reconstruct as _RC
+
+        py = np.stack([f["y"] for f in self.pool])
+        pcb = np.stack([f["cb"] for f in self.pool])
+        pcr = np.stack([f["cr"] for f in self.pool])
+        y, cb, cr = _RC.recon_plan(plan, py, pcb, pcr)
+        f = self.pool[plan.cur_idx]
+        f["y"][:] = np.asarray(y)
+        f["cb"][:] = np.asarray(cb)
+        f["cr"][:] = np.asarray(cr)
+        self.plans.append(plan)
+
+    def _emit(self, frame_idx, out_list=None):
+        from m2dec_tpu.codecs.mpeg2.decoder import DecodedFrame
+
+        f = self.pool[frame_idx]
+        geom = self._geom
+        frm = DecodedFrame(
+            y=f["y"].copy(), cb=f["cb"].copy(), cr=f["cr"].copy(),
+            width=geom["w"], height=geom["h"], crop=geom["crop"],
+            cnt=f["poc"])
+        (self._outq if out_list is None else out_list).append(frm)
+
+    def decode_picture(self):
+        """Process NALs until one slice completes (1), or end of stream
+        (-1, after which peek/get(is_end=True) drain the DPB)."""
+        import numpy as np
+
+        from m2dec_tpu.bitstream.reader import BitstreamExhausted
+        from m2dec_tpu.codecs.h265.ctu import Ctu
+        from m2dec_tpu.codecs.h265.sao import sao_oneframe
+
+        if not hasattr(self, "_nal_list"):
+            self.begin_decode()
+        backend = self._cfg_backend
+        try:
+            while self.nal_i < len(self._nal_list):
+                nal_type, start, end = self._nal_list[self.nal_i]
+                self.nal_i += 1
+                payload = unescape_nal(self.data[start + 2 : end])
+                r = BitReader(payload)
+                if nal_type == NAL_VPS:
+                    self.vps = parse_vps(r)
+                elif nal_type == NAL_SPS:
+                    s = parse_sps(r)
+                    self.sps_store[s.id] = s
+                elif nal_type == NAL_PPS:
+                    p = parse_pps(r)
+                    self.pps_store[p.id] = p
+                elif nal_type in (NAL_TRAIL_N, NAL_TRAIL_R,
+                                  NAL_IDR_W_RADL, NAL_IDR_N_LP):
+                    self._decode_slice_nal(nal_type, r, np, Ctu,
+                                           sao_oneframe)
+                    return 1
+        except BitstreamExhausted:
+            # mid-slice truncation: the reference longjmps out of the
+            # parse (setjmp at h265.cpp:4904) and abandons the picture
+            return -2
+        if not self._eos_done:
+            self._finish_plan()
+            self._finish_native()
+            self._eos_done = True
+        return -1
+
+    def _decode_slice_nal(self, nal_type, r, np, Ctu, sao_oneframe):
+        backend = self._cfg_backend
+        hdr = parse_slice_header(r, nal_type, self, self.sps_store,
+                                 self.pps_store)
+        pps = self.pps_store[hdr.pps_id]
+        sps = self.sps_store[pps.sps_id]
+        log2 = sps.log2_ctb
+        cols = (sps.pic_width + (1 << log2) - 1) >> log2
+        rows = (sps.pic_height + (1 << log2) - 1) >> log2
+        w, hgt = cols << log2, rows << log2
+        if self.pool is None:
+            from m2dec_tpu.codecs.h265.colpics import make_colpic
+
+            self.pool = [{
+                "y": np.zeros((hgt, w), np.uint8),
+                "cb": np.zeros((hgt >> 1, w >> 1), np.uint8),
+                "cr": np.zeros((hgt >> 1, w >> 1), np.uint8),
+                "poc": 0,
+                "colpic": make_colpic(sps.pic_width, sps.pic_height),
+                "fidx": [[0] * 16, [0] * 16],
+            } for _ in range(8)]
+            self._geom["w"], self._geom["h"] = w, hgt
+            self._geom["crop"] = (
+                sps.cropping[0],
+                w - sps.pic_width + sps.cropping[1],
+                sps.cropping[2],
+                hgt - sps.pic_height + sps.cropping[3])
+        is_idr = nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP)
+        if backend == "native":
+            if hdr.first_slice or self._cur is None:
+                self._finish_native()
+                self._cur = self._find_empty_frame()
+                if self._sess is None or self._sess.sps is not sps:
+                    from m2dec_tpu.codecs.h265.native_session import (
+                        NativeH265Session,
+                    )
+
+                    self._sess = NativeH265Session(sps)
+                self._sess.begin_picture(self._cur)
+            cur = self._cur
+            self.pool[cur]["poc"] = hdr.poc
+            self._sess.run_slice(hdr, pps, sps, r, self.pool, cur,
+                                 hdr.first_slice)
+            self._insert_dpb(cur, hdr.poc, is_idr, None, self._emit)
+            return
+        # find_empty_frame only on the first slice segment of a
+        # picture (h265.cpp:4852-4854); later segments reuse it
+        if hdr.first_slice or self._cur is None:
+            self._finish_plan()
+            self._cur = self._find_empty_frame()
+            if backend == "jax":
+                f0 = self.pool[self._cur]
+                self._pre_pic = (f0["y"].copy(), f0["cb"].copy(),
+                                 f0["cr"].copy())
+        cur = self._cur
+        frame = self.pool[cur]
+        frame["poc"] = hdr.poc
+        if self._ctu is None or self._ctu.sps is not sps:
+            self._ctu = Ctu(sps, pps, hdr, frame)
+        else:
+            self._ctu.init_slice(pps, hdr, frame)
+        ctu = self._ctu
+        if self._cfg_collect:
+            if self._rec is None:
+                from m2dec_tpu.codecs.h265.plan import PlanRecorder
+
+                self._rec = PlanRecorder(ctu, cur)
+                self._rec.plan.poc = hdr.poc
+            else:
+                self._rec.note_slice(hdr.first_slice, hdr.slice_addr)
+                self._rec.ctu = ctu
+            ctu.rec = self._rec
+        else:
+            ctu.rec = None
+        ctu.ref_frames = self.pool
+        from m2dec_tpu.codecs.h265.colpics import Colpics
+
+        ctu.colpics = Colpics(ctu, self.pool, cur)
+        ctu.cb.init_engine(r)
+        while True:
+            ctu.decode_ctu(r)
+            if ctu.pos_increment():
+                break
+            if ctu.cb.terminate(r):
+                break
+        sao_oneframe(ctu)
+        self._insert_dpb(cur, hdr.poc, is_idr, None, self._emit)
+
+    def peek_decoded_frame(self, is_end=False):
+        """h265d_peek_decoded_frame parity: pending overflow emissions
+        first; with is_end the POC-sorted DPB drains."""
+        if self._outq:
+            return 1, self._outq[0]
+        if is_end and self.dpb:
+            from m2dec_tpu.codecs.mpeg2.decoder import DecodedFrame
+
+            f = self.pool[self.dpb[0][1]]
+            geom = self._geom
+            return 1, DecodedFrame(
+                y=f["y"].copy(), cb=f["cb"].copy(), cr=f["cr"].copy(),
+                width=geom["w"], height=geom["h"], crop=geom["crop"],
+                cnt=f["poc"])
+        return 0, None
+
+    def get_decoded_frame(self, is_end=False):
+        ready, frm = self.peek_decoded_frame(is_end)
+        if ready:
+            if self._outq:
+                self._outq.pop(0)
+            elif is_end and self.dpb:
+                self.dpb.pop(0)
+        return ready, frm
+
     def decode_all(self, collect_plans=False, keep_oracle=False,
                    backend=None):
         """Decode every slice NAL; returns DecodedFrames in output order
@@ -623,181 +871,19 @@ class H265Decoder:
         A (native/h265parse.cpp) entropy-decodes each slice into plan
         tensors and the JAX Phase B reconstructs; the Python CTU decoder
         never runs. Single-slice pictures only (Phase-B restriction)."""
-        import numpy as np
-
-        from m2dec_tpu.codecs.h265.ctu import Ctu
-        from m2dec_tpu.codecs.h265.sao import sao_oneframe
-        from m2dec_tpu.codecs.mpeg2.decoder import DecodedFrame
-
-        collect_plans = collect_plans or backend == "jax"
+        self.begin_decode(collect_plans, keep_oracle, backend)
         out = []
-        geom = {}
-        self.plans = []
-        self._rec = None
-
-        def finish_plan():
-            if self._rec is None:
-                return
-            plan = self._rec.finalize()
-            if keep_oracle:
-                f = self.pool[plan.cur_idx]
-                plan.oracle = (f["y"].copy(), f["cb"].copy(),
-                               f["cr"].copy())
-            if backend == "jax" and (not plan.multi_slice
-                                     or (plan.slice_aligned
-                                         and len(plan.slice_rows) > 1)):
-                from m2dec_tpu.codecs.h265 import reconstruct as _RC
-
-                # Phase B needs the pool as it was at picture START:
-                # other frames are untouched by this picture's Phase A,
-                # but pool[cur] was reconstructed in place — substitute
-                # the pre-picture snapshot (stale padding-domain reads
-                # depend on it)
-                py = np.stack([f["y"] for f in self.pool])
-                pcb = np.stack([f["cb"] for f in self.pool])
-                pcr = np.stack([f["cr"] for f in self.pool])
-                f = self.pool[plan.cur_idx]
-                py[plan.cur_idx] = self._pre_pic[0]
-                pcb[plan.cur_idx] = self._pre_pic[1]
-                pcr[plan.cur_idx] = self._pre_pic[2]
-                y, cb, cr = _RC.recon_plan(plan, py, pcb, pcr)
-                f["y"][:] = np.asarray(y)
-                f["cb"][:] = np.asarray(cb)
-                f["cr"][:] = np.asarray(cr)
-            self.plans.append(plan)
-            self._rec = None
-
-        self._sess = getattr(self, "_sess", None)
-
-        def finish_native():
-            if self._sess is None or self._sess.plan is None:
-                return
-            plan = self._sess.finish_picture()
-            from m2dec_tpu.codecs.h265 import reconstruct as _RC
-
-            py = np.stack([f["y"] for f in self.pool])
-            pcb = np.stack([f["cb"] for f in self.pool])
-            pcr = np.stack([f["cr"] for f in self.pool])
-            y, cb, cr = _RC.recon_plan(plan, py, pcb, pcr)
-            f = self.pool[plan.cur_idx]
-            f["y"][:] = np.asarray(y)
-            f["cb"][:] = np.asarray(cb)
-            f["cr"][:] = np.asarray(cr)
-            self.plans.append(plan)
-
-        def emit(frame_idx, out_list):
-            f = self.pool[frame_idx]
-            w, hgt, crop = geom["w"], geom["h"], geom["crop"]
-            out_list.append(DecodedFrame(
-                y=f["y"].copy(), cb=f["cb"].copy(), cr=f["cr"].copy(),
-                width=w, height=hgt, crop=crop, cnt=f["poc"]))
-
-        for nal_type, payload in self._nal_payloads():
-            r = BitReader(payload)
-            if nal_type == NAL_VPS:
-                self.vps = parse_vps(r)
-            elif nal_type == NAL_SPS:
-                s = parse_sps(r)
-                self.sps_store[s.id] = s
-            elif nal_type == NAL_PPS:
-                p = parse_pps(r)
-                self.pps_store[p.id] = p
-            elif nal_type in (NAL_TRAIL_N, NAL_TRAIL_R, NAL_IDR_W_RADL,
-                              NAL_IDR_N_LP):
-                hdr = parse_slice_header(r, nal_type, self,
-                                         self.sps_store, self.pps_store)
-                pps = self.pps_store[hdr.pps_id]
-                sps = self.sps_store[pps.sps_id]
-                log2 = sps.log2_ctb
-                cols = (sps.pic_width + (1 << log2) - 1) >> log2
-                rows = (sps.pic_height + (1 << log2) - 1) >> log2
-                w, hgt = cols << log2, rows << log2
-                if self.pool is None:
-                    from m2dec_tpu.codecs.h265.colpics import make_colpic
-
-                    self.pool = [{
-                        "y": np.zeros((hgt, w), np.uint8),
-                        "cb": np.zeros((hgt >> 1, w >> 1), np.uint8),
-                        "cr": np.zeros((hgt >> 1, w >> 1), np.uint8),
-                        "poc": 0,
-                        "colpic": make_colpic(sps.pic_width,
-                                              sps.pic_height),
-                        "fidx": [[0] * 16, [0] * 16],
-                    } for _ in range(8)]
-                    geom["w"], geom["h"] = w, hgt
-                    geom["crop"] = (
-                        sps.cropping[0],
-                        w - sps.pic_width + sps.cropping[1],
-                        sps.cropping[2],
-                        hgt - sps.pic_height + sps.cropping[3])
-                if backend == "native":
-                    if hdr.first_slice or self._cur is None:
-                        finish_native()
-                        self._cur = self._find_empty_frame()
-                        if self._sess is None or \
-                                self._sess.sps is not sps:
-                            from m2dec_tpu.codecs.h265.native_session \
-                                import NativeH265Session
-
-                            self._sess = NativeH265Session(sps)
-                        self._sess.begin_picture(self._cur)
-                    cur = self._cur
-                    self.pool[cur]["poc"] = hdr.poc
-                    self._sess.run_slice(hdr, pps, sps, r, self.pool,
-                                         cur, hdr.first_slice)
-                    self._insert_dpb(cur, hdr.poc,
-                                     nal_type in (NAL_IDR_W_RADL,
-                                                  NAL_IDR_N_LP), out,
-                                     emit)
-                    continue
-                # find_empty_frame only on the first slice segment of a
-                # picture (h265.cpp:4852-4854); later segments reuse it
-                if hdr.first_slice or self._cur is None:
-                    finish_plan()
-                    self._cur = self._find_empty_frame()
-                    if backend == "jax":
-                        f0 = self.pool[self._cur]
-                        self._pre_pic = (f0["y"].copy(),
-                                         f0["cb"].copy(),
-                                         f0["cr"].copy())
-                cur = self._cur
-                frame = self.pool[cur]
-                frame["poc"] = hdr.poc
-                if self._ctu is None or self._ctu.sps is not sps:
-                    self._ctu = Ctu(sps, pps, hdr, frame)
-                else:
-                    self._ctu.init_slice(pps, hdr, frame)
-                ctu = self._ctu
-                if collect_plans:
-                    if self._rec is None:
-                        from m2dec_tpu.codecs.h265.plan import PlanRecorder
-
-                        self._rec = PlanRecorder(ctu, cur)
-                        self._rec.plan.poc = hdr.poc
-                    else:
-                        self._rec.note_slice(hdr.first_slice,
-                                             hdr.slice_addr)
-                        self._rec.ctu = ctu
-                    ctu.rec = self._rec
-                else:
-                    ctu.rec = None
-                ctu.ref_frames = self.pool
-                from m2dec_tpu.codecs.h265.colpics import Colpics
-
-                ctu.colpics = Colpics(ctu, self.pool, cur)
-                ctu.cb.init_engine(r)
-                while True:
-                    ctu.decode_ctu(r)
-                    if ctu.pos_increment():
-                        break
-                    if ctu.cb.terminate(r):
-                        break
-                sao_oneframe(ctu)
-                self._insert_dpb(cur, hdr.poc,
-                                 nal_type in (NAL_IDR_W_RADL,
-                                              NAL_IDR_N_LP), out, emit)
-        finish_plan()
-        finish_native()
-        while self.dpb:
-            emit(self.dpb.pop(0)[1], out)
-        return out
+        while True:
+            err = self.decode_picture()
+            ready, frm = self.peek_decoded_frame()
+            while ready:
+                self.get_decoded_frame()
+                out.append(frm)
+                ready, frm = self.peek_decoded_frame()
+            if err < 0:
+                ready, frm = self.peek_decoded_frame(True)
+                while ready:
+                    self.get_decoded_frame(True)
+                    out.append(frm)
+                    ready, frm = self.peek_decoded_frame(True)
+                return out

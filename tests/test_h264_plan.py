@@ -252,10 +252,10 @@ def test_multistream_phase_b_mixed():
         plans_per_stream.append(dn.plans)
         pool_size, mbw, mbh = len(dn.frames), dn.max_x, dn.max_y
     ms = MultiStreamPhaseB(len(datas), mbw, mbh, pool_size)
-    outs = ms.run(plans_per_stream)
-    ys, cbs, crs = (np.asarray(o) for o in outs)
+    outs = ms.run(plans_per_stream)  # list of per-stream (y, cb, cr)
     for si, exp in enumerate(expected):
+        ys, cbs, crs = (np.asarray(o) for o in outs[si])
         for k, (ey, ecb, ecr) in enumerate(exp):
-            assert np.array_equal(ys[si, k], ey), f"s{si} pic{k} y"
-            assert np.array_equal(cbs[si, k], ecb), f"s{si} pic{k} cb"
-            assert np.array_equal(crs[si, k], ecr), f"s{si} pic{k} cr"
+            assert np.array_equal(ys[k], ey), f"s{si} pic{k} y"
+            assert np.array_equal(cbs[k], ecb), f"s{si} pic{k} cb"
+            assert np.array_equal(crs[k], ecr), f"s{si} pic{k} cr"
