@@ -206,16 +206,18 @@ def _combine_wp(p0, p1, both, w0, w1, o, s, xp):
 
 
 def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
-               mb_w, mb_h, xp):
+               mb_w, mb_h, xp, y_off=0):
     """Predict every 4x4 block of the picture from the ref stacks.
 
     Returns pred_y [n,16,16], pred_cb/cr [n,8,8] int32 (garbage for
-    intra MBs; selected out later)."""
+    intra MBs; selected out later). y_off: pixel-row offset of this MB
+    block within the full picture (tile-band sharding: MVs address the
+    replicated reference frames in global coordinates)."""
     n = mb_w * mb_h
     B = n * 16
     mb = xp.arange(n, dtype=xp.int32)
     x0 = (mb % mb_w) * 16
-    y0 = (mb // mb_w) * 16
+    y0 = (mb // mb_w) * 16 + y_off
     blk = xp.arange(16, dtype=xp.int32)
     bx = (x0[:, None] + (blk[None, :] & 3) * 4).reshape(B)
     by = (y0[:, None] + (blk[None, :] >> 2) * 4).reshape(B)

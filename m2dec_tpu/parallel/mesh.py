@@ -224,3 +224,188 @@ def h265_example_gops(n_gops, n_pics, H, W, ctb_log2=4, pool_size=4,
              np.zeros((n_gops, pool_size, H >> 1, W >> 1), np.uint8),
              np.zeros((n_gops, pool_size, H >> 1, W >> 1), np.uint8))
     return pools, xs
+
+
+# ------------------------------------------------------- H.264 tiles --
+
+def h264_tile_step(mesh, mb_w, mb_h, has_i8=False, axis="frame"):
+    """Level-2 spatial tile parallelism (SURVEY §2.4/§5.8): ONE
+    picture's Phase B banded across devices by MB rows, with halo
+    exchange over ICI.
+
+    - residual + quarter-pel MC: embarrassingly parallel per band — the
+      reference frames are replicated, MVs gather in global coordinates
+      (``inter_pass(y_off=...)``)
+    - intra wavefront: the left/top dependence chains through the whole
+      picture, so bands execute in sequence; each band's bottom pixel
+      row (the next band's top-neighbor line) travels down by
+      ``lax.ppermute``
+    - deblock wavefront: the band-boundary horizontal edges read the 4
+      post-filter pixel rows above (ppermute down) and write 3 of them
+      back (one ppermute up after the last band)
+
+    Returns a jitted ``fn(P_tiled, refs_y, refs_cb, refs_cr) -> (y, cb,
+    cr)`` over full planes, bit-exact with the single-device graph
+    (tests/test_parallel.py). ``P_tiled`` leaves carry a leading
+    ``[n_bands, nmb_local, ...]`` axis (see ``h264_tile_plan``)."""
+    import m2dec_tpu.codecs.h264.reconstruct as R
+    from m2dec_tpu.codecs.h264 import tables as T
+
+    nb = int(np.prod(mesh.devices.shape))
+    if mb_h % nb:
+        raise ValueError(f"mb_h={mb_h} not divisible by {nb} bands")
+    bh = mb_h // nb
+    Hl, W = bh * 16, mb_w * 16
+    Hcl, Wc = Hl >> 1, W >> 1
+    diag_local = jnp.asarray(R._diag_lanes(mb_w, bh))
+    tabs_np = (np.asarray(T.DEBLOCK_ALPHA, np.int32),
+               np.asarray(T.DEBLOCK_BETA, np.int32),
+               np.asarray(T.DEBLOCK_TC0, np.int32))
+    perm_down = [(i, i + 1) for i in range(nb - 1)]
+    perm_up = [(i, i - 1) for i in range(1, nb)]
+
+    def band_fn(P, refs_y, refs_cb, refs_cr):
+        P = {k: v[0] for k, v in P.items()}  # strip the shard axis
+        band = jax.lax.axis_index(axis)
+        kind = P["kind"]
+        res_y = R.residual_mb(P["coef_luma"], P["t8x8"], jnp)
+        res_c = R.residual_chroma(P["coef_chroma"], jnp)
+        pred_y, pred_cb, pred_cr = R.inter_pass(
+            P["mv"], P["slot"], P["wp"], refs_y, refs_cb, refs_cr,
+            mb_w, bh, jnp, y_off=band * Hl)
+        is_inter = (kind == 0)[:, None, None]
+        y_plane = R._assemble(
+            jnp.where(is_inter, jnp.clip(pred_y + res_y, 0, 255), 0),
+            16, mb_w, bh, jnp)
+        cb_plane = R._assemble(
+            jnp.where(is_inter, jnp.clip(pred_cb + res_c[:, 0], 0, 255),
+                      0), 8, mb_w, bh, jnp)
+        cr_plane = R._assemble(
+            jnp.where(is_inter, jnp.clip(pred_cr + res_c[:, 1], 0, 255),
+                      0), 8, mb_w, bh, jnp)
+
+        # ---- intra wavefront, pipelined across bands ----
+        Q = dict(P)
+        Q["res_y"] = res_y
+        Q["res_c"] = res_c
+        ypad = jnp.zeros((1 + Hl, 1 + W + 8), jnp.int32)
+        ypad = ypad.at[1:, 1 : 1 + W].set(y_plane)
+        cbpad = jnp.zeros((1 + Hcl, 1 + Wc), jnp.int32)
+        cbpad = cbpad.at[1:, 1:].set(cb_plane)
+        crpad = jnp.zeros((1 + Hcl, 1 + Wc), jnp.int32)
+        crpad = crpad.at[1:, 1:].set(cr_plane)
+
+        def istep(carry, lanes):
+            return R._intra_step(carry, lanes, Q, mb_w, has_i8, jnp)
+
+        def intra_iter(s, state):
+            yp, cbp, crp, hy, hcb, hcr = state
+
+            def run(t):
+                yp, cbp, crp = t
+                # install the halo: the band above's bottom pixel line
+                yp = yp.at[0].set(hy)
+                cbp = cbp.at[0].set(hcb)
+                crp = crp.at[0].set(hcr)
+                return jax.lax.scan(istep, (yp, cbp, crp),
+                                    diag_local)[0]
+
+            yp, cbp, crp = jax.lax.cond(band == s, run, lambda t: t,
+                                        (yp, cbp, crp))
+            hy = jax.lax.ppermute(yp[Hl], axis, perm_down)
+            hcb = jax.lax.ppermute(cbp[Hcl], axis, perm_down)
+            hcr = jax.lax.ppermute(crp[Hcl], axis, perm_down)
+            return (yp, cbp, crp, hy, hcb, hcr)
+
+        def _vary(a):  # device-varying carry type for the halo lines
+            return jax.lax.pcast(a, axis, to="varying")
+
+        state = (ypad, cbpad, crpad,
+                 _vary(jnp.zeros((1 + W + 8,), jnp.int32)),
+                 _vary(jnp.zeros((1 + Wc,), jnp.int32)),
+                 _vary(jnp.zeros((1 + Wc,), jnp.int32)))
+        ypad, cbpad, crpad = jax.lax.fori_loop(0, nb, intra_iter,
+                                               state)[:3]
+        y_plane = ypad[1:, 1 : 1 + W]
+        cb_plane = cbpad[1:, 1:]
+        cr_plane = crpad[1:, 1:]
+
+        # ---- deblock wavefront, pipelined across bands ----
+        tabs = tuple(jnp.asarray(t) for t in tabs_np)
+        ydb = jnp.zeros((4 + Hl, 4 + W), jnp.int32)
+        ydb = ydb.at[4:, 4:].set(y_plane)
+        cbdb = jnp.zeros((4 + Hcl, 4 + Wc), jnp.int32)
+        cbdb = cbdb.at[4:, 4:].set(cb_plane)
+        crdb = jnp.zeros((4 + Hcl, 4 + Wc), jnp.int32)
+        crdb = crdb.at[4:, 4:].set(cr_plane)
+
+        def dstep(carry, lanes):
+            return R._deblock_step(carry, lanes, P, mb_w, jnp, tabs)
+
+        def db_iter(s, state):
+            yd, cbd, crd, hy, hcb, hcr = state
+
+            def run(t):
+                yd, cbd, crd = t
+                # top halo: the band above's bottom 4 post-filter rows
+                yd = yd.at[0:4].set(hy)
+                cbd = cbd.at[0:4].set(hcb)
+                crd = crd.at[0:4].set(hcr)
+                return jax.lax.scan(dstep, (yd, cbd, crd),
+                                    diag_local)[0]
+
+            yd, cbd, crd = jax.lax.cond(band == s, run, lambda t: t,
+                                        (yd, cbd, crd))
+            hy = jax.lax.ppermute(yd[Hl : Hl + 4], axis, perm_down)
+            hcb = jax.lax.ppermute(cbd[Hcl : Hcl + 4], axis, perm_down)
+            hcr = jax.lax.ppermute(crd[Hcl : Hcl + 4], axis, perm_down)
+            return (yd, cbd, crd, hy, hcb, hcr)
+
+        state = (ydb, cbdb, crdb,
+                 _vary(jnp.zeros((4, 4 + W), jnp.int32)),
+                 _vary(jnp.zeros((4, 4 + Wc), jnp.int32)),
+                 _vary(jnp.zeros((4, 4 + Wc), jnp.int32)))
+        ydb, cbdb, crdb = jax.lax.fori_loop(0, nb, db_iter, state)[:3]
+        # fix-up: my pad rows hold the band above's bottom rows as my
+        # boundary edges left them — send them back up
+        fy = jax.lax.ppermute(ydb[0:4], axis, perm_up)
+        fcb = jax.lax.ppermute(cbdb[0:4], axis, perm_up)
+        fcr = jax.lax.ppermute(crdb[0:4], axis, perm_up)
+        have_below = band < nb - 1
+        ydb = jnp.where(have_below, ydb.at[Hl : Hl + 4].set(fy), ydb)
+        cbdb = jnp.where(have_below, cbdb.at[Hcl : Hcl + 4].set(fcb),
+                         cbdb)
+        crdb = jnp.where(have_below, crdb.at[Hcl : Hcl + 4].set(fcr),
+                         crdb)
+        return (ydb[4:, 4:].astype(jnp.uint8),
+                cbdb[4:, 4:].astype(jnp.uint8),
+                crdb[4:, 4:].astype(jnp.uint8))
+
+    shard = P(axis)
+    repl = P()
+    fn = jax.shard_map(
+        band_fn, mesh=mesh,
+        in_specs=({k: shard for k in _h264_tile_keys()}, repl, repl,
+                  repl),
+        out_specs=(shard, shard, shard),
+    )
+    return jax.jit(fn)
+
+
+def _h264_tile_keys():
+    from m2dec_tpu.codecs.h264.reconstruct import _PLAN_KEYS
+
+    return _PLAN_KEYS
+
+
+def h264_tile_plan(plan, n_bands):
+    """Split a PicturePlan's tensors into [n_bands, nmb_local, ...] for
+    h264_tile_step (MB-row bands)."""
+    from m2dec_tpu.codecs.h264.reconstruct import _PLAN_KEYS
+
+    out = {}
+    for k in _PLAN_KEYS:
+        v = np.asarray(getattr(plan, k))
+        out[k] = v.reshape((n_bands, v.shape[0] // n_bands)
+                           + v.shape[1:])
+    return out
