@@ -319,8 +319,7 @@ class Mpeg2Decoder:
         pp.q_scale_type = pic.q_scale_type
         pp.intra_vlc_format = pic.intra_vlc_format
         pp.alternate_scan = pic.alternate_scan
-        if pic.picture_structure != 3:
-            return None
+        pp.picture_structure = pic.picture_structure
         for k in range(64):
             pp.qmat_intra[k] = int(seq.qmat[0][k])
             pp.qmat_nonintra[k] = int(seq.qmat[1][k])

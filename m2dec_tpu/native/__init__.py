@@ -34,6 +34,7 @@ class M2vPicParams(ctypes.Structure):
         ("q_scale_type", ctypes.c_int32),
         ("intra_vlc_format", ctypes.c_int32),
         ("alternate_scan", ctypes.c_int32),
+        ("picture_structure", ctypes.c_int32),
         ("qmat_intra", ctypes.c_int32 * 64),
         ("qmat_nonintra", ctypes.c_int32 * 64),
     ]

@@ -343,17 +343,32 @@ static int decode_mb_mode(State &s, BitReader &r, int *out) {
     s.mb_type = mb_type;
     int fm = s.frame_mode;
     if (mb_type & MB_MC) {
-        // frame pictures only (structure 1/2 gated in Python):
-        // m2d_motion_type[0][idx] (mpeg2.cpp:819-825)
-        int idx = (fm == 1) ? (int)r.get(2) : 2;
-        if (idx == 2)
-            s.mt_count = 1, s.mt_field = 0, s.mt_dmv = 0; // frame MVs
-        else if (idx == 1)
-            s.mt_count = 2, s.mt_field = 1, s.mt_dmv = 0; // field MVs
-        else if (idx == 3)
-            s.mt_count = 1, s.mt_field = 1, s.mt_dmv = 1; // dual prime
-        else
-            return -3; // motion_type 0: Python raises NotImplementedError
+        if (fm == 0) {
+            // field picture: m2d_motion_type[1][idx] (mpeg2.cpp:826-831)
+            int idx = (int)r.get(2);
+            if (idx == 1)
+                // field MC, 1 mv: vertical_field_select read+discarded
+                s.mt_count = 1, s.mt_field = 1, s.mt_dmv = 0;
+            else if (idx == 2)
+                s.mt_count = 2, s.mt_field = 1, s.mt_dmv = 0; // 16x8 pair
+            else if (idx == 3)
+                s.mt_count = 1, s.mt_field = 1, s.mt_dmv = 1; // dual prime
+            else
+                return -3; // motion_type 0
+        } else {
+            // frame picture: m2d_motion_type[0][idx] (mpeg2.cpp:819-825)
+            int idx = (fm == 1) ? (int)r.get(2) : 2;
+            if (idx == 2)
+                s.mt_count = 1, s.mt_field = 0, s.mt_dmv = 0; // frame MVs
+            else if (idx == 1)
+                s.mt_count = 2, s.mt_field = 1, s.mt_dmv = 0; // field MVs
+            else if (idx == 3)
+                s.mt_count = 1, s.mt_field = 1, s.mt_dmv = 1; // dual prime
+            else
+                return -3; // motion_type 0: Python raises NotImplementedError
+        }
+    } else if (fm == 0) {
+        s.mt_count = 1, s.mt_field = 1, s.mt_dmv = 0; // m2d_motion_type[1][1]
     } else {
         s.mt_count = 1, s.mt_field = 0, s.mt_dmv = 0;
     }
@@ -482,7 +497,7 @@ typedef struct {
     int32_t r_size[4]; // [s*2+xy]
     int32_t intra_dc_precision, frame_pred_frame_dct;
     int32_t concealment_motion_vectors, q_scale_type, intra_vlc_format;
-    int32_t alternate_scan;
+    int32_t alternate_scan, picture_structure;
     int32_t qmat_intra[64], qmat_nonintra[64];
 } m2v_pic_params;
 
@@ -511,7 +526,10 @@ int m2v_decode_picture(const uint8_t *data, int64_t data_len,
     s.intra_dc_max = (1 << (pp->intra_dc_precision + 8)) - 1;
     s.intra_vlc = (pp->concealment_motion_vectors * 2) | pp->intra_vlc_format;
     s.concealment = pp->concealment_motion_vectors;
-    s.frame_mode = pp->frame_pred_frame_dct ? 3 : 1;
+    // set_coding_extension_param (mpeg2.cpp:489-497): field pictures
+    // (structure 1/2) decode with frame_mode 0
+    s.frame_mode = (pp->picture_structure != 3) ? 0
+                 : (pp->frame_pred_frame_dct ? 3 : 1);
     s.qmat_intra = pp->qmat_intra;
     s.qmat_nonintra = pp->qmat_nonintra;
     s.scan = pp->alternate_scan ? SCAN1 : SCAN0;

@@ -213,3 +213,35 @@ def test_field_pictures_dual_prime(reference_bins, tmp_path):
     run_case(reference_bins, tmp_path,
              Mpeg2FieldPicGen(64, 48, seed=5, field_prob=0.3,
                               dual_prob=0.3), "IIPPPP")
+
+
+def test_native_phase_a_covers_field_pictures(reference_bins, tmp_path):
+    """The C++ Phase A must handle field pictures (structure 1/2) and
+    field-MC-in-frame streams directly — no silent Python fallback
+    (frame_mode=0 decode model, m2vparse.cpp decode_mb_mode)."""
+    import m2dec_tpu.codecs.mpeg2.decoder as D
+
+    if __import__("m2dec_tpu.native", fromlist=["load_m2v"]).load_m2v() \
+            is None:
+        pytest.skip("native toolchain unavailable")
+    counts = {"python": 0}
+    orig = D.Mpeg2EntropyDecoder
+
+    class Counting(orig):
+        def __init__(self, *a, **k):
+            counts["python"] += 1
+            super().__init__(*a, **k)
+
+    D.Mpeg2EntropyDecoder = Counting
+    try:
+        for gen, pat in ((Mpeg2FieldPicGen(64, 48, seed=1), "IIPPPP"),
+                         (Mpeg2FieldMcGen(64, 48, seed=2), "IPPBP")):
+            data = gen.generate(pat + "I")
+            golden = oracle_decode(reference_bins, data, tmp_path)
+            dec = D.Mpeg2Decoder(backend="numpy")
+            dec.set_data(data)
+            ours = b"".join(cropped_nv12_bytes(f) for f in dec.decode_all())
+            assert ours[: len(golden)] == golden and golden
+        assert counts["python"] == 0, "native Phase A fell back to Python"
+    finally:
+        D.Mpeg2EntropyDecoder = orig
