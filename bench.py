@@ -174,11 +174,26 @@ PHASE_A_THREADS = int(sys.modules["os"].environ.get(
     "M2DEC_TPU_BENCH_THREADS", str(min(4, __import__("os").cpu_count()))))
 
 
+_PHASE_A_POOL = None
+
+
+def _phase_a_pool():
+    """Persistent Phase-A thread pool: fresh executors allocate fresh
+    malloc arenas whose pages fault in at this VM's pathological
+    first-touch rate (STATUS.md host note) — reuse keeps them warm."""
+    global _PHASE_A_POOL
+    if _PHASE_A_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _PHASE_A_POOL = ThreadPoolExecutor(max_workers=PHASE_A_THREADS)
+    return _PHASE_A_POOL
+
+
 def turbo_multi(data, n_streams, batcher=None):
     """N independent 1080p streams decoded concurrently on one chip:
-    native Phase A per stream, ONE vmapped whole-GOP Phase-B device
-    call, outputs left device-resident (the production-serving shape —
-    frames feed on-device consumers). Execution is forced and
+    native Phase A per stream, one whole-GOP Phase-B dispatch per
+    stream, outputs left device-resident (the production-serving shape
+    — frames feed on-device consumers). Execution is forced and
     bit-exactness carried by per-stream device checksums matched
     against the verified materialized run.
 
@@ -198,10 +213,7 @@ def turbo_multi(data, n_streams, batcher=None):
     # Phase A threads across streams: the C++ slice decode and the
     # batch packer release the GIL, so 2 host cores run ~2 streams'
     # entropy decode concurrently.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=PHASE_A_THREADS) as ex:
-        decs = list(ex.map(decode_one, range(n_streams)))
+    decs = list(_phase_a_pool().map(decode_one, range(n_streams)))
     plans_per_stream = [d.plans for d in decs]
     pool_size = len(decs[0].frames)
     mbw, mbh = decs[0].max_x, decs[0].max_y

@@ -1395,17 +1395,26 @@ def _jitted_checksum():
     import jax
     import jax.numpy as jnp
 
+    def one(a):
+        flat = a.reshape(a.shape[0], -1).astype(jnp.int32)
+        L = flat.shape[1]
+        # weights are periodic mod 8191: fold into [C, 8191] chunks so
+        # the weight vector stays an 8191-element constant — a flat
+        # arange(L) % 8191 would constant-fold into a multi-hundred-MB
+        # literal inside the executable (measured: minutes per call
+        # through the tunneled runtime)
+        C = -(-L // 8191)
+        pad = C * 8191 - L
+        fp = jnp.pad(flat, ((0, 0), (0, pad))).reshape(
+            flat.shape[0], C, 8191)
+        w = jnp.arange(1, 8192, dtype=jnp.int32)
+        return jnp.stack([fp.sum(axis=(1, 2)),
+                          (fp * w[None, None, :]).sum(axis=(1, 2))],
+                         axis=-1)
+
     def cks(y, cb, cr):
-        out = []
-        for a in (y, cb, cr):
-            n = a.ndim
-            flat = a.reshape(a.shape[0], -1).astype(jnp.int32)
-            w = (jnp.arange(flat.shape[1], dtype=jnp.int32) % 8191) + 1
-            out.append(jnp.stack([flat.sum(axis=1),
-                                  (flat * w[None, :]).sum(axis=1)],
-                                 axis=-1))
-            del n
-        return jnp.stack(out, axis=1)  # [N, 3, 2] int32 (mod 2^32)
+        return jnp.stack([one(y), one(cb), one(cr)],
+                         axis=1)  # [N, 3, 2] int32 (mod 2^32)
 
     return jax.jit(cks)
 
