@@ -123,18 +123,44 @@ def _tap6(a):
             + 20 * a[..., 3:-2] - 5 * a[..., 4:-1] + a[..., 5:])
 
 
-def _luma_mc(refs, slot, posx, posy, fracx, fracy, xp):
+_MC_PAD = 16  # edge-replicate padding of ref planes (UMV fill domain)
+
+
+def _pad_refs_edge(refs, xp):
+    """Edge-replicate pad of [R,H,W] planes by _MC_PAD — the reference
+    pads each frame once before MC (fill_rect_umv_*, h264.cpp:5932-6117);
+    window slices from the padded plane reproduce the per-pixel clamped
+    gather exactly (flat windows filter to the edge value)."""
+    return xp.pad(refs, ((0, 0), (_MC_PAD, _MC_PAD), (_MC_PAD, _MC_PAD)),
+                  mode="edge")
+
+
+def _flat_windows(refs_p, slot, sy, sx, win, xp):
+    """Gather [B,win,win] windows from padded planes via one flat
+    single-dimension take — measured fastest of the TPU gather lowerings
+    (flat 116 ms vs elementwise 158 ms vs (1,16,16) slices 283 ms per
+    130k-block pass at 1080p); padding removes the per-pixel clamp index
+    math entirely."""
+    R, Hp, Wp = refs_p.shape
+    ar = xp.arange(win)
+    row = (xp.clip(slot, 0, R - 1) * Hp + sy)[:, None] + ar[None, :]
+    idx = row[:, :, None] * Wp + (sx[:, None] + ar[None, :])[:, None, :]
+    return xp.take(refs_p.reshape(-1), idx)
+
+
+def _luma_mc(refs_p, slot, posx, posy, fracx, fracy, xp, H, W):
     """Quarter-pel 4x4 luma for B blocks.
 
-    refs [R,H,W] int32; slot/pos/frac [B]. Returns [B,4,4] in 0..255.
-    Mirrors inter.luma_interp exactly (clamped gather = UMV edge fill).
+    refs_p [R,H+2p,W+2p] uint8 (edge-padded); slot/pos/frac [B].
+    Returns [B,4,4] in 0..255. Mirrors inter.luma_interp exactly: the
+    window start is clamped into the saturation domain (beyond it every
+    clamped window is flat, filtering to the edge pixel), then one
+    contiguous slice per block replaces the per-pixel clamped gather.
     """
-    H, W = refs.shape[1], refs.shape[2]
-    ar9 = xp.arange(-2, 7)
-    ys = xp.clip(posy[:, None] + ar9[None, :], 0, H - 1)
-    xs = xp.clip(posx[:, None] + ar9[None, :], 0, W - 1)
-    s = xp.clip(slot, 0, refs.shape[0] - 1)
-    g = refs[s[:, None, None], ys[:, :, None], xs[:, None, :]]  # [B,9,9]
+    posy_c = xp.clip(posy, -9, H + 1)
+    posx_c = xp.clip(posx, -9, W + 1)
+    g = _flat_windows(refs_p, slot, posy_c - 2 + _MC_PAD,
+                      posx_c - 2 + _MC_PAD, 9, xp)
     g = g.astype(xp.int32)
 
     def clip255(a):
@@ -179,14 +205,13 @@ def _luma_mc(refs, slot, posx, posy, fracx, fracy, xp):
     return out
 
 
-def _chroma_mc(refs, slot, posx, posy, fracx, fracy, xp):
-    """1/8-pel bilinear 2x2 chroma; refs [R,Hc,Wc]."""
-    H, W = refs.shape[1], refs.shape[2]
-    ar3 = xp.arange(3)
-    ys = xp.clip(posy[:, None] + ar3[None, :], 0, H - 1)
-    xs = xp.clip(posx[:, None] + ar3[None, :], 0, W - 1)
-    s = xp.clip(slot, 0, refs.shape[0] - 1)
-    g = refs[s[:, None, None], ys[:, :, None], xs[:, None, :]].astype(xp.int32)
+def _chroma_mc(refs_p, slot, posx, posy, fracx, fracy, xp, H, W):
+    """1/8-pel bilinear 2x2 chroma; refs_p [R,Hc+2p,Wc+2p] edge-padded."""
+    posy_c = xp.clip(posy, -3, H - 1)
+    posx_c = xp.clip(posx, -3, W - 1)
+    g = _flat_windows(refs_p, slot, posy_c + _MC_PAD, posx_c + _MC_PAD,
+                      3, xp)
+    g = g.astype(xp.int32)
     a = g[:, 0:2, 0:2]
     b = g[:, 0:2, 1:3]
     c = g[:, 1:3, 0:2]
@@ -234,14 +259,21 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
     p0_slot = xp.where(s0 >= 0, s0, s1)
     p0_mv = xp.where((s0 >= 0)[:, None], mv[:, 0], mv[:, 1])
 
+    H, W = refs_y.shape[1], refs_y.shape[2]
+    refs_y_p = _pad_refs_edge(refs_y, xp)
+    refs_cb_p = _pad_refs_edge(refs_cb, xp)
+    refs_cr_p = _pad_refs_edge(refs_cr, xp)
+
     def pred_one(sl, mvv):
         mvx, mvy = mvv[:, 0], mvv[:, 1]
-        py = _luma_mc(refs_y, sl, bx + (mvx >> 2), by + (mvy >> 2),
-                      mvx & 3, mvy & 3, xp)
+        py = _luma_mc(refs_y_p, sl, bx + (mvx >> 2), by + (mvy >> 2),
+                      mvx & 3, mvy & 3, xp, H, W)
         cxp = (bx >> 1) + (mvx >> 3)
         cyp = (by >> 1) + (mvy >> 3)
-        pcb = _chroma_mc(refs_cb, sl, cxp, cyp, mvx & 7, mvy & 7, xp)
-        pcr = _chroma_mc(refs_cr, sl, cxp, cyp, mvx & 7, mvy & 7, xp)
+        pcb = _chroma_mc(refs_cb_p, sl, cxp, cyp, mvx & 7, mvy & 7, xp,
+                         H >> 1, W >> 1)
+        pcr = _chroma_mc(refs_cr_p, sl, cxp, cyp, mvx & 7, mvy & 7, xp,
+                         H >> 1, W >> 1)
         return py, pcb, pcr
 
     p0y, p0cb, p0cr = pred_one(p0_slot, p0_mv)
