@@ -669,12 +669,14 @@ _ZORDER = [(((i >> 1) & 1) * 4 + ((i >> 3) & 1) * 8,
             (i & 1) * 4 + ((i >> 2) & 1) * 8) for i in range(16)]
 
 
-def _intra_step(carry, lane_mbs, P, mb_w, has_i8, xp):
+def _intra_step(carry, lanes, P, mb_w, has_i8, xp):
     y, cb, cr = carry
-    L = lane_mbs.shape[0]
-    valid = lane_mbs >= 0
-    mbs = xp.maximum(lane_mbs, 0)
-    y0 = (mbs // mb_w) * 16
+    lane_idx = lanes[0]
+    L = lane_idx.shape[0]
+    valid = lane_idx >= 0
+    mbs = xp.maximum(lane_idx, 0)
+    y0 = xp.maximum(lanes[1], 0)   # intra-pad luma row (stackable)
+    cy0_lane = xp.maximum(lanes[2], 0)
     x0 = (mbs % mb_w) * 16
     ar17 = xp.arange(17)
     ar25 = xp.arange(25)
@@ -737,7 +739,7 @@ def _intra_step(carry, lane_mbs, P, mb_w, has_i8, xp):
     y = y.at[iy, ix].set(tile, mode="drop")
 
     # ---- chroma ----
-    cy0 = y0 >> 1
+    cy0 = cy0_lane
     cx0 = x0 >> 1
     ar9 = xp.arange(9)
     ar8 = xp.arange(8)
@@ -862,20 +864,22 @@ def _edge_params(stbyte, str4, ab, nlines, shift, alpha_t, beta_t, tc0_t, xp):
     return s, alpha, beta, tc0
 
 
-def _deblock_step(carry, lane_mbs, P, mb_w, xp, tabs):
+def _deblock_step(carry, lanes, P, mb_w, xp, tabs):
     y, cb, cr = carry
     alpha_t, beta_t, tc0_t = tabs
-    valid = lane_mbs >= 0
-    mbs = xp.maximum(lane_mbs, 0)
-    y0 = (mbs // mb_w) * 16
+    lane_idx = lanes[0]
+    valid = lane_idx >= 0
+    mbs = xp.maximum(lane_idx, 0)
+    y0 = xp.maximum(lanes[3], 0)   # deblock-pad luma row (stackable)
+    cy0 = xp.maximum(lanes[4], 0)
     x0 = (mbs % mb_w) * 16
     ar20 = xp.arange(20)
     ar12 = xp.arange(12)
     Wy = y[(y0[:, None] + ar20)[:, :, None],
            (x0[:, None] + ar20)[:, None, :]]  # [L,20,20]
-    Wcb = cb[((y0 >> 1)[:, None] + ar12)[:, :, None],
+    Wcb = cb[(cy0[:, None] + ar12)[:, :, None],
              ((x0 >> 1)[:, None] + ar12)[:, None, :]]
-    Wcr = cr[((y0 >> 1)[:, None] + ar12)[:, :, None],
+    Wcr = cr[(cy0[:, None] + ar12)[:, :, None],
              ((x0 >> 1)[:, None] + ar12)[:, None, :]]
 
     dstr = P["deb_str"][mbs]    # [L,2,4]
@@ -929,7 +933,7 @@ def _deblock_step(carry, lane_mbs, P, mb_w, xp, tabs):
     iy = (sy[:, None] + ar20)[:, :, None]
     ix = (x0[:, None] + ar20)[:, None, :]
     y = y.at[iy, ix].set(Wy, mode="drop")
-    scy = xp.where(valid, y0 >> 1, BIG)
+    scy = xp.where(valid, cy0, BIG)
     icy = (scy[:, None] + ar12)[:, :, None]
     icx = ((x0 >> 1)[:, None] + ar12)[:, None, :]
     cb = cb.at[icy, icx].set(Wcb, mode="drop")
@@ -949,17 +953,49 @@ def _assemble(mbs, blk, mb_w, mb_h, xp):
 
 @functools.lru_cache(maxsize=16)
 def _diag_lanes(mb_w, mb_h):
-    """MB indices grouped by wavefront diagonal d = mbx + 2*mby,
-    padded with -1 to the widest diagonal."""
+    """Wavefront lane table [n_diag, 5, L]: per diagonal d = mbx + 2*mby
+    the lanes' (plan index, intra-pad luma row, intra-pad chroma row,
+    deblock-pad luma row, deblock-pad chroma row), -1 padded.
+
+    Carrying pixel rows explicitly (instead of deriving them from the
+    plan index) lets independent streams stack vertically on one tall
+    plane with per-stream row bases — the per-scan-step op overhead then
+    amortizes across streams (_stack_diag_lanes)."""
     diags = {}
     for mby in range(mb_h):
         for mbx in range(mb_w):
             diags.setdefault(mbx + 2 * mby, []).append(mby * mb_w + mbx)
     D = max(diags) + 1
     L = max(len(v) for v in diags.values())
-    out = np.full((D, L), -1, np.int32)
+    out = np.full((D, 5, L), -1, np.int32)
     for d, v in diags.items():
-        out[d, : len(v)] = v
+        idx = np.asarray(v, np.int32)
+        y = idx // mb_w
+        out[d, 0, : len(v)] = idx
+        out[d, 1, : len(v)] = y * 16
+        out[d, 2, : len(v)] = y * 8
+        out[d, 3, : len(v)] = y * 16
+        out[d, 4, : len(v)] = y * 8
+    return out
+
+
+def _stack_diag_lanes(mb_w, mb_h, n_streams, H, W):
+    """Lane table for n_streams geometrically identical pictures stacked
+    on tall planes: stream s's plan indices offset by s*n, its intra-pad
+    rows by s*(1+H) (luma) / s*(1+H/2) (chroma), its deblock-pad rows by
+    s*(4+H) / s*(4+H/2). Every stream runs its local diagonal d in the
+    same scan step."""
+    base = _diag_lanes(mb_w, mb_h)
+    D, _, L = base.shape
+    n = mb_w * mb_h
+    out = np.full((D, 5, L * n_streams), -1, np.int32)
+    offs = (n, 1 + H, 1 + (H >> 1), 4 + H, 4 + (H >> 1))
+    for s in range(n_streams):
+        seg = base.copy()
+        for row, off in enumerate(offs):
+            v = seg[:, row]
+            seg[:, row] = np.where(v >= 0, v + s * off, -1)
+        out[:, :, s * L : (s + 1) * L] = seg
     return out
 
 
@@ -1405,6 +1441,122 @@ def _recon_batch_blob(pool_y, pool_cb, pool_cr, blob, pals, cur_idx, diag,
                         deblock=deblock)
 
 
+def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, blobs, pals,
+                              cur_idx, diag, *, layout, n_streams, mb_w,
+                              mb_h, has_i8, deblock):
+    """Multi-stream batched Phase B with the wavefront scans STACKED on
+    tall planes: each scan step runs every stream's same-numbered
+    diagonal in one set of ops, so the per-step op overhead (measured
+    ~0.45 ms/step at 1080p just to move the neighbor windows) is paid
+    once per step instead of once per stream.
+
+    pool_* [S, R, H, W]; blobs [S] wire blobs (identical layout);
+    pals [S] palette dicts; cur_idx [n_pics, S]; diag from
+    _stack_diag_lanes. Streams must share geometry."""
+    import jax
+    import jax.numpy as jnp
+
+    S = n_streams
+    H, W = mb_h * 16, mb_w * 16
+    Hc, Wc = H >> 1, W >> 1
+    tabs = (jnp.asarray(np.asarray(T.DEBLOCK_ALPHA, np.int32)),
+            jnp.asarray(np.asarray(T.DEBLOCK_BETA, np.int32)),
+            jnp.asarray(np.asarray(T.DEBLOCK_TC0, np.int32)))
+    stacked = [_unflatten_wire(blobs[s], layout, jnp) for s in range(S)]
+
+    def step(pool, xs):
+        py, pcb, pcr = pool
+        Ps, ypads, cbpads, crpads = [], [], [], []
+        for s in range(S):
+            P = _unpack_wire(xs["plan"][s], jnp, pals[s])
+            P["res_y"] = residual_mb(P["coef_luma"], P["t8x8"], jnp)
+            P["res_c"] = residual_chroma(P["coef_chroma"], jnp)
+            pred_y, pred_cb, pred_cr = inter_pass(
+                P["mv"], P["slot"], P["wp"], py[s], pcb[s], pcr[s],
+                mb_w, mb_h, jnp)
+            is_inter = (P["kind"] == 0)[:, None, None]
+            iy = jnp.where(is_inter,
+                           jnp.clip(pred_y + P["res_y"], 0, 255), 0)
+            icb = jnp.where(is_inter,
+                            jnp.clip(pred_cb + P["res_c"][:, 0], 0, 255),
+                            0)
+            icr = jnp.where(is_inter,
+                            jnp.clip(pred_cr + P["res_c"][:, 1], 0, 255),
+                            0)
+            ypad = jnp.zeros((1 + H, 1 + W + 8), jnp.int32)
+            ypad = ypad.at[1:, 1 : 1 + W].set(_assemble(iy, 16, mb_w,
+                                                        mb_h, jnp))
+            cbpad = jnp.zeros((1 + Hc, 1 + Wc), jnp.int32)
+            cbpad = cbpad.at[1:, 1:].set(_assemble(icb, 8, mb_w, mb_h,
+                                                   jnp))
+            crpad = jnp.zeros((1 + Hc, 1 + Wc), jnp.int32)
+            crpad = crpad.at[1:, 1:].set(_assemble(icr, 8, mb_w, mb_h,
+                                                   jnp))
+            Ps.append(P)
+            ypads.append(ypad)
+            cbpads.append(cbpad)
+            crpads.append(crpad)
+        Pst = {k: jnp.concatenate([P[k] for P in Ps]) for k in Ps[0]}
+        ypad = jnp.concatenate(ypads)
+        cbpad = jnp.concatenate(cbpads)
+        crpad = jnp.concatenate(crpads)
+
+        def istep(carry, lanes):
+            return _intra_step(carry, lanes, Pst, mb_w, has_i8, jnp)
+
+        (ypad, cbpad, crpad), _ = jax.lax.scan(
+            istep, (ypad, cbpad, crpad), diag)
+        ys = [ypad[s * (1 + H) + 1 : (s + 1) * (1 + H), 1 : 1 + W]
+              for s in range(S)]
+        cbs = [cbpad[s * (1 + Hc) + 1 : (s + 1) * (1 + Hc), 1:]
+               for s in range(S)]
+        crs = [crpad[s * (1 + Hc) + 1 : (s + 1) * (1 + Hc), 1:]
+               for s in range(S)]
+        if deblock:
+            def dpad(pl):
+                return jnp.pad(pl, ((4, 0), (4, 0)))
+
+            ydb = jnp.concatenate([dpad(p) for p in ys])
+            cbdb = jnp.concatenate([dpad(p) for p in cbs])
+            crdb = jnp.concatenate([dpad(p) for p in crs])
+
+            def dstep(carry, lanes):
+                return _deblock_step(carry, lanes, Pst, mb_w, jnp, tabs)
+
+            (ydb, cbdb, crdb), _ = jax.lax.scan(
+                dstep, (ydb, cbdb, crdb), diag)
+            ys = [ydb[s * (4 + H) + 4 : (s + 1) * (4 + H), 4:]
+                  for s in range(S)]
+            cbs = [cbdb[s * (4 + Hc) + 4 : (s + 1) * (4 + Hc), 4:]
+                   for s in range(S)]
+            crs = [crdb[s * (4 + Hc) + 4 : (s + 1) * (4 + Hc), 4:]
+                   for s in range(S)]
+        outs_y = jnp.stack([p.astype(jnp.uint8) for p in ys])
+        outs_cb = jnp.stack([p.astype(jnp.uint8) for p in cbs])
+        outs_cr = jnp.stack([p.astype(jnp.uint8) for p in crs])
+        for s in range(S):
+            idx = xs["cur_idx"][s]
+            py = py.at[s, idx].set(outs_y[s])
+            pcb = pcb.at[s, idx].set(outs_cb[s])
+            pcr = pcr.at[s, idx].set(outs_cr[s])
+        return (py, pcb, pcr), (outs_y, outs_cb, outs_cr)
+
+    xs = {"plan": stacked, "cur_idx": cur_idx}
+    pool, outs = jax.lax.scan(step, (pool_y, pool_cb, pool_cr), xs)
+    return pool, outs
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_recon_stacked(layout, n_streams, mb_w, mb_h, has_i8,
+                          deblock):
+    import jax
+
+    fn = functools.partial(_recon_batch_stacked_blob, layout=layout,
+                           n_streams=n_streams, mb_w=mb_w, mb_h=mb_h,
+                           has_i8=has_i8, deblock=deblock)
+    return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+
 @functools.lru_cache(maxsize=64)
 def _jitted_recon_blob(layout, mb_w, mb_h, has_i8, deblock):
     import jax
@@ -1474,26 +1626,49 @@ class MultiStreamPhaseB:
     Sequential async dispatches of the single-stream executable queue
     back-to-back on the device instead."""
 
-    def __init__(self, n_streams, mb_w, mb_h, pool_size):
+    def __init__(self, n_streams, mb_w, mb_h, pool_size, stacked=True):
         import jax
         import jax.numpy as jnp
 
         self.n = n_streams
         self.mb_w, self.mb_h = mb_w, mb_h
+        #: stacked=True runs the wavefront scans of all streams on tall
+        #: concatenated planes (_recon_batch_stacked_blob) — one scan
+        #: step per diagonal for the whole stream set
+        self.stacked = stacked
         H, W = mb_h * 16, mb_w * 16
 
-        @jax.jit
-        def _mk():
-            return (jnp.zeros((pool_size, H, W), jnp.uint8),
-                    jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8),
-                    jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8))
+        if stacked:
+            @jax.jit
+            def _mk():
+                return (jnp.zeros((n_streams, pool_size, H, W),
+                                  jnp.uint8),
+                        jnp.zeros((n_streams, pool_size, H >> 1, W >> 1),
+                                  jnp.uint8),
+                        jnp.zeros((n_streams, pool_size, H >> 1, W >> 1),
+                                  jnp.uint8))
 
-        self._mk = _mk
-        self.pools = [_mk() for _ in range(n_streams)]
-        self.diag = _diag_lanes(mb_w, mb_h)
+            self._mk = _mk
+            self.pool = _mk()
+            self.diag = _stack_diag_lanes(mb_w, mb_h, n_streams, H, W)
+        else:
+            @jax.jit
+            def _mk():
+                return (jnp.zeros((pool_size, H, W), jnp.uint8),
+                        jnp.zeros((pool_size, H >> 1, W >> 1),
+                                  jnp.uint8),
+                        jnp.zeros((pool_size, H >> 1, W >> 1),
+                                  jnp.uint8))
+
+            self._mk = _mk
+            self.pools = [_mk() for _ in range(n_streams)]
+            self.diag = _diag_lanes(mb_w, mb_h)
 
     def reset(self):
-        self.pools = [self._mk() for _ in range(self.n)]
+        if self.stacked:
+            self.pool = self._mk()
+        else:
+            self.pools = [self._mk() for _ in range(self.n)]
 
     def run(self, plans_per_stream):
         """plans_per_stream: list of N equal-length plan lists (wire
@@ -1531,6 +1706,15 @@ class MultiStreamPhaseB:
             has_i8 = bool(st0["kind"].max() >= 2) or bool(
                 ((st0["t8x8"] != 0) & (st0["kind"] == 0)).any())
             deblock = bool(st0["deb_str"].any() or st0["deb_str4"].any())
+        if self.stacked:
+            fn = _jitted_recon_stacked(layout0, self.n, self.mb_w,
+                                       self.mb_h, has_i8, deblock)
+            cur = np.stack(curs, axis=1)  # [n_pics, S]
+            self.pool, outs = fn(self.pool[0], self.pool[1],
+                                 self.pool[2], blobs, pals_list, cur,
+                                 self.diag)
+            return [(outs[0][:, s], outs[1][:, s], outs[2][:, s])
+                    for s in range(self.n)]
         fn = _jitted_recon_blob(layout0, self.mb_w, self.mb_h, has_i8,
                                 deblock)
         outs = []
