@@ -625,7 +625,10 @@ class H265Decoder:
                     ((self.data[start] >> 1) & 0x3F, start, end))
         self.nal_i = 0
         self._outq = []
-        self._geom = {}
+        # keep geometry across re-arms (checkpoint resume: the pool is
+        # already allocated, so the first-slice geometry branch is
+        # skipped)
+        self._geom = getattr(self, "_geom", {})
         self.plans = []
         self._rec = None
         self._sess = getattr(self, "_sess", None)
@@ -848,6 +851,32 @@ class H265Decoder:
             elif is_end and self.dpb:
                 self.dpb.pop(0)
         return ready, frm
+
+    # ------------------------------------------------- checkpoint ---
+    def stream_pos(self) -> int:
+        """Byte offset of the first undecoded start code (vtable
+        stream_pos parity, m2d.h:69)."""
+        if hasattr(self, "_nal_list") and self.nal_i < len(self._nal_list):
+            return self._nal_list[self.nal_i][1] - 3
+        return len(getattr(self, "data", b""))
+
+    def __getstate__(self):
+        """Picture-boundary checkpoint (SURVEY §5.4, default Python
+        decode path): parameter sets, frame pool, DPB, POC state, the
+        persistent CTU context (its sao/deblock/coeff caches carry
+        reference stale-read quirks) — minus the input buffer and the
+        native/plan transients."""
+        d = self.__dict__.copy()
+        for k in ("data", "offs", "_nal_list"):
+            d.pop(k, None)
+        d["nal_i"] = 0
+        d["_sess"] = None
+        d["_rec"] = None
+        d["_outq"] = []
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
 
     def decode_all(self, collect_plans=False, keep_oracle=False,
                    backend=None):

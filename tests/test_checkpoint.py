@@ -143,3 +143,47 @@ def test_mpeg2_resume(k):
                 ready, frm = dec2.peek_decoded_frame(True)
             break
     assert b"".join(cropped_nv12_bytes(f) for f in out) == mpeg2_full(data)
+
+
+def test_h265_resume():
+    """H.265 checkpoint/resume at slice boundaries (default Python
+    decode path): outputs equal an uninterrupted decode."""
+    from streamgen.h265_enc import H265StreamGen
+
+    from m2dec_tpu.codecs.h265.headers import H265Decoder
+
+    data = H265StreamGen(64, 64, seed=3).generate("IPPP")
+    full_dec = H265Decoder()
+    full_dec.set_data(data)
+    full = b"".join(cropped_nv12_bytes(f) for f in full_dec.decode_all())
+
+    dec = H265Decoder()
+    dec.set_data(data)
+    dec.begin_decode()
+    out = []
+    for _ in range(2):  # two slices/pictures
+        assert dec.decode_picture() == 1
+        ready, frm = dec.peek_decoded_frame()
+        while ready:
+            dec.get_decoded_frame()
+            out.append(frm)
+            ready, frm = dec.peek_decoded_frame()
+    blob, pos = checkpoint.save(dec)
+    dec2 = checkpoint.load(blob)
+    dec2.set_data(data[pos:])
+    dec2.begin_decode()
+    while True:
+        err = dec2.decode_picture()
+        ready, frm = dec2.peek_decoded_frame()
+        while ready:
+            dec2.get_decoded_frame()
+            out.append(frm)
+            ready, frm = dec2.peek_decoded_frame()
+        if err < 0:
+            ready, frm = dec2.peek_decoded_frame(True)
+            while ready:
+                dec2.get_decoded_frame(True)
+                out.append(frm)
+                ready, frm = dec2.peek_decoded_frame(True)
+            break
+    assert b"".join(cropped_nv12_bytes(f) for f in out) == full
