@@ -244,7 +244,19 @@ def _decode_main(infile, data, codec, emptify, skip_num, out_mode, limit,
         if codec == "h264":
             from m2dec_tpu.codecs.h264.decoder import H264Decoder
 
-            dec = H264Decoder()
+            if use_jax:
+                # the full two-phase engine: C++ Phase A (entropy ->
+                # plan tensors) + the jitted Phase-B reconstruction;
+                # outputs are bit-identical to the Python decoder, so
+                # fall back silently without a toolchain
+                # (no plan_alloc="empty" here: the per-picture Phase B
+                # reads plans densely, not through the coded-map pack)
+                try:
+                    dec = H264Decoder(native=True, phase_b="jax")
+                except Exception:
+                    dec = H264Decoder()
+            else:
+                dec = H264Decoder()
             if skip_num:
                 from m2dec_tpu.runtime.skip import h264_skip_scan
 

@@ -151,6 +151,22 @@ def test_force_exec_traps(monkeypatch, capsys, streams, tmp_path):
     assert code == 0
 
 
+def test_h264_jax_backend_cli(reference_bins, monkeypatch, capsys,
+                              streams):
+    """--jax routes H.264 through the two-phase engine (C++ Phase A +
+    jitted Phase B); output must stay byte-equal to the reference
+    (which of course runs without the extension flag)."""
+    out = streams / "inter.out"
+    out.unlink(missing_ok=True)
+    run_ref(reference_bins, streams, ["-o", "inter.264"])
+    golden = out.read_bytes()
+    out.unlink()
+    code, _ = run_ours(monkeypatch, capsys, streams,
+                       ["--jax", "-o", "inter.264"])
+    assert code == 0
+    assert out.read_bytes() == golden and golden
+
+
 def test_thrplay_playlist(reference_bins, monkeypatch, capsys, streams):
     """thrplay parity: -o playlist writes one <basename>.out per input
     (FileWriterUnit::change), bytes equal to the reference decode; -s is
