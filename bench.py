@@ -8,63 +8,121 @@ whole-GOP jit graph per device call, frame pool device-resident).
 Output is asserted byte-identical to the reference binary's raw YUV.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
-informational extras (reference fps, Phase-A-only fps, mpeg2 fps).
+informational extras (reference fps, Phase-A-only fps).
+
+Robustness contract (the line ALWAYS lands):
+* a hard wall-clock budget (M2DEC_TPU_BENCH_DEADLINE_S, default 510 s)
+  is enforced by a daemon watchdog thread that prints the best result
+  so far and _exits if the main thread overruns (e.g. a cold XLA
+  compile through the tunnel, a wedged TPU RPC);
+* stages run cheapest-first and each updates the shared result dict the
+  moment it lands, so a timeout mid-stage still reports every earlier
+  number;
+* each stage is skipped (recorded under "degraded") when the remaining
+  budget is below its historical worst-case;
+* the final print runs from a finally block on every exit path.
 """
 
 import hashlib
 import json
+import os
 import pathlib
 import subprocess
 import sys
+import threading
 import time
 
 REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO / "tests"))
 
+T0 = time.monotonic()
+DEADLINE_S = float(os.environ.get("M2DEC_TPU_BENCH_DEADLINE_S", "510"))
 
-def _tpu_backend_alive(timeout=150):
-    """Probe backend init in a killable subprocess: a wedged axon
-    tunnel hangs jax.devices() in uninterruptible C code."""
-    import os
-
-    if os.environ.get("M2DEC_TPU_BENCH_CPU"):
-        return False
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout, check=True, capture_output=True,
-            cwd=str(REPO))
-        return True
-    except Exception:
-        return False
-
-
-if not _tpu_backend_alive():
-    import os
-
-    print("# TPU tunnel unresponsive; falling back to CPU backend",
-          file=sys.stderr)
-    os.environ["JAX_PLATFORMS"] = "cpu"
-
-import jax  # noqa: E402
-
-try:
-    if sys.modules.get("os").environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
-jax.config.update("jax_compilation_cache_dir", str(REPO / "build" / "jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
-CACHE = REPO / "build" / "bench"
-
-_env = sys.modules["os"].environ
+_env = os.environ
 W = int(_env.get("M2DEC_TPU_BENCH_W", "1920"))
 H = int(_env.get("M2DEC_TPU_BENCH_H", "1088"))
 PATTERN = _env.get("M2DEC_TPU_BENCH_PATTERN", "IPBPBPBPBPBP")
 SEED = 42
 BATCH = len(PATTERN)  # pictures per device call (one jit geometry)
+N_STREAMS = int(_env.get("M2DEC_TPU_BENCH_STREAMS", "4"))
+PHASE_A_THREADS = int(_env.get("M2DEC_TPU_BENCH_THREADS",
+                               str(min(4, os.cpu_count()))))
+
+CACHE = REPO / "build" / "bench"
+
+# ---------------------------------------------------------------------
+# result state shared with the watchdog: updated the moment any number
+# exists, printed exactly once whatever happens
+# ---------------------------------------------------------------------
+
+RESULT = {
+    "metric": "h264_1080p_decode_fps_per_chip",
+    "value": 0.0,
+    "unit": "frames/s",
+    "vs_baseline": None,
+    "resolution": f"{W}x{H}",
+    "streams": N_STREAMS,
+    "degraded": [],
+    "bit_exact": None,
+}
+_PRINTED = threading.Event()
+_PRINT_LOCK = threading.Lock()
+
+
+def _emit():
+    with _PRINT_LOCK:
+        if _PRINTED.is_set():
+            return
+        _PRINTED.set()
+        if not RESULT["degraded"]:
+            RESULT.pop("degraded")
+        print(json.dumps(RESULT), flush=True)
+
+
+def remaining():
+    return DEADLINE_S - (time.monotonic() - T0)
+
+
+def _watchdog():
+    while True:
+        left = remaining()
+        if left <= 3.0:
+            break
+        time.sleep(min(left - 3.0, 5.0))
+    if not _PRINTED.is_set():
+        RESULT["degraded"].append("wall-clock budget hit; best-so-far")
+        _emit()
+        os._exit(0)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
+
+
+def stage_ok(name, need_s):
+    """Gate a stage on the remaining budget."""
+    if remaining() >= need_s:
+        return True
+    RESULT["degraded"].append(f"skipped {name} (budget)")
+    return False
+
+
+# ---------------------------------------------------------------------
+# backend selection (a wedged axon tunnel hangs jax.devices() in
+# uninterruptible C code -> probe in a killable subprocess)
+# ---------------------------------------------------------------------
+
+
+def _tpu_backend_alive(timeout=120):
+    if os.environ.get("M2DEC_TPU_BENCH_CPU"):
+        return False
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=min(timeout, max(10, remaining() - 60)),
+            check=True, capture_output=True, cwd=str(REPO))
+        return True
+    except Exception:
+        return False
 
 
 def get_stream():
@@ -80,17 +138,20 @@ def get_stream():
     return path
 
 
-def bench_reference(stream_path, flag=()):
+def bench_reference(stream_path):
     ref = REPO / "build" / "ref" / "h264dec"
     if not ref.exists():
         if not pathlib.Path("/root/reference").exists():
             return None, None
+        if not stage_ok("reference build", 120):
+            return None, None
         subprocess.run(["bash", str(REPO / "tools" / "build_reference.sh")],
-                       check=True)
+                       check=True, capture_output=True)
     out = stream_path.with_suffix(".out")
     t0 = time.perf_counter()
-    subprocess.run([str(ref), *flag, "-o", stream_path.name],
-                   cwd=stream_path.parent, capture_output=True)
+    subprocess.run([str(ref), "-o", stream_path.name],
+                   cwd=stream_path.parent, capture_output=True,
+                   timeout=max(10, remaining() - 30))
     dt = time.perf_counter() - t0
     golden = out.read_bytes() if out.exists() else b""
     fs = W * H * 3 // 2
@@ -98,13 +159,61 @@ def bench_reference(stream_path, flag=()):
     return (n / dt if n else None), golden
 
 
+def phase_a_only_fps(data):
+    from m2dec_tpu.codecs.h264.decoder import H264Decoder
+
+    dec = H264Decoder(native=True, plan_alloc="empty")
+    dec.set_data(data)
+    t0 = time.perf_counter()
+    n = 0
+    while dec.decode_picture() == 1:
+        n += 1
+    return n / (time.perf_counter() - t0), dec
+
+
+def phase_a_pool_fps(data, n_streams):
+    """Aggregate Phase-A fps: n_streams decoded concurrently on the
+    host thread pool (the C++ slice decode releases the GIL)."""
+    def decode_one(_):
+        from m2dec_tpu.codecs.h264.decoder import H264Decoder
+
+        dec = H264Decoder(native=True, plan_alloc="empty")
+        dec.set_data(data)
+        n = 0
+        while dec.decode_picture() == 1:
+            n += 1
+        return n
+
+    t0 = time.perf_counter()
+    counts = list(_phase_a_pool().map(decode_one, range(n_streams)))
+    return sum(counts) / (time.perf_counter() - t0)
+
+
+_PHASE_A_POOL = None
+
+
+def _phase_a_pool():
+    """Persistent Phase-A thread pool: fresh executors allocate fresh
+    malloc arenas whose pages fault in at this VM's pathological
+    first-touch rate (STATUS.md host note) — reuse keeps them warm."""
+    global _PHASE_A_POOL
+    if _PHASE_A_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _PHASE_A_POOL = ThreadPoolExecutor(max_workers=PHASE_A_THREADS)
+    return _PHASE_A_POOL
+
+
 def turbo_decode(data, check_golden=None):
     """Native Phase A + batched async Phase B. Returns (nframes, seconds,
-    md5-of-output)."""
+    md5-of-output, per-plane checksums)."""
+    import numpy as np
+
     from m2dec_tpu.codecs.h264.decoder import H264Decoder
     from m2dec_tpu.codecs.h264.reconstruct import (
         BatchedPhaseB,
         get_batched_phase_b,
+        host_checksum,
     )
 
     t0 = time.perf_counter()
@@ -133,8 +242,6 @@ def turbo_decode(data, check_golden=None):
             decode_order.append(f)
     # display order = POC order (closed stream, full flush)
     results.sort(key=lambda t: t[0])
-    import numpy as np
-
     md5 = hashlib.md5()
     raw = bytearray()
     for _, (y, cb, cr) in results:
@@ -148,45 +255,10 @@ def turbo_decode(data, check_golden=None):
     if check_golden is not None:
         assert bytes(raw[: len(check_golden)]) == check_golden, \
             "output differs from the reference binary"
-    from m2dec_tpu.codecs.h264.reconstruct import host_checksum
-
     cks = host_checksum(np.stack([f[0] for f in decode_order]),
                         np.stack([f[1] for f in decode_order]),
                         np.stack([f[2] for f in decode_order]))
     return len(results), dt, md5.hexdigest(), cks
-
-
-def phase_a_only_fps(data):
-    from m2dec_tpu.codecs.h264.decoder import H264Decoder
-
-    dec = H264Decoder(native=True, plan_alloc="empty")
-    dec.set_data(data)
-    t0 = time.perf_counter()
-    n = 0
-    while dec.decode_picture() == 1:
-        n += 1
-    return n / (time.perf_counter() - t0)
-
-
-N_STREAMS = int(sys.modules["os"].environ.get("M2DEC_TPU_BENCH_STREAMS",
-                                              "4"))
-PHASE_A_THREADS = int(sys.modules["os"].environ.get(
-    "M2DEC_TPU_BENCH_THREADS", str(min(4, __import__("os").cpu_count()))))
-
-
-_PHASE_A_POOL = None
-
-
-def _phase_a_pool():
-    """Persistent Phase-A thread pool: fresh executors allocate fresh
-    malloc arenas whose pages fault in at this VM's pathological
-    first-touch rate (STATUS.md host note) — reuse keeps them warm."""
-    global _PHASE_A_POOL
-    if _PHASE_A_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
-
-        _PHASE_A_POOL = ThreadPoolExecutor(max_workers=PHASE_A_THREADS)
-    return _PHASE_A_POOL
 
 
 def turbo_multi(data, n_streams, batcher=None):
@@ -211,7 +283,7 @@ def turbo_multi(data, n_streams, batcher=None):
         return dec
 
     # Phase A threads across streams: the C++ slice decode and the
-    # batch packer release the GIL, so 2 host cores run ~2 streams'
+    # batch packer release the GIL, so the host cores run streams'
     # entropy decode concurrently.
     decs = list(_phase_a_pool().map(decode_one, range(n_streams)))
     plans_per_stream = [d.plans for d in decs]
@@ -231,47 +303,84 @@ def turbo_multi(data, n_streams, batcher=None):
 def main():
     import numpy as np
 
+    # --- stage 0: backend probe (subprocess; killable) ---------------
+    if not _tpu_backend_alive():
+        RESULT["degraded"].append("TPU tunnel unresponsive; CPU backend")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO / "build" / "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    # --- stage 1: stream + reference denominator (cheap) -------------
     stream = get_stream()
     ref_fps, golden = bench_reference(stream)
     data = stream.read_bytes()
-    # warmup (compiles persistent-cached graphs) + bit-exactness check:
-    # full host materialize compared byte-for-byte with the reference
-    # binary; its per-plane checksums anchor the device-resident runs
-    n, dt1, _, host_cks = turbo_decode(data, check_golden=golden)
-    e2e_single = n / dt1
-    n, dt1, _, _ = turbo_decode(data)
-    e2e_single = max(e2e_single, n / dt1)
-    # throughput: N concurrent streams, decode-to-device (frames stay
-    # in HBM for on-device consumers), execution forced + bit-exactness
-    # carried by per-stream device checksums == the verified run's
-    nm, dtm, cks, batcher = turbo_multi(data, N_STREAMS)  # compile
-    best = None
-    for _ in range(2):
-        nm, dtm, cks, _ = turbo_multi(data, N_STREAMS, batcher)
-        for si in range(N_STREAMS):
-            assert np.array_equal(cks[si], host_cks), \
-                f"stream {si} checksum mismatch vs verified run"
-        fps = nm / dtm
-        best = fps if best is None or fps > best else best
-    pa_fps = phase_a_only_fps(data)
-    result = {
-        "metric": "h264_1080p_decode_fps_per_chip",
-        "value": round(best, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(best / ref_fps, 4) if ref_fps else None,
-        "reference_fps": round(ref_fps, 2) if ref_fps else None,
-        "phase_a_fps": round(pa_fps, 2),
-        "streams": N_STREAMS,
-        "frames_per_run": nm,
-        "e2e_single_stream_fps": round(e2e_single, 3),
-        "output": "device-resident NV12 planes (HBM); bit-exactness "
-                  "vs the reference binary verified in the warmup "
-                  "pass and carried by device checksums",
-        "resolution": f"{W}x{H}",
-        "bit_exact": True,
-    }
-    print(json.dumps(result))
+    if ref_fps:
+        RESULT["reference_fps"] = round(ref_fps, 2)
+
+    # --- stage 2: Phase-A-only fps (host-only, ~1 s) ------------------
+    if stage_ok("phase_a", 30):
+        pa_fps, _ = phase_a_only_fps(data)
+        RESULT["phase_a_fps"] = round(pa_fps, 2)
+        if stage_ok("phase_a_pool", 30):
+            RESULT["phase_a_pool_fps"] = round(
+                phase_a_pool_fps(data, N_STREAMS), 2)
+
+    # --- stage 3: single-stream e2e + bit-exactness (compiles) --------
+    # worst observed warm-cache cost: ~60 s executable load through the
+    # tunnel; leave headroom for one multi-stream run after it
+    host_cks = None
+    if stage_ok("e2e_single", 75):
+        n, dt1, _, host_cks = turbo_decode(data, check_golden=golden)
+        RESULT["bit_exact"] = True
+        RESULT["e2e_single_stream_fps"] = round(n / dt1, 3)
+        RESULT["value"] = round(n / dt1, 3)
+        if ref_fps:
+            RESULT["vs_baseline"] = round(RESULT["value"] / ref_fps, 4)
+        if stage_ok("e2e_single warm rep", 40):
+            n, dt1, _, _ = turbo_decode(data)
+            if n / dt1 > RESULT["e2e_single_stream_fps"]:
+                RESULT["e2e_single_stream_fps"] = round(n / dt1, 3)
+
+    # --- stage 4: multi-stream throughput (headline) -------------------
+    if host_cks is not None and stage_ok("multi-stream", 90):
+        nm, dtm, cks, batcher = turbo_multi(data, N_STREAMS)  # compile
+        best = None
+        reps = 0
+        while reps < 2 and stage_ok("multi-stream rep", 30):
+            nm, dtm, cks, _ = turbo_multi(data, N_STREAMS, batcher)
+            for si in range(N_STREAMS):
+                assert np.array_equal(cks[si], host_cks), \
+                    f"stream {si} checksum mismatch vs verified run"
+            fps = nm / dtm
+            best = fps if best is None or fps > best else best
+            reps += 1
+        if best is not None:
+            RESULT["frames_per_run"] = nm
+            RESULT["multi_stream_fps"] = round(best, 3)
+            if best > RESULT["value"]:
+                RESULT["value"] = round(best, 3)
+                if ref_fps:
+                    RESULT["vs_baseline"] = round(best / ref_fps, 4)
+            RESULT["output"] = (
+                "device-resident NV12 planes (HBM); bit-exactness vs "
+                "the reference binary verified in the warmup pass and "
+                "carried by device checksums")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — report, never die silently
+        RESULT["degraded"].append(f"error: {type(e).__name__}: {e}")
+    finally:
+        _emit()
