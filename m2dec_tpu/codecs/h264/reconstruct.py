@@ -180,6 +180,70 @@ def _flat_windows32(refs_p, slot, sy, sx, rows, cols, xp):
     return out
 
 
+def _halfpel_planes(refs_p, xp):
+    """Pre-interpolate the three half-pel planes per (padded) reference
+    plane: b (half-x), h (half-y), j (half-both) — the reference's
+    inter_pred_luma_frac20/02/22 intermediates (h264.cpp:6118-6262)
+    computed densely once per picture instead of per 4x4 block.
+
+    refs_p [R,Hp,Wp] -> [4,R,Hp,Wp] int32 stack (G,b,h,j), borders
+    (2 px in, 3 px out) zero — never sampled (window starts clamp to
+    [-9, dim+1], i.e. padded coords >= 7)."""
+    P = refs_p.astype(xp.int32)
+    R, Hp, Wp = P.shape
+    raw_b = _tap6(P)                              # [R,Hp,Wp-5] at x-2
+    raw_h = xp.swapaxes(_tap6(xp.swapaxes(P, -1, -2)), -1, -2)
+    raw_j = xp.swapaxes(_tap6(xp.swapaxes(raw_b, -1, -2)), -1, -2)
+
+    def clip255(a):
+        return xp.clip(a, 0, 255)
+
+    def embed(a, ro, co):
+        return xp.pad(a, ((0, 0), (ro, Hp - ro - a.shape[1]),
+                          (co, Wp - co - a.shape[2])))
+
+    b = embed(clip255((raw_b + 16) >> 5), 0, 2)
+    h = embed(clip255((raw_h + 16) >> 5), 2, 0)
+    j = embed(clip255((raw_j + 512) >> 10), 2, 2)
+    return xp.stack([P, b, h, j]).astype(xp.uint8)
+
+
+#: (plane1, dy1, dx1, plane2, dy2, dx2) per frac index fy*4+fx: every
+#: quarter-pel case is avg(P1[pos+o1], P2[pos+o2]) (exact cases use
+#: P1 == P2, avg(a, a) == a). Planes: 0=G 1=b 2=h 3=j.
+_HP_TAB = np.array([
+    (0, 0, 0, 0, 0, 0), (0, 0, 0, 1, 0, 0),   # (fy0) fx 0,1
+    (1, 0, 0, 1, 0, 0), (0, 0, 1, 1, 0, 0),   #       fx 2,3
+    (0, 0, 0, 2, 0, 0), (1, 0, 0, 2, 0, 0),   # (fy1) fx 0,1
+    (1, 0, 0, 3, 0, 0), (1, 0, 0, 2, 0, 1),   #       fx 2,3
+    (2, 0, 0, 2, 0, 0), (2, 0, 0, 3, 0, 0),   # (fy2) fx 0,1
+    (3, 0, 0, 3, 0, 0), (3, 0, 0, 2, 0, 1),   #       fx 2,3
+    (0, 1, 0, 2, 0, 0), (1, 1, 0, 2, 0, 0),   # (fy3) fx 0,1
+    (3, 0, 0, 1, 1, 0), (1, 1, 0, 2, 0, 1),   #       fx 2,3
+], np.int32)
+
+
+def _luma_mc_hp(planes4, slot, posx, posy, fracx, fracy, xp, H, W):
+    """Quarter-pel 4x4 luma via the half-pel plane stack: two 4x4
+    window fetches + one average, bit-exact with _luma_mc."""
+    posy_c = xp.clip(posy, -9, H + 1)
+    posx_c = xp.clip(posx, -9, W + 1)
+    nplanes, R, Hp, Wp = planes4.shape
+    flat = planes4.reshape(nplanes * R, Hp, Wp)
+    tab = xp.asarray(_HP_TAB)[fracy * 4 + fracx]   # [B,6]
+    sl = xp.clip(slot, 0, R - 1)
+
+    def fetch(pcol, dycol, dxcol):
+        return _flat_windows32(
+            flat, tab[:, pcol] * R + sl,
+            posy_c + tab[:, dycol] + _MC_PAD,
+            posx_c + tab[:, dxcol] + _MC_PAD, 4, 4, xp)
+
+    w1 = fetch(0, 1, 2)
+    w2 = fetch(3, 4, 5)
+    return (w1 + w2 + 1) >> 1
+
+
 def _luma_mc(refs_p, slot, posx, posy, fracx, fracy, xp, H, W):
     """Quarter-pel 4x4 luma for B blocks.
 
@@ -293,11 +357,12 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
     refs_y_p = _pad_refs_edge(refs_y, xp)
     refs_cb_p = _pad_refs_edge(refs_cb, xp)
     refs_cr_p = _pad_refs_edge(refs_cr, xp)
+    planes4 = _halfpel_planes(refs_y_p, xp)
 
     def pred_one(sl, mvv):
         mvx, mvy = mvv[:, 0], mvv[:, 1]
-        py = _luma_mc(refs_y_p, sl, bx + (mvx >> 2), by + (mvy >> 2),
-                      mvx & 3, mvy & 3, xp, H, W)
+        py = _luma_mc_hp(planes4, sl, bx + (mvx >> 2), by + (mvy >> 2),
+                         mvx & 3, mvy & 3, xp, H, W)
         cxp = (bx >> 1) + (mvx >> 3)
         cyp = (by >> 1) + (mvy >> 3)
         pcb = _chroma_mc(refs_cb_p, sl, cxp, cyp, mvx & 7, mvy & 7, xp,
@@ -1062,41 +1127,27 @@ def _recon_core(P, refs_y, refs_cb, refs_cr, diag, pcm_y, pcm_cb,
         cb_plane = xp.where(kpixc == 4, pcm_cb.astype(xp.int32), cb_plane)
         cr_plane = xp.where(kpixc == 4, pcm_cr.astype(xp.int32), cr_plane)
 
-    # ---- intra wavefront ----
-    ypad = xp.zeros((1 + H, 1 + W + 8), xp.int32)
-    ypad = ypad.at[1 : 1 + H, 1 : 1 + W].set(y_plane)
-    cbpad = xp.zeros((1 + Hc, 1 + Wc), xp.int32)
-    cbpad = cbpad.at[1:, 1:].set(cb_plane)
-    crpad = xp.zeros((1 + Hc, 1 + Wc), xp.int32)
-    crpad = crpad.at[1:, 1:].set(cr_plane)
+    # ---- intra + deblocking wavefronts on skewed planes ----
+    from . import wavefront as WF
 
-    def istep(carry, lanes):
-        return _intra_step(carry, lanes, P, mb_w, has_i8, xp)
-
-    (ypad, cbpad, crpad), _ = jax.lax.scan(istep, (ypad, cbpad, crpad), diag)
-    y_plane = ypad[1 : 1 + H, 1 : 1 + W]
-    cb_plane = cbpad[1:, 1:]
-    cr_plane = crpad[1:, 1:]
-
-    # ---- deblocking wavefront ----
+    g = WF.get_geom(mb_w, mb_h)
+    Pd = WF.diag_gather(P, g, has_i8, deblock, xp)
+    sky = WF.skew_luma(y_plane, g, xp)
+    skcb = WF.skew_chroma(cb_plane, g, xp)
+    skcr = WF.skew_chroma(cr_plane, g, xp)
+    ikeys = WF._INTRA_KEYS + (WF._I8_KEYS if has_i8 else ())
+    sky, skcb, skcr = WF.intra_scan(
+        sky, skcb, skcr, {k: Pd[k] for k in ikeys}, g, has_i8, xp)
     if deblock:
         tabs = (xp.asarray(np.asarray(T.DEBLOCK_ALPHA, np.int32)),
                 xp.asarray(np.asarray(T.DEBLOCK_BETA, np.int32)),
                 xp.asarray(np.asarray(T.DEBLOCK_TC0, np.int32)))
-        ydb = xp.zeros((4 + H, 4 + W), xp.int32)
-        ydb = ydb.at[4:, 4:].set(y_plane)
-        cbdb = xp.zeros((4 + Hc, 4 + Wc), xp.int32)
-        cbdb = cbdb.at[4:, 4:].set(cb_plane)
-        crdb = xp.zeros((4 + Hc, 4 + Wc), xp.int32)
-        crdb = crdb.at[4:, 4:].set(cr_plane)
-
-        def dstep(carry, lanes):
-            return _deblock_step(carry, lanes, P, mb_w, xp, tabs)
-
-        (ydb, cbdb, crdb), _ = jax.lax.scan(dstep, (ydb, cbdb, crdb), diag)
-        y_plane = ydb[4:, 4:]
-        cb_plane = cbdb[4:, 4:]
-        cr_plane = crdb[4:, 4:]
+        sky, skcb, skcr = WF.deblock_scan(
+            sky, skcb, skcr, {k: Pd[k] for k in WF._DEB_KEYS}, g, xp,
+            tabs)
+    y_plane = WF.unskew_luma(sky, g, xp)
+    cb_plane = WF.unskew_chroma(skcb, g, xp)
+    cr_plane = WF.unskew_chroma(skcr, g, xp)
 
     return (y_plane.astype(xp.uint8), cb_plane.astype(xp.uint8),
             cr_plane.astype(xp.uint8))
@@ -1486,9 +1537,14 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, blobs, pals,
     import jax
     import jax.numpy as jnp
 
+    from . import wavefront as WF
+
     S = n_streams
     H, W = mb_h * 16, mb_w * 16
-    Hc, Wc = H >> 1, W >> 1
+    g = WF.get_geom(mb_w, mb_h)
+    HskY = H + WF.MT + WF.MB_
+    HskC = (H >> 1) + WF.MTC + WF.MBC
+    stream_offs = tuple((s * HskY, s * HskC) for s in range(S))
     tabs = (jnp.asarray(np.asarray(T.DEBLOCK_ALPHA, np.int32)),
             jnp.asarray(np.asarray(T.DEBLOCK_BETA, np.int32)),
             jnp.asarray(np.asarray(T.DEBLOCK_TC0, np.int32)))
@@ -1496,7 +1552,7 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, blobs, pals,
 
     def step(pool, xs):
         py, pcb, pcr = pool
-        Ps, ypads, cbpads, crpads = [], [], [], []
+        Pds, skys, skcbs, skcrs = [], [], [], []
         for s in range(S):
             P = _unpack_wire(xs["plan"][s], jnp, pals[s])
             P["res_y"] = residual_mb(P["coef_luma"], P["t8x8"], jnp)
@@ -1513,54 +1569,33 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, blobs, pals,
             icr = jnp.where(is_inter,
                             jnp.clip(pred_cr + P["res_c"][:, 1], 0, 255),
                             0)
-            ypad = jnp.zeros((1 + H, 1 + W + 8), jnp.int32)
-            ypad = ypad.at[1:, 1 : 1 + W].set(_assemble(iy, 16, mb_w,
-                                                        mb_h, jnp))
-            cbpad = jnp.zeros((1 + Hc, 1 + Wc), jnp.int32)
-            cbpad = cbpad.at[1:, 1:].set(_assemble(icb, 8, mb_w, mb_h,
-                                                   jnp))
-            crpad = jnp.zeros((1 + Hc, 1 + Wc), jnp.int32)
-            crpad = crpad.at[1:, 1:].set(_assemble(icr, 8, mb_w, mb_h,
-                                                   jnp))
-            Ps.append(P)
-            ypads.append(ypad)
-            cbpads.append(cbpad)
-            crpads.append(crpad)
-        Pst = {k: jnp.concatenate([P[k] for P in Ps]) for k in Ps[0]}
-        ypad = jnp.concatenate(ypads)
-        cbpad = jnp.concatenate(cbpads)
-        crpad = jnp.concatenate(crpads)
+            skys.append(WF.skew_luma(
+                _assemble(iy, 16, mb_w, mb_h, jnp), g, jnp))
+            skcbs.append(WF.skew_chroma(
+                _assemble(icb, 8, mb_w, mb_h, jnp), g, jnp))
+            skcrs.append(WF.skew_chroma(
+                _assemble(icr, 8, mb_w, mb_h, jnp), g, jnp))
+            Pds.append(WF.diag_gather(P, g, has_i8, deblock, jnp))
+        Pst = {k: jnp.concatenate([Pd[k] for Pd in Pds], axis=1)
+               for k in Pds[0]}
+        sky = jnp.concatenate(skys)
+        skcb = jnp.concatenate(skcbs)
+        skcr = jnp.concatenate(skcrs)
 
-        def istep(carry, lanes):
-            return _intra_step(carry, lanes, Pst, mb_w, has_i8, jnp)
-
-        (ypad, cbpad, crpad), _ = jax.lax.scan(
-            istep, (ypad, cbpad, crpad), diag)
-        ys = [ypad[s * (1 + H) + 1 : (s + 1) * (1 + H), 1 : 1 + W]
-              for s in range(S)]
-        cbs = [cbpad[s * (1 + Hc) + 1 : (s + 1) * (1 + Hc), 1:]
-               for s in range(S)]
-        crs = [crpad[s * (1 + Hc) + 1 : (s + 1) * (1 + Hc), 1:]
-               for s in range(S)]
+        ikeys = WF._INTRA_KEYS + (WF._I8_KEYS if has_i8 else ())
+        sky, skcb, skcr = WF.intra_scan(
+            sky, skcb, skcr, {k: Pst[k] for k in ikeys}, g, has_i8,
+            jnp, stream_offs=stream_offs)
         if deblock:
-            def dpad(pl):
-                return jnp.pad(pl, ((4, 0), (4, 0)))
-
-            ydb = jnp.concatenate([dpad(p) for p in ys])
-            cbdb = jnp.concatenate([dpad(p) for p in cbs])
-            crdb = jnp.concatenate([dpad(p) for p in crs])
-
-            def dstep(carry, lanes):
-                return _deblock_step(carry, lanes, Pst, mb_w, jnp, tabs)
-
-            (ydb, cbdb, crdb), _ = jax.lax.scan(
-                dstep, (ydb, cbdb, crdb), diag)
-            ys = [ydb[s * (4 + H) + 4 : (s + 1) * (4 + H), 4:]
-                  for s in range(S)]
-            cbs = [cbdb[s * (4 + Hc) + 4 : (s + 1) * (4 + Hc), 4:]
-                   for s in range(S)]
-            crs = [crdb[s * (4 + Hc) + 4 : (s + 1) * (4 + Hc), 4:]
-                   for s in range(S)]
+            sky, skcb, skcr = WF.deblock_scan(
+                sky, skcb, skcr, {k: Pst[k] for k in WF._DEB_KEYS}, g,
+                jnp, tabs, stream_offs=stream_offs)
+        ys = [WF.unskew_luma(sky[s * HskY : (s + 1) * HskY], g, jnp)
+              for s in range(S)]
+        cbs = [WF.unskew_chroma(skcb[s * HskC : (s + 1) * HskC], g, jnp)
+               for s in range(S)]
+        crs = [WF.unskew_chroma(skcr[s * HskC : (s + 1) * HskC], g, jnp)
+               for s in range(S)]
         outs_y = jnp.stack([p.astype(jnp.uint8) for p in ys])
         outs_cb = jnp.stack([p.astype(jnp.uint8) for p in cbs])
         outs_cr = jnp.stack([p.astype(jnp.uint8) for p in crs])
