@@ -395,16 +395,15 @@ def parse_slice_header(r: BitReader, nal_type: int, dec,
     pps = pps_store[h.pps_id]
     sps = sps_store[pps.sps_id]
     h.slice_addr = 0
+    dependent = 0
     if not h.first_slice:
-        # slice segment address (h265.cpp:910-917); dependent slice
-        # segments stay excluded (the reference inherits a stale header).
-        # Mid-row segment starts are excluded too: the reference derives
-        # the segment's chroma base as luma_offset >> 1 (h265.cpp:4786),
-        # which lands 8px left / across row boundaries in linear NV12
-        # memory — not representable on planar planes.
+        # slice segment address (h265.cpp:910-917). Mid-row segment
+        # starts are excluded: the reference derives the segment's
+        # chroma base as luma_offset >> 1 (h265.cpp:4786), which lands
+        # 8px left / across row boundaries in linear NV12 memory — not
+        # representable on planar planes.
         if pps.dependent_slice_segments_enabled:
-            if r.get_onebit():
-                raise NotImplementedError("dependent slice segments")
+            dependent = r.get_onebit()
         log2 = sps.log2_ctb
         cols = (sps.pic_width + (1 << log2) - 1) >> log2
         rows = (sps.pic_height + (1 << log2) - 1) >> log2
@@ -415,6 +414,24 @@ def parse_slice_header(r: BitReader, nal_type: int, dec,
         if h.slice_addr % cols:
             raise NotImplementedError(
                 "mid-row slice segment start (reference chroma-base bug)")
+    if dependent:
+        # dependent slice segment (h265.cpp:919): the header BODY is not
+        # parsed — the previous segment's body stays in effect (stale
+        # h265d_slice_header_body_t). Decode then restarts exactly like
+        # an independent segment: slice_data runs the full ctu_init
+        # (fresh CABAC engine+contexts, all neighbors reset,
+        # idx_in_slice=0 — h265.cpp:4751-4799) at the new address.
+        prev = dec.prev_hdr
+        if prev is None:
+            raise ValueError("dependent segment without a prior slice")
+        h = dataclasses.replace(
+            prev, nal_type=nal_type, first_slice=0,
+            slice_addr=h.slice_addr, pps_id=h.pps_id)
+        # alignment: skip to boundary, or a whole byte if aligned
+        misalign = (-r._pos) % 8
+        r.skip_bits(misalign if misalign else 8)
+        dec.prev_hdr = h
+        return h
     h.slice_type = r.ue()
     if pps.output_flag_present:
         r.get_onebit()
@@ -443,7 +460,23 @@ def parse_slice_header(r: BitReader, nal_type: int, dec,
                 idx = r.get_bits(n.bit_length())
             rps = sps.short_term_rps[idx]
         else:
-            raise NotImplementedError("slice-local RPS")
+            # slice-local RPS (slice_header_short_term_ref_pic_set,
+            # h265.cpp:722-730): inter-predicted against an SPS set or
+            # parsed standalone
+            n = len(sps.short_term_rps)
+            if r.get_onebit():  # inter_ref_pic_set_prediction_flag
+                delta_idx_minus1 = r.ue()
+                if delta_idx_minus1 >= n:
+                    # the reference range-checks against ref_num
+                    # INCLUSIVE (h265.cpp:725) — delta == ref_num
+                    # indexes set[-1], out of bounds (UB domain)
+                    raise NotImplementedError(
+                        "slice RPS delta_idx out of range (reference "
+                        "reads sps set[-1] — UB)")
+                rps = _st_rps_pred(
+                    r, sps.short_term_rps[n - delta_idx_minus1 - 1])
+            else:
+                rps = _st_rps_nopred(r)
         h.temporal_mvp = r.get_onebit() if sps.temporal_mvp_enabled else 0
     if sps.sao_enabled:
         h.sao_luma = r.get_onebit()
@@ -484,17 +517,26 @@ def parse_slice_header(r: BitReader, nal_type: int, dec,
     h.qpc_delta = (cb_off + pps.cb_qp_offset, cr_off + pps.cr_qp_offset)
     h.deblocking_disabled = pps.deblocking_filter_disabled
     # QUIRK: slice beta/tc offsets are only assigned in the override
-    # branch (slice_header_body, h265.cpp:896-903); without an override
-    # they stay zero-initialized — the PPS offsets are parsed but never
-    # reach the filter
-    h.beta_offset_div2 = 0
-    h.tc_offset_div2 = 0
+    # branch (slice_header_body, h265.cpp:896-903) of the PERSISTENT
+    # header struct; slices without an override (or whose override
+    # disables the filter) inherit whatever an earlier slice set —
+    # zero-initialized at start, never reset. The PPS offsets are
+    # parsed but never reach the filter.
     if pps.deblocking_filter_override_enabled:
-        if r.get_onebit():
-            raise NotImplementedError("deblocking override")
+        if r.get_onebit():  # deblocking_filter_override_flag
+            h.deblocking_disabled = r.get_onebit()
+            if not h.deblocking_disabled:
+                dec.stale_deblock_offsets = (r.se(), r.se())
+    h.beta_offset_div2, h.tc_offset_div2 = dec.stale_deblock_offsets
+    # slice_loop_filter_across_slices (h265.cpp:902-906): parsed but
+    # never consumed by the reference's filters — parse-and-discard
+    if pps.loop_filter_across_slices and (
+            h.sao_luma or h.sao_chroma or not h.deblocking_disabled):
+        r.get_onebit()
     # byte alignment: skip to boundary, or a whole byte if aligned
     misalign = (-r._pos) % 8
     r.skip_bits(misalign if misalign else 8)
+    dec.prev_hdr = h
     return h
 
 
@@ -552,6 +594,11 @@ class H265Decoder:
         self.poc_msb = 0
         # persistent h2d ref_list storage (stale-entry quirk)
         self.ref_list_state = [[(0, 0)] * 16, [(0, 0)] * 16]
+        # last fully-parsed slice header (dependent segments inherit it)
+        self.prev_hdr = None
+        # persistent slice_beta/tc_offset_div2 (only assigned in the
+        # override branch of the reference's long-lived header struct)
+        self.stale_deblock_offsets = (0, 0)
 
     def set_data(self, data: bytes):
         self.data = bytes(data)

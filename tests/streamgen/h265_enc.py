@@ -61,7 +61,8 @@ class H265StreamGen:
                  beta_offset_div2=0, tc_offset_div2=0, sao=0,
                  sao_max_offset=3, skip_prob=0.4, inter_intra_prob=0.25,
                  merge_max=5, amvp_prob=0.0, max_mvd=16, tmvp=0,
-                 part_mode_prob=0.0, amp=0):
+                 part_mode_prob=0.0, amp=0, deblock_override=0,
+                 slice_local_rps=0, dependent_slices=0):
         self.w = width
         self.h = height
         self.rng = random.Random(seed)
@@ -91,6 +92,15 @@ class H265StreamGen:
         self.tmvp = tmvp
         self.part_mode_prob = part_mode_prob
         self.amp = amp
+        #: per-slice deblock parameter override (slice_header_body,
+        #: h265.cpp:896-903)
+        self.deblock_override = deblock_override
+        #: emit the RPS in the slice header (nopred or inter-predicted
+        #: against an SPS set; h265.cpp:722-730)
+        self.slice_local_rps = slice_local_rps
+        #: emit non-first segments as dependent slice segments
+        #: (stale-header inheritance, h265.cpp:910-919)
+        self.dependent_slices = dependent_slices
         self.slice_type = 2  # current picture's type during emission
         self.beta_offset_div2 = beta_offset_div2
         self.tc_offset_div2 = tc_offset_div2
@@ -194,7 +204,7 @@ class H265StreamGen:
     def _pps(self, w):
         w.ue(0)  # pps_id
         w.ue(0)  # sps_id
-        w.put_bits(0, 1)  # dependent_slice_segments
+        w.put_bits(1 if self.dependent_slices else 0, 1)  # dependent_slice_segments
         w.put_bits(0, 1)  # output_flag_present
         w.put_bits(0, 3)  # num_extra_slice_header_bits
         w.put_bits(self.sign_data_hiding, 1)
@@ -215,7 +225,7 @@ class H265StreamGen:
         w.put_bits(0, 1)  # entropy_coding_sync
         w.put_bits(0, 1)  # loop_filter_across_slices
         w.put_bits(1, 1)  # deblocking_filter_control_present
-        w.put_bits(0, 1)  # deblocking_filter_override_enabled
+        w.put_bits(1 if self.deblock_override else 0, 1)  # deblocking_filter_override_enabled
         w.put_bits(0 if self.deblock else 1, 1)  # deblocking disabled
         if self.deblock:
             w.se(self.beta_offset_div2)
@@ -228,21 +238,71 @@ class H265StreamGen:
         w.rbsp_trailing_bits()
 
     # -- slice ----------------------------------------------------------
+    def _emit_slice_rps(self, w, rps_idx):
+        """Slice-local RPS equivalent to SPS set rps_idx — nopred or
+        inter-predicted against another SPS set (both parser paths)."""
+        pred = self.rng.random() < 0.5
+        w.put_bits(1 if pred else 0, 1)  # inter_ref_pic_set_prediction
+        if not pred:
+            if rps_idx == 14:      # {-2}
+                w.ue(1); w.ue(0); w.ue(1); w.put_bits(1, 1)
+            elif rps_idx == 15:    # {-1, +1}
+                w.ue(1); w.ue(1); w.ue(0); w.put_bits(1, 1)
+                w.ue(0); w.put_bits(1, 1)
+            else:                  # {-1}
+                w.ue(1); w.ue(0); w.ue(0); w.put_bits(1, 1)
+            return
+        if rps_idx == 14:
+            # {-2} from SPS set 0 ({-1}) with delta_rps = -1; the
+            # delta_rps candidate itself is excluded via use_delta=0
+            w.ue(15)               # delta_idx_minus1 -> index 0
+            w.put_bits(1, 1)       # delta_rps_sign (negative)
+            w.ue(0)                # abs_delta_rps_minus1 -> -1
+            w.put_bits(1, 1)       # j0 (-1 -> -2): used
+            w.put_bits(0, 1); w.put_bits(0, 1)  # delta slot: unused
+        elif rps_idx == 15:
+            # {-1, +1} from SPS set 14 ({-2}) with delta_rps = +1:
+            # -2+1 = -1 (neg) and the delta slot itself = +1 (pos)
+            w.ue(1)                # delta_idx_minus1 -> index 14
+            w.put_bits(0, 1)       # sign (positive)
+            w.ue(0)                # abs_delta_rps_minus1 -> +1
+            w.put_bits(1, 1)       # j0 used
+            w.put_bits(1, 1)       # delta slot used
+        else:
+            # {-1} from SPS set 14 ({-2}) with delta_rps = +1
+            w.ue(1)
+            w.put_bits(0, 1)
+            w.ue(0)
+            w.put_bits(1, 1)       # j0 (-2 -> -1): used
+            w.put_bits(0, 1); w.put_bits(0, 1)  # delta slot: unused
+
     def _slice_header(self, w, slice_type=2, poc=0, rps_idx=0, first=1,
-                      addr=0):
+                      addr=0, dependent=0):
         w.put_bits(first, 1)  # first_slice_segment_in_pic
         if slice_type == 2:
             w.put_bits(0, 1)  # no_output_of_prior_pics (IRAP)
         w.ue(0)  # pps_id
         if not first:
+            if self.dependent_slices:
+                w.put_bits(dependent, 1)  # dependent_slice_segment_flag
             n_ctu = self.cols * self.rows
             nbits = n_ctu.bit_length()  # reference log2ceil = floor+1
             w.put_bits(addr, nbits)  # slice_segment_address
+        if dependent:
+            # no header body; straight to alignment
+            misalign = (-w.nbits) % 8
+            w.put_bits(1 << (misalign - 1) if misalign else 0x80,
+                       misalign if misalign else 8)
+            return
         w.ue(slice_type)
         if slice_type != 2:
             w.put_bits(poc & 0xFF, 8)  # pic_order_cnt_lsb
-            w.put_bits(1, 1)  # short_term_ref_pic_set_sps_flag
-            w.put_bits(rps_idx, 5)  # idx (bit-length quirk: 5 bits)
+            if self.slice_local_rps and self.rng.random() < 0.7:
+                w.put_bits(0, 1)  # short_term_ref_pic_set_sps_flag
+                self._emit_slice_rps(w, rps_idx)
+            else:
+                w.put_bits(1, 1)  # short_term_ref_pic_set_sps_flag
+                w.put_bits(rps_idx, 5)  # idx (bit-length quirk: 5 bits)
             w.put_bits(1 if self.tmvp else 0, 1)  # slice_temporal_mvp
         if self.sao:
             w.put_bits(1, 1)  # slice_sao_luma
@@ -256,7 +316,15 @@ class H265StreamGen:
                 w.put_bits(1, 1)  # collocated_from_l0
             w.ue(5 - self.merge_max)  # five_minus_max_num_merge_cand
         w.se(self.qp - (26 + (self.qp - 26 if self.qp >= 26 else 0)))
-        # deblocking control present but override disabled; disabled in PPS
+        if self.deblock_override:
+            ov = self.rng.random() < 0.75
+            w.put_bits(1 if ov else 0, 1)  # deblocking_filter_override
+            if ov:
+                dis = self.rng.random() < 0.25
+                w.put_bits(1 if dis else 0, 1)  # slice disabled
+                if not dis:
+                    w.se(self.rng.randint(-6, 6))  # beta_offset_div2
+                    w.se(self.rng.randint(-6, 6))  # tc_offset_div2
         # byte alignment (reference skips 8 when already aligned)
         misalign = (-w.nbits) % 8
         w.put_bits(1 << (misalign - 1) if misalign else 0x80,
@@ -832,9 +900,10 @@ class H265StreamGen:
             self._emit_cu(enc, size_log2, unavail, left, li, top, ti)
 
     def _slice(self, w, slice_type=2, poc=0, rps_idx=0, first=1, addr=0,
-               end=None):
+               end=None, dependent=0):
         self.slice_type = slice_type
-        self._slice_header(w, slice_type, poc, rps_idx, first, addr)
+        self._slice_header(w, slice_type, poc, rps_idx, first, addr,
+                           dependent)
         idc = 0 if slice_type == 2 else 2 - slice_type
         enc = H265CabacEncoder(w, self.qp, idc)
         nn = 16
@@ -917,16 +986,20 @@ class H265StreamGen:
                 for k in range(nslices) if bounds[k] < bounds[k + 1]]
         for ch, poc, rps in plan:
             for first, addr, end in segs:
+                dep = (0 if first or not self.dependent_slices
+                       else int(self.rng.random() < 0.7))
                 if ch == "I":
                     self._nal(out, NAL_IDR_W_RADL,
-                              lambda w, f=first, a=addr, e=end:
-                              self._slice(w, 2, 0, 0, 1 if f else 0, a, e))
+                              lambda w, f=first, a=addr, e=end, d=dep:
+                              self._slice(w, 2, 0, 0, 1 if f else 0, a,
+                                          e, d))
                 else:
                     st = 0 if ch == "B" else 1
                     self._nal(out, NAL_TRAIL_R,
                               lambda w, s=st, p=poc, ri=rps, f=first,
-                              a=addr, e=end:
-                              self._slice(w, s, p, ri, 1 if f else 0, a, e))
+                              a=addr, e=end, d=dep:
+                              self._slice(w, s, p, ri, 1 if f else 0,
+                                          a, e, d))
         return bytes(out)
 
 

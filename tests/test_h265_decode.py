@@ -396,3 +396,62 @@ def test_h265_multi_slice_phase_b_native(reference_bins, tmp_path):
                        modes=ALL_MODES, tmvp=1, deblock=1, max_level=1,
                        slices_per_pic=3), "IPB", "native",
         want_deblock=True)
+
+
+# -- slice-header features: slice-local RPS, deblocking override,
+#    dependent slice segments (reference slice_header_body parity) -------
+
+
+def test_h265_slice_local_rps(reference_bins, tmp_path):
+    """RPS carried in the slice header (h265.cpp:722-730): both the
+    nopred and the inter-predicted-against-an-SPS-set parser paths."""
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=51, slice_local_rps=1,
+                           cbf_prob=0.4, max_level=2), "IPPBP")
+
+
+def test_h265_deblock_override(reference_bins, tmp_path):
+    """Per-slice deblock parameter override (h265.cpp:896-903): slices
+    toggle the filter and carry their own beta/tc offsets while the PPS
+    says disabled."""
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=52, qp=30, cbf_prob=0.5,
+                           modes=ALL_MODES, max_level=1, deblock=0,
+                           deblock_override=1), "IPP")
+
+
+def test_h265_deblock_override_disables(reference_bins, tmp_path):
+    """Override on top of PPS-enabled deblocking (slices may disable)."""
+    from streamgen.h265_enc import ALL_MODES
+
+    run_case(reference_bins, tmp_path,
+             H265StreamGen(64, 48, seed=53, qp=32, cbf_prob=0.5,
+                           modes=ALL_MODES, max_level=1, deblock=1,
+                           beta_offset_div2=2, tc_offset_div2=-1,
+                           deblock_override=1), 3)
+
+
+@pytest.mark.parametrize("nsl", [2, 3])
+def test_h265_dependent_slices(reference_bins, tmp_path, nsl):
+    """Dependent slice segments (h265.cpp:910-919): the header body is
+    inherited from the previous segment; decode restarts like a normal
+    segment (full ctu_init per segment, h265.cpp:4751-4799)."""
+    run_case(reference_bins, tmp_path,
+             _MultiSliceGen(64, 48, seed=54 + nsl, slices_per_pic=nsl,
+                            dependent_slices=1, cbf_prob=0.4,
+                            max_level=2), 2)
+
+
+def test_h265_dependent_slices_inter_jax(reference_bins, tmp_path):
+    """Dependent segments + deblock override through the TPU Phase B."""
+    from streamgen.h265_enc import ALL_MODES
+
+    _run_backend_case(
+        reference_bins, tmp_path,
+        _MultiSliceGen(64, 48, seed=57, qp=31, cbf_prob=0.5,
+                       modes=ALL_MODES, deblock=1, max_level=1,
+                       slices_per_pic=2, dependent_slices=1,
+                       deblock_override=1, slice_local_rps=1),
+        "IPB", "jax", want_deblock=True)
