@@ -1,0 +1,445 @@
+"""Pallas sequential-grid kernels for the H.264 intra and deblocking
+wavefronts.
+
+The XLA lax.scan drivers in wavefront.py pay per-step op dispatch for
+each of the nd = mb_w + 2*mb_h - 2 diagonals. Here each wavefront is
+ONE kernel: grid=(nd,) iterates sequentially on the TensorCore, the
+skewed planes live in VMEM scratch across grid steps, and each step is
+a couple of VMEM slices + the same mode/filter math as the XLA path
+(shared via wavefront.intra_*_compute / deblock_*_compute — written
+gather-free: constant-matrix mode evaluation on the MXU, one-hot table
+lookups). This is the reference's hand-kernel tier — the TPU
+equivalent of src/lib/idct_asm.src / the SSE2 paths.
+
+Mosaic dictates the layout:
+
+* dynamic offsets are only legal on the sublane dimension, in
+  dtype-granule multiples — so the planes are stored TRANSPOSED
+  [Wsk, Hsk] as int16: every per-diagonal column offset is a multiple
+  of 16 (the int16 sublane granule) on dim 0, and the row dimension is
+  sliced statically;
+* rows are static because every diagonal uses the FULL lane set
+  (lane = mby, all mb_h of them, invalid lanes masked by zero
+  metadata) instead of wavefront.py's clamped per-diagonal lane base;
+* chroma interleaves cb|cr into 16-wide column blocks
+  (wavefront.skew_chroma_ilv) so chroma offsets are 16-aligned too;
+* in-kernel transposes bridge to the window math's [L, rows, cols]
+  orientation;
+* value updates are slice+concat (wavefront.upd) — Mosaic lowers
+  neither scatter nor dynamic_update_slice;
+* each pass is two kernels (luma / chroma) so the VMEM-resident plane
+  stays well under the ~16 MB VMEM (1080p: luma 9.4 MB, chroma 4.9 MB).
+
+Per-diagonal metadata arrives as pipelined BlockSpec blocks; planes DMA
+in at step 0 and out at the last step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from . import wavefront as WF
+
+
+def _mk_ctx():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return jax, jnp, pl, pltpu
+
+
+_IL_BLOCKS = ("kind", "res_y", "i4_modes", "i4_avail", "i16_mode",
+              "mb_avail")
+_IC_BLOCKS = ("kind", "res_c", "chroma_mode", "mb_avail")
+_DEB_BLOCKS = ("deb_str", "deb_str4", "deb_ab")
+#: [nd, L] metadata ships as [nd, L, 1] (Mosaic block-dim constraints)
+_SCALAR_TAIL = {"kind": True, "i16_mode": True, "chroma_mode": True,
+                "mb_avail": True}
+_TAILS = {"kind": (1,), "res_y": (16, 16), "res_c": (2, 8, 8),
+          "i4_modes": (16,), "i4_avail": (16,), "i16_mode": (1,),
+          "chroma_mode": (1,), "mb_avail": (1,), "i8_modes": (4,),
+          "i8_avail": (4,), "deb_str": (2, 4), "deb_str4": (2,),
+          "deb_ab": (2, 6, 2)}
+
+
+def _read_blocks(jnp, keys, refs):
+    return {k: (r[0][:, 0] if _SCALAR_TAIL.get(k) else r[0]).astype(
+        jnp.int32) for k, r in zip(keys, refs)}
+
+
+def _plane_io(pl, pltpu, i, nd, src, dst, vmem, sems):
+    @pl.when(i == 0)
+    def _():
+        c = pltpu.make_async_copy(src, vmem, sems.at[0])
+        c.start()
+        c.wait()
+
+    def flush():
+        @pl.when(i == nd - 1)
+        def _():
+            c = pltpu.make_async_copy(vmem, dst, sems.at[1])
+            c.start()
+            c.wait()
+
+    return flush
+
+
+def _embed_cols(jnp, raw_T, modT, r0):
+    """raw_T [C, Hsk] (the read column block), modT [C, h] replacing
+    rows r0..r0+h -> full [C, Hsk] (zero-width parts skipped — Mosaic
+    rejects empty-slice vector types)."""
+    h = modT.shape[1]
+    parts = []
+    if r0 > 0:
+        parts.append(raw_T[:, :r0])
+    parts.append(modT)
+    if r0 + h < raw_T.shape[1]:
+        parts.append(raw_T[:, r0 + h :])
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else modT
+
+
+# ---------------------------------------------------------------------
+# intra kernels
+# ---------------------------------------------------------------------
+
+
+def _intra_luma_kernel(*refs, L, H, has_i8):
+    jax, jnp, pl, pltpu = _mk_ctx()
+    keys = _IL_BLOCKS + (WF._I8_KEYS if has_i8 else ())
+    nb = len(keys)
+    P = _read_blocks(jnp, keys, refs[:nb])
+    nc = 4 if has_i8 else 2
+    cref = refs[nb : nb + nc]
+    consts = {"i4": (cref[0][...], cref[1][0], cref[1][1])}
+    if has_i8:
+        consts["i8"] = (cref[2][...], cref[3][0], cref[3][1])
+    src, dst, vy, sems = refs[nb + nc : nb + nc + 4]
+
+    i = pl.program_id(0)
+    nd = pl.num_programs(0)
+    flush = _plane_io(pl, pltpu, i, nd, src, dst, vy, sems)
+
+    cy = pl.multiple_of(i * 16, 16)
+    slabT = vy[pl.ds(cy, 72), :].astype(jnp.int32)   # [72, Hsk]
+    slab = jnp.swapaxes(slabT, 0, 1)[WF.MT - 1 : WF.MT + H]  # [H+1,72]
+    Ty = WF.intra_windows_luma(slab[:, 15:72], L, jnp)
+
+    tile, is_intra = WF.intra_luma_compute(Ty, P, has_i8, jnp, consts)
+    tile = jnp.where(is_intra[:, None, None], tile, Ty[:, 1:17, 1:17])
+    tileT = jnp.swapaxes(tile.reshape(H, 16), 0, 1)  # [16, H]
+    out = _embed_cols(jnp, slabT[48:64], tileT, WF.MT)
+    vy[pl.ds(cy + 48, 16), :] = out.astype(jnp.int16)
+    flush()
+
+
+def _intra_chroma_kernel(*refs, L, Hc):
+    jax, jnp, pl, pltpu = _mk_ctx()
+    nb = len(_IC_BLOCKS)
+    P = _read_blocks(jnp, _IC_BLOCKS, refs[:nb])
+    src, dst, vc, sems = refs[nb : nb + 4]
+
+    i = pl.program_id(0)
+    nd = pl.num_programs(0)
+    flush = _plane_io(pl, pltpu, i, nd, src, dst, vc, sems)
+
+    cc = pl.multiple_of(i * 16, 16)
+    slabT = vc[pl.ds(cc, 72), :].astype(jnp.int32)   # [72, Hsk]
+    slab = jnp.swapaxes(slabT, 0, 1)[WF.MTC - 1 : WF.MTC + Hc]
+    win = WF._slab_windows(slab, L, 8, jnp)          # [L, 9, 72]
+
+    def comp_windows(c0, t0, l0, b0):
+        row0 = jnp.concatenate(
+            [win[:, 0:1, c0 : c0 + 1], win[:, 0:1, t0 : t0 + 8]],
+            axis=2)
+        rows = jnp.concatenate(
+            [win[:, 1:9, l0 : l0 + 1], win[:, 1:9, b0 : b0 + 8]],
+            axis=2)
+        return jnp.concatenate([row0, rows], axis=1)  # [L, 9, 9]
+
+    Tcb = comp_windows(7, 16, 39, 48)
+    Tcr = comp_windows(15, 24, 47, 56)
+    ocb, ocr = WF.intra_chroma_compute(Tcb, Tcr, P, jnp)
+    kind = P["kind"]
+    is_intra = ((kind >= 1) & (kind <= 3))[:, None, None]
+    ocb = jnp.where(is_intra, ocb, Tcb[:, 1:9, 1:9])
+    ocr = jnp.where(is_intra, ocr, Tcr[:, 1:9, 1:9])
+    blk = jnp.concatenate([ocb, ocr], axis=2)        # [L, 8, 16]
+    blkT = jnp.swapaxes(blk.reshape(Hc, 16), 0, 1)   # [16, Hc]
+    out = _embed_cols(jnp, slabT[48:64], blkT, WF.MTC)
+    vc[pl.ds(cc + 48, 16), :] = out.astype(jnp.int16)
+    flush()
+
+
+# ---------------------------------------------------------------------
+# deblock kernels
+# ---------------------------------------------------------------------
+
+
+def _deblock_luma_kernel(*refs, L, H):
+    jax, jnp, pl, pltpu = _mk_ctx()
+    nb = len(_DEB_BLOCKS)
+    P = _read_blocks(jnp, _DEB_BLOCKS, refs[:nb])
+    tabs = (refs[nb][0], refs[nb + 1][0], refs[nb + 2][...])
+    src, dst, vy, sems = refs[nb + 3 : nb + 7]
+
+    i = pl.program_id(0)
+    nd = pl.num_programs(0)
+    flush = _plane_io(pl, pltpu, i, nd, src, dst, vy, sems)
+
+    co = pl.multiple_of(i * 16 + 32, 16)
+    ct = pl.multiple_of(i * 16 + 16, 16)
+    ownT = vy[pl.ds(co, 32), :].astype(jnp.int32)    # [32, Hsk]
+    topT = vy[pl.ds(ct, 16), :].astype(jnp.int32)    # [16, Hsk]
+    own = jnp.swapaxes(ownT, 0, 1)[WF.MT : WF.MT + H].reshape(L, 16, 32)
+    topr = jnp.swapaxes(topT, 0, 1)[WF.MT - 16 : WF.MT - 16 + H]
+    topr = topr.reshape(L, 16, 16)
+    hdr = jnp.concatenate(
+        [jnp.zeros((L, 4, 4), jnp.int32), topr[:, 12:16]], axis=2)
+    Wy = jnp.concatenate([hdr, own[:, :, 12:32]], axis=1)  # [L,20,20]
+
+    Wy = WF.deblock_luma_compute(Wy, P, jnp, tabs)
+
+    own_out = WF.upd(own, Wy[:, 4:20], (0, 0, 12), jnp)
+    ooT = jnp.swapaxes(own_out.reshape(H, 32), 0, 1)
+    vy[pl.ds(co, 32), :] = _embed_cols(
+        jnp, ownT, ooT, WF.MT).astype(jnp.int16)
+    top_out = WF.upd(topr, Wy[:, 0:4, 4:20], (0, 12, 0), jnp)
+    toT = jnp.swapaxes(top_out.reshape(H, 16), 0, 1)
+    vy[pl.ds(ct, 16), :] = _embed_cols(
+        jnp, topT, toT, WF.MT - 16).astype(jnp.int16)
+    flush()
+
+
+def _deblock_chroma_kernel(*refs, L, Hc):
+    jax, jnp, pl, pltpu = _mk_ctx()
+    nb = len(_DEB_BLOCKS)
+    P = _read_blocks(jnp, _DEB_BLOCKS, refs[:nb])
+    tabs = (refs[nb][0], refs[nb + 1][0], refs[nb + 2][...])
+    src, dst, vc, sems = refs[nb + 3 : nb + 7]
+
+    i = pl.program_id(0)
+    nd = pl.num_programs(0)
+    flush = _plane_io(pl, pltpu, i, nd, src, dst, vc, sems)
+
+    co = pl.multiple_of(i * 16 + 32, 16)
+    ct = pl.multiple_of(i * 16 + 16, 16)
+    ownT = vc[pl.ds(co, 32), :].astype(jnp.int32)
+    topT = vc[pl.ds(ct, 16), :].astype(jnp.int32)
+    own = jnp.swapaxes(ownT, 0, 1)[WF.MTC : WF.MTC + Hc]
+    own = own.reshape(L, 8, 32)
+    top = jnp.swapaxes(topT, 0, 1)[WF.MTC - 8 : WF.MTC - 8 + Hc]
+    top = top.reshape(L, 8, 16)
+
+    def window(oc0, oc1, tc0):
+        # own cols: 2 left-neighbor px + 8 own; window layout [L,12,12]
+        ownr = jnp.concatenate(
+            [jnp.zeros((L, 8, 2), jnp.int32),
+             own[:, :, oc0 : oc0 + 2], own[:, :, oc1 : oc1 + 8]],
+            axis=2)
+        topr = top[:, :, tc0 : tc0 + 8]
+        hdr = jnp.concatenate(
+            [jnp.zeros((L, 2, 4), jnp.int32), topr[:, 6:8]], axis=2)
+        hdr = jnp.concatenate(
+            [jnp.zeros((L, 2, 12), jnp.int32), hdr], axis=1)
+        return jnp.concatenate([hdr, ownr], axis=1), topr
+
+    Wcb, _ = window(6, 16, 0)
+    Wcr, _ = window(14, 24, 8)
+    Wcb, Wcr = WF.deblock_chroma_compute(Wcb, Wcr, P, jnp, tabs)
+
+    out_own = own
+    out_top = top
+    for (Wc, oc0, oc1, tc0) in ((Wcb, 6, 16, 0), (Wcr, 14, 24, 8)):
+        body = Wc[:, 4:12, 2:12]   # [L, 8, 10]
+        out_own = WF.upd(out_own, body[:, :, 0:2], (0, 0, oc0), jnp)
+        out_own = WF.upd(out_own, body[:, :, 2:10], (0, 0, oc1), jnp)
+        # top rows 6:8 of the tc0 column strip
+        mod = WF.upd(out_top[:, :, tc0 : tc0 + 8], Wc[:, 2:4, 4:12],
+                     (0, 6, 0), jnp)
+        out_top = WF.upd(out_top, mod, (0, 0, tc0), jnp)
+    ooT = jnp.swapaxes(out_own.reshape(Hc, 32), 0, 1)
+    vc[pl.ds(co, 32), :] = _embed_cols(
+        jnp, ownT, ooT, WF.MTC).astype(jnp.int16)
+    toT = jnp.swapaxes(out_top.reshape(Hc, 16), 0, 1)
+    vc[pl.ds(ct, 16), :] = _embed_cols(
+        jnp, topT, toT, WF.MTC - 8).astype(jnp.int16)
+    flush()
+
+
+# ---------------------------------------------------------------------
+# builders / drivers
+# ---------------------------------------------------------------------
+
+
+def _plane_shapes_T(mb_w, mb_h):
+    g = WF.get_geom(mb_w, mb_h)
+    nd = g["nd"]
+    H = mb_h * 16
+    W = nd * 16 + WF.ML + WF.MR
+    return ((W, H + WF.MT + WF.MB_),
+            (W, (H >> 1) + WF.MTC + WF.MBC))
+
+
+def _build(kernel, keys, cargs, plane_shape, nd, lmax, interpret, **kw):
+    jax, jnp, pl, pltpu = _mk_ctx()
+
+    in_specs = []
+    for k in keys:
+        blk = (1, lmax) + _TAILS[k]
+        in_specs.append(pl.BlockSpec(
+            blk, lambda i, _nd=len(blk): (i,) + (0,) * (_nd - 1),
+            memory_space=pltpu.VMEM))
+    for a in cargs:
+        in_specs.append(pl.BlockSpec(
+            a.shape, lambda i, _nd=a.ndim: (0,) * _nd,
+            memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0, grid=(nd,), in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[pltpu.VMEM(plane_shape, jnp.int16),
+                        pltpu.SemaphoreType.DMA((2,))])
+    vmem_bytes = plane_shape[0] * plane_shape[1] * 2
+    call = pl.pallas_call(
+        functools.partial(kernel, **kw),
+        out_shape=jax.ShapeDtypeStruct(plane_shape, jnp.int16),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_bytes + 48 * 1024 * 1024),
+        interpret=bool(interpret))
+    return call
+
+
+@functools.lru_cache(maxsize=16)
+def _build_all(mb_w, mb_h, has_i8, deblock, interpret):
+    from . import tables as T
+    from .reconstruct import _I4_MAT, _I8_MAT
+
+    g = WF.get_geom(mb_w, mb_h)
+    nd, L = g["nd"], g["mb_h"]
+    H, Hc = mb_h * 16, mb_h * 8
+    shY, shC = _plane_shapes_T(mb_w, mb_h)
+    il_keys = _IL_BLOCKS + (WF._I8_KEYS if has_i8 else ())
+    cargs_l = [_I4_MAT[0], np.stack(_I4_MAT[1:])]
+    if has_i8:
+        cargs_l += [_I8_MAT[0], np.stack(_I8_MAT[1:])]
+    tabs = (np.asarray(T.DEBLOCK_ALPHA, np.int32)[None],
+            np.asarray(T.DEBLOCK_BETA, np.int32)[None],
+            np.asarray(T.DEBLOCK_TC0, np.int32))
+    out = {
+        "il": (_build(_intra_luma_kernel, il_keys, cargs_l, shY, nd, L,
+                      interpret, L=L, H=H, has_i8=has_i8),
+               il_keys, cargs_l),
+        "ic": (_build(_intra_chroma_kernel, _IC_BLOCKS, [], shC, nd, L,
+                      interpret, L=L, Hc=Hc), _IC_BLOCKS, []),
+    }
+    if deblock:
+        out["dl"] = (_build(_deblock_luma_kernel, _DEB_BLOCKS,
+                            list(tabs), shY, nd, L, interpret, L=L,
+                            H=H), _DEB_BLOCKS, list(tabs))
+        out["dc"] = (_build(_deblock_chroma_kernel, _DEB_BLOCKS,
+                            list(tabs), shC, nd, L, interpret, L=L,
+                            Hc=Hc), _DEB_BLOCKS, list(tabs))
+    return out
+
+
+def _args(Pd, keys, cargs):
+    return [Pd[k][..., None] if _SCALAR_TAIL.get(k) else Pd[k]
+            for k in keys] + list(cargs)
+
+
+def run_wavefronts(y_plane, cb_plane, cr_plane, Pd, g, has_i8, deblock,
+                   mb_w, mb_h, xp, interpret=False):
+    """Intra + deblock wavefronts as Pallas kernels. *_plane int32
+    unskewed pictures; Pd = diag_gather(..., full=True). Returns
+    updated (y, cb, cr) planes."""
+    kers = _build_all(mb_w, mb_h, has_i8, deblock, bool(interpret))
+    skyT = xp.swapaxes(
+        WF.skew_luma(y_plane, g, xp).astype(xp.int16), 0, 1)
+    skcT = xp.swapaxes(
+        WF.skew_chroma_ilv(cb_plane, cr_plane, g, xp).astype(xp.int16),
+        0, 1)
+    call, keys, cargs = kers["il"]
+    skyT = call(*_args(Pd, keys, cargs), skyT)
+    call, keys, cargs = kers["ic"]
+    skcT = call(*_args(Pd, keys, cargs), skcT)
+    if deblock:
+        call, keys, cargs = kers["dl"]
+        skyT = call(*_args(Pd, keys, cargs), skyT)
+        call, keys, cargs = kers["dc"]
+        skcT = call(*_args(Pd, keys, cargs), skcT)
+    y = WF.unskew_luma(
+        xp.swapaxes(skyT, 0, 1).astype(xp.int32), g, xp)
+    cb, cr = WF.unskew_chroma_ilv(
+        xp.swapaxes(skcT, 0, 1).astype(xp.int32), g, xp)
+    return y, cb, cr
+
+
+def vmem_fits(mb_w, mb_h, budget=12 * 1024 * 1024):
+    """Whether the larger (luma) plane fits the VMEM-resident kernel at
+    this geometry (1080p: 9.4 MB of a ~16 MB VMEM)."""
+    shY, shC = _plane_shapes_T(mb_w, mb_h)
+    return shY[0] * shY[1] * 2 <= budget
+
+
+# ---------------------------------------------------------------------
+# availability probe: some environments (e.g. tunneled TPUs whose
+# remote chipless AOT helper cannot initialize libtpu) fail EVERY
+# Mosaic kernel compile with an infrastructure error. Probe once with
+# a trivial kernel and persist the verdict so `auto` mode falls back
+# to the XLA scan path instead of crashing the decode graph.
+# ---------------------------------------------------------------------
+
+_AVAILABLE = None
+
+
+def pallas_available():
+    global _AVAILABLE
+    if _AVAILABLE is not None:
+        return _AVAILABLE
+    import json
+    import os
+    import pathlib
+
+    force = os.environ.get("M2DEC_TPU_PALLAS_FORCE")
+    if force is not None:
+        _AVAILABLE = force == "1"
+        return _AVAILABLE
+    marker = (pathlib.Path(__file__).resolve().parents[3] / "build"
+              / "pallas_probe.json")
+    import jax
+
+    backend = jax.default_backend()
+    try:
+        d = json.loads(marker.read_text())
+        if d.get("backend") == backend:
+            _AVAILABLE = bool(d.get("works"))
+            return _AVAILABLE
+    except Exception:
+        pass
+    jax_, jnp, pl, pltpu = _mk_ctx()
+
+    def _k(x_ref, o_ref):
+        o_ref[:] = x_ref[:] + 1
+
+    try:
+        out = pl.pallas_call(
+            _k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(jnp.zeros((8, 128), jnp.int32))
+        works = int(np.asarray(out)[0, 0]) == 1
+    except Exception:
+        works = False
+    try:
+        marker.parent.mkdir(parents=True, exist_ok=True)
+        marker.write_text(json.dumps(
+            {"backend": backend, "works": works}))
+    except Exception:
+        pass
+    _AVAILABLE = works
+    return works

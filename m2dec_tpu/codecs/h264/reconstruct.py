@@ -515,9 +515,65 @@ def _mk_tables4():
 _I4_TAB = _mk_tables4()
 
 
-def intra4_modes(l, t, c, avail, mode, xp):
-    """All 9 4x4 modes via the gather tables; l[L,4], t[L,8] raw
-    top+topright, c[L], avail bits; returns [L,4,4]."""
+def _mode_matrix(tab, n_line):
+    """(IA, IB, IC, K3) index tables -> (coef [n_line, 9*P], rnd [9*P],
+    shift [9*P]) so that for every mode m and position p
+    vals[:, m*P+p] = (line @ coef + rnd)[:, m*P+p] >> shift[m*P+p]
+    reproduces fir3(A,B,C) / fir2(B,C) exactly (values <= 2^12, so the
+    f32 matmul is exact). Gather-free: runs under Pallas/Mosaic."""
+    IA, IB, IC, K3 = tab
+    P = IA.shape[1]
+    M = np.zeros((n_line, 9 * P), np.float32)
+    for m in range(9):
+        for p in range(P):
+            col = m * P + p
+            if K3[m, p]:
+                M[IA[m, p], col] += 1
+                M[IB[m, p], col] += 2
+                M[IC[m, p], col] += 1
+            else:
+                M[IB[m, p], col] += 1
+                M[IC[m, p], col] += 1
+    rnd = np.where(K3.reshape(-1), 2, 1).astype(np.int32)
+    shift = np.where(K3.reshape(-1), 2, 1).astype(np.int32)
+    return M, rnd, shift
+
+
+_I4_MAT = _mode_matrix(_I4_TAB, 14)
+
+
+def _iota1(xp, n, start=0, dtype=None):
+    """1-D index vector that also lowers inside Pallas/Mosaic kernels
+    (plain 1-D iota is rejected on TPU)."""
+    if xp is np:
+        return np.arange(start, start + n,
+                         dtype=dtype or np.int32)
+    import jax
+
+    v = jax.lax.broadcasted_iota(dtype or xp.int32, (n, 1), 0)[:, 0]
+    return v + start if start else v
+
+
+def _mode_eval(line, mode, mats, P, xp):
+    """line [L,n] int32, mode [L] -> [L,P] selected mode values via one
+    constant matmul + one-hot select (no gathers). mats arrays may be
+    numpy (XLA trace) or kernel-input refs' values (Pallas)."""
+    M, rnd, shift = mats
+    acc = xp.matmul(line.astype(xp.float32), M)
+    vals = (acc.astype(xp.int32) + rnd[None]) >> shift[None]
+    # mode select via static per-mode slices (reshaping the minor dim
+    # 9*P -> (9, P) is an unsupported relayout under Mosaic)
+    out = vals[:, 0:P]
+    for m in range(1, 9):
+        out = xp.where((mode == m)[:, None], vals[:, m * P : m * P + P],
+                       out)
+    return out
+
+
+def intra4_modes(l, t, c, avail, mode, xp, mats=None):
+    """All 9 4x4 modes via the constant mode matrix; l[L,4], t[L,8] raw
+    top+topright, c[L], avail bits; returns [L,4,4]. mats overrides the
+    baked-in mode matrix (Pallas kernels pass it as an input)."""
     av1 = (avail & 1) != 0
     av2 = (avail & 2) != 0
     av4 = (avail & 4) != 0
@@ -529,14 +585,7 @@ def intra4_modes(l, t, c, avail, mode, xp):
          xp.where(av1, (sl + 2) >> 2,
          xp.where(av2, (st + 2) >> 2, 0x80)))
     line = xp.concatenate([l, c[:, None], t4, th, dc[:, None]], axis=1)
-    IA, IB, IC, K3 = _I4_TAB
-    A = line[:, IA]
-    B = line[:, IB]
-    C = line[:, IC]
-    vals = xp.where(K3[None], (A + 2 * B + C + 2) >> 2, (B + C + 1) >> 1)
-    idx = mode[:, None, None]
-    out = xp.take_along_axis(vals, xp.broadcast_to(idx, (l.shape[0], 1, 16)),
-                             axis=1)[:, 0]
+    out = _mode_eval(line, mode, mats or _I4_MAT, 16, xp)
     return out.reshape(l.shape[0], 4, 4)
 
 
@@ -638,11 +687,12 @@ def _mk_tables8():
 
 
 _I8_TAB = _mk_tables8()
+_I8_MAT = _mode_matrix(_I8_TAB, 26)
 
 
-def intra8_modes(t, l, c, tr, avail, mode, xp):
+def intra8_modes(t, l, c, tr, avail, mode, xp, mats=None):
     """All 9 8x8 modes with reference-sample filtering (pred8x8.py),
-    gather-table form."""
+    constant-matrix form."""
     L = t.shape[0]
     av1 = (avail & 1) != 0
     av2 = (avail & 2) != 0
@@ -675,14 +725,7 @@ def intra8_modes(t, l, c, tr, avail, mode, xp):
          xp.where(av1, (sl + 4) >> 3,
          xp.where(av2, (st + 4) >> 3, 0x80)))
     line = xp.concatenate([lf, cor[:, None], tp16, dc[:, None]], axis=1)
-    IA, IB, IC, K3 = _I8_TAB
-    A = line[:, IA]
-    B = line[:, IB]
-    C = line[:, IC]
-    vals = xp.where(K3[None], (A + 2 * B + C + 2) >> 2, (B + C + 1) >> 1)
-    idx = mode[:, None, None]
-    out = xp.take_along_axis(vals, xp.broadcast_to(idx, (L, 1, 64)),
-                             axis=1)[:, 0]
+    out = _mode_eval(line, mode, mats or _I8_MAT, 64, xp)
     return out.reshape(L, 8, 8)
 
 
@@ -702,13 +745,15 @@ def intra16_modes(l16, t16, c, avail, mode, xp):
     # plane
     topx = xp.concatenate([c[:, None], t16], axis=1)   # [-1..15]
     leftx = xp.concatenate([c[:, None], l16], axis=1)
-    karr = xp.arange(1, 9, dtype=xp.int32)
-    h = ((topx[:, 9:17] - topx[:, 7::-1]) * karr[None, :]).sum(axis=1)
-    v = ((leftx[:, 9:17] - leftx[:, 7::-1]) * karr[None, :]).sum(axis=1)
+    # sum_k k*(x[8+k] - x[8-k]) == sum_j (j-8)*x[j] — reversal-free
+    # form (Mosaic has no rev), identical integers
+    wv = _iota1(xp, 17, start=-8)
+    h = (topx * wv[None, :]).sum(axis=1)
+    v = (leftx * wv[None, :]).sum(axis=1)
     h = (5 * h + 32) >> 6
     v = (5 * v + 32) >> 6
     a = 16 * (leftx[:, 16] + topx[:, 16])
-    ys = xp.arange(16, dtype=xp.int32)
+    ys = _iota1(xp, 16)
     val = (a[:, None, None] + (ys[None, None, :] - 7) * h[:, None, None]
            + (ys[None, :, None] - 7) * v[:, None, None] + 16) >> 5
     m_plane = xp.clip(val, 0, 255)
@@ -743,13 +788,13 @@ def intra_chroma_modes(l8, t8, c, avail, mode, xp):
     m_vert = xp.broadcast_to(t8[:, None, :], (L, 8, 8))
     topx = xp.concatenate([c[:, None], t8], axis=1)
     leftx = xp.concatenate([c[:, None], l8], axis=1)
-    karr = xp.arange(1, 5, dtype=xp.int32)
-    h = ((topx[:, 5:9] - topx[:, 3::-1]) * karr[None, :]).sum(axis=1)
-    v = ((leftx[:, 5:9] - leftx[:, 3::-1]) * karr[None, :]).sum(axis=1)
+    wv = _iota1(xp, 9, start=-4)
+    h = (topx * wv[None, :]).sum(axis=1)
+    v = (leftx * wv[None, :]).sum(axis=1)
     h = (17 * h + 16) >> 5
     v = (17 * v + 16) >> 5
     a = 16 * (leftx[:, 8] + topx[:, 8])
-    ys = xp.arange(8, dtype=xp.int32)
+    ys = _iota1(xp, 8)
     val = (a[:, None, None] + (ys[None, None, :] - 3) * h[:, None, None]
            + (ys[None, :, None] - 3) * v[:, None, None] + 16) >> 5
     m_plane = xp.clip(val, 0, 255)
@@ -944,7 +989,7 @@ def _edge_params(stbyte, str4, ab, nlines, shift, alpha_t, beta_t, tc0_t, xp):
 
     stbyte/str4 [L]; ab [L,2] alpha/beta indices (may be negative = off).
     Returns s [L,K], alpha [L,1], beta [L,1], tc0 [L,K]."""
-    k = xp.arange(nlines)
+    k = _iota1(xp, nlines)
     j = k >> shift
     s = (stbyte[:, None] >> (2 * j)[None, :]) & 3
     s = xp.where((str4 > 0)[:, None], 4, s)
@@ -953,9 +998,16 @@ def _edge_params(stbyte, str4, ab, nlines, shift, alpha_t, beta_t, tc0_t, xp):
     s = xp.where(on[:, None], s, 0)
     ai = xp.clip(aidx, -16, 35) + 16
     bi = xp.clip(ab[:, 1], -16, 35) + 16
-    alpha = alpha_t[ai][:, None]
-    beta = beta_t[bi][:, None]
-    tc0 = tc0_t[xp.clip(s - 1, 0, 2), ai[:, None]]
+    # gather-free table lookups (one-hot over the 52-entry tables) so
+    # the same code lowers under Pallas/Mosaic
+    r52 = _iota1(xp, 52, dtype=ai.dtype)[None]
+    oha = (ai[:, None] == r52).astype(xp.int32)
+    ohb = (bi[:, None] == r52).astype(xp.int32)
+    alpha = (oha * alpha_t[None]).sum(axis=1)[:, None]
+    beta = (ohb * beta_t[None]).sum(axis=1)[:, None]
+    t3 = (oha[:, None, :] * tc0_t[None]).sum(axis=2)   # [L,3]
+    tc0 = xp.where(s <= 1, t3[:, 0:1],
+          xp.where(s == 2, t3[:, 1:2], t3[:, 2:3]))
     return s, alpha, beta, tc0
 
 
@@ -1094,6 +1146,26 @@ def _stack_diag_lanes(mb_w, mb_h, n_streams, H, W):
     return out
 
 
+def wavefront_mode(mb_w, mb_h):
+    """How the intra/deblock wavefronts run: 'pallas' (one sequential-
+    grid kernel per pass, planes VMEM-resident — the default on TPU
+    when the geometry fits), 'pallas_interpret' (CPU-debuggable), or
+    'xla' (the lax.scan fallback). Override with M2DEC_TPU_WF."""
+    import os
+
+    mode = os.environ.get("M2DEC_TPU_WF", "auto")
+    if mode != "auto":
+        return mode
+    import jax
+
+    from . import pallas_wavefront as PW
+
+    if (jax.default_backend() == "tpu" and PW.vmem_fits(mb_w, mb_h)
+            and PW.pallas_available()):
+        return "pallas"
+    return "xla"
+
+
 def _recon_core(P, refs_y, refs_cb, refs_cr, diag, pcm_y, pcm_cb,
                 pcm_cr, *, mb_w, mb_h, has_i8, has_pcm, deblock):
     """One picture's Phase-B graph; P = dict of plan tensors."""
@@ -1131,20 +1203,31 @@ def _recon_core(P, refs_y, refs_cb, refs_cr, diag, pcm_y, pcm_cb,
     from . import wavefront as WF
 
     g = WF.get_geom(mb_w, mb_h)
-    Pd = WF.diag_gather(P, g, has_i8, deblock, xp)
-    sky = WF.skew_luma(y_plane, g, xp)
-    skcb = WF.skew_chroma(cb_plane, g, xp)
-    skcr = WF.skew_chroma(cr_plane, g, xp)
     ikeys = WF._INTRA_KEYS + (WF._I8_KEYS if has_i8 else ())
-    sky, skcb, skcr = WF.intra_scan(
-        sky, skcb, skcr, {k: Pd[k] for k in ikeys}, g, has_i8, xp)
-    if deblock:
-        tabs = (xp.asarray(np.asarray(T.DEBLOCK_ALPHA, np.int32)),
-                xp.asarray(np.asarray(T.DEBLOCK_BETA, np.int32)),
-                xp.asarray(np.asarray(T.DEBLOCK_TC0, np.int32)))
-        sky, skcb, skcr = WF.deblock_scan(
-            sky, skcb, skcr, {k: Pd[k] for k in WF._DEB_KEYS}, g, xp,
-            tabs)
+    mode = wavefront_mode(mb_w, mb_h)
+    if mode.startswith("pallas"):
+        from . import pallas_wavefront as PW
+
+        Pd = WF.diag_gather(P, g, has_i8, deblock, xp, full=True)
+        y_plane, cb_plane, cr_plane = PW.run_wavefronts(
+            y_plane, cb_plane, cr_plane, Pd, g, has_i8, deblock,
+            mb_w, mb_h, xp, interpret=(mode == "pallas_interpret"))
+        return (y_plane.astype(xp.uint8), cb_plane.astype(xp.uint8),
+                cr_plane.astype(xp.uint8))
+    else:
+        Pd = WF.diag_gather(P, g, has_i8, deblock, xp)
+        sky = WF.skew_luma(y_plane, g, xp)
+        skcb = WF.skew_chroma(cb_plane, g, xp)
+        skcr = WF.skew_chroma(cr_plane, g, xp)
+        sky, skcb, skcr = WF.intra_scan(
+            sky, skcb, skcr, {k: Pd[k] for k in ikeys}, g, has_i8, xp)
+        if deblock:
+            tabs = (xp.asarray(np.asarray(T.DEBLOCK_ALPHA, np.int32)),
+                    xp.asarray(np.asarray(T.DEBLOCK_BETA, np.int32)),
+                    xp.asarray(np.asarray(T.DEBLOCK_TC0, np.int32)))
+            sky, skcb, skcr = WF.deblock_scan(
+                sky, skcb, skcr, {k: Pd[k] for k in WF._DEB_KEYS}, g,
+                xp, tabs)
     y_plane = WF.unskew_luma(sky, g, xp)
     cb_plane = WF.unskew_chroma(skcb, g, xp)
     cr_plane = WF.unskew_chroma(skcr, g, xp)

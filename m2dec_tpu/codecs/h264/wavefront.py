@@ -45,8 +45,11 @@ import functools
 
 import numpy as np
 
-ML, MR, MT, MB_ = 48, 64, 16, 16       # luma margins
-MLC, MRC, MTC, MBC = 24, 16, 8, 8      # chroma margins
+#: bottom margins are 8 larger than strictly needed by the scan windows:
+#: the Pallas kernels load slabs from 8-aligned row bases (8 rows above
+#: the window) and read 8 rows past it
+ML, MR, MT, MB_ = 48, 64, 16, 24       # luma margins
+MLC, MRC, MTC, MBC = 24, 16, 8, 16     # chroma margins
 
 
 @functools.lru_cache(maxsize=32)
@@ -82,9 +85,16 @@ def get_geom(mb_w, mb_h):
         "trY": mby0 * 16, "tcY": d * 16 + (ML - 32),
         "trC": mby0 * 8, "tcC": d * 8 + (MLC - 16),
     }
+    # full-lane table (Pallas kernels: every mby is a lane, row ranges
+    # static — no per-diagonal clamping)
+    lanes_f = np.broadcast_to(np.arange(mb_h)[None, :], (nd, mb_h))
+    mbx_f = np.arange(nd)[:, None] - 2 * lanes_f
+    lane2mb_full = np.where((mbx_f >= 0) & (mbx_f < mb_w),
+                            lanes_f * mb_w + mbx_f, n).astype(np.int32)
     return {"nd": nd, "lmax": lmax, "lane2mb": lane2mb, "gidx": gidx,
-            "uidx": uidx, "bases": {k: v.astype(np.int32)
-                                    for k, v in bases.items()}}
+            "uidx": uidx, "lane2mb_full": lane2mb_full, "mb_h": mb_h,
+            "bases": {k: v.astype(np.int32)
+                      for k, v in bases.items()}}
 
 
 # ---------------------------------------------------------------------
@@ -134,6 +144,36 @@ def unskew_chroma(sk, g, xp):
     return unskew_plane(sk, g["uidx"], 8, (MTC, MBC, MLC, MRC), xp)
 
 
+def skew_chroma_ilv(cb, cr, g, xp):
+    """Interleaved chroma skew for the Pallas kernels: block d holds
+    the cb tile at columns ML + d*16 .. +8 and the cr tile at +8..16 —
+    every per-diagonal column offset is then a multiple of 16, exactly
+    like luma (Mosaic's sublane-alignment constraint for int16)."""
+    mb_h, nd = g["gidx"].shape
+    Hc, Wc = cb.shape
+
+    def tiles_of(p):
+        t = p.reshape(mb_h, 8, Wc // 8, 8).transpose(0, 2, 1, 3)
+        return t.reshape(-1, 8, 8)
+
+    t = xp.concatenate([tiles_of(cb), tiles_of(cr)], axis=2)  # [n,8,16]
+    t = xp.concatenate([t, xp.zeros((1, 8, 16), t.dtype)], axis=0)
+    sk = t[g["gidx"].reshape(-1)].reshape(mb_h, nd, 8, 16)
+    sk = sk.transpose(0, 2, 1, 3).reshape(mb_h * 8, nd * 16)
+    return xp.pad(sk, ((MTC, MBC), (ML, MR)))
+
+
+def unskew_chroma_ilv(sk, g, xp):
+    mb_h, mb_w = g["uidx"].shape
+    core = sk[MTC : MTC + mb_h * 8, ML : sk.shape[1] - MR]
+    nd = core.shape[1] // 16
+    t = core.reshape(mb_h, 8, nd, 16).transpose(0, 2, 1, 3)
+    out = t[np.arange(mb_h)[:, None], g["uidx"]]  # [mb_h, mb_w, 8, 16]
+    cb = out[..., 0:8].transpose(0, 2, 1, 3).reshape(mb_h * 8, mb_w * 8)
+    cr = out[..., 8:16].transpose(0, 2, 1, 3).reshape(mb_h * 8, mb_w * 8)
+    return cb, cr
+
+
 # ---------------------------------------------------------------------
 # diagonal-major metadata
 # ---------------------------------------------------------------------
@@ -144,11 +184,14 @@ _I8_KEYS = ("i8_modes", "i8_avail")
 _DEB_KEYS = ("deb_str", "deb_str4", "deb_ab")
 
 
-def diag_gather(P, g, has_i8, deblock, xp):
+def diag_gather(P, g, has_i8, deblock, xp, full=False):
     """Gather plan tensors into diagonal-major [nd, Lmax, ...] (invalid
     lanes -> appended zero row: kind 0 skips intra writes, zero deblock
-    strengths skip filtering)."""
-    idx = g["lane2mb"].reshape(-1)
+    strengths skip filtering). full=True uses the all-mby lane table
+    (Pallas kernels)."""
+    tab = g["lane2mb_full"] if full else g["lane2mb"]
+    idx = tab.reshape(-1)
+    lmax = tab.shape[1]
     keys = _INTRA_KEYS + (_I8_KEYS if has_i8 else ()) + (
         _DEB_KEYS if deblock else ())
     out = {}
@@ -156,7 +199,7 @@ def diag_gather(P, g, has_i8, deblock, xp):
         v = P[k]
         ext = xp.concatenate(
             [v, xp.zeros((1,) + v.shape[1:], v.dtype)], axis=0)
-        out[k] = ext[idx].reshape((g["nd"], g["lmax"]) + v.shape[1:])
+        out[k] = ext[idx].reshape((g["nd"], lmax) + v.shape[1:])
     return out
 
 
@@ -171,7 +214,11 @@ def _slab_windows(slab, lmax, rows, xp):
     share that row)."""
     C = slab.shape[1]
     body = slab[: lmax * rows].reshape(lmax, rows, C)
-    last = slab[rows::rows][:, None, :]             # rows, 2*rows, ...
+    # row `rows` of each window (= next window's row 0) without strided
+    # slicing (reshape form lowers under Pallas/Mosaic)
+    tail = xp.concatenate(
+        [slab[rows:], xp.zeros((rows - 1, C), slab.dtype)], axis=0)
+    last = tail.reshape(lmax, rows, C)[:, 0:1]
     return xp.concatenate([body, last], axis=1)
 
 
@@ -245,22 +292,59 @@ def _intra_step_skewed(carry, xs, lmax, has_i8, xp, P_const=None,
     return (y, cb, cr), None
 
 
-def intra_compute(Ty, Tcb, Tcr, P, has_i8, xp):
+def upd(a, v, starts, xp):
+    """Static-slice functional update of a [L, h, w] value by slice
+    concatenation: jnp's .at[].set lowers to scatter and lax's
+    dynamic_update_slice is a value op — Mosaic supports neither inside
+    Pallas kernels, but plain slicing + concatenation lowers fine (and
+    XLA folds it back into an in-place update)."""
+    s0, s1, s2 = starts
+    assert s0 == 0 and v.shape[0] == a.shape[0]
+    h, w = v.shape[1], v.shape[2]
+    if v.dtype != a.dtype:
+        v = v.astype(a.dtype)
+    band = a[:, s1 : s1 + h]
+    parts = []
+    if s2:
+        parts.append(band[:, :, :s2])
+    parts.append(v)
+    if s2 + w < a.shape[2]:
+        parts.append(band[:, :, s2 + w :])
+    band = xp.concatenate(parts, axis=2) if len(parts) > 1 else v
+    parts = []
+    if s1:
+        parts.append(a[:, :s1])
+    parts.append(band)
+    if s1 + h < a.shape[1]:
+        parts.append(a[:, s1 + h :])
+    return xp.concatenate(parts, axis=1) if len(parts) > 1 else band
+
+
+def intra_compute(Ty, Tcb, Tcr, P, has_i8, xp, consts=None):
     """The per-diagonal intra mode math on assembled windows.
 
     Ty [L,17,25], Tcb/Tcr [L,9,9]; P fields [L, ...]. Returns
-    (luma tile [L,16,16], cb [L,8,8], cr [L,8,8], is_intra [L])."""
+    (luma tile [L,16,16], cb [L,8,8], cr [L,8,8], is_intra [L]).
+    consts: optional {'i4': (M,rnd,shift), 'i8': ...} mode-matrix
+    overrides (Pallas kernels pass them as inputs)."""
+    tile, is_intra = intra_luma_compute(Ty, P, has_i8, xp, consts)
+    ocb, ocr = intra_chroma_compute(Tcb, Tcr, P, xp)
+    return tile, ocb, ocr, is_intra
+
+
+def intra_luma_compute(Ty, P, has_i8, xp, consts=None):
+    """Luma half of the intra mode math -> (tile [L,16,16],
+    is_intra [L])."""
+    consts = consts or {}
     from .reconstruct import (
         _ZORDER,
         intra4_modes,
         intra8_modes,
         intra16_modes,
-        intra_chroma_modes,
     )
 
     kind = P["kind"]
     res = P["res_y"]
-    res_c = P["res_c"]
     mb_avail = P["mb_avail"]
 
     def clip(v):
@@ -274,9 +358,10 @@ def intra_compute(Ty, Tcb, Tcr, P, has_i8, xp):
         t = T4[:, oy, 1 + ox : 9 + ox]
         ll = T4[:, 1 + oy : 5 + oy, ox]
         c = T4[:, oy, ox]
-        out = intra4_modes(ll, t, c, i4a[:, blk], i4m[:, blk], xp)
+        out = intra4_modes(ll, t, c, i4a[:, blk], i4m[:, blk], xp,
+                           mats=consts.get("i4"))
         out = clip(out + res[:, oy : oy + 4, ox : ox + 4])
-        T4 = T4.at[:, 1 + oy : 5 + oy, 1 + ox : 5 + ox].set(out)
+        T4 = upd(T4, out, (0, 1 + oy, 1 + ox), xp)
     tile = T4[:, 1:17, 1:17]
 
     if has_i8:
@@ -289,9 +374,10 @@ def intra_compute(Ty, Tcb, Tcr, P, has_i8, xp):
             tr = T8[:, oy, 9 + ox : 17 + ox]
             ll = T8[:, 1 + oy : 9 + oy, ox]
             c = T8[:, oy, ox]
-            out = intra8_modes(t, ll, c, tr, i8a[:, b], i8m[:, b], xp)
+            out = intra8_modes(t, ll, c, tr, i8a[:, b], i8m[:, b], xp,
+                               mats=consts.get("i8"))
             out = clip(out + res[:, oy : oy + 8, ox : ox + 8])
-            T8 = T8.at[:, 1 + oy : 9 + oy, 1 + ox : 9 + ox].set(out)
+            T8 = upd(T8, out, (0, 1 + oy, 1 + ox), xp)
         tile = xp.where((kind == 2)[:, None, None], T8[:, 1:17, 1:17],
                         tile)
 
@@ -301,28 +387,38 @@ def intra_compute(Ty, Tcb, Tcr, P, has_i8, xp):
     out16 = clip(intra16_modes(l16, t16, c16, mb_avail,
                                P["i16_mode"], xp) + res)
     tile = xp.where((kind == 3)[:, None, None], out16, tile)
+    return tile, (kind >= 1) & (kind <= 3)
 
+
+def intra_chroma_compute(Tcb, Tcr, P, xp):
+    """Chroma half of the intra mode math -> (cb, cr) [L,8,8]."""
+    from .reconstruct import intra_chroma_modes
+
+    res_c = P["res_c"]
+    mb_avail = P["mb_avail"]
     cmode = P["chroma_mode"]
     outs = []
     for ci, Tc in enumerate((Tcb, Tcr)):
         t8 = Tc[:, 0, 1:9]
         l8 = Tc[:, 1:9, 0]
         cc = Tc[:, 0, 0]
-        outs.append(clip(intra_chroma_modes(l8, t8, cc, mb_avail, cmode,
-                                            xp) + res_c[:, ci]))
-    is_intra = (kind >= 1) & (kind <= 3)
-    return tile, outs[0], outs[1], is_intra
+        outs.append(xp.clip(
+            intra_chroma_modes(l8, t8, cc, mb_avail, cmode, xp)
+            + res_c[:, ci], 0, 255))
+    return outs[0], outs[1]
 
 
 def deblock_compute(Wy, Wcb, Wcr, P, xp, tabs):
     """The per-diagonal deblock edge loops on assembled [L,20,20] /
     [L,12,12] windows (reference edge order: all vertical edges then all
     horizontal edges per MB, h264.cpp:10540-10663)."""
-    from .reconstruct import (
-        _edge_params,
-        _filter_lines_chroma,
-        _filter_lines_luma,
-    )
+    Wy = deblock_luma_compute(Wy, P, xp, tabs)
+    Wcb, Wcr = deblock_chroma_compute(Wcb, Wcr, P, xp, tabs)
+    return Wy, Wcb, Wcr
+
+
+def deblock_luma_compute(Wy, P, xp, tabs):
+    from .reconstruct import _edge_params, _filter_lines_luma
 
     alpha_t, beta_t, tc0_t = tabs
     dstr = P["deb_str"]
@@ -340,39 +436,52 @@ def deblock_compute(Wy, Wcb, Wcr, P, xp, tabs):
             c0 = 4 * e
             if axis == 0:
                 cols = Wy[:, 4:20, c0 : c0 + 8]
-                Wy = Wy.at[:, 4:20, c0 : c0 + 8].set(
-                    _filter_lines_luma(cols, s, al, be, tc0, xp))
+                Wy = upd(Wy, _filter_lines_luma(cols, s, al, be, tc0,
+                                                xp), (0, 4, c0), xp)
             else:
                 rows = xp.swapaxes(Wy[:, c0 : c0 + 8, 4:20], 1, 2)
                 out = _filter_lines_luma(rows, s, al, be, tc0, xp)
-                Wy = Wy.at[:, c0 : c0 + 8, 4:20].set(
-                    xp.swapaxes(out, 1, 2))
-            if e in (0, 2):
-                abrow = 1 if e == 0 else 4
-                str4c = d4[:, axis] if e == 0 else zero
-                for ci in range(2):
-                    Wc = Wcb if ci == 0 else Wcr
-                    s, al, be, tc0 = _edge_params(
-                        sb[:, e], str4c, ab[:, abrow + ci], 8, 1,
-                        alpha_t, beta_t, tc0_t, xp)
-                    cc0 = 2 + 4 * (e >> 1)
-                    if axis == 0:
-                        cols = Wc[:, 4:12, cc0 : cc0 + 4]
-                        Wc = Wc.at[:, 4:12, cc0 : cc0 + 4].set(
-                            _filter_lines_chroma(cols, s, al, be, tc0,
-                                                 xp))
-                    else:
-                        rows = xp.swapaxes(Wc[:, cc0 : cc0 + 4, 4:12],
-                                           1, 2)
-                        out = _filter_lines_chroma(rows, s, al, be, tc0,
-                                                   xp)
-                        Wc = Wc.at[:, cc0 : cc0 + 4, 4:12].set(
-                            xp.swapaxes(out, 1, 2))
-                    if ci == 0:
-                        Wcb = Wc
-                    else:
-                        Wcr = Wc
-    return Wy, Wcb, Wcr
+                Wy = upd(Wy, xp.swapaxes(out, 1, 2), (0, c0, 4), xp)
+    return Wy
+
+
+def deblock_chroma_compute(Wcb, Wcr, P, xp, tabs):
+    from .reconstruct import _edge_params, _filter_lines_chroma
+
+    alpha_t, beta_t, tc0_t = tabs
+    dstr = P["deb_str"]
+    dab = P["deb_ab"]
+    d4 = P["deb_str4"]
+    for axis in (0, 1):
+        sb = dstr[:, axis]
+        ab = dab[:, axis]
+        zero = xp.zeros_like(d4[:, axis])
+        for e in (0, 2):
+            abrow = 1 if e == 0 else 4
+            str4c = d4[:, axis] if e == 0 else zero
+            for ci in range(2):
+                Wc = Wcb if ci == 0 else Wcr
+                s, al, be, tc0 = _edge_params(
+                    sb[:, e], str4c, ab[:, abrow + ci], 8, 1,
+                    alpha_t, beta_t, tc0_t, xp)
+                cc0 = 2 + 4 * (e >> 1)
+                if axis == 0:
+                    cols = Wc[:, 4:12, cc0 : cc0 + 4]
+                    Wc = upd(Wc, _filter_lines_chroma(
+                        cols, s, al, be, tc0, xp), (0, 4, cc0), xp)
+                else:
+                    rows = xp.swapaxes(Wc[:, cc0 : cc0 + 4, 4:12],
+                                       1, 2)
+                    out = _filter_lines_chroma(rows, s, al, be, tc0,
+                                               xp)
+                    Wc = upd(Wc, xp.swapaxes(out, 1, 2),
+                             (0, cc0, 4), xp)
+                if ci == 0:
+                    Wcb = Wc
+                else:
+                    Wcr = Wc
+    return Wcb, Wcr
+
 
 
 def _deblock_step_skewed(carry, xs, lmax, xp, tabs, P_const=None,
@@ -442,7 +551,7 @@ def _deblock_step_skewed(carry, xs, lmax, xp, tabs, P_const=None,
         y = jax.lax.dynamic_update_slice(
             y, wy[:, 4:20].reshape(L * 16, 20), (xs["orY"] + oy,
                                                  xs["ocY"]))
-        ty = typs[s].at[:, 12:16].set(wy[:, 0:4, 4:20])
+        ty = upd(typs[s], wy[:, 0:4, 4:20], (0, 12, 0), xp)
         y = jax.lax.dynamic_update_slice(
             y, ty.reshape(L * 16, 16), (xs["trY"] + oy, xs["tcY"]))
         for ci, (pl, tp) in enumerate(((Wcb, tcbs), (Wcr, tcrs))):
@@ -451,7 +560,7 @@ def _deblock_step_skewed(carry, xs, lmax, xp, tabs, P_const=None,
             tgt = jax.lax.dynamic_update_slice(
                 tgt, wc[:, 4:12, 2:12].reshape(L * 8, 10),
                 (xs["orC"] + oc, xs["occ"]))
-            tc = tp[s].at[:, 6:8].set(wc[:, 2:4, 4:12])
+            tc = upd(tp[s], wc[:, 2:4, 4:12], (0, 6, 0), xp)
             tgt = jax.lax.dynamic_update_slice(
                 tgt, tc.reshape(L * 8, 8), (xs["trC"] + oc, xs["tcC"]))
             if ci == 0:
