@@ -1364,19 +1364,29 @@ def _recon_picture(coef_luma, coef_chroma, t8x8, kind, i4m, i4a, i8m, i8a,
 
 
 def _recon_batch(pool_y, pool_cb, pool_cr, stacked, pals, cur_idx, diag, *,
-                 mb_w, mb_h, has_i8, deblock):
+                 mb_w, mb_h, has_i8, deblock, extra=None):
     """Reconstruct a batch of pictures in one graph: lax.scan over
     pictures with the frame pool carried on device (the GOP-level
-    batching that amortizes host<->device round trips)."""
+    batching that amortizes host<->device round trips).
+
+    extra: optional (y, cb, cr) stacks of EXTERNAL reference pages
+    (e.g. a neighbor shard's DPB pages fetched over a collective for
+    open-GOP streams); plans address them as slots >= pool size.
+    Pictures only ever write the local pool slots."""
     import jax
+    import jax.numpy as jnp
 
     def step(pool, xs):
         py, pcb, pcr = pool
-        import jax.numpy as jnp
-
+        if extra is not None:
+            ry = jnp.concatenate([py, extra[0]])
+            rcb = jnp.concatenate([pcb, extra[1]])
+            rcr = jnp.concatenate([pcr, extra[2]])
+        else:
+            ry, rcb, rcr = py, pcb, pcr
         y, cb, cr = _recon_core(
-            _unpack_wire(xs["plan"], jnp, pals), py, pcb, pcr, diag, None,
-            None, None,
+            _unpack_wire(xs["plan"], jnp, pals), ry, rcb, rcr, diag,
+            None, None, None,
             mb_w=mb_w, mb_h=mb_h, has_i8=has_i8, has_pcm=False,
             deblock=deblock)
         idx = xs["cur_idx"]

@@ -409,3 +409,50 @@ def h264_tile_plan(plan, n_bands):
         out[k] = v.reshape((n_bands, v.shape[0] // n_bands)
                            + v.shape[1:])
     return out
+
+
+# ------------------------------------------- cross-GOP DPB exchange --
+
+def h264_gop_xchg_step(mesh, mb_w, mb_h, pool_size, handoff_slot=0,
+                       has_i8=True, deblock=True, axis="frame"):
+    """Open-GOP data parallelism WITH cross-shard references (SURVEY
+    §5.8): each shard decodes its own GOP, but its pictures may also
+    reference the PREVIOUS shard's DPB handoff page — the anchor frame
+    a leading B picture of an open GOP predicts from.
+
+    The handoff page (pool slot ``handoff_slot`` as of step entry — the
+    pipelined-decode model where shard g consumes what shard g-1
+    produced in the previous round) travels one hop over the mesh
+    interconnect via ``lax.ppermute`` and is appended to the local pool
+    as slot ``pool_size``; plan slot values == pool_size address it.
+    Shard 0 receives zeros (its plans must not use the extra slot).
+    Writes stay local: cur_idx < pool_size."""
+    from m2dec_tpu.codecs.h264.reconstruct import _recon_batch
+
+    n = int(np.prod(mesh.devices.shape))
+    perm = [(i, i + 1) for i in range(n - 1)]
+
+    def fn(py, pcb, pcr, stacked, cur_idx):
+        py, pcb, pcr = py[0], pcb[0], pcr[0]
+        st = jax.tree.map(lambda v: v[0], stacked)
+
+        def fetch(p):
+            return jax.lax.ppermute(p[handoff_slot], axis, perm)[None]
+
+        extra = (fetch(py), fetch(pcb), fetch(pcr))
+        from m2dec_tpu.codecs.h264.reconstruct import _diag_lanes
+
+        pool, outs = _recon_batch(
+            py, pcb, pcr, st, {}, cur_idx[0], _diag_lanes(mb_w, mb_h),
+            mb_w=mb_w, mb_h=mb_h, has_i8=has_i8, deblock=deblock,
+            extra=extra)
+        add = jax.tree.map(lambda v: v[None], pool)
+        return add, jax.tree.map(lambda v: v[None], outs)
+
+    shard = P(axis)
+    fn_sm = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(shard, shard, shard, shard, shard),
+        out_specs=((shard, shard, shard), (shard, shard, shard)),
+    )
+    return jax.jit(fn_sm)

@@ -100,3 +100,66 @@ def test_h264_tile_step_bit_exact():
         assert spec and spec[0] == "frame"
         npic += 1
     assert npic == 4
+
+
+def test_h264_gop_xchg_cross_shard_reference():
+    """Cross-GOP DPB exchange (SURVEY §5.8): a shard's picture predicts
+    from the PREVIOUS shard's handoff frame fetched over ppermute —
+    bit-exact vs the single-device graph given the same extra page."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from m2dec_tpu.codecs.h264.plan import PicturePlan
+    from m2dec_tpu.codecs.h264.reconstruct import (
+        _diag_lanes,
+        _recon_batch,
+    )
+    from m2dec_tpu.parallel.mesh import h264_gop_xchg_step, make_mesh
+
+    n_shards, pool_size = 4, 2
+    mb_w, mb_h = 3, 2
+    H, W = mb_h * 16, mb_w * 16
+    mesh = make_mesh(n_shards)
+    rng = np.random.default_rng(7)
+
+    pools_y = rng.integers(0, 256, (n_shards, pool_size, H, W)).astype(
+        np.uint8)
+    pools_cb = rng.integers(
+        0, 256, (n_shards, pool_size, H >> 1, W >> 1)).astype(np.uint8)
+    pools_cr = rng.integers(
+        0, 256, (n_shards, pool_size, H >> 1, W >> 1)).astype(np.uint8)
+
+    plans = []
+    for _ in range(n_shards):
+        p = PicturePlan(mb_w, mb_h)
+        p.kind[:] = 0
+        p.slot[:, :, 0] = pool_size     # the cross-shard page
+        p.mv[:] = rng.integers(-6, 6, p.mv.shape)
+        p.wp[:, :, :, 0] = 1
+        plans.append(p)
+    from m2dec_tpu.codecs.h264.reconstruct import _PLAN_KEYS
+
+    stacked = {k: np.stack([getattr(p, k) for p in plans])[:, None]
+               for k in _PLAN_KEYS}   # [G, 1 pic, ...]
+    cur_idx = np.ones((n_shards, 1), np.int32)
+
+    step = h264_gop_xchg_step(mesh, mb_w, mb_h, pool_size,
+                              handoff_slot=0, has_i8=False,
+                              deblock=False)
+    pool, outs = step(pools_y, pools_cb, pools_cr, stacked, cur_idx)
+    outs = [np.asarray(o) for o in outs]
+
+    diag = _diag_lanes(mb_w, mb_h)
+    for g in range(1, n_shards):
+        extra = (jnp.asarray(pools_y[g - 1, 0:1]),
+                 jnp.asarray(pools_cb[g - 1, 0:1]),
+                 jnp.asarray(pools_cr[g - 1, 0:1]))
+        st = {k: jnp.asarray(v[g]) for k, v in stacked.items()}
+        _, ref_outs = jax.jit(
+            lambda py, pcb, pcr, st: _recon_batch(
+                py, pcb, pcr, st, {}, cur_idx[g], diag, mb_w=mb_w,
+                mb_h=mb_h, has_i8=False, deblock=False, extra=extra)
+        )(pools_y[g], pools_cb[g], pools_cr[g], st)
+        for a, b in zip(outs, [np.asarray(o) for o in ref_outs]):
+            assert (a[g] == b).all()
