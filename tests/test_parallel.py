@@ -163,3 +163,16 @@ def test_h264_gop_xchg_cross_shard_reference():
         )(pools_y[g], pools_cb[g], pools_cr[g], st)
         for a, b in zip(outs, [np.asarray(o) for o in ref_outs]):
             assert (a[g] == b).all()
+
+
+def test_gop_scaling_overhead():
+    """Adding GOP shards to the virtual mesh must cost far less than a
+    full per-shard replay (the sharded graph's overhead structure; the
+    virtual devices share this host's 2 cores, so wall-clock here
+    cannot show real ICI scaling — see tools/scaling_report.py)."""
+    import tools.scaling_report as SR
+
+    t1 = SR.measure(1, reps=2)
+    t8 = SR.measure(8, reps=2)
+    # 8x the work in well under 8x the time (currently ~2.5x)
+    assert t8 < 5 * t1, (t1, t8)
