@@ -93,7 +93,7 @@ struct BitReader {
         cache <<= n;
         ncache -= n;
         pos += n;
-        fill();
+        if (ncache < 33) fill();  // lazy: keep the >=33-bit invariant
     }
     uint32_t get(int n) {
         uint32_t v = show(n);
@@ -986,6 +986,7 @@ static int cabac_transform8x8_flag(Ctx &s, BitReader &r, int avail);
 static int residual_block_any(Ctx &s, BitReader &r, int na, int nb,
                               int32_t *coeff, const int32_t *qmat, int cat,
                               int pos4x4, int avail) {
+    ProfScope _p(1);
     int cnum;
     if (s.sp.is_cabac) {
         cnum = cabac_residual(s, r, coeff, qmat, avail, pos4x4, cat);
@@ -1040,6 +1041,7 @@ static int read_transform8x8_any(Ctx &s, BitReader &r, int avail) {
 static int mb_inter_dispatch(Ctx &s, BitReader &r, int mbtype, int avail);
 
 static int mb_dispatch(Ctx &s, BitReader &r, int mbtype, int avail) {
+    ProfScope _p6(6);
     if (mbtype == MB_INxN) {
         if (s.sp.t8x8_mode) {
             if (read_transform8x8_any(s, r, avail))
@@ -1054,6 +1056,22 @@ static int mb_dispatch(Ctx &s, BitReader &r, int mbtype, int avail) {
 }
 
 static int macroblock_layer(Ctx &s, BitReader &r) {
+    ProfScope _p5(5);
+    {   // hide plan-array write-miss latency: warm the NEXT MB's hot
+        // output lines while this MB parses (the 1080p plan spans
+        // ~13 MB/picture; ~half the parse cycles are memory stalls)
+        int nmb = s.mb_pos + 1;
+        char *cl = (char *)&s.plan.coef_luma[nmb * 256];
+        for (int o = 0; o < 1024; o += 64)
+            __builtin_prefetch(cl + o, 1);
+        char *cc = (char *)&s.plan.coef_chroma[nmb * 128];
+        for (int o = 0; o < 512; o += 64)
+            __builtin_prefetch(cc + o, 1);
+        char *cm = (char *)&s.plan.mv[nmb * 64];
+        for (int o = 0; o < 256; o += 64)
+            __builtin_prefetch(cm + o, 1);
+        __builtin_prefetch(&s.plan.deb_str[nmb * 2], 1);
+    }
     int mbtype = r.ue();
     if (mbtype < 0) return -2;
     int st = s.sp.slice_type;
@@ -1598,7 +1616,16 @@ static PMV calc_mv8x8(Ctx &s, int sub_kind, int lx, int ref_idx, int avail,
 // ---------------------------------------------------------------------
 // plan recording for inter partitions (PlanRecorder.inter semantics)
 // ---------------------------------------------------------------------
+static void rec_inter_impl(Ctx &s, int ox, int oy, int bw, int bh,
+                      const int32_t *ref_idx, const int32_t mv[2][2],
+                      const int32_t wp[3][4]);
 static void rec_inter(Ctx &s, int ox, int oy, int bw, int bh,
+                      const int32_t *ref_idx, const int32_t mv[2][2],
+                      const int32_t wp[3][4]) {
+    ProfScope _p(2);
+    rec_inter_impl(s, ox, oy, bw, bh, ref_idx, mv, wp);
+}
+static void rec_inter_impl(Ctx &s, int ox, int oy, int bw, int bh,
                       const int32_t *ref_idx, const int32_t mv[2][2],
                       const int32_t wp[3][4]) {
     int slots[2] = {-1, -1};
@@ -2129,6 +2156,7 @@ static void store_info_inter16x16(Ctx &s, const int32_t mvs[2][2],
                                   const int32_t *ref_idx,
                                   const int32_t *left4x4,
                                   const int32_t *top4x4) {
+    ProfScope _p(3);
     deb_qp_store(s);
     if (s.mb_y != 0) {
         StrRet rr = store_str_inter16xedge(s, top_of(s), mvs, ref_idx,
@@ -2186,6 +2214,7 @@ static void store_info_inter16x8(Ctx &s, const int32_t mv_sets[2][2][2],
                                  const int32_t *ref_idx,
                                  const int32_t *left4x4,
                                  const int32_t *top4x4) {
+    ProfScope _p(3);
     deb_qp_store(s);
     int32_t pairs[2][2] = {{ref_idx[0], ref_idx[1]},
                            {ref_idx[2], ref_idx[3]}};
@@ -2261,6 +2290,7 @@ static void store_info_inter8x16(Ctx &s, const int32_t mv_sets[2][2][2],
                                  const int32_t *ref_idx,
                                  const int32_t *left4x4,
                                  const int32_t *top4x4) {
+    ProfScope _p(3);
     deb_qp_store(s);
     int32_t pairs[2][2] = {{ref_idx[0], ref_idx[1]},
                            {ref_idx[2], ref_idx[3]}};
@@ -2336,6 +2366,7 @@ static void store_info_inter8x16(Ctx &s, const int32_t mv_sets[2][2][2],
 static void store_info_intermb8x8(Ctx &s, Prev8x8 *pblk,
                                   const int32_t *left4x4,
                                   const int32_t *top4x4) {
+    ProfScope _p(3);
     deb_qp_store(s);
     if (s.mb_y != 0) {
         if (top_of(s).type <= MB_IPCM) {
@@ -3121,6 +3152,7 @@ static void sub_mb_dec(Ctx &s, int blk_idx, Prev8x8 *pblk, int sub_type) {
 }
 
 static int mb_inter8x8p(Ctx &s, BitReader &r, int avail, int ref0) {
+    ProfScope _px7(7);
     s.avail_saved = avail;
     Prev8x8 pblk[4];
     for (int i = 0; i < 4; i++) pblk[i].init();
@@ -3222,6 +3254,7 @@ static int mb_bdirect16x16(Ctx &s, BitReader &r, int avail) {
 }
 
 static int skip_mbs(Ctx &s, int skip_num) {
+    ProfScope _p(4);
     int slice_type = s.sp.slice_type;
     int max_run = s.nmb - s.mb_pos;
     if (skip_num > max_run) skip_num = max_run;
@@ -3290,6 +3323,7 @@ static const int B_SUB_SHAPE[13] = {0, 0, 0, 0, 1, 2, 1, 2, 1, 2, 3, 3, 3};
 static const int B_SUB_DIR[13] = {-1, 1, 2, 3, 1, 1, 2, 2, 3, 3, 1, 2, 3};
 
 static int mb_inter8x8b(Ctx &s, BitReader &r, int avail) {
+    ProfScope _px7(7);
     s.avail_saved = avail;
     Prev8x8 pblk[4];
     for (int i = 0; i < 4; i++) pblk[i].init();
