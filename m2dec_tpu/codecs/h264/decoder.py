@@ -245,6 +245,22 @@ class H264Decoder:
             return -2
         return -1
 
+    def _next_nal_same_picture(self):
+        """True when the next NAL is provably another slice of THIS
+        picture (first_mb_in_slice > 0) — the licence for decoding the
+        current slice asynchronously. Any doubt returns False (the
+        slice then runs synchronously; behavior identical)."""
+        if self.nal_i >= len(self.nal_units):
+            return False
+        nal_type, _, start, end = self.nal_units[self.nal_i]
+        if nal_type not in (SLICE_NONIDR_NAL, SLICE_IDR_NAL):
+            return False
+        try:
+            head = unescape_nal(self.data[start + 1 : min(end, start + 9)])
+            return BitReader(head).ue() > 0
+        except Exception:
+            return False
+
     # -------------------------------------------------------- POC calc --
     def _calc_poc(self, r, sps, pps):
         hdr = self.hdr
@@ -598,7 +614,15 @@ class H264Decoder:
     def _slice_data(self, r):
         """slice_data (h264.cpp:10210-10251)."""
         if self.native:
-            self.native_session.run_slice(self, r)
+            # wavefront-parallel entropy decode (SURVEY §2.4): when the
+            # NEXT NAL provably continues this picture (a slice with
+            # first_mb > 0), this slice can decode on a worker thread —
+            # its out_state is irrelevant (the next slice header resets
+            # position state, and is_filled is knowably False). The
+            # picture's last slice runs synchronously after a join.
+            if self.native_session.run_slice(
+                    self, r, allow_async=self._next_nal_same_picture()):
+                return 0
             return self._post_process()
         if self.is_cabac:
             return self._slice_data_cabac(r)

@@ -36,11 +36,37 @@ class NativeH264Session:
         self.ctx = self.lib.h264p_new(max_x, max_y)
         self.plan = None
         self._keep = None
+        import os
+        import threading
+
+        self._pool = None
+        self._lock = threading.Lock()
+        self._free_ctxs = []
+        self._ctx_epoch = {}
+        self._pic_epoch = 0
+        self._pending = []
+        self._async_keep = []
+        self._slice_par = os.environ.get(
+            "M2DEC_TPU_SLICE_THREADS") != "0"
+
+    def _async_enabled(self):
+        return self._slice_par
 
     def __del__(self):
-        if getattr(self, "ctx", None):
-            self.lib.h264p_free(self.ctx)
-            self.ctx = None
+        try:
+            self._drain_async()
+            if self._pool is not None:
+                self._pool.shutdown(wait=True)
+        except Exception:
+            pass  # interpreter teardown
+        try:
+            for c in getattr(self, "_free_ctxs", []):
+                self.lib.h264p_free(c)
+            if getattr(self, "ctx", None):
+                self.lib.h264p_free(self.ctx)
+                self.ctx = None
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     def begin_picture(self, dec):
@@ -71,12 +97,19 @@ class NativeH264Session:
         ]
         self._keep = arrays
         ptrs = (_VOIDP * len(arrays))(*[a.ctypes.data for a in arrays])
+        self._ptrs = ptrs
+        self._pic_epoch += 1
         self.lib.h264p_begin_picture(self.ctx, ptrs, 1 if fast else 0)
         self.plan = plan
         return plan
 
     def set_refs(self, dec):
         """Pack ref lists / colocated page / weights for the slice."""
+        tables = self._build_refs(dec)
+        self._slice_keep = tables
+        self._install_refs(self.ctx, tables)
+
+    def _build_refs(self, dec):
         refs = np.zeros((2, 16, 4), np.int32)
         for lx in range(2):
             for k, rf in enumerate(dec.refs[lx]):
@@ -103,9 +136,12 @@ class NativeH264Session:
                 for i1 in range(min(n1, 32)):
                     implicit[i0, i1] = _implicit_weights(dec, i0, i1)
         mcl0, scale = self._temporal_tables(dec)
-        self._slice_keep = (refs, page, wtab, wshift, implicit, mcl0, scale)
+        return (refs, page, wtab, wshift, implicit, mcl0, scale)
+
+    def _install_refs(self, ctx, tables):
+        refs, page, wtab, wshift, implicit, mcl0, scale = tables
         self.lib.h264p_set_refs(
-            self.ctx, _ptr(refs), _ptr(page["type"]), _ptr(page["ref"]),
+            ctx, _ptr(refs), _ptr(page["type"]), _ptr(page["ref"]),
             _ptr(page["mv"]), _ptr(page["map_col_frameidx"]),
             _ptr(mcl0), _ptr(scale), _ptr(wtab), _ptr(wshift),
             _ptr(implicit))
@@ -119,8 +155,52 @@ class NativeH264Session:
             scale[:] = dec.bdirect_scale
         return mcl0, scale
 
+    # ----------------------------------------------- slice parallelism --
+    def _worker_pool(self):
+        if self._pool is None:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            n = int(os.environ.get("M2DEC_TPU_SLICE_THREADS",
+                                   str(min(4, os.cpu_count() or 1))))
+            self._nworkers = max(1, n)
+            self._pool = ThreadPoolExecutor(max_workers=self._nworkers)
+            self._worker_ctxs = []
+        return self._pool
+
+    def _worker_ctx(self):
+        """Per-task worker context from a free list (each holds its own
+        CABAC/neighbor state; plan pointers are shared)."""
+        with self._lock:
+            if self._free_ctxs:
+                return self._free_ctxs.pop()
+        return self.lib.h264p_new(self.max_x, self.max_y)
+
+    def _drain_async(self):
+        if not self._pending:
+            return
+        pend, self._pending = self._pending, []
+        err = None
+        for fut in pend:
+            try:
+                fut.result()
+            except Exception as e:  # noqa: PERF203
+                err = err or e
+        if err is not None:
+            raise err
+
+    def _run_slice_on(self, ctx, sp, payload, tables):
+        self._install_refs(ctx, tables)
+        out_state = (ctypes.c_int32 * 4)()
+        err = self.lib.h264p_slice(ctx, payload, len(payload),
+                                   ctypes.byref(sp), out_state)
+        with self._lock:
+            self._free_ctxs.append(ctx)
+        if err < 0:
+            raise RuntimeError(f"native h264 slice error {err}")
+
     # ------------------------------------------------------------------
-    def run_slice(self, dec, r):
+    def run_slice(self, dec, r, allow_async=False):
         hdr = dec.hdr
         pps = dec.pps
         sp = H264SliceParams()
@@ -144,9 +224,22 @@ class NativeH264Session:
         sp.poc = hdr.poc
         sp.is_field = hdr.field_pic_flag
         sp.bit_offset = r.bitpos
+        payload = r.data
+        if allow_async and self._async_enabled():
+            tables = self._build_refs(dec)
+            ctx = self._worker_ctx()
+            # every ctx (re)binds the shared plan pointers each picture
+            if self._ctx_epoch.get(ctx) != self._pic_epoch:
+                self.lib.h264p_begin_picture(ctx, self._ptrs, -1)
+                self._ctx_epoch[ctx] = self._pic_epoch
+            keep = (sp, payload, tables)
+            self._async_keep.append(keep)
+            self._pending.append(self._worker_pool().submit(
+                self._run_slice_on, ctx, sp, payload, tables))
+            return True
+        self._drain_async()
         self.set_refs(dec)
         out_state = (ctypes.c_int32 * 4)()
-        payload = r.data
         err = self.lib.h264p_slice(self.ctx, payload, len(payload),
                                    ctypes.byref(sp), out_state)
         if err < 0:
@@ -157,9 +250,12 @@ class NativeH264Session:
         dec.mb_x = out_state[1]
         dec.mb_y = out_state[2]
         dec.firstline = out_state[3]
+        return False
 
     # ------------------------------------------------------------------
     def finish_picture(self, dec):
+        self._drain_async()
+        self._async_keep = []
         plan = self.plan
         self.lib.h264p_finalize_deblock(
             self.ctx, dec.firstline, _ptr(plan.deb_str),

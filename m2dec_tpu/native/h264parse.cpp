@@ -376,7 +376,6 @@ static int increment_mb_pos(Ctx &s) {
         }
     }
     s.mb_x = x;
-    s.plan.deb_idc[s.mb_pos] = 0;
     if (s.firstline >= 0) s.firstline -= 1;
     return 0;
 }
@@ -1055,8 +1054,16 @@ static int mb_dispatch(Ctx &s, BitReader &r, int mbtype, int avail) {
     return mb_inter_dispatch(s, r, mbtype, avail);
 }
 
+static inline void deb_idc_entry_clear(Ctx &s) {
+    /* the entered MB's slice-start idc mark clears unless THIS slice's
+     * preamble wrote it — placed at entry (not in increment_mb_pos) so
+     * concurrent slice workers never write across a slice boundary */
+    if (s.mb_pos != s.sp.first_mb) s.plan.deb_idc[s.mb_pos] = 0;
+}
+
 static int macroblock_layer(Ctx &s, BitReader &r) {
     ProfScope _p5(5);
+    deb_idc_entry_clear(s);
     {   // hide plan-array write-miss latency: warm the NEXT MB's hot
         // output lines while this MB parses (the 1080p plan spans
         // ~13 MB/picture; ~half the parse cycles are memory stalls)
@@ -3266,6 +3273,7 @@ static int skip_mbs(Ctx &s, int skip_num) {
     s.cbf = 0;
     int32_t mvds[2][2] = {};
     while (skip_num) {
+        deb_idc_entry_clear(s);
         int32_t mvs[2][2];
         int32_t ref_idx[2];
         MSet msets[16];
@@ -3869,6 +3877,7 @@ static int cabac_residual(Ctx &s, BitReader &r, int32_t *coeff,
 
 // -- CABAC slice loop --------------------------------------------------
 static int macroblock_layer_cabac(Ctx &s, BitReader &r) {
+    deb_idc_entry_clear(s);
     int st = s.sp.slice_type;
     int avail = get_avail(s);
     int mbtype;
@@ -3973,8 +3982,12 @@ void h264p_begin_picture(void *ctx, void **plan_ptrs, int clear) {
     s->curr_mv = (int32_t *)plan_ptrs[i++];
     p.coded = (uint32_t *)plan_ptrs[i++];
     int64_t n = s->nmb;
-    memset(p.coded, 0, n * 4);
-    if (clear) {
+    /* clear: 1 = new picture, clear dense fields + coded map;
+       0 = new picture, caller pre-zeroed (numpy) — clear coded only;
+       -1 = bind pointers only (secondary slice-worker contexts joining
+       a picture already begun by the primary context) */
+    if (clear >= 0) memset(p.coded, 0, n * 4);
+    if (clear > 0) {
         memset(p.kind, 0, n * 4);
         memset(p.t8x8, 0, n * 4);
         memset(p.i4_modes, 0, n * 64);

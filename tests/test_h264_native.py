@@ -223,3 +223,39 @@ def test_native_field_b():
     plan_diff(_FieldBGen(48, 32, seed=1, skip_prob=0.25, intra_prob=0.15,
                          num_ref_frames=2, b_direct_prob=0.3,
                          direct_spatial=1), "IPBPB")
+
+
+def test_native_slice_parallel_large(reference_bins, tmp_path):
+    """Wavefront-parallel Phase A: a many-slice picture decodes its
+    non-final slices on worker threads (worker contexts share the plan
+    buffers; the final slice joins and runs synchronously). Must be
+    byte-exact with the reference binary and with the sequential
+    session (M2DEC_TPU_SLICE_THREADS=0)."""
+    import os
+    import subprocess
+
+    from m2dec_tpu.codecs.h264.decoder import H264Decoder
+    from m2dec_tpu.runtime.output import cropped_nv12_bytes
+
+    gen = H264MultiSliceGen(128, 96, seed=31, rows_per_slice=1, qp=26)
+    data = gen.generate("III")
+    src = tmp_path / "in.264"
+    src.write_bytes(data)
+    subprocess.run([str(reference_bins["h264dec"]), "-o", "in.264"],
+                   cwd=tmp_path, capture_output=True)
+    golden = (tmp_path / "in.out").read_bytes()
+    assert golden
+
+    def run():
+        dec = H264Decoder(native=True, phase_b="np")
+        dec.set_data(data)
+        return b"".join(cropped_nv12_bytes(f) for f in dec.decode_all())
+
+    par = run()
+    assert par[: len(golden)] == golden
+    os.environ["M2DEC_TPU_SLICE_THREADS"] = "0"
+    try:
+        seq = run()
+    finally:
+        del os.environ["M2DEC_TPU_SLICE_THREADS"]
+    assert seq == par
