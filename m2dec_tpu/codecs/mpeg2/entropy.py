@@ -301,29 +301,30 @@ class Mpeg2EntropyDecoder:
                 idx = r.get_bits(2) if fm == 1 else 2
                 if idx == 2:
                     self.motion_type = (1, 0, 0)  # frame MVs
-                elif idx == 1:
-                    self.motion_type = (2, 1, 0)  # field MVs in frame pic
-                elif idx == 3:
+                elif idx <= 1:
+                    # field MVs in frame pic; idx 0 is the reference's
+                    # "dummy" row == row 1 (m2d_motion_type[0][0],
+                    # mpeg2.cpp:819)
+                    self.motion_type = (2, 1, 0)
+                else:
                     # dual prime: the reference parses the dmvectors and
                     # DISCARDS them, then frame-MCs with the single
                     # field-unit MV (m2d_motion_type[0][3] mv_count=1 +
                     # m2d_motion_comp, mpeg2.cpp:819-825, :1212-1220)
                     self.motion_type = (1, 1, 1)
-                else:
-                    raise NotImplementedError("motion_type 0")
             else:
                 # field picture: m2d_motion_type[1][idx] (mpeg2.cpp:826-831)
                 idx = r.get_bits(2)
-                if idx == 1:
+                if idx <= 1:
                     # field MC, 1 mv: vertical_field_select read+discarded,
-                    # m2d_motion_comp takes the mv_count==1 (plain) path
+                    # m2d_motion_comp takes the mv_count==1 (plain) path;
+                    # idx 0 is the "dummy" row == row 1
+                    # (m2d_motion_type[1][0], mpeg2.cpp:826)
                     self.motion_type = (1, 1, 0)
                 elif idx == 2:
                     self.motion_type = (2, 1, 0)  # 16x8 MC (pair path)
-                elif idx == 3:
-                    self.motion_type = (1, 1, 1)  # field dual prime
                 else:
-                    raise NotImplementedError("motion_type 0")
+                    self.motion_type = (1, 1, 1)  # field dual prime
         elif fm == 0:
             self.motion_type = (1, 1, 0)  # m2d_motion_type[1][1]
         else:

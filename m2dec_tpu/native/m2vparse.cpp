@@ -346,26 +346,26 @@ static int decode_mb_mode(State &s, BitReader &r, int *out) {
         if (fm == 0) {
             // field picture: m2d_motion_type[1][idx] (mpeg2.cpp:826-831)
             int idx = (int)r.get(2);
-            if (idx == 1)
-                // field MC, 1 mv: vertical_field_select read+discarded
+            if (idx <= 1)
+                // field MC, 1 mv: vertical_field_select read+discarded;
+                // idx 0 is the reference's "dummy" row == row 1
+                // (m2d_motion_type[1][0], mpeg2.cpp:826)
                 s.mt_count = 1, s.mt_field = 1, s.mt_dmv = 0;
             else if (idx == 2)
                 s.mt_count = 2, s.mt_field = 1, s.mt_dmv = 0; // 16x8 pair
-            else if (idx == 3)
-                s.mt_count = 1, s.mt_field = 1, s.mt_dmv = 1; // dual prime
             else
-                return -3; // motion_type 0
+                s.mt_count = 1, s.mt_field = 1, s.mt_dmv = 1; // dual prime
         } else {
             // frame picture: m2d_motion_type[0][idx] (mpeg2.cpp:819-825)
             int idx = (fm == 1) ? (int)r.get(2) : 2;
             if (idx == 2)
                 s.mt_count = 1, s.mt_field = 0, s.mt_dmv = 0; // frame MVs
-            else if (idx == 1)
-                s.mt_count = 2, s.mt_field = 1, s.mt_dmv = 0; // field MVs
-            else if (idx == 3)
-                s.mt_count = 1, s.mt_field = 1, s.mt_dmv = 1; // dual prime
+            else if (idx <= 1)
+                // field MVs; idx 0 is the "dummy" row == row 1
+                // (m2d_motion_type[0][0], mpeg2.cpp:819)
+                s.mt_count = 2, s.mt_field = 1, s.mt_dmv = 0;
             else
-                return -3; // motion_type 0: Python raises NotImplementedError
+                s.mt_count = 1, s.mt_field = 1, s.mt_dmv = 1; // dual prime
         }
     } else if (fm == 0) {
         s.mt_count = 1, s.mt_field = 1, s.mt_dmv = 0; // m2d_motion_type[1][1]

@@ -582,10 +582,16 @@ class Mpeg2FieldMcGen(Mpeg2StreamGen):
     mpeg2.cpp:1189-1210 is_field=1).
     """
 
-    def __init__(self, *args, field_prob=0.5, dual_prob=0.0, **kwargs):
+    def __init__(self, *args, field_prob=0.5, dual_prob=0.0, mt0_prob=0.0,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self.field_prob = field_prob
         self.dual_prob = dual_prob
+        # probability that a field-MC macroblock emits the reserved
+        # motion_type code 0 instead of 1: the reference's table maps
+        # both to the same row (m2d_motion_type "dummy" entries,
+        # mpeg2.cpp:819-831)
+        self.mt0_prob = mt0_prob
 
     def _reset_mv(self):
         self.pmv2 = [[[0, 0], [0, 0]] for _ in range(2)]
@@ -665,7 +671,7 @@ class Mpeg2FieldMcGen(Mpeg2StreamGen):
                 w.put_bits(3, 2)
             elif u < self.dual_prob + self.field_prob:
                 use_field = True
-                w.put_bits(1, 2)
+                w.put_bits(0 if rng.random() < self.mt0_prob else 1, 2)
             else:
                 w.put_bits(2, 2)
         if mb_type & (MB_PATTERN | MB_INTRA):
@@ -875,7 +881,9 @@ class Mpeg2FieldPicGen(Mpeg2FieldMcGen):
                 use_16x8 = True
                 w.put_bits(2, 2)  # 16x8 MC
             else:
-                w.put_bits(1, 2)  # field MC (plain frame MC in the ref)
+                # field MC (plain frame MC in the ref); code 0 decodes
+                # identically via the table's "dummy" row
+                w.put_bits(0 if rng.random() < self.mt0_prob else 1, 2)
         # frame_mode == 0: NO dct_type bit
         if mb_type & MB_QUANT:
             code = rng.randrange(1, 32)

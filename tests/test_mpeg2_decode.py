@@ -215,6 +215,24 @@ def test_field_pictures_dual_prime(reference_bins, tmp_path):
                               dual_prob=0.3), "IIPPPP")
 
 
+@pytest.mark.parametrize("seed", range(2))
+def test_motion_type_0_frame_pictures(reference_bins, tmp_path, seed):
+    """Reserved motion_type code 0 decodes via the reference table's
+    "dummy" row, identically to code 1 (m2d_motion_type[0][0],
+    mpeg2.cpp:819-825)."""
+    run_case(reference_bins, tmp_path,
+             Mpeg2FieldMcGen(64, 48, seed=seed, field_prob=0.5,
+                             mt0_prob=0.6), "IPBBP")
+
+
+def test_motion_type_0_field_pictures(reference_bins, tmp_path):
+    """motion_type 0 in field pictures == field MC (m2d_motion_type[1][0],
+    mpeg2.cpp:826-831)."""
+    run_case(reference_bins, tmp_path,
+             Mpeg2FieldPicGen(64, 48, seed=3, field_prob=0.4,
+                              mt0_prob=0.6), "IIPPPP")
+
+
 def test_native_phase_a_covers_field_pictures(reference_bins, tmp_path):
     """The C++ Phase A must handle field pictures (structure 1/2) and
     field-MC-in-frame streams directly — no silent Python fallback
