@@ -13,7 +13,8 @@ Flags mirror the reference tool (h264dec.cpp:88-147):
   -o / -O      raw NV12 / per-frame-MD5 output to <basename>.out in CWD
   -s           force MPEG-2 program-stream input
   -x           trap decode errors and force exit code 0
-Extensions beyond the reference: -n <max frames>, --jax (TPU Phase B).
+Extensions beyond the reference: -n <max frames>, --jax (TPU Phase B),
+--turbo (overlapped Phase A / batched async Phase B, runtime/turbo.py).
 
 Codec auto-detection by extension replicates detect_file
 (m2decoder.h:236-260): m2v->MPEG-2, vob->PS, 264/jsv->H.264, 265->H.265,
@@ -173,7 +174,8 @@ def main(argv=None):
     _pin_platform()
     argv = list(sys.argv[1:]) if argv is None else list(argv)
     try:
-        opts, args = getopt.gnu_getopt(argv, "bd:ef:moOsxn:", ["jax"])
+        opts, args = getopt.gnu_getopt(argv, "bd:ef:moOsxn:",
+                                       ["jax", "turbo"])
     except getopt.GetoptError:
         return _blame()
     codec = None
@@ -209,6 +211,8 @@ def main(argv=None):
             limit = int(val)
         elif flag == "--jax":
             use_jax = True
+        elif flag == "--turbo":
+            use_jax = "turbo"
     del dpb  # parsed + validated like the reference, then unused there too
     if not args:
         return _blame()
@@ -241,7 +245,18 @@ def _decode_main(infile, data, codec, emptify, skip_num, out_mode, limit,
     sink = _Sink(out_f, out_mode, limit)
     state: dict = {}
     try:
-        if codec == "h264":
+        if codec == "h264" and use_jax == "turbo" and not skip_num:
+            # overlapped Phase A / batched async Phase B
+            # (runtime/turbo.py); output-identical to the serial loop
+            from m2dec_tpu.runtime.turbo import TurboH264Decoder
+
+            turbo = TurboH264Decoder(data)
+            for frame in turbo.frames():
+                _announce(turbo.dec, codec, state)
+                sink(frame)
+                if sink.done:
+                    break
+        elif codec == "h264":
             from m2dec_tpu.codecs.h264.decoder import H264Decoder
 
             if use_jax:

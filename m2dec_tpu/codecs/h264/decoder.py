@@ -1399,14 +1399,21 @@ class H264Decoder:
         return 1, self._frame_out(idx)
 
     def get_decoded_frame(self, bypass_dpb=False):
+        idx, frm = self.pop_decoded_index(bypass_dpb)
+        return (0, None) if idx < 0 else (1, frm)
+
+    def pop_decoded_index(self, bypass_dpb=False):
+        """get_decoded_frame, also exposing WHICH pool slot was output —
+        the mapping the overlapped two-phase driver (runtime/turbo.py)
+        needs to pair DPB output events with their Phase-B batches."""
         if not bypass_dpb and not self.dpb.is_ready:
             idx = self.dpb.output
             self.dpb.output = -1
         else:
             idx = self.dpb.force_pop()
         if idx < 0:
-            return 0, None
-        return 1, self._frame_out(idx)
+            return -1, None
+        return idx, self._frame_out(idx)
 
     def _frame_out(self, idx):
         from m2dec_tpu.codecs.mpeg2.decoder import DecodedFrame

@@ -167,14 +167,17 @@ def pack_batches(plans_per_stream):
 
     Returns (blobs, layout, pals_list, has_i8, deblock) with one blob +
     one pals dict per stream under a single common layout, or None when
-    the native packer can't serve these plans (no native lib, missing
-    coded maps, or PCM macroblocks present)."""
+    the native packer can't serve these plans (no native lib or missing
+    coded maps). PCM macroblocks are fine: their coefficients carry no
+    coded-map bits (pack as zeros, masked by the kind==4 pixel
+    substitution) and their samples ride the pcm side-channel next to
+    the blob (reconstruct._pcm_rows)."""
     lib = load_h264()
     if lib is None or not hasattr(lib, "h264pack_new"):
         return None
     for plans in plans_per_stream:
         for p in plans:
-            if p.coded is None or p.pcm:
+            if p.coded is None:
                 return None
     n = plans_per_stream[0][0].n
     B = len(plans_per_stream[0])

@@ -11,6 +11,7 @@ import ctypes
 
 import numpy as np
 
+from m2dec_tpu.bitstream.reader import BitstreamExhausted
 from m2dec_tpu.native import H264SliceParams, load_h264
 from .plan import PicturePlan
 
@@ -196,6 +197,10 @@ class NativeH264Session:
                                    ctypes.byref(sp), out_state)
         with self._lock:
             self._free_ctxs.append(ctx)
+        if err == -2:
+            # mid-slice truncation: the reference's refill longjmp
+            # domain (bitio.c:112-128) -> decode_picture returns -2
+            raise BitstreamExhausted("native slice truncated")
         if err < 0:
             raise RuntimeError(f"native h264 slice error {err}")
 
@@ -242,6 +247,8 @@ class NativeH264Session:
         out_state = (ctypes.c_int32 * 4)()
         err = self.lib.h264p_slice(self.ctx, payload, len(payload),
                                    ctypes.byref(sp), out_state)
+        if err == -2:
+            raise BitstreamExhausted("native slice truncated")
         if err < 0:
             raise RuntimeError(f"native h264 slice error {err} "
                                f"(slice_type={hdr.slice_type}, "

@@ -1363,8 +1363,33 @@ def _recon_picture(coef_luma, coef_chroma, t8x8, kind, i4m, i4a, i8m, i8a,
                        has_pcm=has_pcm, deblock=deblock)
 
 
+def _pcm_rows(plans, nmb):
+    """Dense per-MB IPCM sample rows for a batch: [B, nmb, 384] uint8
+    (256 luma raster + 64 cb + 64 cr, the native plan.pcm layout,
+    h264parse.cpp mb_intrapcm). Zeros where no PCM MB."""
+    rows = np.zeros((len(plans), nmb, 384), np.uint8)
+    for b, p in enumerate(plans):
+        for mbpos, (yb, cbb, crb) in p.pcm.items():
+            rows[b, mbpos, :256] = yb.ravel()
+            rows[b, mbpos, 256:320] = cbb.ravel()
+            rows[b, mbpos, 320:] = crb.ravel()
+    return rows
+
+
+def _pcm_planes(rows, mb_w, mb_h, xp):
+    """One picture's [nmb, 384] PCM rows -> (y, cb, cr) raster planes."""
+    H, W = mb_h * 16, mb_w * 16
+    y = rows[:, :256].reshape(mb_h, mb_w, 16, 16).transpose(
+        0, 2, 1, 3).reshape(H, W)
+    cb = rows[:, 256:320].reshape(mb_h, mb_w, 8, 8).transpose(
+        0, 2, 1, 3).reshape(H >> 1, W >> 1)
+    cr = rows[:, 320:384].reshape(mb_h, mb_w, 8, 8).transpose(
+        0, 2, 1, 3).reshape(H >> 1, W >> 1)
+    return y, cb, cr
+
+
 def _recon_batch(pool_y, pool_cb, pool_cr, stacked, pals, cur_idx, diag, *,
-                 mb_w, mb_h, has_i8, deblock, extra=None):
+                 mb_w, mb_h, has_i8, deblock, extra=None, pcm=None):
     """Reconstruct a batch of pictures in one graph: lax.scan over
     pictures with the frame pool carried on device (the GOP-level
     batching that amortizes host<->device round trips).
@@ -1384,11 +1409,16 @@ def _recon_batch(pool_y, pool_cb, pool_cr, stacked, pals, cur_idx, diag, *,
             rcr = jnp.concatenate([pcr, extra[2]])
         else:
             ry, rcb, rcr = py, pcb, pcr
+        if pcm is not None:
+            pcm_y, pcm_cb, pcm_cr = _pcm_planes(xs["pcm"], mb_w, mb_h,
+                                                jnp)
+        else:
+            pcm_y = pcm_cb = pcm_cr = None
         y, cb, cr = _recon_core(
             _unpack_wire(xs["plan"], jnp, pals), ry, rcb, rcr, diag,
-            None, None, None,
-            mb_w=mb_w, mb_h=mb_h, has_i8=has_i8, has_pcm=False,
-            deblock=deblock)
+            pcm_y, pcm_cb, pcm_cr,
+            mb_w=mb_w, mb_h=mb_h, has_i8=has_i8,
+            has_pcm=pcm is not None, deblock=deblock)
         idx = xs["cur_idx"]
         py = py.at[idx].set(y)
         pcb = pcb.at[idx].set(cb)
@@ -1396,6 +1426,8 @@ def _recon_batch(pool_y, pool_cb, pool_cr, stacked, pals, cur_idx, diag, *,
         return (py, pcb, pcr), (y, cb, cr)
 
     xs = {"plan": stacked, "cur_idx": cur_idx}
+    if pcm is not None:
+        xs["pcm"] = pcm
     pool, outs = jax.lax.scan(step, (pool_y, pool_cb, pool_cr), xs)
     return pool, outs
 
@@ -1436,8 +1468,7 @@ class BatchedPhaseB:
     def run_async(self, plans):
         """Dispatch a batch; returns device arrays (not materialized),
         letting host Phase A overlap with device Phase B."""
-        if any(p.pcm for p in plans):
-            raise NotImplementedError("PCM pictures in batched Phase B")
+        has_pcm = any(p.pcm for p in plans)
         cur_idx = np.array([p.cur_idx for p in plans], np.int32)
         from .native_pack import pack_batches
 
@@ -1456,9 +1487,12 @@ class BatchedPhaseB:
             wire = _pack_wire(stacked)
             blob, layout, pals = _flatten_wire(wire)
         fn = _jitted_recon_blob(layout, self.mb_w, self.mb_h, has_i8,
-                                deblock)
-        self.pool, outs = fn(self.pool[0], self.pool[1], self.pool[2],
-                             blob, pals, cur_idx, self.diag)
+                                deblock, has_pcm)
+        args = (self.pool[0], self.pool[1], self.pool[2],
+                blob, pals, cur_idx, self.diag)
+        if has_pcm:
+            args += (_pcm_rows(plans, self.mb_w * self.mb_h),)
+        self.pool, outs = fn(*args)
         return outs
 
     @staticmethod
@@ -1606,18 +1640,18 @@ def _unflatten_wire(blob, layout, xp):
 
 
 def _recon_batch_blob(pool_y, pool_cb, pool_cr, blob, pals, cur_idx, diag,
-                      *, layout, mb_w, mb_h, has_i8, deblock):
+                      *, layout, mb_w, mb_h, has_i8, deblock, pcm=None):
     import jax.numpy as jnp
 
     stacked = _unflatten_wire(blob, layout, jnp)
     return _recon_batch(pool_y, pool_cb, pool_cr, stacked, pals, cur_idx,
                         diag, mb_w=mb_w, mb_h=mb_h, has_i8=has_i8,
-                        deblock=deblock)
+                        deblock=deblock, pcm=pcm)
 
 
 def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, blobs, pals,
                               cur_idx, diag, *, layout, n_streams, mb_w,
-                              mb_h, has_i8, deblock):
+                              mb_h, has_i8, deblock, pcm=None):
     """Multi-stream batched Phase B with the wavefront scans STACKED on
     tall planes: each scan step runs every stream's same-numbered
     diagonal in one set of ops, so the per-step op overhead (measured
@@ -1662,12 +1696,23 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, blobs, pals,
             icr = jnp.where(is_inter,
                             jnp.clip(pred_cr + P["res_c"][:, 1], 0, 255),
                             0)
-            skys.append(WF.skew_luma(
-                _assemble(iy, 16, mb_w, mb_h, jnp), g, jnp))
-            skcbs.append(WF.skew_chroma(
-                _assemble(icb, 8, mb_w, mb_h, jnp), g, jnp))
-            skcrs.append(WF.skew_chroma(
-                _assemble(icr, 8, mb_w, mb_h, jnp), g, jnp))
+            ypl = _assemble(iy, 16, mb_w, mb_h, jnp)
+            cbpl = _assemble(icb, 8, mb_w, mb_h, jnp)
+            crpl = _assemble(icr, 8, mb_w, mb_h, jnp)
+            if pcm is not None:
+                pcy, pccb, pccr = _pcm_planes(xs["pcm"][s], mb_w, mb_h,
+                                              jnp)
+                kind_mb = P["kind"].reshape(mb_h, mb_w)
+                kpix = jnp.repeat(jnp.repeat(kind_mb, 16, 0), 16, 1)
+                kpixc = jnp.repeat(jnp.repeat(kind_mb, 8, 0), 8, 1)
+                ypl = jnp.where(kpix == 4, pcy.astype(jnp.int32), ypl)
+                cbpl = jnp.where(kpixc == 4, pccb.astype(jnp.int32),
+                                 cbpl)
+                crpl = jnp.where(kpixc == 4, pccr.astype(jnp.int32),
+                                 crpl)
+            skys.append(WF.skew_luma(ypl, g, jnp))
+            skcbs.append(WF.skew_chroma(cbpl, g, jnp))
+            skcrs.append(WF.skew_chroma(crpl, g, jnp))
             Pds.append(WF.diag_gather(P, g, has_i8, deblock, jnp))
         Pst = {k: jnp.concatenate([Pd[k] for Pd in Pds], axis=1)
                for k in Pds[0]}
@@ -1700,27 +1745,43 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, blobs, pals,
         return (py, pcb, pcr), (outs_y, outs_cb, outs_cr)
 
     xs = {"plan": stacked, "cur_idx": cur_idx}
+    if pcm is not None:
+        xs["pcm"] = pcm
     pool, outs = jax.lax.scan(step, (pool_y, pool_cb, pool_cr), xs)
     return pool, outs
 
 
 @functools.lru_cache(maxsize=8)
 def _jitted_recon_stacked(layout, n_streams, mb_w, mb_h, has_i8,
-                          deblock):
+                          deblock, has_pcm=False):
     import jax
 
     fn = functools.partial(_recon_batch_stacked_blob, layout=layout,
                            n_streams=n_streams, mb_w=mb_w, mb_h=mb_h,
                            has_i8=has_i8, deblock=deblock)
+    if has_pcm:
+        def fn_pcm(py, pcb, pcr, blobs, pals, cur_idx, diag, pcm):
+            return fn(py, pcb, pcr, blobs, pals, cur_idx, diag, pcm=pcm)
+
+        return jax.jit(fn_pcm, donate_argnums=(0, 1, 2))
     return jax.jit(fn, donate_argnums=(0, 1, 2))
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_recon_blob(layout, mb_w, mb_h, has_i8, deblock):
+def _jitted_recon_blob(layout, mb_w, mb_h, has_i8, deblock,
+                       has_pcm=False):
     import jax
 
     fn = functools.partial(_recon_batch_blob, layout=layout, mb_w=mb_w,
                            mb_h=mb_h, has_i8=has_i8, deblock=deblock)
+    if has_pcm:
+        # separate signature (extra pcm operand) so the common
+        # PCM-free executable — and its persistent-cache entry —
+        # stays byte-identical
+        def fn_pcm(py, pcb, pcr, blob, pals, cur_idx, diag, pcm):
+            return fn(py, pcb, pcr, blob, pals, cur_idx, diag, pcm=pcm)
+
+        return jax.jit(fn_pcm, donate_argnums=(0, 1, 2))
     return jax.jit(fn, donate_argnums=(0, 1, 2))
 
 
@@ -1864,22 +1925,32 @@ class MultiStreamPhaseB:
             has_i8 = bool(st0["kind"].max() >= 2) or bool(
                 ((st0["t8x8"] != 0) & (st0["kind"] == 0)).any())
             deblock = bool(st0["deb_str"].any() or st0["deb_str4"].any())
+        has_pcm = any(p.pcm for plans in plans_per_stream
+                      for p in plans)
+        nmb = self.mb_w * self.mb_h
         if self.stacked:
             fn = _jitted_recon_stacked(layout0, self.n, self.mb_w,
-                                       self.mb_h, has_i8, deblock)
+                                       self.mb_h, has_i8, deblock,
+                                       has_pcm)
             cur = np.stack(curs, axis=1)  # [n_pics, S]
-            self.pool, outs = fn(self.pool[0], self.pool[1],
-                                 self.pool[2], blobs, pals_list, cur,
-                                 self.diag)
+            args = (self.pool[0], self.pool[1], self.pool[2], blobs,
+                    pals_list, cur, self.diag)
+            if has_pcm:
+                args += ([_pcm_rows(plans, nmb)
+                          for plans in plans_per_stream],)
+            self.pool, outs = fn(*args)
             return [(outs[0][:, s], outs[1][:, s], outs[2][:, s])
                     for s in range(self.n)]
         fn = _jitted_recon_blob(layout0, self.mb_w, self.mb_h, has_i8,
-                                deblock)
+                                deblock, has_pcm)
         outs = []
         for i in range(len(plans_per_stream)):
-            self.pools[i], out = fn(self.pools[i][0], self.pools[i][1],
-                                    self.pools[i][2], blobs[i],
-                                    pals_list[i], curs[i], self.diag)
+            args = (self.pools[i][0], self.pools[i][1],
+                    self.pools[i][2], blobs[i], pals_list[i], curs[i],
+                    self.diag)
+            if has_pcm:
+                args += (_pcm_rows(plans_per_stream[i], nmb),)
+            self.pools[i], out = fn(*args)
             outs.append(out)
         return outs
 

@@ -120,6 +120,10 @@ struct BitReader {
         return sign ? v : -v;
     }
     bool more_rbsp_data() const { return pos < stop_bit; }
+    /* reads past the payload end consumed zero-padding — the
+     * reference's dec_bits would have longjmp'd out of the parse
+     * (bitio.c:112-128); callers abandon the picture (-2) */
+    bool past_end() const { return pos > nbits; }
 };
 
 static int read_te(BitReader &r, int range) {
@@ -1115,12 +1119,13 @@ static int slice_data(Ctx &s, BitReader &r) {
         }
         int e = macroblock_layer(s, r);
         if (e < 0) return e;
+        if (r.past_end()) return -2;  // truncated mid-slice
         s.mbleft.mb_skip = 0;
         top_of(s).mb_skip = 0;
         if (increment_mb_pos(s) < 0) break;
         if (!r.more_rbsp_data()) break;
     }
-    return 0;
+    return r.past_end() ? -2 : 0;
 }
 
 
@@ -3913,12 +3918,13 @@ static int slice_data_cabac(Ctx &s, BitReader &r) {
         }
         int e = macroblock_layer_cabac(s, r);
         if (e < 0) return e;
+        if (r.past_end()) return -2;  // truncated mid-slice
         s.mbleft.mb_skip = 0;
         top_of(s).mb_skip = 0;
         if (increment_mb_pos(s) < 0) break;
         if (cabac_terminate(s, r)) break;
     }
-    return 0;
+    return r.past_end() ? -2 : 0;
 }
 
 }  // namespace

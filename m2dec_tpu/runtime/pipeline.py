@@ -46,11 +46,16 @@ class Pipeline:
     """decode pipeline: codec auto-detect, bounded queues, timing."""
 
     def __init__(self, data: bytes, codec: str | None = None,
-                 queue_depth: int = 4, emptify: bool = False):
+                 queue_depth: int = 4, emptify: bool = False,
+                 two_phase: bool = False):
         self.data = bytes(data)
         #: -e DPB emptify mode (m2decoder.h:149-150): drain every ready
         #: frame per decode call instead of one
         self.emptify = emptify
+        #: two_phase: H.264 decodes through the overlapped Phase A /
+        #: Phase B driver (runtime/turbo.py) — native entropy decode
+        #: runs ahead of async batched device reconstruction
+        self.two_phase = two_phase
         self.codec = codec or self._detect(self.data)
         self.qin: queue.Queue = queue.Queue(maxsize=queue_depth)
         self.qout: queue.Queue = queue.Queue(maxsize=queue_depth)
@@ -105,6 +110,16 @@ class Pipeline:
             data = self.qin.get()
             if data is _END:
                 self.qout.put(_END)
+                return
+            if self.codec == "h264" and self.two_phase:
+                from m2dec_tpu.runtime.turbo import TurboH264Decoder
+
+                turbo = TurboH264Decoder(data)
+                with self.timers["decoder"]:
+                    for frm in turbo.frames():
+                        self.qout.put(frm)
+                self.qout.put(_END)
+                self.qin.get()
                 return
             if self.codec == "h264":
                 from m2dec_tpu.codecs.h264.decoder import H264Decoder

@@ -1,0 +1,121 @@
+"""Overlapped two-phase single-stream decode (H.264).
+
+The serial decoder interleaves Phase A (host entropy decode) with
+Phase B (reconstruction) per picture.  This driver decouples them the
+way the bench's turbo path does (SURVEY §7; reference threadplayer's
+decode-ahead stage, threadplayer.cpp:313-362): the native C++ Phase A
+runs ahead producing plan tensors, whole-GOP batches dispatch
+ASYNCHRONOUSLY to the device (BatchedPhaseB: one lax.scan graph per
+batch, frame pool device-resident), and DPB output events — captured at
+exactly the points the serial decoder would emit frames
+(m2decoder.h:132-157 pull loop) — materialize lazily once their batch's
+device arrays exist.  Output frames, order, and error containment are
+bit-identical to the serial path; only the phase overlap differs.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import replace
+
+import numpy as np
+
+
+class TurboH264Decoder:
+    """Overlapped Phase A / Phase B H.264 stream decoder.
+
+    batch: pictures per device dispatch (one jit graph per batch
+    length; the last partial batch of a stream compiles its own
+    geometry).  Output latency is bounded by one batch.
+    """
+
+    def __init__(self, data: bytes, batch: int = 12, dpb_max: int = -1):
+        from m2dec_tpu.codecs.h264.decoder import H264Decoder
+
+        self.batch = int(batch)
+        self.dec = H264Decoder(native=True, plan_alloc="empty",
+                               dpb_max=dpb_max)
+        self.dec.set_data(data)
+        self.error = 0  # last decode_picture status (<0 at EOS)
+
+    # ------------------------------------------------------------------
+    def frames(self):
+        """Yield materialized DecodedFrames in output (DPB) order."""
+        dec = self.dec
+        batcher = None  # created lazily at first dispatch
+        undisp: list = []  # plans awaiting dispatch (decode order)
+        stores: dict = {}  # id(plan) -> (outs, row)
+        last_plan: dict = {}  # pool slot -> plan that wrote it
+        events: deque = deque()  # (DecodedFrame meta, plan)
+
+        def dispatch():
+            nonlocal batcher
+            if not undisp:
+                return
+            from m2dec_tpu.codecs.h264.reconstruct import BatchedPhaseB
+
+            pool = len(dec.frames)
+            geom = (dec.max_x, dec.max_y, pool)
+            if batcher is None or (batcher.mb_w, batcher.mb_h,
+                                   batcher.pool[0].shape[0]) != geom:
+                batcher = BatchedPhaseB(*geom)
+            outs = batcher.run_async(undisp)
+            for i, p in enumerate(undisp):
+                stores[id(p)] = (outs, i)
+            undisp.clear()
+
+        def capture(bypass=False):
+            idx, frm = dec.pop_decoded_index(bypass)
+            while idx >= 0:
+                events.append((frm, last_plan.get(idx)))
+                idx, frm = dec.pop_decoded_index(bypass)
+
+        def emit_ready(flush=False):
+            while events:
+                frm, plan = events[0]
+                ent = stores.get(id(plan)) if plan is not None else None
+                if ent is None:
+                    if plan in undisp and flush:
+                        dispatch()
+                        continue
+                    if plan is None:
+                        # a frame the DPB output before any picture
+                        # completed a plan (cannot happen in practice;
+                        # emit the empty pool frame as the serial path
+                        # would)
+                        events.popleft()
+                        yield frm
+                        continue
+                    break
+                events.popleft()
+                outs, i = ent
+                del stores[id(plan)]
+                yield replace(frm, y=np.asarray(outs[0][i]),
+                              cb=np.asarray(outs[1][i]),
+                              cr=np.asarray(outs[2][i]))
+
+        while True:
+            capture()
+            yield from emit_ready()
+            err = dec.decode_picture()
+            self.error = err
+            if err == 1:
+                plan = dec.plans.pop()
+                last_plan[dec.cur_idx] = plan
+                if undisp and (undisp[0].mb_w, undisp[0].mb_h) != (
+                        plan.mb_w, plan.mb_h):
+                    dispatch()  # geometry changed mid-stream
+                undisp.append(plan)
+                if len(undisp) >= self.batch:
+                    dispatch()
+                continue
+            # EOS or truncation (err < 0): the serial path drains the
+            # DPB with bypass (m2decoder.h:137-143); flush pending
+            # Phase-B work first so every drained frame materializes
+            dispatch()
+            capture(bypass=True)
+            yield from emit_ready(flush=True)
+            return
+
+    def decode_all(self):
+        return list(self.frames())

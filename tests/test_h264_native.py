@@ -259,3 +259,32 @@ def test_native_slice_parallel_large(reference_bins, tmp_path):
     finally:
         del os.environ["M2DEC_TPU_SLICE_THREADS"]
     assert seq == par
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_native_truncation_abandons_picture(cabac):
+    """Mid-slice truncation must abandon the picture in the native
+    Phase A exactly like the Python decoder (the reference's refill
+    longjmp, bitio.c:112-128): same frame count, same pixels, -2 from
+    decode_picture — never a garbage picture completed from the
+    BitReader's zero-padded tail."""
+    from m2dec_tpu.runtime.output import cropped_nv12_bytes
+
+    gen = H264BGen(48, 32, seed=2, skip_prob=0.2, intra_prob=0.15,
+                   num_ref_frames=2, b_direct_prob=0.3)
+    data = gen.generate("IPBBP")
+    if cabac:
+        from streamgen.h264_transcode import transcode_to_cabac
+
+        data = transcode_to_cabac(data, random.Random(7))
+    for frac in (3, 2):
+        cut = data[: len(data) * frac // 4]
+        dp = H264Decoder()
+        dp.set_data(cut)
+        exp = dp.decode_all()
+        dn = H264Decoder(native=True, phase_b="np")
+        dn.set_data(cut)
+        got = dn.decode_all()
+        assert len(got) == len(exp)
+        assert b"".join(cropped_nv12_bytes(f) for f in got) == \
+            b"".join(cropped_nv12_bytes(f) for f in exp)

@@ -159,6 +159,63 @@ def test_batched_phase_b():
             assert np.array_equal(got[pi], exp[pi]), f"pic {k} {pl}"
 
 
+def test_batched_phase_b_pcm():
+    """IPCM pictures through the batched (wire-blob) Phase B: PCM
+    samples ship as a dense side-channel and substitute before the
+    intra wavefront (kind==4 select), matching the per-picture path."""
+    from m2dec_tpu.codecs.h264.reconstruct import (
+        BatchedPhaseB,
+        MultiStreamPhaseB,
+    )
+
+    gen = H264BGen(48, 32, seed=5, skip_prob=0.2, intra_prob=0.3,
+                   ipcm_prob=0.5, num_ref_frames=2, b_direct_prob=0.2)
+    data = gen.generate("IPBP")
+    dec = H264Decoder(dpb_max=1, record_plans=True)
+    dec.set_data(data)
+    shadow = None
+    expected = []
+    while dec.decode_picture() == 1:
+        if shadow is None:
+            h, w = dec.frames[0].y.shape
+            shadow = [Frame(w, h) for _ in dec.frames]
+        plan = dec.plans[-1]
+        reconstruct_plan_np(plan, shadow)
+        f = shadow[plan.cur_idx]
+        expected.append((f.y.copy(), f.cb.copy(), f.cr.copy()))
+    assert any(p.pcm for p in dec.plans), "generator emitted no IPCM"
+    b = BatchedPhaseB(dec.max_x, dec.max_y, len(dec.frames))
+    outs = b.run(dec.plans[:2]) + b.run(dec.plans[2:])
+    for k, (got, exp) in enumerate(zip(outs, expected)):
+        for pi, pl in enumerate(("y", "cb", "cr")):
+            assert np.array_equal(got[pi], exp[pi]), f"pic {k} {pl}"
+    # stacked multi-stream path with the same stream twice
+    ms = MultiStreamPhaseB(2, dec.max_x, dec.max_y, len(dec.frames))
+    souts = ms.run([dec.plans, dec.plans])
+    for s in range(2):
+        ys, cbs, crs = (np.asarray(o) for o in souts[s])
+        for k, exp in enumerate(expected):
+            assert np.array_equal(ys[k], exp[0]), f"s{s} pic {k} y"
+            assert np.array_equal(cbs[k], exp[1]), f"s{s} pic {k} cb"
+            assert np.array_equal(crs[k], exp[2]), f"s{s} pic {k} cr"
+    # native Phase A + C++ wire packer route (pcm rides the
+    # side-channel next to the packed blob)
+    from m2dec_tpu.native import load_h264
+
+    if load_h264() is not None:
+        dn = H264Decoder(dpb_max=1, native=True, plan_alloc="empty")
+        dn.set_data(data)
+        while dn.decode_picture() == 1:
+            pass
+        assert all(p.coded is not None for p in dn.plans)
+        bn = BatchedPhaseB(dn.max_x, dn.max_y, len(dn.frames))
+        nouts = bn.run(dn.plans)
+        for k, (got, exp) in enumerate(zip(nouts, expected)):
+            for pi, pl in enumerate(("y", "cb", "cr")):
+                assert np.array_equal(got[pi], exp[pi]), \
+                    f"native pic {k} {pl}"
+
+
 def test_native_pack_wire():
     """The C++ batch packer (h264pack_measure/fill) must be semantically
     identical to the Python _pack_wire path: unpacking its blob yields
