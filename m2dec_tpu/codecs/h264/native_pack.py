@@ -35,6 +35,23 @@ def _next_pow2(v):
     return r
 
 
+_PACK_POOL = None
+
+
+def _pack_pool():
+    """Persistent pack worker pool (per-stream measure/fill release the
+    GIL; a persistent pool keeps its arenas' pages warm — this VM's
+    first-touch path is pathological, see m2dec_tpu/__init__)."""
+    global _PACK_POOL
+    if _PACK_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _PACK_POOL = ThreadPoolExecutor(
+            max_workers=max(2, os.cpu_count() or 2))
+    return _PACK_POOL
+
+
 class _StreamCtx:
     """One PackCtx per stream: measure state must survive until fill."""
 
@@ -181,22 +198,24 @@ def pack_batches(plans_per_stream):
                 return None
     n = plans_per_stream[0][0].n
     B = len(plans_per_stream[0])
-    ctxs = []
-    metas = []
     for plans in plans_per_stream:
         if len(plans) != B:
             return None
-        sc = _StreamCtx(lib)
-        metas.append(sc.measure(plans, n).copy())
-        ctxs.append(sc)
+    ctxs = [_StreamCtx(lib) for _ in plans_per_stream]
+    # measure each stream concurrently (the C call releases the GIL)
+    if len(ctxs) > 1:
+        metas = list(_pack_pool().map(
+            lambda a: a[0].measure(a[1], n).copy(),
+            zip(ctxs, plans_per_stream)))
+    else:
+        metas = [ctxs[0].measure(plans_per_stream[0], n).copy()]
     d = _common_dims(metas)
     layout, total, offsets = _build_layout(B, n, d)
     job = np.array([d["cl_cap"], int(d["cl_dense"]), d["cc_cap"],
                     int(d["cc_dense"]), d["mv_mode"], d["wp_mode"],
                     d["ab_mode"], d["mv_pad"], d["wp_pad"], d["ab_pad"],
                     0, 0], np.int64)
-    blobs, pals_list = [], []
-    for sc in ctxs:
+    def fill_one(sc):
         blob = np.empty(total, np.uint8)
         base = blob.ctypes.data
         leaf_ptrs = (_VOIDP * len(offsets))(
@@ -218,6 +237,11 @@ def pack_batches(plans_per_stream):
             None if mv_pal is None else mv_pal.ctypes.data,
             None if wp_pal is None else wp_pal.ctypes.data,
             None if ab_pal is None else ab_pal.ctypes.data)
-        blobs.append(blob)
-        pals_list.append(pals)
+        return blob, pals
+    if len(ctxs) > 1:
+        results = list(_pack_pool().map(fill_one, ctxs))
+    else:
+        results = [fill_one(ctxs[0])]
+    blobs = [r[0] for r in results]
+    pals_list = [r[1] for r in results]
     return blobs, layout, pals_list, d["has_i8"], d["deblock"]

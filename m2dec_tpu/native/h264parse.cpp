@@ -415,9 +415,18 @@ static inline int read_lut(BitReader &r, const uint16_t *lut, int bits,
 }
 
 static int level_prefix(BitReader &r) {
-    int n = 0;
-    while (r.get1() == 0) n++;
-    return n;
+    /* leading-zero count via one cache probe (legal prefixes are <=15,
+     * so 32 bits always cover prefix+stop bit; a zero probe means a
+     * malformed/truncated stream — consume and let the caller's
+     * past_end/err checks fire, bit-identical to the bitwise loop) */
+    uint32_t probe = r.show(32);
+    if (probe == 0) {
+        r.skip(32);
+        return 32;
+    }
+    int lz = __builtin_clz(probe);
+    r.skip(lz + 1);
+    return lz;
 }
 
 /* returns min(total_coeff,15) or negative error; writes dequantized
@@ -4163,8 +4172,11 @@ namespace {
 // pictures in the same order.
 // =====================================================================
 
-#include <unordered_map>
 #include <vector>
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#define H264PACK_AVX512 1
+#endif
 
 namespace {
 
@@ -4182,6 +4194,31 @@ struct K24Hash {
             h *= 1099511628211ull;
         }
         return (size_t)h;
+    }
+};
+
+/* Open-addressing key->palette-id table.  std::unordered_map's
+ * node-per-entry layout made h264pack_measure cache-miss-bound on
+ * high-entropy MV content (65k unique rows, 1.5M probes per 1080p
+ * GOP); linear probing over one contiguous array is several times
+ * faster.  ids[] == -1 marks an empty slot so any 64-bit key value is
+ * representable. */
+struct FlatMap {
+    std::vector<uint64_t> keys;
+    std::vector<int32_t> ids;
+    size_t mask = 0;
+
+    void reset(size_t cap_pow2) {
+        if (keys.size() != cap_pow2) {
+            keys.assign(cap_pow2, 0);
+            ids.assign(cap_pow2, -1);
+        } else {
+            std::fill(ids.begin(), ids.end(), -1);
+        }
+        mask = cap_pow2 - 1;
+    }
+    static inline size_t mix(uint64_t key) {
+        return (size_t)((key * 0x9E3779B97F4A7C15ull) >> 29);
     }
 };
 
@@ -4220,15 +4257,39 @@ static PicPtrs pic_of(void **pp, int b) {
 }
 
 struct PackCtx {
-    // palettes (insertion-ordered rows)
-    std::unordered_map<uint64_t, int32_t> mv_map;
+    // palettes (insertion-ordered rows) + flat probe tables
+    FlatMap mv_map, wp_map, ab_map;  // wp/ab key = K24 digest, verified
     std::vector<uint64_t> mv_rows;
-    std::unordered_map<K24, int32_t, K24Hash> wp_map, ab_map;
     std::vector<K24> wp_rows, ab_rows;
     // measured per-row indices (u16; downcast at fill if palette small)
     std::vector<uint16_t> mv_idx, wp_idx, ab_idx;
-    bool mv_pal_ok = true, wp_pal_ok = true;
+    bool mv_pal_ok = true, wp_pal_ok = true, ab_pal_ok = true;
 };
+
+/* find-or-insert for 24-byte keys: the table stores the digest; the
+ * insertion-ordered rows vector resolves digest collisions exactly. */
+template <typename Rows>
+static inline int32_t k24_find_or_add(FlatMap &m, Rows &rows,
+                                      const K24 &key, bool *overflow) {
+    uint64_t dig = (uint64_t)K24Hash()(key);
+    size_t i = FlatMap::mix(dig) & m.mask;
+    for (;;) {
+        int32_t id = m.ids[i];
+        if (id < 0) {
+            int32_t nid = (int32_t)rows.size();
+            if (nid > 65535) {
+                *overflow = true;
+                return -1;
+            }
+            m.keys[i] = dig;
+            m.ids[i] = nid;
+            rows.push_back(key);
+            return nid;
+        }
+        if (m.keys[i] == dig && rows[id] == key) return id;
+        i = (i + 1) & m.mask;
+    }
+}
 
 // walk one picture's coded coefficient blocks; F(flat_base, width, ptr)
 template <typename F>
@@ -4271,10 +4332,13 @@ void h264pack_free(void *pk) { delete (PackCtx *)pk; }
  * 9 wp_rows(-1), 10 wp_min, 11 wp_max, 12 ab_rows */
 void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
     PackCtx &pk = *(PackCtx *)pk_;
-    pk.mv_map.clear(); pk.mv_rows.clear();
-    pk.wp_map.clear(); pk.wp_rows.clear();
-    pk.ab_map.clear(); pk.ab_rows.clear();
-    pk.mv_pal_ok = pk.wp_pal_ok = true;
+    pk.mv_rows.clear();
+    pk.wp_rows.clear();
+    pk.ab_rows.clear();
+    pk.mv_map.reset(1 << 18);   // 65536 ids at 25% load
+    pk.wp_map.reset(1 << 18);
+    pk.ab_map.reset(1 << 18);
+    pk.mv_pal_ok = pk.wp_pal_ok = pk.ab_pal_ok = true;
     pk.mv_idx.resize((size_t)B * n * 16);
     pk.wp_idx.resize((size_t)B * n * 4);
     pk.ab_idx.resize((size_t)B * n);
@@ -4298,6 +4362,28 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
                 if (P.deb_str4[k]) deblock = 1;
         }
         int64_t cnt = 0;
+#ifdef H264PACK_AVX512
+        {
+            __m512i vmin = _mm512_setzero_si512(), vmax = vmin;
+            for_coded_luma(P, n,
+                           [&](int64_t, int w, const int32_t *v) {
+                for (int k = 0; k < w; k += 16) {
+                    __m512i x = _mm512_loadu_si512(v + k);
+                    cnt += _mm_popcnt_u32(
+                        _mm512_test_epi32_mask(x, x));
+                    vmin = _mm512_min_epi32(vmin, x);
+                    vmax = _mm512_max_epi32(vmax, x);
+                }
+            });
+            // zeros in the lanes can't move min below / max above the
+            // 0-initialized accumulators, matching the nonzero-only
+            // scalar reduction
+            int32_t mn = _mm512_reduce_min_epi32(vmin);
+            int32_t mx = _mm512_reduce_max_epi32(vmax);
+            if (mn < cl_min) cl_min = mn;
+            if (mx > cl_max) cl_max = mx;
+        }
+#else
         for_coded_luma(P, n, [&](int64_t, int w, const int32_t *v) {
             for (int k = 0; k < w; k++) {
                 int32_t x = v[k];
@@ -4308,8 +4394,25 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
                 }
             }
         });
+#endif
         if (cnt > cl_maxcnt) cl_maxcnt = cnt;
         cnt = 0;
+#ifdef H264PACK_AVX512
+        {
+            __m512i vmin = _mm512_setzero_si512(), vmax = vmin;
+            for_coded_chroma(P, n,
+                             [&](int64_t, int w, const int32_t *v) {
+                __m512i x = _mm512_loadu_si512(v);
+                cnt += _mm_popcnt_u32(_mm512_test_epi32_mask(x, x));
+                vmin = _mm512_min_epi32(vmin, x);
+                vmax = _mm512_max_epi32(vmax, x);
+            });
+            int32_t mn = _mm512_reduce_min_epi32(vmin);
+            int32_t mx = _mm512_reduce_max_epi32(vmax);
+            if (mn < cc_min) cc_min = mn;
+            if (mx > cc_max) cc_max = mx;
+        }
+#else
         for_coded_chroma(P, n, [&](int64_t, int w, const int32_t *v) {
             for (int k = 0; k < w; k++) {
                 int32_t x = v[k];
@@ -4320,6 +4423,7 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
                 }
             }
         });
+#endif
         if (cnt > cc_maxcnt) cc_maxcnt = cnt;
         // mv palette: rows of 4 int16. MV fields are piecewise-constant
         // (one MV per partition), so a previous-row memo skips the hash
@@ -4341,15 +4445,28 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
                 if (key == mv_prev_key) {
                     id = mv_prev_id;
                 } else {
-                    auto it = pk.mv_map.find(key);
-                    if (it == pk.mv_map.end()) {
-                        id = (int32_t)pk.mv_rows.size();
-                        if (id > 65535) { pk.mv_pal_ok = false; continue; }
-                        pk.mv_map.emplace(key, id);
-                        pk.mv_rows.push_back(key);
-                    } else {
-                        id = it->second;
+                    FlatMap &m = pk.mv_map;
+                    size_t i = FlatMap::mix(key) & m.mask;
+                    for (;;) {
+                        int32_t id0 = m.ids[i];
+                        if (id0 < 0) {
+                            id = (int32_t)pk.mv_rows.size();
+                            if (id > 65535) {
+                                pk.mv_pal_ok = false;
+                                break;
+                            }
+                            m.keys[i] = key;
+                            m.ids[i] = id;
+                            pk.mv_rows.push_back(key);
+                            break;
+                        }
+                        if (m.keys[i] == key) {
+                            id = id0;
+                            break;
+                        }
+                        i = (i + 1) & m.mask;
                     }
+                    if (!pk.mv_pal_ok) continue;
                     mv_prev_key = key;
                     mv_prev_id = id;
                 }
@@ -4376,14 +4493,12 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
                 if (key == wp_prev_key) {
                     id = wp_prev_id;
                 } else {
-                    auto it = pk.wp_map.find(key);
-                    if (it == pk.wp_map.end()) {
-                        id = (int32_t)pk.wp_rows.size();
-                        if (id > 65535) { pk.wp_pal_ok = false; continue; }
-                        pk.wp_map.emplace(key, id);
-                        pk.wp_rows.push_back(key);
-                    } else {
-                        id = it->second;
+                    bool ovf = false;
+                    id = k24_find_or_add(pk.wp_map, pk.wp_rows, key,
+                                         &ovf);
+                    if (ovf) {
+                        pk.wp_pal_ok = false;
+                        continue;
                     }
                     wp_prev_key = key;
                     wp_prev_id = id;
@@ -4400,22 +4515,21 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
             K24 key = {0, 0, 0};
             uint8_t *kb = (uint8_t *)&key;
             for (int k = 0; k < 24; k++) kb[k] = (uint8_t)(int8_t)v[k];
+            if (!pk.ab_pal_ok) continue;
             int32_t id;
             if (key == ab_prev_key) {
                 id = ab_prev_id;
             } else {
-                auto it = pk.ab_map.find(key);
-                if (it == pk.ab_map.end()) {
-                    id = (int32_t)pk.ab_rows.size();
-                    pk.ab_map.emplace(key, id);
-                    pk.ab_rows.push_back(key);
-                } else {
-                    id = it->second;
+                bool ovf = false;
+                id = k24_find_or_add(pk.ab_map, pk.ab_rows, key, &ovf);
+                if (ovf) {
+                    pk.ab_pal_ok = false;  // dense fallback (meta -1)
+                    continue;
                 }
                 ab_prev_key = key;
                 ab_prev_id = id;
             }
-            ai[r] = (uint16_t)(id & 0xFFFF);
+            ai[r] = (uint16_t)id;
         }
     }
     meta[0] = cl_maxcnt; meta[1] = cl_min; meta[2] = cl_max;
@@ -4424,8 +4538,7 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
     meta[7] = mv_min; meta[8] = mv_max;
     meta[9] = pk.wp_pal_ok ? (int64_t)pk.wp_rows.size() : -1;
     meta[10] = wp_min; meta[11] = wp_max;
-    meta[12] = (int64_t)pk.ab_rows.size() <= 65535
-                   ? (int64_t)pk.ab_rows.size() : -1;
+    meta[12] = pk.ab_pal_ok ? (int64_t)pk.ab_rows.size() : -1;
     meta[13] = has_i8;
     meta[14] = deblock;
     meta[15] = 0;
@@ -4440,6 +4553,43 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
  * job: 0 cl_cap, 1 cl_dense, 2 cc_cap, 3 cc_dense, 4 mv_mode,
  *      5 wp_mode, 6 ab_mode (0 pal-u8, 1 pal-u16, 2 dense-narrow,
  *      3 dense-int32), 7/8/9 mv/wp/ab palette padded row counts */
+#ifdef H264PACK_AVX512
+#define R2(n) n, n + 2 * 64, n + 1 * 64, n + 3 * 64
+#define R4(n) R2(n), R2(n + 2 * 16), R2(n + 1 * 16), R2(n + 3 * 16)
+#define R6(n) R4(n), R4(n + 2 * 4), R4(n + 1 * 4), R4(n + 3 * 4)
+static const uint8_t BITREV8[256] = {R6(0), R6(2), R6(1), R6(3)};
+#undef R2
+#undef R4
+#undef R6
+
+/* pack 16 coefficients at bit offset `ofs` (16-aligned): bitmap bytes
+ * are MSB-first (bits[j>>3] |= 0x80 >> (j&7)), i.e. bit-reversed
+ * nonzero masks; values compress in ascending order (vpcompressd).
+ * The 32-byte value store may overwrite up to 16 entries past c with
+ * zeros — identical to the memset baseline, and guarded against the
+ * buffer end by the cap check. */
+static inline int64_t pack_block16(uint8_t *bits, int16_t *vals,
+                                   int64_t c, int64_t cap, int64_t ofs,
+                                   const int32_t *v) {
+    __m512i x = _mm512_loadu_si512(v);
+    __mmask16 mz = _mm512_test_epi32_mask(x, x);
+    int pc = _mm_popcnt_u32(mz);
+    if (!pc) return c;
+    if (c + 16 <= cap) {
+        __m512i comp = _mm512_maskz_compress_epi32(mz, x);
+        _mm256_storeu_si256((__m256i *)(vals + c),
+                            _mm512_cvtepi32_epi16(comp));
+    } else {
+        int64_t cc = c;
+        for (int k = 0; k < 16; k++)
+            if (v[k]) vals[cc++] = (int16_t)v[k];
+    }
+    bits[ofs >> 3] = BITREV8[mz & 0xFF];
+    bits[(ofs >> 3) + 1] = BITREV8[(mz >> 8) & 0xFF];
+    return c + pc;
+}
+#endif
+
 void h264pack_fill(void *pk_, void **pp, int B, int n, void **leaves,
                    const int64_t *job, int16_t *mv_pal, int16_t *wp_pal,
                    int8_t *ab_pal) {
@@ -4466,7 +4616,14 @@ void h264pack_fill(void *pk_, void **pp, int B, int n, void **leaves,
         // --- narrowed dense fields ------------------------------------
         auto narrow8 = [&](int leaf, const int32_t *src, int64_t cnt) {
             int8_t *d = (int8_t *)leaves[leaf] + (int64_t)b * cnt;
-            for (int64_t k = 0; k < cnt; k++) d[k] = (int8_t)src[k];
+            int64_t k = 0;
+#ifdef H264PACK_AVX512
+            for (; k + 16 <= cnt; k += 16)
+                _mm_storeu_si128(
+                    (__m128i *)(d + k),
+                    _mm512_cvtepi32_epi8(_mm512_loadu_si512(src + k)));
+#endif
+            for (; k < cnt; k++) d[k] = (int8_t)src[k];
         };
         narrow8(0, P.chroma_mode, n);
         narrow8(6, P.deb_str, (int64_t)n * 8);   // uint8 == same bits
@@ -4493,6 +4650,14 @@ void h264pack_fill(void *pk_, void **pp, int B, int n, void **leaves,
             memset(bits, 0, (int64_t)n * 32);
             memset(vals, 0, cl_cap * 2);
             int64_t c = 0;
+#ifdef H264PACK_AVX512
+            for_coded_luma(P, n,
+                           [&](int64_t ofs, int w, const int32_t *v) {
+                for (int k = 0; k < w; k += 16)
+                    c = pack_block16(bits, vals, c, cl_cap, ofs + k,
+                                     v + k);
+            });
+#else
             for_coded_luma(P, n, [&](int64_t ofs, int w, const int32_t *v) {
                 for (int k = 0; k < w; k++) {
                     int32_t x = v[k];
@@ -4503,6 +4668,7 @@ void h264pack_fill(void *pk_, void **pp, int B, int n, void **leaves,
                     }
                 }
             });
+#endif
         }
         if (cc_dense) {
             int32_t *d = (int32_t *)leaves[1] + (int64_t)b * n * 128;
@@ -4516,6 +4682,12 @@ void h264pack_fill(void *pk_, void **pp, int B, int n, void **leaves,
             memset(bits, 0, (int64_t)n * 16);
             memset(vals, 0, cc_cap * 2);
             int64_t c = 0;
+#ifdef H264PACK_AVX512
+            for_coded_chroma(P, n,
+                             [&](int64_t ofs, int w, const int32_t *v) {
+                c = pack_block16(bits, vals, c, cc_cap, ofs, v);
+            });
+#else
             for_coded_chroma(P, n, [&](int64_t ofs, int w, const int32_t *v) {
                 for (int k = 0; k < w; k++) {
                     int32_t x = v[k];
@@ -4526,6 +4698,7 @@ void h264pack_fill(void *pk_, void **pp, int B, int n, void **leaves,
                     }
                 }
             });
+#endif
         }
         // --- paletted / dense-fallback row tensors ---------------------
         auto put_idx = [&](int leaf, int mode, const uint16_t *idx,
@@ -4538,13 +4711,22 @@ void h264pack_fill(void *pk_, void **pp, int B, int n, void **leaves,
                 memcpy(d, idx, rows * 2);
             }
         };
+        auto narrow16 = [&](int leaf, const int32_t *src, int64_t cnt) {
+            int16_t *d = (int16_t *)leaves[leaf] + (int64_t)b * cnt;
+            int64_t k = 0;
+#ifdef H264PACK_AVX512
+            for (; k + 16 <= cnt; k += 16)
+                _mm256_storeu_si256(
+                    (__m256i *)(d + k),
+                    _mm512_cvtepi32_epi16(_mm512_loadu_si512(src + k)));
+#endif
+            for (; k < cnt; k++) d[k] = (int16_t)src[k];
+        };
         if (mv_mode <= 1) {
             put_idx(15, mv_mode, pk.mv_idx.data() + (size_t)b * n * 16,
                     (int64_t)n * 16);
         } else if (mv_mode == 2) {
-            int16_t *d = (int16_t *)leaves[15] + (int64_t)b * n * 64;
-            for (int64_t k = 0; k < (int64_t)n * 64; k++)
-                d[k] = (int16_t)P.mv[k];
+            narrow16(15, P.mv, (int64_t)n * 64);
         } else {
             memcpy((int32_t *)leaves[15] + (int64_t)b * n * 64, P.mv,
                    (int64_t)n * 64 * 4);
@@ -4553,9 +4735,7 @@ void h264pack_fill(void *pk_, void **pp, int B, int n, void **leaves,
             put_idx(18, wp_mode, pk.wp_idx.data() + (size_t)b * n * 4,
                     (int64_t)n * 4);
         } else if (wp_mode == 2) {
-            int16_t *d = (int16_t *)leaves[18] + (int64_t)b * n * 48;
-            for (int64_t k = 0; k < (int64_t)n * 48; k++)
-                d[k] = (int16_t)P.wp[k];
+            narrow16(18, P.wp, (int64_t)n * 48);
         } else {
             memcpy((int32_t *)leaves[18] + (int64_t)b * n * 48, P.wp,
                    (int64_t)n * 48 * 4);
@@ -4563,9 +4743,7 @@ void h264pack_fill(void *pk_, void **pp, int B, int n, void **leaves,
         if (ab_mode <= 1) {
             put_idx(5, ab_mode, pk.ab_idx.data() + (size_t)b * n, n);
         } else {
-            int8_t *d = (int8_t *)leaves[5] + (int64_t)b * n * 24;
-            for (int64_t k = 0; k < (int64_t)n * 24; k++)
-                d[k] = (int8_t)P.deb_ab[k];
+            narrow8(5, P.deb_ab, (int64_t)n * 24);
         }
     }
 }
