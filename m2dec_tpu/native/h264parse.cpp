@@ -4427,10 +4427,36 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
         if (cnt > cc_maxcnt) cc_maxcnt = cnt;
         // mv palette: rows of 4 int16. MV fields are piecewise-constant
         // (one MV per partition), so a previous-row memo skips the hash
-        // lookup for the vast majority of rows.
+        // lookup for the vast majority of rows.  High-entropy MV
+        // content defeats palettization (~65k uniques at 1080p random
+        // MVs): when the first picture dedups worse than 4:1, bail to
+        // the dense-int16 wire mode and skip the hashing entirely —
+        // ~40 ms of host time per 12-picture batch traded against
+        // ~9 MB of extra (fast) h2d transfer.
+        if (b == 1 && pk.mv_pal_ok &&
+            (int64_t)pk.mv_rows.size() * 4 > (int64_t)n * 16)
+            pk.mv_pal_ok = false;
         uint16_t *mi = pk.mv_idx.data() + (size_t)b * n * 16;
         uint64_t mv_prev_key = ~0ull;
         int32_t mv_prev_id = 0;
+#ifdef H264PACK_AVX512
+        if (!pk.mv_pal_ok) {
+            // min/max only (int16 range check), vectorized
+            __m512i vmin = _mm512_setzero_si512(), vmax = vmin;
+            const int32_t *mvp = P.mv;
+            int64_t cnt = (int64_t)n * 64;
+            for (int64_t k = 0; k + 16 <= cnt; k += 16) {
+                __m512i x = _mm512_loadu_si512(mvp + k);
+                vmin = _mm512_min_epi32(vmin, x);
+                vmax = _mm512_max_epi32(vmax, x);
+            }
+            int32_t mn = _mm512_reduce_min_epi32(vmin);
+            int32_t mx = _mm512_reduce_max_epi32(vmax);
+            if (mn < mv_min) mv_min = mn;
+            if (mx > mv_max) mv_max = mx;
+            goto mv_done;
+        }
+#endif
         for (int64_t r = 0; r < (int64_t)n * 16; r++) {
             const int32_t *v = P.mv + r * 4;
             uint64_t key = 0;
@@ -4473,6 +4499,9 @@ void h264pack_measure(void *pk_, void **pp, int B, int n, int64_t *meta) {
                 mi[r] = (uint16_t)id;
             }
         }
+#ifdef H264PACK_AVX512
+    mv_done:;
+#endif
         // wp palette: rows of 12 int16 (24 bytes)
         uint16_t *wi = pk.wp_idx.data() + (size_t)b * n * 4;
         K24 wp_prev_key = {~0ull, 0, 0};
