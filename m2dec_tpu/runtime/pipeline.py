@@ -65,6 +65,11 @@ class Pipeline:
             "writer": StageTimer("writer"),
         }
         self.error = None
+        from m2dec_tpu.runtime.metrics import Metrics
+
+        #: decode-rate / drop counters (SURVEY §5.5): bytes_in,
+        #: frames_decoded, frames_output, decode_errors + *_per_s rates
+        self.metrics = Metrics()
 
     # -- codec detection (m2decoder.h detect_file equivalent) -----------
     @staticmethod
@@ -99,6 +104,7 @@ class Pipeline:
             # hand the whole ES to the decoder in picture-sized units is
             # codec-dependent; the decoder stage pulls units itself, so
             # the reader just forwards the stream once demuxed.
+            self.metrics.inc("bytes_in", len(data))
             self.qin.put(data)
             self.qin.put(_END)
         except Exception as e:  # pragma: no cover
@@ -117,7 +123,10 @@ class Pipeline:
                 turbo = TurboH264Decoder(data)
                 with self.timers["decoder"]:
                     for frm in turbo.frames():
+                        self.metrics.inc("frames_decoded")
                         self.qout.put(frm)
+                if turbo.error == -2:
+                    self.metrics.inc("decode_errors")
                 self.qout.put(_END)
                 self.qin.get()
                 return
@@ -137,6 +146,7 @@ class Pipeline:
             if self.codec == "h265":
                 with self.timers["decoder"]:
                     for frm in dec.decode_all():
+                        self.metrics.inc("frames_decoded")
                         self.qout.put(frm)
                 self.qout.put(_END)
                 self.qin.get()
@@ -152,7 +162,11 @@ class Pipeline:
                                 break  # one frame per decode call
                             ready, frm = dec.peek_decoded_frame()
                         err = dec.decode_picture()
+                    if err == 1:
+                        self.metrics.inc("frames_decoded")
                     if err < 0:
+                        if err == -2:
+                            self.metrics.inc("decode_errors")
                         with self.timers["decoder"]:
                             ready, frm = dec.peek_decoded_frame(True)
                             while ready:
@@ -171,7 +185,11 @@ class Pipeline:
                                 break  # one frame per decode call
                             ready, frm = dec.peek_decoded_frame(False)
                         err = dec.decode_data()
+                    if err == 1:
+                        self.metrics.inc("frames_decoded")
                     if err < 0:
+                        if err == -2:
+                            self.metrics.inc("decode_errors")
                         with self.timers["decoder"]:
                             ready, frm = dec.peek_decoded_frame(True)
                             while ready:
@@ -199,6 +217,7 @@ class Pipeline:
                 break
             with self.timers["writer"]:
                 sink(frm)
+            self.metrics.inc("frames_output")
             n += 1
         t_r.join()
         t_d.join()

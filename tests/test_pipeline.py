@@ -97,3 +97,31 @@ def test_terminal_displays_and_timingchart():
 
     svg = render_svg(parse_csv(pipe.timeline_csv()))
     assert svg.startswith("<svg") and "rect" in svg
+
+
+def test_metrics_counters():
+    """SURVEY §5.5 metrics registry: decode-rate counters on Pipeline."""
+    from streamgen.mpeg2_enc import Mpeg2StreamGen
+
+    from m2dec_tpu.runtime.pipeline import Pipeline
+
+    es = Mpeg2StreamGen(64, 48, seed=3).generate("IPP")
+    p = Pipeline(es)
+    got = []
+    n = p.run(got.append)
+    snap = p.metrics.snapshot()
+    assert snap["bytes_in"] == len(es)
+    assert snap["frames_decoded"] == 3
+    assert snap["frames_output"] == n == len(got)
+    assert snap.get("decode_errors", 0) == 0
+    assert snap["frames_output_per_s"] > 0
+    import json
+
+    json.loads(p.metrics.json_line())  # one-line JSON export
+
+    # truncation increments decode_errors (cut mid-picture: strip the
+    # last bytes of the final picture's slice data)
+    cut = es[: len(es) - 40]
+    p2 = Pipeline(cut)
+    p2.run(lambda f: None)
+    assert p2.metrics.count("decode_errors") >= 1
