@@ -146,6 +146,12 @@ class NativeH265Session:
         payload = bytes(r.data)
         err = self.lib.h265p_slice(self.ctx, payload, len(payload),
                                    ctypes.byref(sp))
+        if err == -2:
+            # mid-slice truncation: reference refill-longjmp parity
+            # (bitio.c:112-128) -> decode_picture returns -2
+            from m2dec_tpu.bitstream.reader import BitstreamExhausted
+
+            raise BitstreamExhausted("native slice truncated")
         if err < 0:
             raise NotImplementedError(
                 _ERRORS.get(err, f"native h265 slice error {err}"))

@@ -122,8 +122,10 @@ struct BitReader {
     bool more_rbsp_data() const { return pos < stop_bit; }
     /* reads past the payload end consumed zero-padding — the
      * reference's dec_bits would have longjmp'd out of the parse
-     * (bitio.c:112-128); callers abandon the picture (-2) */
-    bool past_end() const { return pos > nbits; }
+     * (bitio.c:112-128); callers abandon the picture (-2).  32 bits
+     * of slack absorb the CABAC engine's legitimate pre-read at a
+     * slice ending flush with the payload. */
+    bool past_end() const { return pos > nbits + 32; }
 };
 
 static int read_te(BitReader &r, int range) {

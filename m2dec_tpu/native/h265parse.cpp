@@ -72,6 +72,14 @@ struct BitReader {
         return v;
     }
     uint32_t get1() { return get(1); }
+    /* consumed bits ran past the payload (the reader zero-pads):
+     * the reference's dec_bits would have longjmp'd (bitio.c:112-128)
+     * — the picture must be abandoned, never completed from padding.
+     * 32 bits of slack absorb the CABAC engine's legitimate pre-read
+     * lookahead at a slice ending flush with the payload. */
+    bool past_end() const {
+        return pos > (int64_t)(end - base) * 8 + 32;
+    }
 };
 
 // ---------------------------------------------------------------------
@@ -1993,9 +2001,11 @@ int h265p_slice(void *ctx, const uint8_t *payload, long long nbytes,
     while (!s->err) {
         decode_ctu(*s, r);
         if (s->err) break;
+        if (r.past_end()) return -2;  // truncated mid-slice
         if (pos_increment(*s)) break;
         if (cabac_terminate(*s, r)) break;
     }
+    if (!s->err && r.past_end()) return -2;
     return s->err;
 }
 

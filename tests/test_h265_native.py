@@ -80,3 +80,25 @@ CASES = {
 def test_native_plan_parity(case):
     kw, (w, h), n = CASES[case]
     run_case(H265StreamGen(w, h, **kw), n)
+
+
+def test_native_truncation_abandons_picture():
+    """Mid-slice truncation: the native Phase A must abandon the
+    picture exactly like the Python decoder (the reference's refill
+    longjmp, bitio.c:112-128) — never complete it from the BitReader's
+    zero-padded tail."""
+    gen = H265StreamGen(64, 48, seed=3)
+    data = gen.generate("IPP")
+    for frac in (85, 70, 55):
+        cut = data[: len(data) * frac // 100]
+        dp = H265Decoder()
+        dp.set_data(cut)
+        exp = dp.decode_all()
+        dn = H265Decoder()
+        dn.set_data(cut)
+        got = dn.decode_all(backend="native")
+        assert len(got) == len(exp), f"cut {frac}%"
+        for a, b in zip(exp, got):
+            assert np.array_equal(a.y, b.y)
+            assert np.array_equal(a.cb, b.cb)
+            assert np.array_equal(a.cr, b.cr)
