@@ -17,7 +17,9 @@ file change (FileWriterUnit::change, :422-431).
 
 Extensions beyond the reference (long options only): --display
 ansi|ascii|none (terminal display tier standing in for the SDL window),
---trace FILE (write the CSV to a file instead of stdout).
+--trace FILE (write the CSV to a file instead of stdout), --turbo
+(H.264 decodes through the overlapped two-phase driver,
+runtime/turbo.py).
 """
 
 from __future__ import annotations
@@ -94,7 +96,7 @@ def main(argv=None):
     argv = list(sys.argv[1:]) if argv is None else list(argv)
     try:
         opts, args = getopt.gnu_getopt(
-            argv, "ef:hlmor:st:", ["display=", "trace="])
+            argv, "ef:hlmor:st:", ["display=", "trace=", "turbo"])
     except getopt.GetoptError:
         return _blame()
     emptify = False
@@ -105,6 +107,7 @@ def main(argv=None):
     writers = _WriterUnit()
     display = "none"
     trace_out = None
+    two_phase = False
     for flag, val in opts:
         if flag == "-e":
             emptify = True
@@ -126,6 +129,8 @@ def main(argv=None):
             display = val
         elif flag == "--trace":
             trace_out = val
+        elif flag == "--turbo":
+            two_phase = True  # overlapped Phase A/B (runtime/turbo.py)
         else:  # -h, -s: in the reference optstring but unhandled
             return _blame()
     if not args:
@@ -140,7 +145,8 @@ def main(argv=None):
     for _ in range(max(repeat, 1)):
         for infile in args:
             data = pathlib.Path(infile).read_bytes()
-            pipe = Pipeline(data, queue_depth=outbuf, emptify=emptify)
+            pipe = Pipeline(data, queue_depth=outbuf, emptify=emptify,
+                            two_phase=two_phase)
             writers.change(infile)
 
             def sink(frame):
