@@ -167,6 +167,20 @@ def test_h264_jax_backend_cli(reference_bins, monkeypatch, capsys,
     assert out.read_bytes() == golden and golden
 
 
+def test_h264_turbo_cli(reference_bins, monkeypatch, capsys, streams):
+    """--turbo (overlapped Phase A / batched async Phase B,
+    runtime/turbo.py) must also stay byte-equal to the reference."""
+    out = streams / "inter.out"
+    out.unlink(missing_ok=True)
+    run_ref(reference_bins, streams, ["-o", "inter.264"])
+    golden = out.read_bytes()
+    out.unlink()
+    code, _ = run_ours(monkeypatch, capsys, streams,
+                       ["--turbo", "-o", "inter.264"])
+    assert code == 0
+    assert out.read_bytes() == golden and golden
+
+
 def test_thrplay_playlist(reference_bins, monkeypatch, capsys, streams):
     """thrplay parity: -o playlist writes one <basename>.out per input
     (FileWriterUnit::change), bytes equal to the reference decode; -s is
