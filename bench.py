@@ -281,7 +281,7 @@ def turbo_decode(data, check_golden=None):
     return len(pending) and sum(len(c) for _, c in pending), dt, cks
 
 
-def turbo_multi(data, n_streams, batcher=None):
+def turbo_multi(data, n_streams, batcher=None, stacked=True):
     """N independent 1080p streams decoded concurrently on one chip:
     native Phase A per stream, one whole-GOP Phase-B dispatch per
     stream, outputs left device-resident (the production-serving shape
@@ -310,7 +310,12 @@ def turbo_multi(data, n_streams, batcher=None):
     pool_size = len(decs[0].frames)
     mbw, mbh = decs[0].max_x, decs[0].max_y
     if batcher is None:
-        batcher = MultiStreamPhaseB(n_streams, mbw, mbh, pool_size)
+        # stacked=False reuses the single-stream executable the e2e
+        # stage already loaded (4 async dispatches queue back-to-back
+        # on the device) — the stacked variant's own executable costs
+        # a multi-minute load through a congested relay
+        batcher = MultiStreamPhaseB(n_streams, mbw, mbh, pool_size,
+                                    stacked=stacked)
     else:
         batcher.reset()
     outs = batcher.run(plans_per_stream)
@@ -369,22 +374,21 @@ def main():
         RESULT["value"] = round(n / dt1, 3)
         if ref_fps:
             RESULT["vs_baseline"] = round(RESULT["value"] / ref_fps, 4)
-        if stage_ok("e2e_single warm rep", 40):
-            n, dt1, _ = turbo_decode(data)
-            if n / dt1 > RESULT["e2e_single_stream_fps"]:
-                RESULT["e2e_single_stream_fps"] = round(n / dt1, 3)
-            # the first pass can be dominated by one-time executable
-            # load through the tunnel (minutes on a congested relay);
-            # the steady-state rep is the honest per-chip number
-            if n / dt1 > RESULT["value"]:
-                RESULT["value"] = round(n / dt1, 3)
-                if ref_fps:
-                    RESULT["vs_baseline"] = round(
-                        RESULT["value"] / ref_fps, 4)
 
-    # --- stage 4: multi-stream throughput (headline) -------------------
-    if host_cks is not None and stage_ok("multi-stream", 90):
-        nm, dtm, cks, batcher = turbo_multi(data, N_STREAMS)  # compile
+    def _take(fps):
+        if fps > RESULT["value"]:
+            RESULT["value"] = round(fps, 3)
+            if ref_fps:
+                RESULT["vs_baseline"] = round(fps / ref_fps, 4)
+
+    # --- stage 4: multi-stream throughput (headline). Runs BEFORE the
+    # single-stream warm rep: with stacked=False it reuses the
+    # executable stage 3 just loaded, so it only costs run time -------
+    if host_cks is not None and stage_ok("multi-stream", 75):
+        # the stacked executable only when there is budget to load it
+        stacked = remaining() > 600
+        nm, dtm, cks, batcher = turbo_multi(data, N_STREAMS,
+                                            stacked=stacked)  # compile
         best = None
         reps = 0
         while reps < 2 and stage_ok("multi-stream rep", 30):
@@ -398,14 +402,19 @@ def main():
         if best is not None:
             RESULT["frames_per_run"] = nm
             RESULT["multi_stream_fps"] = round(best, 3)
-            if best > RESULT["value"]:
-                RESULT["value"] = round(best, 3)
-                if ref_fps:
-                    RESULT["vs_baseline"] = round(best / ref_fps, 4)
+            _take(best)
             RESULT["output"] = (
                 "device-resident NV12 planes (HBM); bit-exactness vs "
                 "the reference binary verified in the warmup pass and "
                 "carried by device checksums")
+
+    # --- stage 5: single-stream steady state (the first pass can be
+    # dominated by the one-time executable load through the relay) ----
+    if host_cks is not None and stage_ok("e2e_single warm rep", 40):
+        n, dt1, _ = turbo_decode(data)
+        if n / dt1 > RESULT["e2e_single_stream_fps"]:
+            RESULT["e2e_single_stream_fps"] = round(n / dt1, 3)
+        _take(n / dt1)
 
 
 if __name__ == "__main__":
