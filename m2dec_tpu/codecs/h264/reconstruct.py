@@ -123,6 +123,24 @@ def _tap6(a):
             + 20 * a[..., 3:-2] - 5 * a[..., 4:-1] + a[..., 5:])
 
 
+def _fuse_break(*xs):
+    """Materialization barrier before TPU gathers.
+
+    XLA:TPU's gather codegen inlines the operand/index producer fusion
+    per gathered element; with byte-level producers (blob dynamic-slice
+    + bitcast_convert_type) this explodes the executable — measured
+    145 MB of machine code for ONE sparse-coefficient unpack (and ~1 GB
+    for the full batched Phase-B program, which loaded through the axon
+    relay in minutes). An optimization_barrier on the gather inputs
+    forces them into materialized buffers first: same op count at
+    runtime (the buffers are tiny vs HBM bandwidth), 20-50x smaller
+    executable. No-op semantics on all backends."""
+    import jax
+
+    out = jax.lax.optimization_barrier(xs)
+    return out[0] if len(xs) == 1 else out
+
+
 _MC_PAD = 16  # edge-replicate padding of ref planes (UMV fill domain)
 
 
@@ -145,7 +163,8 @@ def _flat_windows(refs_p, slot, sy, sx, win, xp):
     ar = xp.arange(win)
     row = (xp.clip(slot, 0, R - 1) * Hp + sy)[:, None] + ar[None, :]
     idx = row[:, :, None] * Wp + (sx[:, None] + ar[None, :])[:, None, :]
-    return xp.take(refs_p.reshape(-1), idx)
+    flat, idx = _fuse_break(refs_p.reshape(-1), idx)
+    return _fuse_break(xp.take(flat, idx))
 
 
 def _flat_windows32(refs_p, slot, sy, sx, rows, cols, xp):
@@ -168,7 +187,8 @@ def _flat_windows32(refs_p, slot, sy, sx, rows, cols, xp):
     phase = sx & 3
     idx = (rowi[:, :, None] * (Wp // 4)
            + (w0[:, None] + arw[None, :])[:, None, :])
-    g = xp.take(words.reshape(-1), idx)  # [B, rows, nw] uint32
+    wflat, idx = _fuse_break(words.reshape(-1), idx)
+    g = _fuse_break(xp.take(wflat, idx))  # [B, rows, nw] uint32
     # little-endian unpack to 4*nw bytes, then 4-phase static select
     sh = (xp.arange(4, dtype=xp.uint32) * 8)[None, None, None, :]
     byts = ((g[..., None] >> sh) & 0xFF).astype(xp.int32)
@@ -1320,6 +1340,13 @@ def _pack_wire(stacked):
 
 
 def _unpack_wire(stacked, xp, pals=None):
+    if xp is not np:
+        # scan-body callers slice the wire fields out of the carried
+        # batch tensors — materialize those slices before the gathers
+        # below (see _fuse_break)
+        import jax
+
+        stacked = jax.lax.optimization_barrier(stacked)
     out = {}
     for k, v in stacked.items():
         if isinstance(v, dict) and "idx" in v:
@@ -1346,6 +1373,12 @@ def _unpack_wire(stacked, xp, pals=None):
             out[k] = dense.reshape(lead + shape)
         else:
             out[k] = v.astype(xp.int32)
+    if xp is not np:
+        # gather outputs must not fuse into downstream consumers either
+        # (consumer-side duplication is as explosive as producer-side)
+        import jax
+
+        out = jax.lax.optimization_barrier(out)
     return out
 
 
@@ -1388,6 +1421,14 @@ def _pcm_planes(rows, mb_w, mb_h, xp):
     return y, cb, cr
 
 
+def _pool_write(pool, v, idx, xp):
+    """pool[idx] = v on the leading (slot) axis via masked select —
+    see the executable-size note at the call site."""
+    i = xp.arange(pool.shape[0], dtype=xp.int32)
+    mask = (i == idx).reshape((pool.shape[0],) + (1,) * (pool.ndim - 1))
+    return xp.where(mask, v[None].astype(pool.dtype), pool)
+
+
 def _recon_batch(pool_y, pool_cb, pool_cr, stacked, pals, cur_idx, diag, *,
                  mb_w, mb_h, has_i8, deblock, extra=None, pcm=None):
     """Reconstruct a batch of pictures in one graph: lax.scan over
@@ -1419,10 +1460,17 @@ def _recon_batch(pool_y, pool_cb, pool_cr, stacked, pals, cur_idx, diag, *,
             pcm_y, pcm_cb, pcm_cr,
             mb_w=mb_w, mb_h=mb_h, has_i8=has_i8,
             has_pcm=pcm is not None, deblock=deblock)
+        # materialize the planes before the pool write (_fuse_break),
+        # then write via a masked select over the slot axis: a
+        # dynamic_update_slice at a runtime index costs ~22 MB of TPU
+        # machine code PER PLANE (measured; the largest single source of
+        # the former 1 GB executable), while the select compiles
+        # compactly and streams the pool at full HBM bandwidth
+        y, cb, cr = _fuse_break(y, cb, cr)
         idx = xs["cur_idx"]
-        py = py.at[idx].set(y)
-        pcb = pcb.at[idx].set(cb)
-        pcr = pcr.at[idx].set(cr)
+        py = _pool_write(py, y, idx, jnp)
+        pcb = _pool_write(pcb, cb, idx, jnp)
+        pcr = _pool_write(pcr, cr, idx, jnp)
         return (py, pcb, pcr), (y, cb, cr)
 
     xs = {"plan": stacked, "cur_idx": cur_idx}
@@ -1636,7 +1684,9 @@ def _unflatten_wire(blob, layout, xp):
             out[path[0]] = arr
         else:
             out.setdefault(path[0], {})[path[1]] = arr
-    return out
+    # materialize every field: the byte-level slice/bitcast producers
+    # must NOT fuse into downstream gathers (see _fuse_break)
+    return jax.lax.optimization_barrier(out)
 
 
 def _recon_batch_blob(pool_y, pool_cb, pool_cr, blob, pals, cur_idx, diag,
@@ -1737,11 +1787,14 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, blobs, pals,
         outs_y = jnp.stack([p.astype(jnp.uint8) for p in ys])
         outs_cb = jnp.stack([p.astype(jnp.uint8) for p in cbs])
         outs_cr = jnp.stack([p.astype(jnp.uint8) for p in crs])
+        outs_y, outs_cb, outs_cr = _fuse_break(outs_y, outs_cb, outs_cr)
         for s in range(S):
+            # static s + masked select over the slot axis (runtime-index
+            # dynamic_update_slice explodes TPU codegen, see _pool_write)
             idx = xs["cur_idx"][s]
-            py = py.at[s, idx].set(outs_y[s])
-            pcb = pcb.at[s, idx].set(outs_cb[s])
-            pcr = pcr.at[s, idx].set(outs_cr[s])
+            py = py.at[s].set(_pool_write(py[s], outs_y[s], idx, jnp))
+            pcb = pcb.at[s].set(_pool_write(pcb[s], outs_cb[s], idx, jnp))
+            pcr = pcr.at[s].set(_pool_write(pcr[s], outs_cr[s], idx, jnp))
         return (py, pcb, pcr), (outs_y, outs_cb, outs_cr)
 
     xs = {"plan": stacked, "cur_idx": cur_idx}

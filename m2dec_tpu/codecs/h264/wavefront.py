@@ -102,6 +102,19 @@ def get_geom(mb_w, mb_h):
 # ---------------------------------------------------------------------
 
 
+def _gb(xp, *xs):
+    """Materialization barrier around TPU gather operands/results:
+    XLA:TPU's gather codegen inlines the operand producer fusion per
+    gathered element, exploding the executable (see
+    reconstruct._fuse_break). Identity on numpy."""
+    if xp is np:
+        return xs[0] if len(xs) == 1 else xs
+    import jax
+
+    out = jax.lax.optimization_barrier(xs)
+    return out[0] if len(xs) == 1 else out
+
+
 def skew_plane(plane, gidx, blk, margins, xp):
     """[H, W] -> skewed [mt + H + mb, ml + nd*blk + mr]."""
     mt, mb_, ml, mr = margins
@@ -112,7 +125,8 @@ def skew_plane(plane, gidx, blk, margins, xp):
     tiles = tiles.reshape(-1, blk, blk)
     tiles = xp.concatenate(
         [tiles, xp.zeros((1, blk, blk), tiles.dtype)], axis=0)
-    sk = tiles[gidx.reshape(-1)].reshape(mb_h, nd, blk, blk)
+    tiles = _gb(xp, tiles)
+    sk = _gb(xp, tiles[gidx.reshape(-1)]).reshape(mb_h, nd, blk, blk)
     sk = sk.transpose(0, 2, 1, 3).reshape(mb_h * blk, nd * blk)
     return xp.pad(sk, ((mt, mb_), (ml, mr)))
 
@@ -124,7 +138,8 @@ def unskew_plane(sk, uidx, blk, margins, xp):
     core = sk[mt : mt + mb_h * blk, ml : sk.shape[1] - mr]
     nd = core.shape[1] // blk
     tiles = core.reshape(mb_h, blk, nd, blk).transpose(0, 2, 1, 3)
-    out = tiles[np.arange(mb_h)[:, None], uidx]      # [mb_h, mb_w, b, b]
+    tiles = _gb(xp, tiles)
+    out = _gb(xp, tiles[np.arange(mb_h)[:, None], uidx])  # [mb_h,mb_w,b,b]
     return out.transpose(0, 2, 1, 3).reshape(mb_h * blk, mb_w * blk)
 
 
@@ -158,7 +173,8 @@ def skew_chroma_ilv(cb, cr, g, xp):
 
     t = xp.concatenate([tiles_of(cb), tiles_of(cr)], axis=2)  # [n,8,16]
     t = xp.concatenate([t, xp.zeros((1, 8, 16), t.dtype)], axis=0)
-    sk = t[g["gidx"].reshape(-1)].reshape(mb_h, nd, 8, 16)
+    t = _gb(xp, t)
+    sk = _gb(xp, t[g["gidx"].reshape(-1)]).reshape(mb_h, nd, 8, 16)
     sk = sk.transpose(0, 2, 1, 3).reshape(mb_h * 8, nd * 16)
     return xp.pad(sk, ((MTC, MBC), (ML, MR)))
 
@@ -168,7 +184,8 @@ def unskew_chroma_ilv(sk, g, xp):
     core = sk[MTC : MTC + mb_h * 8, ML : sk.shape[1] - MR]
     nd = core.shape[1] // 16
     t = core.reshape(mb_h, 8, nd, 16).transpose(0, 2, 1, 3)
-    out = t[np.arange(mb_h)[:, None], g["uidx"]]  # [mb_h, mb_w, 8, 16]
+    t = _gb(xp, t)
+    out = _gb(xp, t[np.arange(mb_h)[:, None], g["uidx"]])  # [mbh,mbw,8,16]
     cb = out[..., 0:8].transpose(0, 2, 1, 3).reshape(mb_h * 8, mb_w * 8)
     cr = out[..., 8:16].transpose(0, 2, 1, 3).reshape(mb_h * 8, mb_w * 8)
     return cb, cr
@@ -199,7 +216,8 @@ def diag_gather(P, g, has_i8, deblock, xp, full=False):
         v = P[k]
         ext = xp.concatenate(
             [v, xp.zeros((1,) + v.shape[1:], v.dtype)], axis=0)
-        out[k] = ext[idx].reshape((g["nd"], lmax) + v.shape[1:])
+        ext = _gb(xp, ext)
+        out[k] = _gb(xp, ext[idx]).reshape((g["nd"], lmax) + v.shape[1:])
     return out
 
 
