@@ -36,20 +36,23 @@ def _next_pow2(v):
 
 
 _PACK_POOL = None
+_PACK_POOL_LOCK = __import__("threading").Lock()
 
 
 def _pack_pool():
     """Persistent pack worker pool (per-stream measure/fill release the
     GIL; a persistent pool keeps its arenas' pages warm — this VM's
-    first-touch path is pathological, see m2dec_tpu/__init__)."""
+    first-touch path is pathological, see m2dec_tpu/__init__).
+    Creation is locked: two racing callers must not leak an executor."""
     global _PACK_POOL
-    if _PACK_POOL is None:
-        import os
-        from concurrent.futures import ThreadPoolExecutor
+    with _PACK_POOL_LOCK:
+        if _PACK_POOL is None:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
 
-        _PACK_POOL = ThreadPoolExecutor(
-            max_workers=max(2, os.cpu_count() or 2))
-    return _PACK_POOL
+            _PACK_POOL = ThreadPoolExecutor(
+                max_workers=max(2, os.cpu_count() or 2))
+        return _PACK_POOL
 
 
 class _StreamCtx:

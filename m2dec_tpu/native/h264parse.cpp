@@ -122,9 +122,20 @@ struct BitReader {
     bool more_rbsp_data() const { return pos < stop_bit; }
     /* reads past the payload end consumed zero-padding — the
      * reference's dec_bits would have longjmp'd out of the parse
-     * (bitio.c:112-128); callers abandon the picture (-2).  32 bits
-     * of slack absorb the CABAC engine's legitimate pre-read at a
-     * slice ending flush with the payload. */
+     * (bitio.c:112-128); callers abandon the picture (-2).
+     *
+     * The 32-bit slack is the engine's maximum legal lookahead, not a
+     * guess: every CABAC read primitive fetches <= 32 bits per call
+     * (cab_offset init get(9), cabac_renorm get(bits<=8 per decision,
+     * amortized one renorm per bin), multibypass get(num<=32)), and
+     * the offset register never holds more than 32 fetched-but-
+     * unresolved bits.  A conforming slice that ends flush with the
+     * payload can therefore legitimately read at most 32 bits of
+     * padding; anything beyond means decoded state consumed fabricated
+     * input.  Truncations shorter than that final lookahead window are
+     * indistinguishable from a flush ending by construction — the
+     * reference's word-granular dec_bits cache has the same blind spot
+     * (bitio.c:68-89 refills cache_t words). */
     bool past_end() const { return pos > nbits + 32; }
 };
 

@@ -18,14 +18,35 @@ Usage:
 
 Checkpoint payloads are produced and consumed by this library only —
 they are pickles of internal decoder state, not an interchange format.
+The header carries a format version plus a schema digest (hash of the
+source of the decoder's defining module): a blob written before an
+internal refactor — even a field rename — refuses to load instead of
+resuming with silently-stale state.
 """
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import io
 import pickle
+import struct
 
-MAGIC = b"m2dtpu-ckpt1"
+MAGIC = b"m2dtpu-ckpt2"
+#: bump on deliberate layout changes of the blob itself
+FORMAT_VERSION = 2
+
+
+def _schema_digest(cls) -> bytes:
+    """Digest of the decoder state schema: the source of the module
+    defining the decoder class. Any edit there (field renames included)
+    invalidates outstanding blobs — deliberately conservative; decode
+    state is cheap to rebuild from the stream."""
+    try:
+        src = inspect.getsource(inspect.getmodule(cls))
+    except (OSError, TypeError):
+        src = cls.__qualname__
+    return hashlib.sha256(src.encode()).digest()[:16]
 
 
 def save(dec) -> tuple[bytes, int]:
@@ -35,13 +56,34 @@ def save(dec) -> tuple[bytes, int]:
     m2d.h:69)."""
     buf = io.BytesIO()
     buf.write(MAGIC)
+    buf.write(struct.pack("<H", FORMAT_VERSION))
+    buf.write(_schema_digest(type(dec)))
     pickle.dump(dec, buf, protocol=pickle.HIGHEST_PROTOCOL)
     return buf.getvalue(), dec.stream_pos()
 
 
 def load(blob: bytes):
     """Restore a decoder checkpointed by save(). The caller re-attaches
-    the remaining stream with set_data(data[stream_pos:])."""
+    the remaining stream with set_data(data[stream_pos:]).
+
+    Raises ValueError on a foreign blob, a format-version mismatch, or
+    a schema mismatch (blob written by a different revision of the
+    decoder module)."""
     if blob[: len(MAGIC)] != MAGIC:
-        raise ValueError("not a m2dec_tpu checkpoint")
-    return pickle.loads(blob[len(MAGIC):])
+        raise ValueError("not a m2dec_tpu checkpoint (bad magic)")
+    off = len(MAGIC)
+    (ver,) = struct.unpack_from("<H", blob, off)
+    off += 2
+    if ver != FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint format v{ver} != supported v{FORMAT_VERSION}")
+    digest = blob[off : off + 16]
+    off += 16
+    obj = pickle.loads(blob[off:])
+    want = _schema_digest(type(obj))
+    if digest != want:
+        raise ValueError(
+            "checkpoint schema mismatch: blob was written by a "
+            f"different revision of {type(obj).__module__}; re-decode "
+            "from the stream instead of resuming")
+    return obj

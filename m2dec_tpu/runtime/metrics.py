@@ -56,8 +56,9 @@ class Metrics:
     def snapshot(self) -> dict:
         with self._lock:
             out = dict(self._counters)
+        names = list(out)  # iterate the copy, not the live dict
         out["uptime_s"] = round(time.monotonic() - self._t0, 3)
-        for k in list(self._counters):
+        for k in names:
             out[f"{k}_per_s"] = round(self.rate(k), 3)
         return out
 

@@ -44,6 +44,7 @@ class TurboH264Decoder:
         dec = self.dec
         batcher = None  # created lazily at first dispatch
         undisp: list = []  # plans awaiting dispatch (decode order)
+        pool_sizes: dict = {}  # id(plan) -> frame-pool size at decode
         stores: dict = {}  # id(plan) -> (outs, row)
         last_plan: dict = {}  # pool slot -> plan that wrote it
         events: deque = deque()  # (DecodedFrame meta, plan)
@@ -54,8 +55,13 @@ class TurboH264Decoder:
                 return
             from m2dec_tpu.codecs.h264.reconstruct import BatchedPhaseB
 
-            pool = len(dec.frames)
-            geom = (dec.max_x, dec.max_y, pool)
+            # geometry snapshot from the plans being dispatched (NOT
+            # the decoder's current state: on a mid-stream geometry
+            # change the decoder has already switched to the new shape
+            # while these plans were decoded under the old one)
+            geom = (undisp[0].mb_w, undisp[0].mb_h, pool_sizes[id(undisp[0])])
+            for p in undisp:
+                pool_sizes.pop(id(p), None)
             if batcher is None or (batcher.mb_w, batcher.mb_h,
                                    batcher.pool[0].shape[0]) != geom:
                 batcher = BatchedPhaseB(*geom)
@@ -101,6 +107,7 @@ class TurboH264Decoder:
             self.error = err
             if err == 1:
                 plan = dec.plans.pop()
+                pool_sizes[id(plan)] = len(dec.frames)
                 last_plan[dec.cur_idx] = plan
                 if undisp and (undisp[0].mb_w, undisp[0].mb_h) != (
                         plan.mb_w, plan.mb_h):

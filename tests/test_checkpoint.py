@@ -187,3 +187,47 @@ def test_h265_resume():
                 ready, frm = dec2.peek_decoded_frame(True)
             break
     assert b"".join(cropped_nv12_bytes(f) for f in out) == full
+
+
+# ---------------------------------------------------------------------
+# format hardening (VERDICT r2 #9): version + schema digest in the
+# header; stale blobs refuse to load instead of resuming silently
+# ---------------------------------------------------------------------
+
+
+def _small_h264_blob():
+    data = H264InterGen(48, 48, seed=7).generate("IP")
+    dec = H264Decoder()
+    dec.set_data(data)
+    assert dec.decode_picture() == 1
+    return checkpoint.save(dec)[0]
+
+
+def test_checkpoint_bad_magic_refused():
+    with pytest.raises(ValueError, match="magic"):
+        checkpoint.load(b"not-a-checkpoint-blob")
+
+
+def test_checkpoint_version_mismatch_refused():
+    import struct
+
+    blob = _small_h264_blob()
+    m = len(checkpoint.MAGIC)
+    bad = (blob[:m] + struct.pack("<H", checkpoint.FORMAT_VERSION + 1)
+           + blob[m + 2:])
+    with pytest.raises(ValueError, match="format v"):
+        checkpoint.load(bad)
+
+
+def test_checkpoint_schema_change_refused(monkeypatch):
+    """A blob written by a different revision of the decoder module
+    (e.g. a field rename) must fail loudly, not resume with stale
+    state. Simulated by saving under a forged schema digest — exactly
+    what an old-revision blob carries."""
+    real = checkpoint._schema_digest
+    monkeypatch.setattr(checkpoint, "_schema_digest",
+                        lambda cls: b"\x00" * 16)
+    blob = _small_h264_blob()
+    monkeypatch.setattr(checkpoint, "_schema_digest", real)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        checkpoint.load(blob)
