@@ -87,3 +87,37 @@ def test_kernel_units():
         want = R._LINE[sl2](col, 1, lambda v: v)
         got = RC._TMAT[sl2] @ np.asarray(col)
         assert np.array_equal(got, want)
+
+
+# -- multi-slice pictures through Phase B (VERDICT r2 #5): row-aligned
+#    slice segments replay the reference's per-segment decode ->
+#    window-masked deblock -> whole-frame SAO sequence in the jit graph
+#    (slice_layer, /root/reference/src/lib/h265.cpp:4682-4729) ---------
+
+
+class _MultiSliceGen(H265StreamGen):
+    def __init__(self, *args, slices_per_pic=2, **kw):
+        super().__init__(*args, **kw)
+        self.slices_per_pic = slices_per_pic
+
+
+@pytest.mark.parametrize("nsl", [2, 3, 4])
+def test_phase_b_roundtrip_multi_slice(nsl):
+    gen = _MultiSliceGen(64, 96, seed=100 + nsl, qp=30, cbf_prob=0.5,
+                         modes=ALL_MODES, deblock=1, sao=1, max_level=1,
+                         slices_per_pic=nsl)
+    data = gen.generate(3)
+    dec = H265Decoder()
+    dec.set_data(data)
+    dec.decode_all(collect_plans=True, keep_oracle=True)
+    assert dec.plans
+    assert any(p.multi_slice and len(p.slice_rows) == nsl
+               for p in dec.plans)
+    outs = RC.replay_plans(dec.plans)
+    for i, (p, (y, cb, cr)) in enumerate(zip(dec.plans, outs)):
+        oy, ocb, ocr = p.oracle
+        for name, a, b in (("y", y, oy), ("cb", cb, ocb),
+                           ("cr", cr, ocr)):
+            assert np.array_equal(a, b), \
+                f"pic {i} plane {name} ({nsl} segments): " \
+                f"{np.count_nonzero(a != b)} pixel diffs"
