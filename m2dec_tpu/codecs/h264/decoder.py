@@ -370,10 +370,14 @@ class H264Decoder:
         self.is_cabac = bool(pps.entropy_coding_mode_flag)
         if new_picture:
             self._find_empty_frame()
-            for d in self.deblock:
-                d.idc = 0
-                d.str_vert = d.str_horiz = 0
-                d.str4_vert = d.str4_horiz = 0
+            if not self.native:
+                # python MB loop state only; the native session keeps
+                # deblock records in its own C arrays (resetting 8160
+                # python objects costs ~1 ms/pic at 1080p)
+                for d in self.deblock:
+                    d.idc = 0
+                    d.str_vert = d.str_horiz = 0
+                    d.str4_vert = d.str4_horiz = 0
             if self.native:
                 self.native_session.begin_picture(self)
             elif self.plans is not None:

@@ -77,14 +77,21 @@ class NativeH264Session:
         plan = PicturePlan(self.max_x, self.max_y, alloc=self.plan_alloc)
         plan.cur_idx = dec.cur_idx
         plan.coded = np.empty(n, np.uint32)  # always cleared in C
-        # raw records for finalize_deblock
-        self.raw_idc = alloc(n, np.int32)
-        self.raw_qpy = alloc(n, np.int32)
-        self.raw_qpc = alloc((n, 2), np.int32)
-        self.raw_slicehdr = alloc((n, 2), np.int32)
-        self.raw_str4 = alloc((n, 2), np.int32)
-        self.raw_str = alloc((n, 2), np.int64)
-        self.pcm_dense = np.empty((n, 384), np.uint8)  # gated by kind==4
+        # raw records for finalize_deblock — per-picture scratch, fully
+        # consumed by finish_picture: allocate once and reuse (in fast
+        # mode C clears the consumed ranges each picture)
+        if getattr(self, "raw_idc", None) is None:
+            self.raw_idc = alloc(n, np.int32)
+            self.raw_qpy = alloc(n, np.int32)
+            self.raw_qpc = alloc((n, 2), np.int32)
+            self.raw_slicehdr = alloc((n, 2), np.int32)
+            self.raw_str4 = alloc((n, 2), np.int32)
+            self.raw_str = alloc((n, 2), np.int64)
+            self.pcm_dense = np.empty((n, 384), np.uint8)  # kind==4 only
+        elif not fast:
+            for a in (self.raw_idc, self.raw_qpy, self.raw_qpc,
+                      self.raw_slicehdr, self.raw_str4, self.raw_str):
+                a[:] = 0
         cc = dec.curr_col
         arrays = [
             plan.kind, plan.t8x8, plan.coef_luma, plan.coef_chroma,

@@ -1537,7 +1537,7 @@ class BatchedPhaseB:
         fn = _jitted_recon_blob(layout, self.mb_w, self.mb_h, has_i8,
                                 deblock, has_pcm)
         args = (self.pool[0], self.pool[1], self.pool[2],
-                blob, pals, cur_idx, self.diag)
+                _wire_views(blob, layout), pals, cur_idx, self.diag)
         if has_pcm:
             args += (_pcm_rows(plans, self.mb_w * self.mb_h),)
         self.pool, outs = fn(*args)
@@ -1628,9 +1628,15 @@ def get_batched_phase_b(mb_w, mb_h, pool_size):
 
 
 # ---------------------------------------------------------------------
-# single-blob transport: tunneled backends pay high per-transfer RPC
-# latency, so the whole wire dict ships as ONE uint8 buffer that the
-# graph slices/bitcasts back into fields (static layout per jit key)
+# wire transport: the packer coalesces all fields into one host blob
+# (one contiguous buffer to fill), but the DEVICE receives typed
+# per-field arrays. Shipping the raw uint8 blob and slicing/bitcasting
+# it inside the graph — the round-2 design — is what bloated the
+# executable to ~1 GB / 24-minute compiles: this backend's codegen
+# emits machine code proportional to the data size for byte-granular
+# relayout ops, and the byte ops fused into every consumer. With typed
+# field arguments the same 12-picture 1080p batch graph is 120 MB /
+# 34 s, independent of batch length (measured, round 3).
 # ---------------------------------------------------------------------
 
 
@@ -1665,42 +1671,30 @@ def _flatten_wire(wire):
     return blob, tuple(layout), pals
 
 
-def _unflatten_wire(blob, layout, xp):
-    import jax
-
+def _wire_views(blob, layout):
+    """HOST-side split of a wire blob into typed numpy field views
+    (zero-copy; each field is 8-byte aligned in the blob). These views
+    are what gets passed to the jitted graph — never the raw blob."""
     out = {}
     for path, dtname, shape, off, nb in layout:
-        raw = jax.lax.dynamic_slice(blob, (off,), (nb,))
         dt = np.dtype(dtname)
-        if dt.itemsize > 1:
-            raw = jax.lax.bitcast_convert_type(
-                raw.reshape(-1, dt.itemsize), dt)
-        else:
-            raw = raw.astype(dt) if dtname != "uint8" else raw
-            if dtname == "int8":
-                raw = jax.lax.bitcast_convert_type(raw, np.int8)
-        arr = raw.reshape(shape)
+        arr = blob[off : off + nb].view(dt).reshape(shape)
         if len(path) == 1:
             out[path[0]] = arr
         else:
             out.setdefault(path[0], {})[path[1]] = arr
-    # materialize every field: the byte-level slice/bitcast producers
-    # must NOT fuse into downstream gathers (see _fuse_break)
-    return jax.lax.optimization_barrier(out)
+    return out
 
 
-def _recon_batch_blob(pool_y, pool_cb, pool_cr, blob, pals, cur_idx, diag,
-                      *, layout, mb_w, mb_h, has_i8, deblock, pcm=None):
-    import jax.numpy as jnp
-
-    stacked = _unflatten_wire(blob, layout, jnp)
-    return _recon_batch(pool_y, pool_cb, pool_cr, stacked, pals, cur_idx,
+def _recon_batch_fields(pool_y, pool_cb, pool_cr, fields, pals, cur_idx,
+                        diag, *, mb_w, mb_h, has_i8, deblock, pcm=None):
+    return _recon_batch(pool_y, pool_cb, pool_cr, fields, pals, cur_idx,
                         diag, mb_w=mb_w, mb_h=mb_h, has_i8=has_i8,
                         deblock=deblock, pcm=pcm)
 
 
-def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, blobs, pals,
-                              cur_idx, diag, *, layout, n_streams, mb_w,
+def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, stacked, pals,
+                              cur_idx, diag, *, n_streams, mb_w,
                               mb_h, has_i8, deblock, pcm=None):
     """Multi-stream batched Phase B with the wavefront scans STACKED on
     tall planes: each scan step runs every stream's same-numbered
@@ -1708,8 +1702,8 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, blobs, pals,
     ~0.45 ms/step at 1080p just to move the neighbor windows) is paid
     once per step instead of once per stream.
 
-    pool_* [S, R, H, W]; blobs [S] wire blobs (identical layout);
-    pals [S] palette dicts; cur_idx [n_pics, S]; diag from
+    pool_* [S, R, H, W]; stacked [S] typed wire-field dicts (identical
+    shapes); pals [S] palette dicts; cur_idx [n_pics, S]; diag from
     _stack_diag_lanes. Streams must share geometry."""
     import jax
     import jax.numpy as jnp
@@ -1725,7 +1719,7 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, blobs, pals,
     tabs = (jnp.asarray(np.asarray(T.DEBLOCK_ALPHA, np.int32)),
             jnp.asarray(np.asarray(T.DEBLOCK_BETA, np.int32)),
             jnp.asarray(np.asarray(T.DEBLOCK_TC0, np.int32)))
-    stacked = [_unflatten_wire(blobs[s], layout, jnp) for s in range(S)]
+    # `stacked` arrives as typed per-field host arrays (see _wire_views)
 
     def step(pool, xs):
         py, pcb, pcr = pool
@@ -1807,14 +1801,16 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, blobs, pals,
 @functools.lru_cache(maxsize=8)
 def _jitted_recon_stacked(layout, n_streams, mb_w, mb_h, has_i8,
                           deblock, has_pcm=False):
+    """layout is only the jit-cache key (field shapes/dtypes follow
+    from it); the traced fn takes the typed field dicts directly."""
     import jax
 
-    fn = functools.partial(_recon_batch_stacked_blob, layout=layout,
+    fn = functools.partial(_recon_batch_stacked_blob,
                            n_streams=n_streams, mb_w=mb_w, mb_h=mb_h,
                            has_i8=has_i8, deblock=deblock)
     if has_pcm:
-        def fn_pcm(py, pcb, pcr, blobs, pals, cur_idx, diag, pcm):
-            return fn(py, pcb, pcr, blobs, pals, cur_idx, diag, pcm=pcm)
+        def fn_pcm(py, pcb, pcr, fields, pals, cur_idx, diag, pcm):
+            return fn(py, pcb, pcr, fields, pals, cur_idx, diag, pcm=pcm)
 
         return jax.jit(fn_pcm, donate_argnums=(0, 1, 2))
     return jax.jit(fn, donate_argnums=(0, 1, 2))
@@ -1823,16 +1819,18 @@ def _jitted_recon_stacked(layout, n_streams, mb_w, mb_h, has_i8,
 @functools.lru_cache(maxsize=64)
 def _jitted_recon_blob(layout, mb_w, mb_h, has_i8, deblock,
                        has_pcm=False):
+    """layout is only the jit-cache key; the traced fn takes the typed
+    field dict (see _wire_views) — never a raw uint8 blob."""
     import jax
 
-    fn = functools.partial(_recon_batch_blob, layout=layout, mb_w=mb_w,
+    fn = functools.partial(_recon_batch_fields, mb_w=mb_w,
                            mb_h=mb_h, has_i8=has_i8, deblock=deblock)
     if has_pcm:
         # separate signature (extra pcm operand) so the common
         # PCM-free executable — and its persistent-cache entry —
         # stays byte-identical
-        def fn_pcm(py, pcb, pcr, blob, pals, cur_idx, diag, pcm):
-            return fn(py, pcb, pcr, blob, pals, cur_idx, diag, pcm=pcm)
+        def fn_pcm(py, pcb, pcr, fields, pals, cur_idx, diag, pcm):
+            return fn(py, pcb, pcr, fields, pals, cur_idx, diag, pcm=pcm)
 
         return jax.jit(fn_pcm, donate_argnums=(0, 1, 2))
     return jax.jit(fn, donate_argnums=(0, 1, 2))
@@ -1981,12 +1979,13 @@ class MultiStreamPhaseB:
         has_pcm = any(p.pcm for plans in plans_per_stream
                       for p in plans)
         nmb = self.mb_w * self.mb_h
+        fields = [_wire_views(b, layout0) for b in blobs]
         if self.stacked:
             fn = _jitted_recon_stacked(layout0, self.n, self.mb_w,
                                        self.mb_h, has_i8, deblock,
                                        has_pcm)
             cur = np.stack(curs, axis=1)  # [n_pics, S]
-            args = (self.pool[0], self.pool[1], self.pool[2], blobs,
+            args = (self.pool[0], self.pool[1], self.pool[2], fields,
                     pals_list, cur, self.diag)
             if has_pcm:
                 args += ([_pcm_rows(plans, nmb)
@@ -1999,7 +1998,7 @@ class MultiStreamPhaseB:
         outs = []
         for i in range(len(plans_per_stream)):
             args = (self.pools[i][0], self.pools[i][1],
-                    self.pools[i][2], blobs[i], pals_list[i], curs[i],
+                    self.pools[i][2], fields[i], pals_list[i], curs[i],
                     self.diag)
             if has_pcm:
                 args += (_pcm_rows(plans_per_stream[i], nmb),)

@@ -259,8 +259,10 @@ def test_native_pack_wire():
     blobs, layout, pals_list, has_i8, deblock = res
     assert has_i8 and deblock
     for si in range(len(datas)):
-        wire = R._unflatten_wire(jnp.asarray(blobs[si]), layout, jnp)
-        dense = R._unpack_wire(wire, jnp, pals_list[si])
+        wire = R._wire_views(blobs[si], layout)
+        dense = R._unpack_wire(
+            {k: (dict(v) if isinstance(v, dict) else v)
+             for k, v in wire.items()}, jnp, pals_list[si])
         for k in R._PLAN_KEYS:
             a = np.asarray(dense[k]).astype(np.int64)
             b = truth[si][k].astype(np.int64)
