@@ -232,6 +232,7 @@ def turbo_decode(data, check_golden=None):
 
     from m2dec_tpu.codecs.h264.decoder import H264Decoder
     from m2dec_tpu.codecs.h264.reconstruct import (
+        dev_pool_size,
         get_batched_phase_b,
         host_checksum,
     )
@@ -244,8 +245,9 @@ def turbo_decode(data, check_golden=None):
     pending = []  # (device outs, plans)
     while dec.decode_picture() == 1:
         if batcher is None:
-            batcher = get_batched_phase_b(dec.max_x, dec.max_y,
-                                          len(dec.frames))
+            batcher = get_batched_phase_b(
+                dec.max_x, dec.max_y,
+                dev_pool_size(dec.sps.num_ref_frames, len(dec.frames)))
         while len(dec.plans) - plans_done >= BATCH:
             chunk = dec.plans[plans_done : plans_done + BATCH]
             pending.append((batcher.run_async(chunk), chunk))
@@ -306,8 +308,10 @@ def turbo_multi(data, n_streams, batcher=None, stacked=True):
     # batch packer release the GIL, so the host cores run streams'
     # entropy decode concurrently.
     decs = list(_phase_a_pool().map(decode_one, range(n_streams)))
+    from m2dec_tpu.codecs.h264.reconstruct import dev_pool_size as _dps
+
     plans_per_stream = [d.plans for d in decs]
-    pool_size = len(decs[0].frames)
+    pool_size = _dps(decs[0].sps.num_ref_frames, len(decs[0].frames))
     mbw, mbh = decs[0].max_x, decs[0].max_y
     if batcher is None:
         # stacked=False reuses the single-stream executable the e2e
@@ -405,10 +409,11 @@ def main():
     # single-stream warm rep: with stacked=False it reuses the
     # executable stage 3 just loaded, so it only costs run time -------
     if host_cks is not None and stage_ok("multi-stream", 75):
-        # the stacked executable only when there is budget to load it
-        stacked = remaining() > 600
+        # stacked wavefronts amortize the per-diagonal step cost across
+        # streams; its executable is small/fast to compile since the
+        # typed-field transport (round 3)
         nm, dtm, cks, batcher = turbo_multi(data, N_STREAMS,
-                                            stacked=stacked)  # compile
+                                            stacked=True)  # compile
         best = None
         reps = 0
         while reps < 2 and stage_ok("multi-stream rep", 30):

@@ -283,5 +283,11 @@ class NativeH264Session:
                 d[320:384].reshape(8, 8).copy(),
             )
         plan.poc = dec.hdr.poc
+        # liveness for device-pool compaction (reconstruct._DevSlotMap):
+        # host frame indexes that may still be referenced from here on —
+        # the pre-marking reference set plus the current picture
+        plan.live = sorted(
+            {rf.frame_idx for lx in (0, 1) for rf in dec.refs[lx]
+             if rf.in_use} | {plan.cur_idx})
         self.plan = None
         return plan

@@ -423,23 +423,47 @@ def pallas_available():
         pass
     jax_, jnp, pl, pltpu = _mk_ctx()
 
-    def _k(x_ref, o_ref):
-        o_ref[:] = x_ref[:] + 1
-
+    # probe with REAL production kernels at a small geometry, not a
+    # trivial add-one: this backend started compiling simple Mosaic
+    # kernels mid-round-3 while still rejecting ops the wavefront
+    # kernels use (minor-dim tpu.reshape, misaligned tpu.concatenate);
+    # a trivial probe then routed production into a MosaicError.
     try:
-        out = pl.pallas_call(
-            _k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(jnp.zeros((8, 128), jnp.int32))
-        works = int(np.asarray(out)[0, 0]) == 1
+        works = _probe_real_kernels()
     except Exception:
         works = False
     try:
         marker.parent.mkdir(parents=True, exist_ok=True)
         marker.write_text(json.dumps(
-            {"backend": backend, "works": works}))
+            {"backend": backend, "works": works,
+             "probe": "intra+deblock kernels @8x8"}))
     except Exception:
         pass
     _AVAILABLE = works
     return works
+
+
+def _probe_real_kernels(mb_w=8, mb_h=8):
+    """Compile-and-run all four wavefront kernels at a tiny geometry;
+    True only if every one executes."""
+    import jax
+    import jax.numpy as jnp
+
+    g = WF.get_geom(mb_w, mb_h)
+    nd, L = g["nd"], mb_h
+    kers = _build_all(mb_w, mb_h, True, True, False)
+    shY, shC = _plane_shapes_T(mb_w, mb_h)
+    shapes = {"kind": (), "res_y": (16, 16), "res_c": (2, 8, 8),
+              "i4_modes": (16,), "i4_avail": (16,), "i16_mode": (),
+              "chroma_mode": (), "mb_avail": (),
+              "i8_modes": (4,), "i8_avail": (4,),
+              "deb_str": (2, 4), "deb_str4": (2,),
+              "deb_ab": (2, 6, 2)}
+    Pd = {k: jnp.zeros((nd, L) + s, jnp.int32)
+          for k, s in shapes.items()}
+    for name, (call, keys, cargs) in kers.items():
+        sh = shY if name in ("il", "dl") else shC
+        plane = jnp.zeros(sh, jnp.int16)
+        out = call(*_args(Pd, keys, cargs), plane)
+        np.asarray(out)
+    return True

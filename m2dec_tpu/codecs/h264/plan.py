@@ -215,6 +215,10 @@ class PlanRecorder:
             strs[i] = (d.str_horiz, d.str_vert)
         finalize_deblock(p, idc, slicehdr, qpy, qpc, str4, strs,
                          dec.firstline)
+        # liveness for device-pool compaction (reconstruct._DevSlotMap)
+        p.live = sorted(
+            {rf.frame_idx for lx in (0, 1) for rf in dec.refs[lx]
+             if rf.in_use} | {p.cur_idx})
         return p
 
 

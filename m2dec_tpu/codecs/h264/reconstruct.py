@@ -190,6 +190,7 @@ def _flat_windows32(refs_p, slot, sy, sx, rows, cols, xp):
     wflat, idx = _fuse_break(words.reshape(-1), idx)
     g = _fuse_break(xp.take(wflat, idx))  # [B, rows, nw] uint32
     # little-endian unpack to 4*nw bytes, then 4-phase static select
+    # (a per-column word/shift select was measured SLOWER here)
     sh = (xp.arange(4, dtype=xp.uint32) * 8)[None, None, None, :]
     byts = ((g[..., None] >> sh) & 0xFF).astype(xp.int32)
     byts = byts.reshape(byts.shape[0], rows, nw * 4)
@@ -336,6 +337,35 @@ def _chroma_mc(refs_p, slot, posx, posy, fracx, fracy, xp, H, W):
             + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
 
 
+def _chroma_mc_ilv(refs_ilv_p, slot, posx, posy, fracx, fracy, xp, H, W):
+    """Bilinear 2x2 chroma from a column-INTERLEAVED CbCr plane
+    [R, Hc+2p, 2*(Wc+2p)] (NV12 row layout, frames.h interleaved
+    chroma): cb and cr windows share coordinates, so ONE word-gather
+    per prediction serves both components — half the fetches and ~25%
+    fewer gathered words than per-plane fetching (the gather unit is
+    issue-rate-bound per element). Returns (pcb, pcr) [B,2,2]."""
+    posy_c = xp.clip(posy, -3, H - 1)
+    posx_c = xp.clip(posx, -3, W - 1)
+    g = _flat_windows32(refs_ilv_p, slot, posy_c + _MC_PAD,
+                        2 * (posx_c + _MC_PAD), 3, 6, xp)  # [B,3,6]
+    # interleaved bilinear: the +1-texel taps are +2 byte-columns
+    a = g[:, 0:2, 0:4]
+    b = g[:, 0:2, 2:6]
+    c = g[:, 1:3, 0:4]
+    d = g[:, 1:3, 2:6]
+    fx = fracx[:, None, None]
+    fy = fracy[:, None, None]
+    out = ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+           + (8 - fx) * fy * c + fx * fy * d + 32) >> 6  # [B,2,4] ilv
+    return out[:, :, 0::2], out[:, :, 1::2]
+
+
+def _interleave_chroma(cb_p, cr_p, xp):
+    """[R,Hp,Wp] x2 -> [R,Hp,2*Wp] column-interleaved."""
+    R_, Hp, Wp = cb_p.shape
+    return xp.stack([cb_p, cr_p], axis=-1).reshape(R_, Hp, 2 * Wp)
+
+
 def _combine_wp(p0, p1, both, w0, w1, o, s, xp):
     """Unified copy/AVERAGE2/explicit/implicit combine (plan.py wp)."""
     rnd = xp.where(s > 0, 1 << xp.maximum(s - 1, 0), 0)
@@ -375,8 +405,8 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
 
     H, W = refs_y.shape[1], refs_y.shape[2]
     refs_y_p = _pad_refs_edge(refs_y, xp)
-    refs_cb_p = _pad_refs_edge(refs_cb, xp)
-    refs_cr_p = _pad_refs_edge(refs_cr, xp)
+    refs_c_p = _interleave_chroma(_pad_refs_edge(refs_cb, xp),
+                                  _pad_refs_edge(refs_cr, xp), xp)
     planes4 = _halfpel_planes(refs_y_p, xp)
 
     def pred_one(sl, mvv):
@@ -385,10 +415,8 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
                          mvx & 3, mvy & 3, xp, H, W)
         cxp = (bx >> 1) + (mvx >> 3)
         cyp = (by >> 1) + (mvy >> 3)
-        pcb = _chroma_mc(refs_cb_p, sl, cxp, cyp, mvx & 7, mvy & 7, xp,
-                         H >> 1, W >> 1)
-        pcr = _chroma_mc(refs_cr_p, sl, cxp, cyp, mvx & 7, mvy & 7, xp,
-                         H >> 1, W >> 1)
+        pcb, pcr = _chroma_mc_ilv(refs_c_p, sl, cxp, cyp, mvx & 7,
+                                  mvy & 7, xp, H >> 1, W >> 1)
         return py, pcb, pcr
 
     p0y, p0cb, p0cr = pred_one(p0_slot, p0_mv)
@@ -1489,11 +1517,77 @@ def _jitted_recon_batch(mb_w, mb_h, has_i8, deblock):
     return jax.jit(fn, donate_argnums=(0, 1, 2))
 
 
+class _DevSlotMap:
+    """Host-side compaction of frame-pool indices for the device pool.
+
+    The host decoder's LRU deliberately wanders across its whole frame
+    array (17+ slots at 1080p, reference pointer-rotation semantics,
+    m2d_update_frames mpeg2.cpp:159-194 / find_empty_frame) while only
+    ~(num_ref_frames + 1) frames are live at once. Device traffic for
+    edge-pad, half-pel planes and the pool write scales with pool size,
+    so plans' slot / cur_idx values are translated into a compact
+    device slot space at dispatch time. A host index's device slot is
+    recycled only once the frame can never be referenced again (it left
+    ``plan.live`` — the pre-marking reference set plus current, a
+    superset of every future plan's reference set)."""
+
+    def __init__(self, cap):
+        self.cap = cap
+        self.map = {}
+
+    def reset(self):
+        self.map.clear()
+
+    def translate(self, plan):
+        """-> (tr, dev_cur): tr maps host idx -> dev slot (int32[64],
+        unmapped = 0 — never read for unmapped hosts)."""
+        slots = plan.used_slots()
+        needed = set(slots) | {plan.cur_idx}
+        live = set(getattr(plan, "live", None) or range(64))
+        for h in needed:
+            if h in self.map:
+                continue
+            used = set(self.map.values())
+            free = [s for s in range(self.cap) if s not in used]
+            if not free:
+                victims = [k for k in self.map
+                           if k not in live and k not in needed]
+                if not victims:
+                    raise RuntimeError(
+                        f"device pool cap {self.cap} exceeded "
+                        f"(live={sorted(live)})")
+                del self.map[victims[0]]
+                free = [s for s in range(self.cap)
+                        if s not in set(self.map.values())]
+            self.map[h] = free[0]
+        tr = np.zeros(64, np.int32)
+        for h, s in self.map.items():
+            tr[h] = s
+        return tr, self.map[plan.cur_idx]
+
+
+def _remap_batch(slot_field, cur_idx, plans, smap):
+    """Apply a _DevSlotMap to a batch IN PLACE: slot_field [B, n, 4, 2]
+    (any int dtype, -1 preserved) and cur_idx [B] int32."""
+    for b, p in enumerate(plans):
+        tr, dev_cur = smap.translate(p)
+        v = slot_field[b]
+        np.copyto(v, np.where(v >= 0, tr[np.clip(v, 0, 63)]
+                              .astype(v.dtype), v))
+        cur_idx[b] = dev_cur
+
+
+def dev_pool_size(num_ref_frames, host_pool):
+    """Compact device pool size: refs + current + transition margin
+    (an IDR's plan keeps the old refs live through its own picture)."""
+    return min(host_pool, num_ref_frames + 3)
+
+
 class BatchedPhaseB:
     """Device-resident frame pool + batched multi-picture Phase B.
 
-    Feed plans in decode order; slot arrays index the pool directly
-    (frame_idx values), so no per-picture remap is needed."""
+    Feed plans in decode order; plans' host frame indexes are
+    translated into the compact device slot space by _DevSlotMap."""
 
     def __init__(self, mb_w, mb_h, pool_size):
         import jax
@@ -1512,6 +1606,7 @@ class BatchedPhaseB:
 
         self.pool = _mk()
         self.diag = _diag_lanes(mb_w, mb_h)
+        self.smap = _DevSlotMap(pool_size)
 
     def run_async(self, plans):
         """Dispatch a batch; returns device arrays (not materialized),
@@ -1536,8 +1631,10 @@ class BatchedPhaseB:
             blob, layout, pals = _flatten_wire(wire)
         fn = _jitted_recon_blob(layout, self.mb_w, self.mb_h, has_i8,
                                 deblock, has_pcm)
+        fields = _wire_views(blob, layout)
+        _remap_batch(fields["slot"], cur_idx, plans, self.smap)
         args = (self.pool[0], self.pool[1], self.pool[2],
-                _wire_views(blob, layout), pals, cur_idx, self.diag)
+                fields, pals, cur_idx, self.diag)
         if has_pcm:
             args += (_pcm_rows(plans, self.mb_w * self.mb_h),)
         self.pool, outs = fn(*args)
@@ -1921,6 +2018,7 @@ class MultiStreamPhaseB:
             self._mk = _mk
             self.pool = _mk()
             self.diag = _stack_diag_lanes(mb_w, mb_h, n_streams, H, W)
+            self.smaps = [_DevSlotMap(pool_size) for _ in range(n_streams)]
         else:
             @jax.jit
             def _mk():
@@ -1933,12 +2031,15 @@ class MultiStreamPhaseB:
             self._mk = _mk
             self.pools = [_mk() for _ in range(n_streams)]
             self.diag = _diag_lanes(mb_w, mb_h)
+            self.smaps = [_DevSlotMap(pool_size) for _ in range(n_streams)]
 
     def reset(self):
         if self.stacked:
             self.pool = self._mk()
         else:
             self.pools = [self._mk() for _ in range(self.n)]
+        for m in self.smaps:
+            m.reset()
 
     def run(self, plans_per_stream):
         """plans_per_stream: list of N equal-length plan lists (wire
@@ -1980,6 +2081,9 @@ class MultiStreamPhaseB:
                       for p in plans)
         nmb = self.mb_w * self.mb_h
         fields = [_wire_views(b, layout0) for b in blobs]
+        for s, plans in enumerate(plans_per_stream):
+            _remap_batch(fields[s]["slot"], curs[s], plans,
+                         self.smaps[s])
         if self.stacked:
             fn = _jitted_recon_stacked(layout0, self.n, self.mb_w,
                                        self.mb_h, has_i8, deblock,

@@ -106,8 +106,11 @@ class TurboH264Decoder:
             err = dec.decode_picture()
             self.error = err
             if err == 1:
+                from m2dec_tpu.codecs.h264.reconstruct import dev_pool_size
+
                 plan = dec.plans.pop()
-                pool_sizes[id(plan)] = len(dec.frames)
+                pool_sizes[id(plan)] = dev_pool_size(
+                    dec.sps.num_ref_frames, len(dec.frames))
                 last_plan[dec.cur_idx] = plan
                 if undisp and (undisp[0].mb_w, undisp[0].mb_h) != (
                         plan.mb_w, plan.mb_h):

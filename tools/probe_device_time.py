@@ -121,38 +121,22 @@ def main():
     dec.set_data(data)
     while dec.decode_picture() == 1:
         pass
-    import jax.numpy as jnp
-
     plans = dec.plans
-    blobs, layout, pals_list, has_i8, deblock = pack_batches([plans])
-    fields = R._wire_views(blobs[0], layout)
-    pals = pals_list[0]
-    cur_idx = np.array([p.cur_idx for p in plans], np.int32)
-    H, W = dec.max_y * 16, dec.max_x * 16
-    ps = len(dec.frames)
-    pool = (jnp.zeros((ps, H, W), jnp.uint8),
-            jnp.zeros((ps, H // 2, W // 2), jnp.uint8),
-            jnp.zeros((ps, H // 2, W // 2), jnp.uint8))
-    diag = R._diag_lanes(dec.max_x, dec.max_y)
-    fn = jax.jit(functools.partial(
-        R._recon_batch_fields, mb_w=dec.max_x, mb_h=dec.max_y,
-        has_i8=has_i8, deblock=deblock))
-    fields_d = jax.device_put(fields)
+    cap = R.dev_pool_size(dec.sps.num_ref_frames, len(dec.frames))
+    b = R.BatchedPhaseB(dec.max_x, dec.max_y, cap)
     t0 = time.time()
-    pool2, outs = fn(pool[0], pool[1], pool[2], fields_d, pals,
-                     cur_idx, diag)
+    outs = b.run_async(plans)
     _ = int(np.asarray(outs[0][0, 0, 0]))
     print(f"off={sorted(off)}: first {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
     best = None
     for i in range(3):
         t0 = time.time()
-        pool2, outs = fn(pool[0], pool[1], pool[2], fields_d, pals,
-                         cur_idx, diag)
+        outs = b.run_async(plans)
         _ = int(np.asarray(outs[0][0, 0, 0]))
         dt = time.time() - t0
         best = dt if best is None or dt < best else best
-    print(f"off={sorted(off)}: exec {best*1e3:.0f} ms "
+    print(f"off={sorted(off)}: dispatch+exec {best*1e3:.0f} ms "
           f"({best*1e3/len(plans):.1f} ms/pic)", file=sys.stderr)
 
 
