@@ -654,14 +654,21 @@ class H265Decoder:
     # ---------------------------------------------------------------
 
     def begin_decode(self, collect_plans=False, keep_oracle=False,
-                     backend=None):
+                     backend=None, defer_recon=False):
         """Arm the incremental decode (pull-mode vtable API). Must be
         called after set_data; decode_picture() then processes one slice
         NAL per call (the reference h265d_decode_picture returns per
-        slice_layer, h265.cpp:4898-4920)."""
+        slice_layer, h265.cpp:4898-4920).
+
+        defer_recon (backend="native" only): Phase A runs WITHOUT any
+        reconstruction — plans accumulate and DPB output events record
+        frame-pool indexes (pop_decoded_index) for an external batched
+        Phase B (runtime/turbo.TurboH265Decoder)."""
         self._cfg_collect = collect_plans or backend == "jax"
         self._cfg_oracle = keep_oracle
         self._cfg_backend = backend
+        self._cfg_defer = bool(defer_recon)
+        self._idxq = []
         self._nal_list = []
         for k, off in enumerate(self.offs):
             start = int(off) + 3
@@ -722,6 +729,9 @@ class H265Decoder:
         if self._sess is None or self._sess.plan is None:
             return
         plan = self._sess.finish_picture()
+        if getattr(self, "_cfg_defer", False):
+            self.plans.append(plan)
+            return
         from m2dec_tpu.codecs.h265 import reconstruct as _RC
 
         py = np.stack([f["y"] for f in self.pool])
@@ -739,6 +749,18 @@ class H265Decoder:
 
         f = self.pool[frame_idx]
         geom = self._geom
+        if getattr(self, "_cfg_defer", False):
+            # no pixel copies: the overlapped driver materializes from
+            # its Phase-B batches; record the pool index alongside
+            frm = DecodedFrame(
+                y=None, cb=None, cr=None, width=geom["w"],
+                height=geom["h"], crop=geom["crop"], cnt=f["poc"])
+            if out_list is None:
+                self._outq.append(frm)
+                self._idxq.append(frame_idx)
+            else:
+                out_list.append(frm)
+            return
         frm = DecodedFrame(
             y=f["y"].copy(), cb=f["cb"].copy(), cr=f["cr"].copy(),
             width=geom["w"], height=geom["h"], crop=geom["crop"],
@@ -889,6 +911,23 @@ class H265Decoder:
                 width=geom["w"], height=geom["h"], crop=geom["crop"],
                 cnt=f["poc"])
         return 0, None
+
+    def pop_decoded_index(self, is_end=False):
+        """Defer-mode event pop: (frame_idx, DecodedFrame meta without
+        pixels). -1 when nothing is ready."""
+        from m2dec_tpu.codecs.mpeg2.decoder import DecodedFrame
+
+        if self._outq:
+            frm = self._outq.pop(0)
+            return self._idxq.pop(0), frm
+        if is_end and self.dpb:
+            poc, fi, _ = self.dpb.pop(0)
+            geom = self._geom
+            return fi, DecodedFrame(
+                y=None, cb=None, cr=None, width=geom["w"],
+                height=geom["h"], crop=geom["crop"],
+                cnt=self.pool[fi]["poc"])
+        return -1, None
 
     def get_decoded_frame(self, is_end=False):
         ready, frm = self.peek_decoded_frame(is_end)

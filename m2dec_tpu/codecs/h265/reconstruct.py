@@ -908,18 +908,22 @@ def _ctu_diag(cols, rows):
     return out
 
 
-def _diag_ops(plan):
-    """Host prep: per-diagonal op tensors [D, Lm, CAP, 7]."""
+def _diag_ops(plan, capl=None, capc=None):
+    """Host prep: per-diagonal op tensors [D, Lm, CAP, 7]. capl/capc
+    override the per-picture op capacity (batch stacking unifies
+    them)."""
     diag = _ctu_diag(plan.columns, plan.rows)
     D, Lm = diag.shape
-    dl = np.zeros((D, Lm, plan.ops_l.shape[1], 7), np.int32)
-    dc = np.zeros((D, Lm, plan.ops_c.shape[1], 7), np.int32)
+    cl = plan.ops_l.shape[1]
+    cc = plan.ops_c.shape[1]
+    dl = np.zeros((D, Lm, capl or cl, 7), np.int32)
+    dc = np.zeros((D, Lm, capc or cc, 7), np.int32)
     for d in range(D):
         for j in range(Lm):
             ci = diag[d, j]
             if ci >= 0:
-                dl[d, j] = plan.ops_l[ci]
-                dc[d, j] = plan.ops_c[ci]
+                dl[d, j, :cl] = plan.ops_l[ci]
+                dc[d, j, :cc] = plan.ops_c[ci]
     return dl, dc
 
 
@@ -1197,9 +1201,19 @@ def _recon_seq(pool_y, pool_cb, pool_cr, xs, *, H, W, strong_en,
             has_sao=has_sao, deblock=deblock, ctb_log2=ctb_log2,
             pic_w=pic_w, pic_h=pic_h)
         idx = x["cur_idx"]
-        py = py.at[idx].set(y)
-        pcb = pcb.at[idx].set(cb)
-        pcr = pcr.at[idx].set(cr)
+        # masked-select pool write: a dynamic_update_slice at a runtime
+        # slot index costs ~22 MB of TPU machine code per plane on this
+        # backend (see codecs/h264/reconstruct._pool_write)
+        from m2dec_tpu.codecs.h264.reconstruct import (
+            _fuse_break,
+            _pool_write,
+        )
+        import jax.numpy as jnp
+
+        y, cb, cr = _fuse_break(y, cb, cr)
+        py = _pool_write(py, y, idx, jnp)
+        pcb = _pool_write(pcb, cb, idx, jnp)
+        pcr = _pool_write(pcr, cr, idx, jnp)
         return (py, pcb, pcr), (y, cb, cr)
 
     pool, outs = jax.lax.scan(step, (pool_y, pool_cb, pool_cr), xs)
@@ -1212,13 +1226,75 @@ _SEQ_KEYS = ("coef_y", "tu_y", "coef_cb", "tu_cb", "coef_cr", "tu_cr",
 
 
 def stack_plans(plans):
-    """Host prep: stacked per-picture tensors [N, ...] for _recon_seq."""
+    """Host prep: stacked per-picture tensors [N, ...] for _recon_seq.
+
+    Per-picture intra-op capacities are unified to the batch max,
+    rounded up to a power of two so successive batches of the same
+    stream reuse one executable."""
     xs = {}
     for k in _SEQ_KEYS:
         xs[k] = np.stack([np.asarray(getattr(p, k), np.int32)
                           for p in plans])
-    dl, dc = zip(*[_diag_ops(p) for p in plans])
+    capl = _ceil_pow2(max(p.ops_l.shape[1] for p in plans))
+    capc = _ceil_pow2(max(p.ops_c.shape[1] for p in plans))
+    dl, dc = zip(*[_diag_ops(p, capl, capc) for p in plans])
     xs["ops_dl"] = np.stack(dl)
     xs["ops_dc"] = np.stack(dc)
     xs["cur_idx"] = np.array([p.cur_idx for p in plans], np.int32)
     return xs
+
+
+def _ceil_pow2(v):
+    r = 1
+    while r < v:
+        r *= 2
+    return r
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_recon_seq(H, W, strong_en, has_sao, deblock, ctb_log2,
+                      pic_w, pic_h):
+    import jax
+
+    fn = functools.partial(_recon_seq, H=H, W=W, strong_en=strong_en,
+                           has_sao=has_sao, deblock=deblock,
+                           ctb_log2=ctb_log2, pic_w=pic_w, pic_h=pic_h)
+    return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+
+class H265SeqPhaseB:
+    """Device-resident frame pool + batched multi-picture H.265 Phase B
+    (the H.264 BatchedPhaseB analog): each run_async dispatches one
+    lax.scan graph over the batch with the pool carried on device."""
+
+    def __init__(self, H, W, pool_size, ctb_log2, pic_w, pic_h):
+        import jax
+        import jax.numpy as jnp
+
+        self.H, self.W = H, W
+        self.ctb_log2, self.pic_w, self.pic_h = ctb_log2, pic_w, pic_h
+
+        @jax.jit
+        def _mk():
+            return (jnp.zeros((pool_size, H, W), jnp.uint8),
+                    jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8),
+                    jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8))
+
+        self.pool = _mk()
+
+    def run_async(self, plans):
+        if any(p.multi_slice for p in plans):
+            raise NotImplementedError(
+                "multi-slice pictures: serial Phase B only")
+        xs = stack_plans(plans)
+        deblock = bool(xs["dbv"][..., 0].any() or xs["dbh"][..., 0].any()
+                       or (xs["dbcv"] >= 0).any()
+                       or (xs["dbch"] >= 0).any())
+        strong_en = any(bool(p.strong_intra) for p in plans)
+        has_sao = any(bool(p.has_sao) for p in plans)
+        fn = _jitted_recon_seq(self.H, self.W, strong_en, has_sao,
+                               deblock, self.ctb_log2, self.pic_w,
+                               self.pic_h)
+        self.pool, outs = fn(self.pool[0], self.pool[1], self.pool[2],
+                             xs)
+        return outs

@@ -129,3 +129,114 @@ class TurboH264Decoder:
 
     def decode_all(self):
         return list(self.frames())
+
+
+class TurboH265Decoder:
+    """Overlapped Phase A / Phase B H.265 stream decoder (the H.264
+    driver's structure on the HEVC engine): native C++ Phase A runs
+    ahead collecting H265Plans, whole-GOP batches dispatch to the
+    device as ONE lax.scan graph each (H265SeqPhaseB, frame pool
+    device-resident), and DPB output events — recorded as pool indexes
+    by the decoder's defer mode — materialize lazily from the batch
+    outs. Output frames and order are identical to the serial
+    decode_all(backend="native") path.
+
+    Single-slice pictures only (multi-slice keeps the serial path, as
+    the reference replays whole-frame SAO per segment)."""
+
+    def __init__(self, data: bytes, batch: int = 8):
+        from m2dec_tpu.codecs.h265.headers import H265Decoder
+
+        self.batch = int(batch)
+        self.dec = H265Decoder()
+        self.dec.set_data(data)
+        self.dec.begin_decode(backend="native", defer_recon=True)
+        self.error = 0
+
+    def frames(self):
+        dec = self.dec
+        batcher = None
+        undisp: list = []
+        stores: dict = {}   # id(plan) -> (outs, row)
+        last_plan: dict = {}  # pool idx -> plan that wrote it
+        events: deque = deque()
+        plans_seen = 0
+
+        def dispatch():
+            nonlocal batcher
+            if not undisp:
+                return
+            from m2dec_tpu.codecs.h265.reconstruct import H265SeqPhaseB
+
+            p0 = undisp[0]
+            if batcher is None:
+                geom = dec._geom
+                batcher = H265SeqPhaseB(
+                    p0.H, p0.W, len(dec.pool), p0.size_log2,
+                    p0.pic_width, p0.pic_height)
+            outs = batcher.run_async(undisp)
+            for i, p in enumerate(undisp):
+                stores[id(p)] = (outs, i)
+            undisp.clear()
+
+        def harvest_plans():
+            nonlocal plans_seen
+            while plans_seen < len(dec.plans):
+                p = dec.plans[plans_seen]
+                plans_seen += 1
+                last_plan[p.cur_idx] = p
+                undisp.append(p)
+                if len(undisp) >= self.batch:
+                    dispatch()
+
+        def capture(is_end=False):
+            # bind the plan at event time: the pool slot may be reused
+            # by a later picture before this event materializes
+            idx, frm = dec.pop_decoded_index(is_end)
+            while idx >= 0:
+                events.append((frm, last_plan.get(idx)))
+                idx, frm = dec.pop_decoded_index(is_end)
+
+        def emit_ready(flush=False):
+            while events:
+                frm, plan = events[0]
+                ent = stores.get(id(plan)) if plan is not None else None
+                if ent is None:
+                    if plan is not None and any(
+                            p is plan for p in undisp) and flush:
+                        dispatch()
+                        continue
+                    if plan is None:
+                        # frame emitted before any plan wrote its slot
+                        # (empty pool frame) — zero planes
+                        events.popleft()
+                        z = np.zeros((frm.height, frm.width), np.uint8)
+                        zc = np.zeros((frm.height >> 1, frm.width >> 1),
+                                      np.uint8)
+                        yield replace(frm, y=z, cb=zc, cr=zc)
+                        continue
+                    break
+                events.popleft()
+                outs, i = ent
+                yield replace(frm, y=np.asarray(outs[0][i]),
+                              cb=np.asarray(outs[1][i]),
+                              cr=np.asarray(outs[2][i]))
+
+        while True:
+            err = dec.decode_picture()
+            self.error = err
+            harvest_plans()
+            capture()
+            yield from emit_ready()
+            if err == 1:
+                continue
+            # EOS/truncation: the decoder's EOS path finalized the last
+            # plan; flush and drain the DPB
+            harvest_plans()
+            dispatch()
+            capture(is_end=True)
+            yield from emit_ready(flush=True)
+            return
+
+    def decode_all(self):
+        return list(self.frames())

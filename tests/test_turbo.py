@@ -95,3 +95,79 @@ def test_pipeline_two_phase():
         assert np.array_equal(g.y, e.y)
         assert np.array_equal(g.cb, e.cb)
         assert np.array_equal(g.cr, e.cr)
+
+
+# ---------------------------------------------------------------------
+# H.265 overlapped driver (VERDICT r2 #6): TurboH265Decoder must match
+# the serial decode_all(backend="native") byte-for-byte
+# ---------------------------------------------------------------------
+
+
+def _h265_serial(data):
+    from m2dec_tpu.codecs.h265.headers import H265Decoder
+
+    dec = H265Decoder()
+    dec.set_data(data)
+    return dec.decode_all(backend="native")
+
+
+def _h265_assert_equiv(data, batch):
+    from m2dec_tpu.native import load_h265
+    from m2dec_tpu.runtime.turbo import TurboH265Decoder
+
+    if load_h265() is None:
+        pytest.skip("native toolchain unavailable")
+    exp = _h265_serial(data)
+    got = TurboH265Decoder(data, batch=batch).decode_all()
+    assert len(got) == len(exp)
+    for k, (g, e) in enumerate(zip(got, exp)):
+        assert g.cnt == e.cnt, f"frame {k} poc"
+        assert g.crop == e.crop
+        assert np.array_equal(g.y, e.y), f"frame {k} y"
+        assert np.array_equal(g.cb, e.cb), f"frame {k} cb"
+        assert np.array_equal(g.cr, e.cr), f"frame {k} cr"
+
+
+@pytest.mark.parametrize("batch", [1, 2, 8])
+def test_h265_turbo_b_stream(batch):
+    from streamgen.h265_enc import ALL_MODES, H265StreamGen
+
+    data = H265StreamGen(64, 48, seed=82, qp=32, cbf_prob=0.4,
+                         modes=ALL_MODES, tmvp=1, deblock=1, sao=1,
+                         max_level=1).generate("IPBPB")
+    _h265_assert_equiv(data, batch)
+
+
+def test_h265_turbo_intra_multi_gop():
+    from streamgen.h265_enc import H265StreamGen
+
+    data = H265StreamGen(64, 48, seed=5).generate(5)
+    _h265_assert_equiv(data, 2)
+
+
+def test_h265_turbo_nonaligned_crop():
+    from streamgen.h265_enc import ALL_MODES, H265StreamGen
+
+    data = H265StreamGen(52, 36, seed=3, qp=30, cbf_prob=0.5,
+                         modes=ALL_MODES, deblock=1,
+                         max_level=1).generate("IPP")
+    _h265_assert_equiv(data, 3)
+
+
+def test_h265_turbo_truncated_drains():
+    from streamgen.h265_enc import H265StreamGen
+    from m2dec_tpu.native import load_h265
+    from m2dec_tpu.runtime.turbo import TurboH265Decoder
+
+    if load_h265() is None:
+        pytest.skip("native toolchain unavailable")
+    data = H265StreamGen(64, 48, seed=7).generate(3)
+    cut = data[: len(data) - len(data) // 4]
+    t = TurboH265Decoder(cut, batch=2)
+    got = t.decode_all()
+    assert t.error < 0
+    # the serial path on the same truncated input is the arbiter
+    exp = _h265_serial(cut)
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert np.array_equal(g.y, e.y)
