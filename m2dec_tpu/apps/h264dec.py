@@ -174,7 +174,7 @@ def main(argv=None):
     _pin_platform()
     argv = list(sys.argv[1:]) if argv is None else list(argv)
     try:
-        opts, args = getopt.gnu_getopt(argv, "bd:ef:moOsxn:",
+        opts, args = getopt.gnu_getopt(argv, "bd:ef:moOsxn:C",
                                        ["jax", "turbo"])
     except getopt.GetoptError:
         return _blame()
@@ -199,6 +199,8 @@ def main(argv=None):
             skip_num = int(val, 0)
         elif flag == "-m":
             codec = "mpeg2"
+        elif flag == "-C":
+            out_mode = "cks"
         elif flag == "-o":
             out_mode = "raw"
         elif flag == "-O":
@@ -240,6 +242,35 @@ def _decode_main(infile, data, codec, emptify, skip_num, out_mode, limit,
 
         data = PsDemuxer(data).video_stream()
         codec = "mpeg2"
+
+    if out_mode == "cks":
+        # device-resident golden mode (runtime/golden.py): per-frame
+        # strong checksums computed ON DEVICE, frames never ride the
+        # d2h path — the full-speed analog of -O (FileWriterMd5,
+        # filewrite.h:91-125) for the HBM serving contract
+        from m2dec_tpu.runtime.golden import CksWriter
+        from m2dec_tpu.runtime.turbo import TurboH264Decoder
+
+        if codec != "h264":
+            return _blame()
+        state = {}
+        w = CksWriter(_out_path(infile))
+        turbo = TurboH264Decoder(data)
+        n = 0
+        for frm, outs, i in turbo.device_frames():
+            _announce(turbo.dec, codec, state)
+            if outs is None:
+                from m2dec_tpu.runtime.output import cropped_nv12_bytes
+
+                w.write_host_frame(cropped_nv12_bytes(frm))
+            else:
+                w.write_device_frame(outs[0][i], outs[1][i], outs[2][i],
+                                     frm.crop)
+            n += 1
+            if limit and n >= limit:
+                break
+        w.close()
+        return 0
 
     out_f = open(_out_path(infile), "wb") if out_mode else None
     sink = _Sink(out_f, out_mode, limit)

@@ -41,6 +41,19 @@ class TurboH264Decoder:
     # ------------------------------------------------------------------
     def frames(self):
         """Yield materialized DecodedFrames in output (DPB) order."""
+        for frm, outs, i in self.device_frames():
+            if outs is None:
+                yield frm
+                continue
+            yield replace(frm, y=np.asarray(outs[0][i]),
+                          cb=np.asarray(outs[1][i]),
+                          cr=np.asarray(outs[2][i]))
+
+    def device_frames(self):
+        """Yield (frame-meta, outs, row) with planes DEVICE-RESIDENT:
+        the serving/golden-checksum contract — consumers index
+        outs[0..2][row] on device and nothing rides d2h unless they
+        pull it (runtime/golden.CksWriter pulls 8 bytes/frame)."""
         dec = self.dec
         batcher = None  # created lazily at first dispatch
         undisp: list = []  # plans awaiting dispatch (decode order)
@@ -90,15 +103,13 @@ class TurboH264Decoder:
                         # emit the empty pool frame as the serial path
                         # would)
                         events.popleft()
-                        yield frm
+                        yield frm, None, None
                         continue
                     break
                 events.popleft()
                 outs, i = ent
                 del stores[id(plan)]
-                yield replace(frm, y=np.asarray(outs[0][i]),
-                              cb=np.asarray(outs[1][i]),
-                              cr=np.asarray(outs[2][i]))
+                yield frm, outs, i
 
         while True:
             capture()

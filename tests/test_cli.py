@@ -222,3 +222,26 @@ def test_skip_scan_values():
     # no IDR at all -> -1
     sk, off, hdrs = h264_skip_scan(sps + pps + p + p, 5)
     assert (sk, off) == (-1, 0)
+
+
+def test_device_checksum_golden_mode(reference_bins, monkeypatch,
+                                     tmp_path, streams):
+    """-C: per-frame device checksums (runtime/golden.py) must equal
+    the host checksums of the reference binary's raw output — the
+    full-speed golden mode for the frames-stay-in-HBM contract."""
+    import subprocess
+
+    from m2dec_tpu.apps.h264dec import main as h264dec_main
+    from m2dec_tpu.runtime.golden import host_cks_file
+
+    name = "inter.264"  # 80x48 (streams fixture)
+    data = (streams / name).read_bytes()
+    (tmp_path / name).write_bytes(data)
+    subprocess.run([str(reference_bins["h264dec"]), "-o", name],
+                   cwd=tmp_path, capture_output=True)
+    raw = (tmp_path / "inter.out").read_bytes()
+    monkeypatch.chdir(tmp_path)
+    rc = h264dec_main(["-C", name])
+    assert rc == 0
+    got = (tmp_path / "inter.out").read_text()
+    assert got == host_cks_file(raw, 80, 48)
