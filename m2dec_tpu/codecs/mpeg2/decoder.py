@@ -100,9 +100,16 @@ class Mpeg2Decoder:
     """MPEG-1/2 elementary-stream decoder (vtable parity with the
     reference's m2d_func_table_t: set_data / decode_data / peek / get)."""
 
-    def __init__(self, backend="jax", num_frames=4, fast=False):
+    def __init__(self, backend="jax", num_frames=4, fast=False,
+                 defer_recon=False):
         #: FAST_DECODE analog: DC-only 1/8-scale Phase B (codecs/mpeg2/fast.py)
         self.fast = fast
+        #: defer mode (runtime/turbo.TurboMpeg2Decoder): Phase A only —
+        #: plans + (cur, ref0, ref1) slot triples accumulate in
+        #: self.plans and DPB-style output events surface as pool
+        #: indexes via pop_decoded_index
+        self.defer_recon = bool(defer_recon)
+        self.plans: list = []
         self.seq = SeqState()
         self.pic = PicState()
         self.num_frames = num_frames
@@ -383,6 +390,17 @@ class Mpeg2Decoder:
                 "picture leaves macroblocks uncovered (stale-buffer content); "
                 "not bit-reproducible in the plan-based decoder"
             )
+        if self.defer_recon:
+            if self.fast:
+                raise NotImplementedError("defer_recon: full decode only")
+            if self.pic.picture_structure != 3:
+                raise NotImplementedError(
+                    "defer_recon: frame pictures only (field pictures "
+                    "keep the serial path)")
+            self.plans.append((plan, pool.index, pool.idx_of_ref[0],
+                               pool.idx_of_ref[1]))
+            self.ent = None
+            return
         ref0 = pool.frames[pool.idx_of_ref[0]]
         ref1 = pool.frames[pool.idx_of_ref[1]]
         if self.fast:
@@ -435,6 +453,27 @@ class Mpeg2Decoder:
         else:
             ready = self.out_state & 1
         return ready, frame
+
+    def pop_decoded_index(self, is_end=False):
+        """Defer-mode event pop: (pool_idx, DecodedFrame meta without
+        pixels) following the out_state machine exactly
+        (mpeg2.cpp:1543-1587); -1 when nothing is ready."""
+        from dataclasses import replace
+
+        ready, frame = self.peek_decoded_frame(is_end)
+        if not ready:
+            return -1, None
+        if self.pic.coding_type == B_VOP:
+            idx = self.pool.index
+            self.out_state &= ~1
+        else:
+            if is_end and 0 < self.out_state < 4:
+                idx = self.pool.idx_of_ref[1]
+            else:
+                idx = self.pool.idx_of_ref[0]
+            self.out_state -= 2
+        idx = max(idx, 0)
+        return idx, replace(frame, y=None, cb=None, cr=None)
 
     def get_decoded_frame(self, is_end=False):
         ready, frame = self.peek_decoded_frame(is_end)

@@ -185,3 +185,125 @@ def reconstruct_picture(plan, ref0, ref1, backend="jax"):
     # planes device-resident through the axon relay (the tunnel serializes
     # device-array reuse poorly); revisit on directly-attached chips.
     return {"y": np.asarray(y), "cb": np.asarray(cb), "cr": np.asarray(cr)}
+
+
+# ---------------------------------------------------------------------
+# batched multi-picture Phase B (device-resident pool): the MPEG-2
+# analog of codecs/h264 BatchedPhaseB / codecs/h265 H265SeqPhaseB
+# ---------------------------------------------------------------------
+
+
+def _masked_plane(pool, idx, xp):
+    """pool[idx] on the leading axis WITHOUT a dynamic slice (runtime-
+    index slices codegen ~size bytes of machine code on this backend;
+    uint8 planes make an exact masked max)."""
+    import jax
+
+    iota = jax.lax.broadcasted_iota(xp.int32, pool.shape, 0)
+    return xp.where(iota == idx, pool, xp.zeros((), pool.dtype)).max(0)
+
+
+def _recon_seq_m2(pool_y, pool_cb, pool_cr, xs, *, mb_w, mb_h,
+                  has_field):
+    """GOP as ONE graph: lax.scan over pictures, 4-slot pool carried on
+    device; each step reads its forward/backward references by slot
+    index and writes its own slot (m2d_update_frames pointer rotation,
+    mpeg2.cpp:159-194, resolved host-side into the idx triples)."""
+    import jax
+    import jax.numpy as jnp
+
+    from m2dec_tpu.codecs.h264.reconstruct import _fuse_break, _pool_write
+
+    def step(pool, x):
+        py, pcb, pcr = pool
+        r0 = (_masked_plane(py, x["r0"], jnp),
+              _masked_plane(pcb, x["r0"], jnp),
+              _masked_plane(pcr, x["r0"], jnp))
+        r1 = (_masked_plane(py, x["r1"], jnp),
+              _masked_plane(pcb, x["r1"], jnp),
+              _masked_plane(pcr, x["r1"], jnp))
+        kw = {}
+        if has_field:
+            kw = dict(mvf2=x["mvf2"], mvb2=x["mvb2"], fsel=x["fsel"],
+                      fieldmc=x["fieldmc"])
+        y, cb, cr = reconstruct_arrays(
+            x["intra"], x["fwd"], x["bwd"], x["mvf"], x["mvb"],
+            x["dct_type"], x["coef"], r0[0], r0[1], r0[2], r1[0],
+            r1[1], r1[2], mb_w=mb_w, mb_h=mb_h, xp=jnp, **kw)
+        y, cb, cr = _fuse_break(y, cb, cr)
+        py = _pool_write(py, y, x["cur"], jnp)
+        pcb = _pool_write(pcb, cb, x["cur"], jnp)
+        pcr = _pool_write(pcr, cr, x["cur"], jnp)
+        return (py, pcb, pcr), (y, cb, cr)
+
+    import jax
+
+    pool, outs = jax.lax.scan(step, (pool_y, pool_cb, pool_cr), xs)
+    return pool, outs
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_seq_m2(mb_w, mb_h, has_field):
+    import jax
+
+    fn = functools.partial(_recon_seq_m2, mb_w=mb_w, mb_h=mb_h,
+                           has_field=has_field)
+    return jax.jit(fn, donate_argnums=(0, 1, 2))
+
+
+class Mpeg2SeqPhaseB:
+    """Device-resident 4-slot pool + batched MPEG-1/2 Phase B."""
+
+    def __init__(self, mb_w, mb_h, pool_size):
+        import jax
+        import jax.numpy as jnp
+
+        self.mb_w, self.mb_h = mb_w, mb_h
+        H, W = mb_h * 16, mb_w * 16
+
+        @jax.jit
+        def _mk():
+            return (jnp.zeros((pool_size, H, W), jnp.uint8),
+                    jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8),
+                    jnp.zeros((pool_size, H >> 1, W >> 1), jnp.uint8))
+
+        self.pool = _mk()
+
+    def run_async(self, items):
+        """items: list of (plan, cur, r0, r1). Returns device outs."""
+        plans = [it[0] for it in items]
+        has_field = any(p.fieldmc is not None and bool(p.fieldmc.any())
+                        for p in plans)
+        xs = {
+            "intra": np.stack([p.intra for p in plans]),
+            "fwd": np.stack([p.fwd for p in plans]),
+            "bwd": np.stack([p.bwd for p in plans]),
+            "mvf": np.stack([p.mvf.astype(np.int32) for p in plans]),
+            "mvb": np.stack([p.mvb.astype(np.int32) for p in plans]),
+            "dct_type": np.stack([p.dct_type.astype(np.int32)
+                                  for p in plans]),
+            "coef": np.stack([p.coef for p in plans]),
+            "cur": np.array([it[1] for it in items], np.int32),
+            "r0": np.array([it[2] for it in items], np.int32),
+            "r1": np.array([it[3] for it in items], np.int32),
+        }
+        if has_field:
+            z2 = np.zeros_like(plans[0].mvf.astype(np.int32))
+            xs["mvf2"] = np.stack(
+                [p.mvf2.astype(np.int32) if p.fieldmc is not None else z2
+                 for p in plans])
+            xs["mvb2"] = np.stack(
+                [p.mvb2.astype(np.int32) if p.fieldmc is not None else z2
+                 for p in plans])
+            zf = np.zeros(plans[0].intra.shape, np.int32)
+            xs["fsel"] = np.stack(
+                [p.fsel.astype(np.int32) if p.fieldmc is not None else zf
+                 for p in plans])
+            zb = np.zeros(plans[0].intra.shape, bool)
+            xs["fieldmc"] = np.stack(
+                [p.fieldmc if p.fieldmc is not None else zb
+                 for p in plans])
+        fn = _jitted_seq_m2(self.mb_w, self.mb_h, has_field)
+        self.pool, outs = fn(self.pool[0], self.pool[1], self.pool[2],
+                             xs)
+        return outs

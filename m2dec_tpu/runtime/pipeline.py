@@ -117,19 +117,34 @@ class Pipeline:
             if data is _END:
                 self.qout.put(_END)
                 return
-            if self.codec == "h264" and self.two_phase:
-                from m2dec_tpu.runtime.turbo import TurboH264Decoder
+            if self.two_phase and self.codec in ("h264", "h265",
+                                                 "mpeg2"):
+                # overlapped Phase A / batched device Phase B for all
+                # three engines (runtime/turbo.py); falls back to the
+                # serial decoder on streams the drivers exclude
+                from m2dec_tpu.runtime import turbo as _turbo
 
-                turbo = TurboH264Decoder(data)
-                with self.timers["decoder"]:
-                    for frm in turbo.frames():
-                        self.metrics.inc("frames_decoded")
-                        self.qout.put(frm)
-                if turbo.error == -2:
-                    self.metrics.inc("decode_errors")
-                self.qout.put(_END)
-                self.qin.get()
-                return
+                cls = {"h264": _turbo.TurboH264Decoder,
+                       "h265": _turbo.TurboH265Decoder,
+                       "mpeg2": _turbo.TurboMpeg2Decoder}[self.codec]
+                emitted = 0
+                try:
+                    turbo = cls(data)
+                    with self.timers["decoder"]:
+                        for frm in turbo.frames():
+                            self.metrics.inc("frames_decoded")
+                            self.qout.put(frm)
+                            emitted += 1
+                    if turbo.error == -2:
+                        self.metrics.inc("decode_errors")
+                    self.qout.put(_END)
+                    self.qin.get()
+                    return
+                except NotImplementedError:
+                    if emitted:
+                        raise  # cannot fall back after partial output
+                    # stream uses an excluded feature (e.g. field
+                    # pictures, multi-slice): serial path below
             if self.codec == "h264":
                 from m2dec_tpu.codecs.h264.decoder import H264Decoder
 

@@ -251,3 +251,106 @@ class TurboH265Decoder:
 
     def decode_all(self):
         return list(self.frames())
+
+
+class TurboMpeg2Decoder:
+    """Overlapped Phase A / Phase B MPEG-1/2 stream decoder: native (or
+    Python-fallback) Phase A runs ahead collecting plans + frame-slot
+    triples (decoder defer mode), whole-GOP batches dispatch as ONE
+    lax.scan graph each (Mpeg2SeqPhaseB, 4-slot pool device-resident),
+    out_state-ordered output events materialize lazily from batch outs.
+    Frame pictures only (field pictures keep the serial path)."""
+
+    def __init__(self, data: bytes, batch: int = 12, num_frames=4):
+        from m2dec_tpu.codecs.mpeg2.decoder import Mpeg2Decoder
+
+        self.batch = int(batch)
+        self.dec = Mpeg2Decoder(num_frames=num_frames, defer_recon=True)
+        self.dec.set_data(data)
+        self.error = 0
+
+    def frames(self):
+        for frm, outs, i in self.device_frames():
+            if outs is None:
+                yield frm
+                continue
+            yield replace(frm, y=np.asarray(outs[0][i]),
+                          cb=np.asarray(outs[1][i]),
+                          cr=np.asarray(outs[2][i]))
+
+    def device_frames(self):
+        dec = self.dec
+        batcher = None
+        undisp: list = []     # (plan, cur, r0, r1)
+        stores: dict = {}     # id(plan) -> (outs, row)
+        last_plan: dict = {}  # pool slot -> plan
+        events: deque = deque()
+        seen = 0
+
+        def dispatch():
+            nonlocal batcher
+            if not undisp:
+                return
+            from m2dec_tpu.codecs.mpeg2.reconstruct import Mpeg2SeqPhaseB
+
+            if batcher is None:
+                batcher = Mpeg2SeqPhaseB(dec.seq.mb_w, dec.seq.mb_h,
+                                         len(dec.pool.frames))
+            outs = batcher.run_async(undisp)
+            for i, it in enumerate(undisp):
+                stores[id(it[0])] = (outs, i)
+            undisp.clear()
+
+        def harvest():
+            nonlocal seen
+            while seen < len(dec.plans):
+                it = dec.plans[seen]
+                seen += 1
+                last_plan[it[1]] = it[0]
+                undisp.append(it)
+                if len(undisp) >= self.batch:
+                    dispatch()
+
+        def capture(is_end=False):
+            idx, frm = dec.pop_decoded_index(is_end)
+            while idx >= 0:
+                events.append((frm, last_plan.get(idx)))
+                idx, frm = dec.pop_decoded_index(is_end)
+
+        def emit_ready(flush=False):
+            while events:
+                frm, plan = events[0]
+                ent = stores.get(id(plan)) if plan is not None else None
+                if ent is None:
+                    if plan is not None and any(
+                            it[0] is plan for it in undisp) and flush:
+                        dispatch()
+                        continue
+                    if plan is None:
+                        events.popleft()
+                        H = dec.seq.mb_h * 16
+                        W = dec.seq.mb_w * 16
+                        z = np.zeros((H, W), np.uint8)
+                        zc = np.zeros((H >> 1, W >> 1), np.uint8)
+                        yield replace(frm, y=z, cb=zc, cr=zc), None, None
+                        continue
+                    break
+                events.popleft()
+                outs, i = ent
+                yield frm, outs, i
+
+        while True:
+            capture()
+            yield from emit_ready()
+            err = dec.decode_data()
+            self.error = err
+            harvest()
+            if err == 1:
+                continue
+            dispatch()
+            capture(is_end=True)
+            yield from emit_ready(flush=True)
+            return
+
+    def decode_all(self):
+        return list(self.frames())

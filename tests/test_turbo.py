@@ -171,3 +171,65 @@ def test_h265_turbo_truncated_drains():
     assert len(got) == len(exp)
     for g, e in zip(got, exp):
         assert np.array_equal(g.y, e.y)
+
+
+# ---------------------------------------------------------------------
+# MPEG-2 overlapped driver (VERDICT r2 #6)
+# ---------------------------------------------------------------------
+
+
+def _m2_serial(data):
+    from m2dec_tpu.codecs.mpeg2.decoder import Mpeg2Decoder
+
+    dec = Mpeg2Decoder()
+    dec.set_data(data)
+    return dec.decode_all()
+
+
+def _m2_assert_equiv(data, batch):
+    from m2dec_tpu.runtime.turbo import TurboMpeg2Decoder
+
+    exp = _m2_serial(data)
+    got = TurboMpeg2Decoder(data, batch=batch).decode_all()
+    assert len(got) == len(exp)
+    for k, (g, e) in enumerate(zip(got, exp)):
+        assert g.cnt == e.cnt, f"frame {k} cnt"
+        assert np.array_equal(g.y, e.y), f"frame {k} y"
+        assert np.array_equal(g.cb, e.cb), f"frame {k} cb"
+        assert np.array_equal(g.cr, e.cr), f"frame {k} cr"
+
+
+@pytest.mark.parametrize("batch", [1, 3, 12])
+def test_mpeg2_turbo_ipb(batch):
+    from streamgen.mpeg2_enc import Mpeg2StreamGen
+
+    data = Mpeg2StreamGen(80, 48, seed=11).generate("IPPBPBB")
+    _m2_assert_equiv(data, batch)
+
+
+def test_mpeg2_turbo_multi_gop():
+    from streamgen.mpeg2_enc import Mpeg2StreamGen
+
+    data = Mpeg2StreamGen(96, 64, seed=3).generate("IPPBIPPB")
+    _m2_assert_equiv(data, 3)
+
+
+def test_mpeg2_turbo_fieldmc_frame_pictures():
+    """frame pictures with FIELD MC (frame_motion_type 1) ride the
+    has_field batch graph."""
+    from streamgen.mpeg2_enc import Mpeg2FieldMcGen
+
+    data = Mpeg2FieldMcGen(80, 48, seed=9, field_prob=0.7).generate(
+        "IPPBP")
+    _m2_assert_equiv(data, 3)
+
+
+def test_mpeg2_turbo_field_pictures_refuse():
+    """Field PICTURES (structure 1/2) keep the serial path: the
+    defer-mode decoder must refuse loudly."""
+    from streamgen.mpeg2_enc import Mpeg2FieldPicGen
+    from m2dec_tpu.runtime.turbo import TurboMpeg2Decoder
+
+    data = Mpeg2FieldPicGen(80, 48, seed=9).generate("IIPP")
+    with pytest.raises(NotImplementedError):
+        TurboMpeg2Decoder(data, batch=2).decode_all()
