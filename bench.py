@@ -514,17 +514,25 @@ def main():
                     Mpeg2StreamGen(1920, 1088, seed=SEED)
                     .generate("IPBPBPBPBPBP"))
             m2data = m2_path.read_bytes()
-            from m2dec_tpu.codecs.mpeg2.decoder import Mpeg2Decoder
+            from m2dec_tpu.runtime.turbo import TurboMpeg2Decoder
 
-            m2d = Mpeg2Decoder(backend="jax")
-            m2d.set_data(m2data)
-            m2d.decode_all()  # compile warmup
-            m2d = Mpeg2Decoder(backend="jax")
-            m2d.set_data(m2data)
+            def _m2_run():
+                t = TurboMpeg2Decoder(m2data, batch=12)
+                n = 0
+                last = None
+                for frm, outs, i in t.device_frames():
+                    n += 1
+                    if outs is not None:
+                        last = (outs, i)
+                if last is not None:
+                    _ = int(np.asarray(last[0][0][last[1], 0, 0]))
+                return n
+
+            _m2_run()  # compile warmup
             t0 = time.perf_counter()
-            outm = m2d.decode_all()
+            nm2 = _m2_run()
             RESULT["mpeg2_fps"] = round(
-                len(outm) / (time.perf_counter() - t0), 2)
+                nm2 / (time.perf_counter() - t0), 2)
         except Exception as e:
             RESULT["degraded"].append(f"mpeg2 stage: {type(e).__name__}")
 
