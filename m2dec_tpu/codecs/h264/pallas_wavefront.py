@@ -88,6 +88,21 @@ def _plane_io(pl, pltpu, i, nd, src, dst, vmem, sems):
     return flush
 
 
+def _rows_from(jnp, pltpu, T, r0, n, axis=0):
+    """elements r0..r0+n along `axis` without leaving an offset in the
+    vector layout: an odd-offset slice tags every downstream value with
+    vpad offsets that misalign later tpu.concatenate ops; a circular
+    roll + leading slice stays offset-0."""
+    gran = 8 if axis == T.ndim - 2 else 128
+    idx = [slice(None)] * T.ndim
+    if r0 % gran == 0:
+        idx[axis] = slice(r0, r0 + n)
+        return T[tuple(idx)]
+    rolled = pltpu.roll(T, T.shape[axis] - r0, axis)
+    idx[axis] = slice(0, n)
+    return rolled[tuple(idx)]
+
+
 def _embed_cols(jnp, raw_T, modT, r0):
     """raw_T [C, Hsk] (the read column block), modT [C, h] replacing
     rows r0..r0+h -> full [C, Hsk] (zero-width parts skipped — Mosaic
@@ -125,8 +140,11 @@ def _intra_luma_kernel(*refs, L, H, has_i8):
 
     cy = pl.multiple_of(i * 16, 16)
     slabT = vy[pl.ds(cy, 72), :].astype(jnp.int32)   # [72, Hsk]
-    slab = jnp.swapaxes(slabT, 0, 1)[WF.MT - 1 : WF.MT + H]  # [H+1,72]
-    Ty = WF.intra_windows_luma(slab[:, 15:72], L, jnp)
+    slab = _rows_from(jnp, pltpu, jnp.swapaxes(slabT, 0, 1),
+                      WF.MT - 1, H + 1)               # [H+1,72]
+    Ty = WF.intra_windows_luma(
+        _rows_from(jnp, pltpu, slab, 15, 57, axis=1), L, jnp,
+        kernel=True)
 
     tile, is_intra = WF.intra_luma_compute(Ty, P, has_i8, jnp, consts)
     tile = jnp.where(is_intra[:, None, None], tile, Ty[:, 1:17, 1:17])
@@ -148,8 +166,9 @@ def _intra_chroma_kernel(*refs, L, Hc):
 
     cc = pl.multiple_of(i * 16, 16)
     slabT = vc[pl.ds(cc, 72), :].astype(jnp.int32)   # [72, Hsk]
-    slab = jnp.swapaxes(slabT, 0, 1)[WF.MTC - 1 : WF.MTC + Hc]
-    win = WF._slab_windows(slab, L, 8, jnp)          # [L, 9, 72]
+    slab = _rows_from(jnp, pltpu, jnp.swapaxes(slabT, 0, 1),
+                      WF.MTC - 1, Hc + 1)
+    win = WF._slab_windows(slab, L, 8, jnp, kernel=True)  # [L,9,72]
 
     def comp_windows(c0, t0, l0, b0):
         row0 = jnp.concatenate(

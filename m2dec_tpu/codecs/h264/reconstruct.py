@@ -618,7 +618,7 @@ def _mode_eval(line, mode, mats, P, xp):
     return out
 
 
-def intra4_modes(l, t, c, avail, mode, xp, mats=None):
+def intra4_modes(l, t, c, avail, mode, xp, mats=None, flat=False):
     """All 9 4x4 modes via the constant mode matrix; l[L,4], t[L,8] raw
     top+topright, c[L], avail bits; returns [L,4,4]. mats overrides the
     baked-in mode matrix (Pallas kernels pass it as an input)."""
@@ -634,6 +634,8 @@ def intra4_modes(l, t, c, avail, mode, xp, mats=None):
          xp.where(av2, (st + 2) >> 2, 0x80)))
     line = xp.concatenate([l, c[:, None], t4, th, dc[:, None]], axis=1)
     out = _mode_eval(line, mode, mats or _I4_MAT, 16, xp)
+    if flat:
+        return out  # [L,16]; Mosaic rejects the minor-dim reshape
     return out.reshape(l.shape[0], 4, 4)
 
 
@@ -738,7 +740,7 @@ _I8_TAB = _mk_tables8()
 _I8_MAT = _mode_matrix(_I8_TAB, 26)
 
 
-def intra8_modes(t, l, c, tr, avail, mode, xp, mats=None):
+def intra8_modes(t, l, c, tr, avail, mode, xp, mats=None, flat=False):
     """All 9 8x8 modes with reference-sample filtering (pred8x8.py),
     constant-matrix form."""
     L = t.shape[0]
@@ -774,6 +776,8 @@ def intra8_modes(t, l, c, tr, avail, mode, xp, mats=None):
          xp.where(av2, (st + 4) >> 3, 0x80)))
     line = xp.concatenate([lf, cor[:, None], tp16, dc[:, None]], axis=1)
     out = _mode_eval(line, mode, mats or _I8_MAT, 64, xp)
+    if flat:
+        return out  # [L,64]
     return out.reshape(L, 8, 8)
 
 

@@ -226,34 +226,48 @@ def diag_gather(P, g, has_i8, deblock, xp, full=False):
 # ---------------------------------------------------------------------
 
 
-def _slab_windows(slab, lmax, rows, xp):
+def _slab_windows(slab, lmax, rows, xp, kernel=False):
     """[Lmax*rows+1, C] slab -> [Lmax, rows+1, C] per-lane windows
     (window row 0 = the row above the lane's tile; adjacent windows
-    share that row)."""
+    share that row). kernel=True builds the shifted tail with a tpu
+    rotate: the slice+concat form produces a sublane-misaligned
+    tpu.concatenate Mosaic refuses."""
+    import jax
+
     C = slab.shape[1]
     body = slab[: lmax * rows].reshape(lmax, rows, C)
-    # row `rows` of each window (= next window's row 0) without strided
-    # slicing (reshape form lowers under Pallas/Mosaic)
-    tail = xp.concatenate(
-        [slab[rows:], xp.zeros((rows - 1, C), slab.dtype)], axis=0)
+    if kernel:
+        from jax.experimental.pallas import tpu as pltpu
+
+        n = slab.shape[0]
+        rolled = pltpu.roll(slab, n - rows, 0)  # == roll(-rows) circular
+        i0 = jax.lax.broadcasted_iota(xp.int32, slab.shape, 0)
+        tail = xp.where(i0 < n - rows, rolled,
+                        xp.zeros((), slab.dtype))
+        tail = tail[: lmax * rows]
+    else:
+        # row `rows` of each window (= next window's row 0) without
+        # strided slicing (reshape form lowers under Pallas/Mosaic)
+        tail = xp.concatenate(
+            [slab[rows:], xp.zeros((rows - 1, C), slab.dtype)], axis=0)
     last = tail.reshape(lmax, rows, C)[:, 0:1]
     return xp.concatenate([body, last], axis=1)
 
 
-def intra_windows_luma(slab, lmax, xp):
+def intra_windows_luma(slab, lmax, xp, kernel=False):
     """[Lmax*16+1, 57] -> Ty [Lmax, 17, 25] in reconstruct._intra_step's
     window layout (row 0: corner+top+topright; rows 1..16: left+tile).
 
     _slab_windows row 0 is already the row above the tile (the slab
     starts one pixel row above lane 0's MB)."""
-    win = _slab_windows(slab, lmax, 16, xp)
+    win = _slab_windows(slab, lmax, 16, xp, kernel)
     return xp.concatenate([win[:, 0:1, 0:25], win[:, 1:17, 32:57]],
                           axis=1)
 
 
-def intra_windows_chroma(slab, lmax, xp):
+def intra_windows_chroma(slab, lmax, xp, kernel=False):
     """[Lmax*8+1, 25] -> Tc [Lmax, 9, 9]."""
-    win = _slab_windows(slab, lmax, 8, xp)
+    win = _slab_windows(slab, lmax, 8, xp, kernel)
     return xp.concatenate([win[:, 0:1, 0:9], win[:, 1:9, 16:25]], axis=1)
 
 
@@ -308,6 +322,37 @@ def _intra_step_skewed(carry, xs, lmax, has_i8, xp, P_const=None,
         cr = jax.lax.dynamic_update_slice(
             cr, tr, (xs["irC"] + oc + 1, xs["icC"] + 17))
     return (y, cb, cr), None
+
+
+def upd_roll(a, v, starts, xp):
+    """Kernel-mode functional update: place v [L,h,w] at (0,s1,s2) of
+    a [L,H,W] via zero-pad-at-origin + tpu rotate + iota mask. upd()'s
+    slice+concat reassembly produces misaligned tpu.concatenate ops
+    Mosaic refuses; pads at offset 0 and static rotates lower fine."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    s0, s1, s2 = starts
+    assert s0 == 0 and v.shape[0] == a.shape[0]
+    L, H, W = a.shape
+    h, w = v.shape[1], v.shape[2]
+    if v.dtype != a.dtype:
+        v = v.astype(a.dtype)
+    full = v
+    if h < H:
+        full = xp.concatenate(
+            [full, xp.zeros((L, H - h, w), a.dtype)], axis=1)
+    if w < W:
+        full = xp.concatenate(
+            [full, xp.zeros((L, H, W - w), a.dtype)], axis=2)
+    if s1:
+        full = pltpu.roll(full, s1, 1)
+    if s2:
+        full = pltpu.roll(full, s2, 2)
+    i1 = jax.lax.broadcasted_iota(xp.int32, (L, H, W), 1)
+    i2 = jax.lax.broadcasted_iota(xp.int32, (L, H, W), 2)
+    mask = ((i1 >= s1) & (i1 < s1 + h) & (i2 >= s2) & (i2 < s2 + w))
+    return xp.where(mask, full, a)
 
 
 def upd(a, v, starts, xp):
@@ -368,6 +413,11 @@ def intra_luma_compute(Ty, P, has_i8, xp, consts=None):
     def clip(v):
         return xp.clip(v, 0, 255)
 
+    #: Pallas kernels (consts passed as inputs) place mode outputs
+    #: ROW-BY-ROW from the flat [L, n] form — Mosaic rejects the
+    #: minor-dim reshape [L,16]->[L,4,4]
+    kernel = bool(consts)
+    _upd = upd_roll if kernel else upd
     T4 = Ty
     i4m = P["i4_modes"]
     i4a = P["i4_avail"]
@@ -377,9 +427,16 @@ def intra_luma_compute(Ty, P, has_i8, xp, consts=None):
         ll = T4[:, 1 + oy : 5 + oy, ox]
         c = T4[:, oy, ox]
         out = intra4_modes(ll, t, c, i4a[:, blk], i4m[:, blk], xp,
-                           mats=consts.get("i4"))
-        out = clip(out + res[:, oy : oy + 4, ox : ox + 4])
-        T4 = upd(T4, out, (0, 1 + oy, 1 + ox), xp)
+                           mats=consts.get("i4"), flat=kernel)
+        if kernel:
+            for r_ in range(4):
+                row = clip(out[:, 4 * r_ : 4 * r_ + 4]
+                           + res[:, oy + r_, ox : ox + 4])
+                T4 = _upd(T4, row[:, None, :], (0, 1 + oy + r_, 1 + ox),
+                          xp)
+        else:
+            out = clip(out + res[:, oy : oy + 4, ox : ox + 4])
+            T4 = upd(T4, out, (0, 1 + oy, 1 + ox), xp)
     tile = T4[:, 1:17, 1:17]
 
     if has_i8:
@@ -393,9 +450,16 @@ def intra_luma_compute(Ty, P, has_i8, xp, consts=None):
             ll = T8[:, 1 + oy : 9 + oy, ox]
             c = T8[:, oy, ox]
             out = intra8_modes(t, ll, c, tr, i8a[:, b], i8m[:, b], xp,
-                               mats=consts.get("i8"))
-            out = clip(out + res[:, oy : oy + 8, ox : ox + 8])
-            T8 = upd(T8, out, (0, 1 + oy, 1 + ox), xp)
+                               mats=consts.get("i8"), flat=kernel)
+            if kernel:
+                for r_ in range(8):
+                    row = clip(out[:, 8 * r_ : 8 * r_ + 8]
+                               + res[:, oy + r_, ox : ox + 8])
+                    T8 = _upd(T8, row[:, None, :],
+                              (0, 1 + oy + r_, 1 + ox), xp)
+            else:
+                out = clip(out + res[:, oy : oy + 8, ox : ox + 8])
+                T8 = upd(T8, out, (0, 1 + oy, 1 + ox), xp)
         tile = xp.where((kind == 2)[:, None, None], T8[:, 1:17, 1:17],
                         tile)
 
