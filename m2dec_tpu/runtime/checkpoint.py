@@ -33,8 +33,20 @@ import pickle
 import struct
 
 MAGIC = b"m2dtpu-ckpt2"
-#: bump on deliberate layout changes of the blob itself
-FORMAT_VERSION = 2
+#: bump on deliberate layout changes of the blob itself.  v3 adds the
+#: writer's decoder module name to the header so the expected schema
+#: digest is computable (and compared) BEFORE unpickling — a stale blob
+#: fails with the intended clean ValueError instead of dying inside the
+#: new module's __setstate__ paths.
+FORMAT_VERSION = 3
+
+
+def _module_digest(mod) -> bytes:
+    try:
+        src = inspect.getsource(mod)
+    except (OSError, TypeError):
+        src = getattr(mod, "__name__", repr(mod))
+    return hashlib.sha256(src.encode()).digest()[:16]
 
 
 def _schema_digest(cls) -> bytes:
@@ -42,11 +54,10 @@ def _schema_digest(cls) -> bytes:
     defining the decoder class. Any edit there (field renames included)
     invalidates outstanding blobs — deliberately conservative; decode
     state is cheap to rebuild from the stream."""
-    try:
-        src = inspect.getsource(inspect.getmodule(cls))
-    except (OSError, TypeError):
-        src = cls.__qualname__
-    return hashlib.sha256(src.encode()).digest()[:16]
+    mod = inspect.getmodule(cls)
+    if mod is None:
+        return hashlib.sha256(cls.__qualname__.encode()).digest()[:16]
+    return _module_digest(mod)
 
 
 def save(dec) -> tuple[bytes, int]:
@@ -58,6 +69,9 @@ def save(dec) -> tuple[bytes, int]:
     buf.write(MAGIC)
     buf.write(struct.pack("<H", FORMAT_VERSION))
     buf.write(_schema_digest(type(dec)))
+    mod_name = type(dec).__module__.encode()
+    buf.write(struct.pack("<H", len(mod_name)))
+    buf.write(mod_name)
     pickle.dump(dec, buf, protocol=pickle.HIGHEST_PROTOCOL)
     return buf.getvalue(), dec.stream_pos()
 
@@ -68,7 +82,9 @@ def load(blob: bytes):
 
     Raises ValueError on a foreign blob, a format-version mismatch, or
     a schema mismatch (blob written by a different revision of the
-    decoder module)."""
+    decoder module).  The schema check runs BEFORE unpickling whenever
+    the writer's module is importable, so stale blobs cannot reach the
+    new module's deserialization paths."""
     if blob[: len(MAGIC)] != MAGIC:
         raise ValueError("not a m2dec_tpu checkpoint (bad magic)")
     off = len(MAGIC)
@@ -79,11 +95,29 @@ def load(blob: bytes):
             f"checkpoint format v{ver} != supported v{FORMAT_VERSION}")
     digest = blob[off : off + 16]
     off += 16
-    obj = pickle.loads(blob[off:])
-    want = _schema_digest(type(obj))
-    if digest != want:
+    (nlen,) = struct.unpack_from("<H", blob, off)
+    off += 2
+    mod_name = blob[off : off + nlen].decode()
+    off += nlen
+
+    def _refuse(modname):
         raise ValueError(
             "checkpoint schema mismatch: blob was written by a "
-            f"different revision of {type(obj).__module__}; re-decode "
+            f"different revision of {modname}; re-decode "
             "from the stream instead of resuming")
+
+    pre_checked = False
+    try:
+        import importlib
+
+        mod = importlib.import_module(mod_name)
+    except Exception:
+        mod = None
+    if mod is not None:
+        if digest != _module_digest(mod):
+            _refuse(mod_name)
+        pre_checked = True
+    obj = pickle.loads(blob[off:])
+    if not pre_checked and digest != _schema_digest(type(obj)):
+        _refuse(type(obj).__module__)
     return obj

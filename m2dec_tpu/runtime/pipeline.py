@@ -117,6 +117,20 @@ class Pipeline:
             if data is _END:
                 self.qout.put(_END)
                 return
+            # skip_n > 0 after a mid-stream turbo fallback: the serial
+            # replay below re-decodes from the start of the (fully
+            # in-memory) stream and suppresses the frames the turbo
+            # driver already emitted — identical prefixes, so the
+            # writer sees one continuous output sequence.
+            skip_n = 0
+
+            def put_frame(frm):
+                nonlocal skip_n
+                if skip_n > 0:
+                    skip_n -= 1
+                    return
+                self.qout.put(frm)
+
             if self.two_phase and self.codec in ("h264", "h265",
                                                  "mpeg2"):
                 # overlapped Phase A / batched device Phase B for all
@@ -141,10 +155,15 @@ class Pipeline:
                     self.qin.get()
                     return
                 except NotImplementedError:
-                    if emitted:
-                        raise  # cannot fall back after partial output
                     # stream uses an excluded feature (e.g. field
-                    # pictures, multi-slice): serial path below
+                    # pictures, multi-slice): replay through the serial
+                    # path below.  Frames the turbo driver already
+                    # emitted are an exact prefix of the serial output
+                    # (the drivers are output-identical up to the
+                    # excluded picture), so the replay skips them.
+                    skip_n = emitted
+                    if emitted:
+                        self.metrics.inc("frames_decoded", -emitted)
             if self.codec == "h264":
                 from m2dec_tpu.codecs.h264.decoder import H264Decoder
 
@@ -162,7 +181,7 @@ class Pipeline:
                 with self.timers["decoder"]:
                     for frm in dec.decode_all():
                         self.metrics.inc("frames_decoded")
-                        self.qout.put(frm)
+                        put_frame(frm)
                 self.qout.put(_END)
                 self.qin.get()
                 return
@@ -172,7 +191,7 @@ class Pipeline:
                         ready, frm = dec.peek_decoded_frame()
                         while ready:
                             dec.get_decoded_frame()
-                            self.qout.put(frm)
+                            put_frame(frm)
                             if not self.emptify:
                                 break  # one frame per decode call
                             ready, frm = dec.peek_decoded_frame()
@@ -186,7 +205,7 @@ class Pipeline:
                             ready, frm = dec.peek_decoded_frame(True)
                             while ready:
                                 dec.get_decoded_frame(True)
-                                self.qout.put(frm)
+                                put_frame(frm)
                                 ready, frm = dec.peek_decoded_frame(True)
                         break
             else:
@@ -195,7 +214,7 @@ class Pipeline:
                         ready, frm = dec.peek_decoded_frame(False)
                         while ready:
                             dec.get_decoded_frame(False)
-                            self.qout.put(frm)
+                            put_frame(frm)
                             if not self.emptify:
                                 break  # one frame per decode call
                             ready, frm = dec.peek_decoded_frame(False)
@@ -209,7 +228,7 @@ class Pipeline:
                             ready, frm = dec.peek_decoded_frame(True)
                             while ready:
                                 dec.get_decoded_frame(True)
-                                self.qout.put(frm)
+                                put_frame(frm)
                                 ready, frm = dec.peek_decoded_frame(True)
                         break
             self.qout.put(_END)

@@ -123,8 +123,15 @@ class TurboH264Decoder:
                 pool_sizes[id(plan)] = dev_pool_size(
                     dec.sps.num_ref_frames, len(dec.frames))
                 last_plan[dec.cur_idx] = plan
-                if undisp and (undisp[0].mb_w, undisp[0].mb_h) != (
-                        plan.mb_w, plan.mb_h):
+                # split the pending batch on ANY geometry change —
+                # mb dims or device-pool size (an SPS raising
+                # num_ref_frames at the same resolution needs a bigger
+                # device pool; mixing pool sizes in one batch would
+                # overflow _DevSlotMap)
+                if undisp and (
+                        (undisp[0].mb_w, undisp[0].mb_h,
+                         pool_sizes[id(undisp[0])]) !=
+                        (plan.mb_w, plan.mb_h, pool_sizes[id(plan)])):
                     dispatch()  # geometry changed mid-stream
                 undisp.append(plan)
                 if len(undisp) >= self.batch:
@@ -173,18 +180,22 @@ class TurboH265Decoder:
         events: deque = deque()
         plans_seen = 0
 
+        batcher_geom = None
+
         def dispatch():
-            nonlocal batcher
+            nonlocal batcher, batcher_geom
             if not undisp:
                 return
             from m2dec_tpu.codecs.h265.reconstruct import H265SeqPhaseB
 
             p0 = undisp[0]
-            if batcher is None:
-                geom = dec._geom
+            geom = (p0.H, p0.W, p0.size_log2, p0.pic_width,
+                    p0.pic_height)
+            if batcher is None or batcher_geom != geom:
                 batcher = H265SeqPhaseB(
                     p0.H, p0.W, len(dec.pool), p0.size_log2,
                     p0.pic_width, p0.pic_height)
+                batcher_geom = geom
             outs = batcher.run_async(undisp)
             for i, p in enumerate(undisp):
                 stores[id(p)] = (outs, i)
@@ -194,8 +205,13 @@ class TurboH265Decoder:
             nonlocal plans_seen
             while plans_seen < len(dec.plans):
                 p = dec.plans[plans_seen]
+                dec.plans[plans_seen] = None  # consumed: let it free
                 plans_seen += 1
                 last_plan[p.cur_idx] = p
+                # mid-stream geometry change: dispatch the pending batch
+                # before mixing shapes (mirrors the H.264 driver)
+                if undisp and (undisp[0].H, undisp[0].W) != (p.H, p.W):
+                    dispatch()
                 undisp.append(p)
                 if len(undisp) >= self.batch:
                     dispatch()
@@ -229,6 +245,7 @@ class TurboH265Decoder:
                     break
                 events.popleft()
                 outs, i = ent
+                del stores[id(plan)]  # free batch outs once consumed
                 yield replace(frm, y=np.asarray(outs[0][i]),
                               cb=np.asarray(outs[1][i]),
                               cr=np.asarray(outs[2][i]))
@@ -305,6 +322,7 @@ class TurboMpeg2Decoder:
             nonlocal seen
             while seen < len(dec.plans):
                 it = dec.plans[seen]
+                dec.plans[seen] = None  # consumed: let it free
                 seen += 1
                 last_plan[it[1]] = it[0]
                 undisp.append(it)
@@ -337,6 +355,7 @@ class TurboMpeg2Decoder:
                     break
                 events.popleft()
                 outs, i = ent
+                del stores[id(plan)]  # free batch outs once consumed
                 yield frm, outs, i
 
         while True:
