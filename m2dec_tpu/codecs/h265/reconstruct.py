@@ -880,11 +880,15 @@ def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
             & (((used >> 1) & 1) == 1)[:, None, None]
         out = xp.where(stray, dc1v[:, None, None], out)
     act = ((used & 1) == 1)
-    out = xp.where(act[:, None, None], out, rgn)
+    # duplicate-safe write: out == rgn outside the op's block (+ stray
+    # pixel), so the delta vanishes there and overlapping windows of
+    # same-level lanes never conflict — scatter-ADD is well-defined for
+    # duplicate indices, unlike .set
+    delta = xp.where(act[:, None, None], out - rgn, 0)
     BIG = plane.shape[0] + plane.shape[1]
     sy = xp.where(act, y0, BIG)
     wy = (sy[:, None] + arS1)[:, :, None]
-    return plane.at[wy, rx].set(out, mode="drop")
+    return plane.at[wy, rx].add(delta, mode="drop")
 
 
 # =====================================================================
@@ -892,43 +896,122 @@ def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
 # =====================================================================
 
 
-@functools.lru_cache(maxsize=32)
-def _ctu_diag(cols, rows):
-    """CTU indices grouped by wavefront diagonal d = cx + 2*cy (top,
-    left, top-right CTU dependences), -1 padded."""
-    diags = {}
-    for cy in range(rows):
-        for cx in range(cols):
-            diags.setdefault(cx + 2 * cy, []).append(cy * cols + cx)
-    D = max(diags) + 1
-    Lm = max(len(v) for v in diags.values())
-    out = np.full((D, Lm), -1, np.int32)
-    for d, v in diags.items():
-        out[d, : len(v)] = v
+def _schedule_levels(flat_ops, chg, cwg, stray):
+    """Dependency-level schedule for decode-ordered intra ops.
+
+    Replaces the per-CTU-diagonal z-order replay (the reference's CTU
+    walk, h265.cpp:4752-4799) with the minimal sequential structure the
+    data actually requires: each op gets a level such that applying all
+    ops of a level in one lane-batched step — reads from the plane
+    state left by earlier levels, disjoint writes — produces planes
+    identical to the sequential z-order replay.
+
+    Dependencies are tracked on the 4x4-cell grid [chg, cwg]:
+    * flow (read-after-write): an op reads its own block (residual
+      merge), the column left of it down to y0+2*size (left neighbour
+      line incl. the strong-filter one-past-valid read), and the row
+      above it right to x0+2*size (top line incl. top-right) — its
+      level must exceed every earlier writer of those cells;
+    * anti (write-after-read): a z-later writer of a cell some earlier
+      op read must not land on an EARLIER level (the reader would see
+      the new value where z-order saw the old) — same level is fine
+      because reads gather before the level's writes scatter;
+    * output (write-after-write, e.g. the DC stray pixel overwritten
+      by the block below): strictly increasing levels.
+
+    flat_ops [n, 7] int32 rows (used, y0, x0, sl2, mode, vx, vy) in
+    decode order; returns per-op levels [n] int32 (0 = inactive)."""
+    lw = np.zeros((chg, cwg), np.int32)  # last writer's level per cell
+    lr = np.zeros((chg, cwg), np.int32)  # latest reader's level
+    lv = np.zeros(len(flat_ops), np.int32)
+    for i, op in enumerate(flat_ops):
+        used = int(op[0])
+        if not (used & 1):
+            continue
+        y0, x0, sl2 = int(op[1]), int(op[2]), int(op[3])
+        s = 1 << sl2
+        c0, c1 = x0 >> 2, (x0 + s - 1) >> 2
+        r0, r1 = y0 >> 2, (y0 + s - 1) >> 2
+        rr0, rc0 = max(0, r0 - 1), max(0, c0 - 1)
+        rr1 = min(chg - 1, (y0 + 2 * s) >> 2)
+        rc1 = min(cwg - 1, (x0 + 2 * s) >> 2)
+        blk_w = lw[r0 : r1 + 1, c0 : c1 + 1]
+        m = int(blk_w.max())
+        m = max(m, int(lw[rr0 : rr1 + 1, rc0].max()),
+                int(lw[rr0, rc0 : rc1 + 1].max()))
+        a = int(lr[r0 : r1 + 1, c0 : c1 + 1].max())
+        sy = (y0 + s) >> 2 if (stray and (used & 2)) else -1
+        if sy >= chg:
+            sy = -1
+        if sy >= 0:
+            m = max(m, int(lw[sy, c0]))
+            a = max(a, int(lr[sy, c0]))
+        level = max(m + 1, a)
+        lv[i] = level
+        np.maximum(lr[rr0 : rr1 + 1, rc0], level,
+                   out=lr[rr0 : rr1 + 1, rc0])
+        np.maximum(lr[rr0, rc0 : rc1 + 1], level,
+                   out=lr[rr0, rc0 : rc1 + 1])
+        np.maximum(lr[r0 : r1 + 1, c0 : c1 + 1], level,
+                   out=lr[r0 : r1 + 1, c0 : c1 + 1])
+        lw[r0 : r1 + 1, c0 : c1 + 1] = level
+        if sy >= 0:
+            lw[sy, c0] = level
+            lr[sy, c0] = max(int(lr[sy, c0]), level)
+    return lv
+
+
+def _level_pack(flat_ops, lv, D, L):
+    """[D, L, 7] lane-packed ops: row d holds every op of level d+1."""
+    out = np.zeros((D, L, 7), np.int32)
+    cnt = np.zeros(max(D, 1), np.int32)
+    for i in np.flatnonzero(lv):
+        d = lv[i] - 1
+        out[d, cnt[d]] = flat_ops[i]
+        cnt[d] += 1
     return out
 
 
-def _diag_ops(plan, capl=None, capc=None):
-    """Host prep: per-diagonal op tensors [D, Lm, CAP, 7]. capl/capc
-    override the per-picture op capacity (batch stacking unifies
-    them)."""
-    diag = _ctu_diag(plan.columns, plan.rows)
-    D, Lm = diag.shape
-    cl = plan.ops_l.shape[1]
-    cc = plan.ops_c.shape[1]
-    dl = np.zeros((D, Lm, capl or cl, 7), np.int32)
-    dc = np.zeros((D, Lm, capc or cc, 7), np.int32)
-    for d in range(D):
-        for j in range(Lm):
-            ci = diag[d, j]
-            if ci >= 0:
-                dl[d, j, :cl] = plan.ops_l[ci]
-                dc[d, j, :cc] = plan.ops_c[ci]
-    return dl, dc
+def _plan_levels(plan):
+    """Level-packed intra op tensors for one plan (cached on the plan):
+    (lv_l [Dl, Ll, 7], lv_c [Dc, Lc, 7])."""
+    cached = getattr(plan, "_levels", None)
+    if cached is not None:
+        return cached
+    flat_l = np.asarray(plan.ops_l, np.int32).reshape(-1, 7)
+    flat_c = np.asarray(plan.ops_c, np.int32).reshape(-1, 7)
+    lvl = _schedule_levels(flat_l, plan.H >> 2, plan.W >> 2, True)
+    lvc = _schedule_levels(flat_c, plan.H >> 3, plan.W >> 3, False)
+    Dl = int(lvl.max(initial=0))
+    Dc = int(lvc.max(initial=0))
+    Ll = int(np.bincount(lvl, minlength=2)[1:].max(initial=0))
+    Lc = int(np.bincount(lvc, minlength=2)[1:].max(initial=0))
+    pk_l = _level_pack(flat_l, lvl, max(Dl, 1), max(Ll, 1))
+    pk_c = _level_pack(flat_c, lvc, max(Dc, 1), max(Lc, 1))
+    plan._levels = (pk_l, pk_c)
+    return plan._levels
 
 
-def _wavefront(y, cb, cr, res_y, res_cb, res_cr, ops_dl, ops_dc,
+def _pad_levels(lv_l, lv_c, Db=None, Llb=None, Lcb=None):
+    """Pad level tensors to shared pow2-bucketed shapes; returns
+    (lv_l, lv_c, n_lvl) where n_lvl = the true level count."""
+    D = max(lv_l.shape[0], lv_c.shape[0])
+    Db = Db or _ceil_pow2(D)
+    Llb = Llb or _ceil_pow2(lv_l.shape[1])
+    Lcb = Lcb or _ceil_pow2(lv_c.shape[1])
+    out_l = np.zeros((Db, Llb, 7), np.int32)
+    out_l[: lv_l.shape[0], : lv_l.shape[1]] = lv_l
+    out_c = np.zeros((Db, Lcb, 7), np.int32)
+    out_c[: lv_c.shape[0], : lv_c.shape[1]] = lv_c
+    return out_l, out_c, np.int32(D)
+
+
+def _wavefront(y, cb, cr, res_y, res_cb, res_cr, lv_l, lv_c, n_lvl,
                strong_en, H, W):
+    """Intra reconstruction as a while_loop over dependency levels:
+    every iteration applies ONE level's lane-batched luma + chroma ops
+    (disjoint delta-add writes), running only the picture's true depth
+    (n_lvl) — inter-heavy pictures cost a handful of steps."""
     import jax
     import jax.numpy as jnp
 
@@ -940,33 +1023,22 @@ def _wavefront(y, cb, cr, res_y, res_cb, res_cr, ops_dl, ops_dc,
         for i, t in enumerate(_ANG))
     Hc, Wc = H >> 1, W >> 1
 
-    def step(carry, xs):
-        y_, cb_, cr_ = carry
-        opsl, opsc = xs
+    def body(state):
+        i, (y_, cb_, cr_) = state
+        opl = jax.lax.dynamic_slice(
+            lv_l, (i, 0, 0), (1,) + lv_l.shape[1:])[0]
+        opc = jax.lax.dynamic_slice(
+            lv_c, (i, 0, 0), (1,) + lv_c.shape[1:])[0]
+        y_ = _apply_intra_op(y_, res_y, opl, 32, True, strong_en,
+                             H, W, consts, jnp)
+        cb_ = _apply_intra_op(cb_, res_cb, opc, 16, False, False,
+                              Hc, Wc, consts, jnp)
+        cr_ = _apply_intra_op(cr_, res_cr, opc, 16, False, False,
+                              Hc, Wc, consts, jnp)
+        return i + 1, (y_, cb_, cr_)
 
-        def lbody(k, pl):
-            op = jax.lax.dynamic_slice(
-                opsl, (0, k, 0), (opsl.shape[0], 1, 7))[:, 0]
-            return _apply_intra_op(pl, res_y, op, 32, True, strong_en,
-                                   H, W, consts, jnp)
-
-        y_ = jax.lax.fori_loop(0, opsl.shape[1], lbody, y_)
-
-        def cbody(k, pls):
-            cbp, crp = pls
-            op = jax.lax.dynamic_slice(
-                opsc, (0, k, 0), (opsc.shape[0], 1, 7))[:, 0]
-            cbp = _apply_intra_op(cbp, res_cb, op, 16, False, False,
-                                  Hc, Wc, consts, jnp)
-            crp = _apply_intra_op(crp, res_cr, op, 16, False, False,
-                                  Hc, Wc, consts, jnp)
-            return (cbp, crp)
-
-        cb_, cr_ = jax.lax.fori_loop(0, opsc.shape[1], cbody,
-                                     (cb_, cr_))
-        return (y_, cb_, cr_), None
-
-    (y, cb, cr), _ = jax.lax.scan(step, (y, cb, cr), (ops_dl, ops_dc))
+    _, (y, cb, cr) = jax.lax.while_loop(
+        lambda s: s[0] < n_lvl, body, (jnp.int32(0), (y, cb, cr)))
     return y, cb, cr
 
 
@@ -985,7 +1057,7 @@ def _np_pad(p, pad):
 
 
 def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
-                   mv, ops_dl, ops_dc, dbv, dbh, dbcv, dbch, sao_idx,
+                   mv, lv_l, lv_c, n_lvl, dbv, dbh, dbcv, dbch, sao_idx,
                    sao_opt, sao_off, pool_y, pool_cb, pool_cr, cur_idx,
                    *, H, W, strong_en, has_sao, deblock, ctb_log2,
                    pic_w, pic_h, slices=None):
@@ -1016,8 +1088,8 @@ def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
     ryp = _pad_plane(res_y, 33, xp)
     rcbp = _pad_plane(res_cb, 17, xp)
     rcrp = _pad_plane(res_cr, 17, xp)
-    yp, cbp, crp = _wavefront(yp, cbp, crp, ryp, rcbp, rcrp, ops_dl,
-                              ops_dc, strong_en, H, W)
+    yp, cbp, crp = _wavefront(yp, cbp, crp, ryp, rcbp, rcrp, lv_l,
+                              lv_c, n_lvl, strong_en, H, W)
     y = yp[:H, :W]
     cb = cbp[: H >> 1, : W >> 1]
     cr = crp[: H >> 1, : W >> 1]
@@ -1069,7 +1141,7 @@ def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_recon(H, W, capl, capc, strong_en, has_sao, deblock,
+def _jitted_recon(H, W, strong_en, has_sao, deblock,
                   ctb_log2, pic_w, pic_h, slices=None):
     import jax
 
@@ -1134,7 +1206,7 @@ def recon_plan(plan, pool_y, pool_cb, pool_cr):
         raise NotImplementedError(
             "mid-row slice-segment starts keep the Python path "
             "(reference chroma-base domain)")
-    ops_dl, ops_dc = _diag_ops(plan)
+    lv_l, lv_c, n_lvl = _pad_levels(*_plan_levels(plan))
     deblock = bool(plan.dbv[..., 0].any() or plan.dbh[..., 0].any()
                    or (plan.dbcv >= 0).any() or (plan.dbch >= 0).any())
     if multi:
@@ -1150,14 +1222,14 @@ def recon_plan(plan, pool_y, pool_cb, pool_cr):
         dbch = plan.dbch.astype(np.int32)
         sao_idx, sao_opt, sao_off = (plan.sao_idx, plan.sao_opt,
                                      plan.sao_off)
-    fn = _jitted_recon(plan.H, plan.W, ops_dl.shape[2], ops_dc.shape[2],
+    fn = _jitted_recon(plan.H, plan.W,
                        bool(plan.strong_intra), bool(plan.has_sao),
                        deblock, plan.size_log2, plan.pic_width,
                        plan.pic_height, slices)
     return fn(plan.coef_y, plan.tu_y, plan.coef_cb, plan.tu_cb,
               plan.coef_cr, plan.tu_cr,
               plan.slot.astype(np.int32), plan.mv.astype(np.int32),
-              ops_dl, ops_dc, dbv, dbh, dbcv, dbch, sao_idx, sao_opt,
+              lv_l, lv_c, n_lvl, dbv, dbh, dbcv, dbch, sao_idx, sao_opt,
               sao_off, pool_y, pool_cb, pool_cr,
               np.int32(plan.cur_idx))
 
@@ -1194,8 +1266,9 @@ def _recon_seq(pool_y, pool_cb, pool_cr, xs, *, H, W, strong_en,
         py, pcb, pcr = pool
         y, cb, cr = _recon_picture(
             x["coef_y"], x["tu_y"], x["coef_cb"], x["tu_cb"],
-            x["coef_cr"], x["tu_cr"], x["slot"], x["mv"], x["ops_dl"],
-            x["ops_dc"], x["dbv"], x["dbh"], x["dbcv"], x["dbch"],
+            x["coef_cr"], x["tu_cr"], x["slot"], x["mv"], x["lv_l"],
+            x["lv_c"], x["n_lvl"], x["dbv"], x["dbh"], x["dbcv"],
+            x["dbch"],
             x["sao_idx"], x["sao_opt"], x["sao_off"], py, pcb, pcr,
             x["cur_idx"], H=H, W=W, strong_en=strong_en,
             has_sao=has_sao, deblock=deblock, ctb_log2=ctb_log2,
@@ -1228,18 +1301,22 @@ _SEQ_KEYS = ("coef_y", "tu_y", "coef_cb", "tu_cb", "coef_cr", "tu_cr",
 def stack_plans(plans):
     """Host prep: stacked per-picture tensors [N, ...] for _recon_seq.
 
-    Per-picture intra-op capacities are unified to the batch max,
+    Per-picture level-tensor shapes are unified to the batch max,
     rounded up to a power of two so successive batches of the same
-    stream reuse one executable."""
+    stream reuse one executable; n_lvl keeps each picture's true depth
+    so the wavefront while_loop never runs padded levels."""
     xs = {}
     for k in _SEQ_KEYS:
         xs[k] = np.stack([np.asarray(getattr(p, k), np.int32)
                           for p in plans])
-    capl = _ceil_pow2(max(p.ops_l.shape[1] for p in plans))
-    capc = _ceil_pow2(max(p.ops_c.shape[1] for p in plans))
-    dl, dc = zip(*[_diag_ops(p, capl, capc) for p in plans])
-    xs["ops_dl"] = np.stack(dl)
-    xs["ops_dc"] = np.stack(dc)
+    lvs = [_plan_levels(p) for p in plans]
+    Db = _ceil_pow2(max(max(a.shape[0], c.shape[0]) for a, c in lvs))
+    Llb = _ceil_pow2(max(a.shape[1] for a, _ in lvs))
+    Lcb = _ceil_pow2(max(c.shape[1] for _, c in lvs))
+    padded = [_pad_levels(a, c, Db, Llb, Lcb) for a, c in lvs]
+    xs["lv_l"] = np.stack([p[0] for p in padded])
+    xs["lv_c"] = np.stack([p[1] for p in padded])
+    xs["n_lvl"] = np.array([p[2] for p in padded], np.int32)
     xs["cur_idx"] = np.array([p.cur_idx for p in plans], np.int32)
     return xs
 
