@@ -105,16 +105,16 @@ def _rows_from(jnp, pltpu, T, r0, n, axis=0):
 
 def _embed_cols(jnp, raw_T, modT, r0):
     """raw_T [C, Hsk] (the read column block), modT [C, h] replacing
-    rows r0..r0+h -> full [C, Hsk] (zero-width parts skipped — Mosaic
-    rejects empty-slice vector types)."""
+    rows r0..r0+h -> full [C, Hsk] via pad + iota mask (slice+concat
+    reassembly mixes vpad offsets, which Mosaic's concatenate
+    refuses)."""
+    import jax
+
     h = modT.shape[1]
-    parts = []
-    if r0 > 0:
-        parts.append(raw_T[:, :r0])
-    parts.append(modT)
-    if r0 + h < raw_T.shape[1]:
-        parts.append(raw_T[:, r0 + h :])
-    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else modT
+    Hsk = raw_T.shape[1]
+    full = jnp.pad(modT.astype(raw_T.dtype), ((0, 0), (r0, Hsk - r0 - h)))
+    i = jax.lax.broadcasted_iota(jnp.int32, raw_T.shape, 1)
+    return jnp.where((i >= r0) & (i < r0 + h), full, raw_T)
 
 
 # ---------------------------------------------------------------------
@@ -181,7 +181,7 @@ def _intra_chroma_kernel(*refs, L, Hc):
 
     Tcb = comp_windows(7, 16, 39, 48)
     Tcr = comp_windows(15, 24, 47, 56)
-    ocb, ocr = WF.intra_chroma_compute(Tcb, Tcr, P, jnp)
+    ocb, ocr = WF.intra_chroma_compute(Tcb, Tcr, P, jnp, kernel=True)
     kind = P["kind"]
     is_intra = ((kind >= 1) & (kind <= 3))[:, None, None]
     ocb = jnp.where(is_intra, ocb, Tcb[:, 1:9, 1:9])
@@ -216,17 +216,18 @@ def _deblock_luma_kernel(*refs, L, H):
     own = jnp.swapaxes(ownT, 0, 1)[WF.MT : WF.MT + H].reshape(L, 16, 32)
     topr = jnp.swapaxes(topT, 0, 1)[WF.MT - 16 : WF.MT - 16 + H]
     topr = topr.reshape(L, 16, 16)
-    hdr = jnp.concatenate(
-        [jnp.zeros((L, 4, 4), jnp.int32), topr[:, 12:16]], axis=2)
-    Wy = jnp.concatenate([hdr, own[:, :, 12:32]], axis=1)  # [L,20,20]
+    # [L,20,20] window: disjoint zero-pads summed (concat-free)
+    shW = (L, 20, 20)
+    Wy = WF.place(jnp, topr[:, 12:16], shW, (0, 0, 4)) + WF.place(
+        jnp, own[:, :, 12:32], shW, (0, 4, 0))
 
-    Wy = WF.deblock_luma_compute(Wy, P, jnp, tabs)
+    Wy = WF.deblock_luma_compute(Wy, P, jnp, tabs, kernel=True)
 
-    own_out = WF.upd(own, Wy[:, 4:20], (0, 0, 12), jnp)
+    own_out = WF.upd_roll(own, Wy[:, 4:20], (0, 0, 12), jnp)
     ooT = jnp.swapaxes(own_out.reshape(H, 32), 0, 1)
     vy[pl.ds(co, 32), :] = _embed_cols(
         jnp, ownT, ooT, WF.MT).astype(jnp.int16)
-    top_out = WF.upd(topr, Wy[:, 0:4, 4:20], (0, 12, 0), jnp)
+    top_out = WF.upd_roll(topr, Wy[:, 0:4, 4:20], (0, 12, 0), jnp)
     toT = jnp.swapaxes(top_out.reshape(H, 16), 0, 1)
     vy[pl.ds(ct, 16), :] = _embed_cols(
         jnp, topT, toT, WF.MT - 16).astype(jnp.int16)
@@ -254,32 +255,32 @@ def _deblock_chroma_kernel(*refs, L, Hc):
     top = top.reshape(L, 8, 16)
 
     def window(oc0, oc1, tc0):
-        # own cols: 2 left-neighbor px + 8 own; window layout [L,12,12]
-        ownr = jnp.concatenate(
-            [jnp.zeros((L, 8, 2), jnp.int32),
-             own[:, :, oc0 : oc0 + 2], own[:, :, oc1 : oc1 + 8]],
-            axis=2)
+        # [L,12,12] window: rows 0..2 zero, rows 2..4 top tail, rows
+        # 4..12 = 2 zero cols + 2 left px + 8 own px — disjoint
+        # zero-pads summed (concat-free)
         topr = top[:, :, tc0 : tc0 + 8]
-        hdr = jnp.concatenate(
-            [jnp.zeros((L, 2, 4), jnp.int32), topr[:, 6:8]], axis=2)
-        hdr = jnp.concatenate(
-            [jnp.zeros((L, 2, 12), jnp.int32), hdr], axis=1)
-        return jnp.concatenate([hdr, ownr], axis=1), topr
+        shW = (L, 12, 12)
+        Wc = (WF.place(jnp, topr[:, 6:8], shW, (0, 2, 4))
+              + WF.place(jnp, own[:, :, oc0 : oc0 + 2], shW, (0, 4, 2))
+              + WF.place(jnp, own[:, :, oc1 : oc1 + 8], shW, (0, 4, 4)))
+        return Wc, topr
 
     Wcb, _ = window(6, 16, 0)
     Wcr, _ = window(14, 24, 8)
-    Wcb, Wcr = WF.deblock_chroma_compute(Wcb, Wcr, P, jnp, tabs)
+    Wcb, Wcr = WF.deblock_chroma_compute(Wcb, Wcr, P, jnp, tabs,
+                                         kernel=True)
 
     out_own = own
     out_top = top
     for (Wc, oc0, oc1, tc0) in ((Wcb, 6, 16, 0), (Wcr, 14, 24, 8)):
         body = Wc[:, 4:12, 2:12]   # [L, 8, 10]
-        out_own = WF.upd(out_own, body[:, :, 0:2], (0, 0, oc0), jnp)
-        out_own = WF.upd(out_own, body[:, :, 2:10], (0, 0, oc1), jnp)
+        out_own = WF.upd_roll(out_own, body[:, :, 0:2], (0, 0, oc0), jnp)
+        out_own = WF.upd_roll(out_own, body[:, :, 2:10], (0, 0, oc1),
+                              jnp)
         # top rows 6:8 of the tc0 column strip
-        mod = WF.upd(out_top[:, :, tc0 : tc0 + 8], Wc[:, 2:4, 4:12],
-                     (0, 6, 0), jnp)
-        out_top = WF.upd(out_top, mod, (0, 0, tc0), jnp)
+        mod = WF.upd_roll(WF.norm_layout(jnp, out_top[:, :, tc0:tc0+8]),
+                          Wc[:, 2:4, 4:12], (0, 6, 0), jnp)
+        out_top = WF.upd_roll(out_top, mod, (0, 0, tc0), jnp)
     ooT = jnp.swapaxes(out_own.reshape(Hc, 32), 0, 1)
     vc[pl.ds(co, 32), :] = _embed_cols(
         jnp, ownT, ooT, WF.MTC).astype(jnp.int16)

@@ -618,6 +618,25 @@ def _mode_eval(line, mode, mats, P, xp):
     return out
 
 
+def _cat1(xp, parts, flat):
+    """axis-1 concatenation of [L, k] parts; flat (Pallas-kernel) mode
+    assembles via layout-normalized zero-pad sums instead — offset
+    slices feeding tpu.concatenate trip Mosaic's vpad-offset rules."""
+    if not flat:
+        return xp.concatenate(parts, axis=1)
+    from .wavefront import place
+
+    W = sum(p.shape[1] for p in parts)
+    sh = (parts[0].shape[0], W)
+    acc = None
+    off = 0
+    for p in parts:
+        e = place(xp, p, sh, (0, off))
+        acc = e if acc is None else acc + e
+        off += p.shape[1]
+    return acc
+
+
 def intra4_modes(l, t, c, avail, mode, xp, mats=None, flat=False):
     """All 9 4x4 modes via the constant mode matrix; l[L,4], t[L,8] raw
     top+topright, c[L], avail bits; returns [L,4,4]. mats overrides the
@@ -632,7 +651,7 @@ def intra4_modes(l, t, c, avail, mode, xp, mats=None, flat=False):
     dc = xp.where(av1 & av2, (sl + st + 4) >> 3,
          xp.where(av1, (sl + 2) >> 2,
          xp.where(av2, (st + 2) >> 2, 0x80)))
-    line = xp.concatenate([l, c[:, None], t4, th, dc[:, None]], axis=1)
+    line = _cat1(xp, [l, c[:, None], t4, th, dc[:, None]], flat)
     out = _mode_eval(line, mode, mats or _I4_MAT, 16, xp)
     if flat:
         return out  # [L,16]; Mosaic rejects the minor-dim reshape
@@ -753,28 +772,28 @@ def intra8_modes(t, l, c, tr, avail, mode, xp, mats=None, flat=False):
         return (a + 2 * b + cc + 2) >> 2
 
     cprev = xp.where(av8, c, t[:, 0])
-    prevv = xp.concatenate([cprev[:, None], t[:, :6]], axis=1)  # [L,7]
+    prevv = _cat1(xp, [cprev[:, None], t[:, :6]], flat)  # [L,7]
     tp7 = fir3v(prevv, t[:, :7], t[:, 1:8])
-    full = xp.concatenate([t, tr], axis=1)  # [L,16]
+    full = _cat1(xp, [t, tr], flat)  # [L,16]
     ext = fir3v(full[:, 6:15], full[:, 7:16],
-                xp.concatenate([full[:, 8:16], full[:, 15:16]], axis=1))
-    with_tr = xp.concatenate([tp7, ext], axis=1)  # [L,16]
-    no_tr = xp.concatenate(
-        [tp7, ((t[:, 6] + 3 * t[:, 7] + 2) >> 2)[:, None],
-         xp.broadcast_to(t[:, 7:8], (L, 8))], axis=1)
+                _cat1(xp, [full[:, 8:16], full[:, 15:16]], flat))
+    with_tr = _cat1(xp, [tp7, ext], flat)  # [L,16]
+    no_tr = _cat1(
+        xp, [tp7, ((t[:, 6] + 3 * t[:, 7] + 2) >> 2)[:, None],
+             xp.broadcast_to(t[:, 7:8], (L, 8))], flat)
     tp16 = xp.where(av4[:, None], with_tr, no_tr)
     lprev = xp.where(av8, c, l[:, 0])
-    lprevv = xp.concatenate([lprev[:, None], l[:, :6]], axis=1)
+    lprevv = _cat1(xp, [lprev[:, None], l[:, :6]], flat)
     lf7 = fir3v(lprevv, l[:, :7], l[:, 1:8])
-    lf = xp.concatenate([lf7, ((l[:, 6] + 3 * l[:, 7] + 2) >> 2)[:, None]],
-                        axis=1)
+    lf = _cat1(xp, [lf7, ((l[:, 6] + 3 * l[:, 7] + 2) >> 2)[:, None]],
+               flat)
     cor = (l[:, 0] + 2 * c + t[:, 0] + 2) >> 2
     sl = lf.sum(axis=1)
     st = tp16[:, :8].sum(axis=1)
     dc = xp.where(av1 & av2, (sl + st + 8) >> 4,
          xp.where(av1, (sl + 4) >> 3,
          xp.where(av2, (st + 4) >> 3, 0x80)))
-    line = xp.concatenate([lf, cor[:, None], tp16, dc[:, None]], axis=1)
+    line = _cat1(xp, [lf, cor[:, None], tp16, dc[:, None]], flat)
     out = _mode_eval(line, mode, mats or _I8_MAT, 64, xp)
     if flat:
         return out  # [L,64]
@@ -794,17 +813,16 @@ def intra16_modes(l16, t16, c, avail, mode, xp):
          xp.where(av1, (sl + 8) >> 4,
          xp.where(av2, (st + 8) >> 4, 0x80)))
     m_dc = xp.broadcast_to(dc[:, None, None], (L, 16, 16))
-    # plane
-    topx = xp.concatenate([c[:, None], t16], axis=1)   # [-1..15]
-    leftx = xp.concatenate([c[:, None], l16], axis=1)
-    # sum_k k*(x[8+k] - x[8-k]) == sum_j (j-8)*x[j] — reversal-free
-    # form (Mosaic has no rev), identical integers
-    wv = _iota1(xp, 17, start=-8)
-    h = (topx * wv[None, :]).sum(axis=1)
-    v = (leftx * wv[None, :]).sum(axis=1)
+    # plane: the corner|line concatenations fold into the weighted sums
+    # algebraically (corner weight is -8 in both) — reversal- and
+    # concat-free form (Mosaic has no rev; concat trips offset rules),
+    # identical integers
+    wv = _iota1(xp, 16, start=-7)
+    h = (t16 * wv[None, :]).sum(axis=1) - 8 * c
+    v = (l16 * wv[None, :]).sum(axis=1) - 8 * c
     h = (5 * h + 32) >> 6
     v = (5 * v + 32) >> 6
-    a = 16 * (leftx[:, 16] + topx[:, 16])
+    a = 16 * (l16[:, 15] + t16[:, 15])
     ys = _iota1(xp, 16)
     val = (a[:, None, None] + (ys[None, None, :] - 7) * h[:, None, None]
            + (ys[None, :, None] - 7) * v[:, None, None] + 16) >> 5
@@ -833,19 +851,27 @@ def intra_chroma_modes(l8, t8, c, avail, mode, xp):
     dc3 = xp.where(av1 & av2, (sl4 + st4 + 4) >> 3,
           xp.where(av1, (sl4 + 2) >> 2,
           xp.where(av2, (st4 + 2) >> 2, 0x80)))
-    q = xp.stack([xp.stack([dc0, dc1], -1), xp.stack([dc2, dc3], -1)], -2)
-    # [L,2,2] -> expand 4x
-    m_dc = xp.repeat(xp.repeat(q, 4, axis=-2), 4, axis=-1)
+    # 2x2 DC quadrants expanded to 8x8 via iota masks (a repeat/reshape
+    # of the [L,2,2] grid is a minor-dim shape cast Mosaic rejects)
+    half = _iota1(xp, 8) >= 4
+    rsel = half[None, :, None]
+    csel = half[None, None, :]
+    m_dc = xp.where(
+        rsel,
+        xp.where(csel, dc3[:, None, None], dc2[:, None, None]),
+        xp.where(csel, dc1[:, None, None], dc0[:, None, None]))
+    m_dc = xp.broadcast_to(m_dc, (L, 8, 8))
     m_horiz = xp.broadcast_to(l8[:, :, None], (L, 8, 8))
     m_vert = xp.broadcast_to(t8[:, None, :], (L, 8, 8))
-    topx = xp.concatenate([c[:, None], t8], axis=1)
-    leftx = xp.concatenate([c[:, None], l8], axis=1)
-    wv = _iota1(xp, 9, start=-4)
-    h = (topx * wv[None, :]).sum(axis=1)
-    v = (leftx * wv[None, :]).sum(axis=1)
+    # plane mode: the corner|line concatenations fold into the weighted
+    # sums algebraically (corner weight is -4 in both), which also
+    # keeps the kernel path concat-free (Mosaic offset rules)
+    wv8 = _iota1(xp, 8, start=-3)
+    h = (t8 * wv8[None, :]).sum(axis=1) - 4 * c
+    v = (l8 * wv8[None, :]).sum(axis=1) - 4 * c
     h = (17 * h + 16) >> 5
     v = (17 * v + 16) >> 5
-    a = 16 * (leftx[:, 8] + topx[:, 8])
+    a = 16 * (l8[:, 7] + t8[:, 7])
     ys = _iota1(xp, 8)
     val = (a[:, None, None] + (ys[None, None, :] - 3) * h[:, None, None]
            + (ys[None, :, None] - 3) * v[:, None, None] + 16) >> 5

@@ -245,11 +245,15 @@ def _slab_windows(slab, lmax, rows, xp, kernel=False):
         tail = xp.where(i0 < n - rows, rolled,
                         xp.zeros((), slab.dtype))
         tail = tail[: lmax * rows]
-    else:
-        # row `rows` of each window (= next window's row 0) without
-        # strided slicing (reshape form lowers under Pallas/Mosaic)
-        tail = xp.concatenate(
-            [slab[rows:], xp.zeros((rows - 1, C), slab.dtype)], axis=0)
+        last = tail.reshape(lmax, rows, C)[:, 0:1]
+        # concat-free assembly: disjoint zero-pads summed
+        sh = (lmax, rows + 1, C)
+        return place(xp, body, sh, (0, 0, 0)) + place(
+            xp, last, sh, (0, rows, 0))
+    # row `rows` of each window (= next window's row 0) without
+    # strided slicing (reshape form lowers under Pallas/Mosaic)
+    tail = xp.concatenate(
+        [slab[rows:], xp.zeros((rows - 1, C), slab.dtype)], axis=0)
     last = tail.reshape(lmax, rows, C)[:, 0:1]
     return xp.concatenate([body, last], axis=1)
 
@@ -261,14 +265,21 @@ def intra_windows_luma(slab, lmax, xp, kernel=False):
     _slab_windows row 0 is already the row above the tile (the slab
     starts one pixel row above lane 0's MB)."""
     win = _slab_windows(slab, lmax, 16, xp, kernel)
-    return xp.concatenate([win[:, 0:1, 0:25], win[:, 1:17, 32:57]],
-                          axis=1)
+    a, b = win[:, 0:1, 0:25], win[:, 1:17, 32:57]
+    if kernel:
+        sh = (lmax, 17, 25)
+        return place(xp, a, sh, (0, 0, 0)) + place(xp, b, sh, (0, 1, 0))
+    return xp.concatenate([a, b], axis=1)
 
 
 def intra_windows_chroma(slab, lmax, xp, kernel=False):
     """[Lmax*8+1, 25] -> Tc [Lmax, 9, 9]."""
     win = _slab_windows(slab, lmax, 8, xp, kernel)
-    return xp.concatenate([win[:, 0:1, 0:9], win[:, 1:9, 16:25]], axis=1)
+    a, b = win[:, 0:1, 0:9], win[:, 1:9, 16:25]
+    if kernel:
+        sh = (lmax, 9, 9)
+        return place(xp, a, sh, (0, 0, 0)) + place(xp, b, sh, (0, 1, 0))
+    return xp.concatenate([a, b], axis=1)
 
 
 # ---------------------------------------------------------------------
@@ -324,13 +335,31 @@ def _intra_step_skewed(carry, xs, lmax, has_i8, xp, P_const=None,
     return (y, cb, cr), None
 
 
+def norm_layout(xp, v):
+    """Layout-normalizing copy for Mosaic kernel paths: a slice at a
+    non-tile-aligned offset carries a vpad offset ({r,c} in the vector
+    layout) that poisons downstream tpu.concatenate / the concat-based
+    tpu lowering of pad ("result/input offset mismatch"). A DYNAMIC
+    rotate by a runtime zero (program_id * 0) cannot be folded into
+    layout metadata, so the result materializes at offset {0,0}
+    (probe-verified; a static roll or an always-true iota-where select
+    gets folded back by layout inference). Identity math."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    z = pl.program_id(0) * 0
+    v = pltpu.roll(v, z, v.ndim - 1)
+    return pltpu.roll(v, z, v.ndim - 2)
+
+
 def upd_roll(a, v, starts, xp):
     """Kernel-mode functional update: place v [L,h,w] at (0,s1,s2) of
-    a [L,H,W] via zero-pad-at-origin + tpu rotate + iota mask. upd()'s
-    slice+concat reassembly produces misaligned tpu.concatenate ops
-    Mosaic refuses; pads at offset 0 and static rotates lower fine."""
+    a [L,H,W] via zero-PAD straight to the target offset + iota mask.
+    upd()'s slice+concat reassembly produces misaligned tpu.concatenate
+    ops Mosaic refuses; tpu.pad lowers fine regardless of the operand's
+    vpad offset (probe-verified), so no layout normalization or rolls
+    are needed."""
     import jax
-    from jax.experimental.pallas import tpu as pltpu
 
     s0, s1, s2 = starts
     assert s0 == 0 and v.shape[0] == a.shape[0]
@@ -338,21 +367,22 @@ def upd_roll(a, v, starts, xp):
     h, w = v.shape[1], v.shape[2]
     if v.dtype != a.dtype:
         v = v.astype(a.dtype)
-    full = v
-    if h < H:
-        full = xp.concatenate(
-            [full, xp.zeros((L, H - h, w), a.dtype)], axis=1)
-    if w < W:
-        full = xp.concatenate(
-            [full, xp.zeros((L, H, W - w), a.dtype)], axis=2)
-    if s1:
-        full = pltpu.roll(full, s1, 1)
-    if s2:
-        full = pltpu.roll(full, s2, 2)
+    full = xp.pad(norm_layout(xp, v),
+                  ((0, 0), (s1, H - s1 - h), (s2, W - s2 - w)))
     i1 = jax.lax.broadcasted_iota(xp.int32, (L, H, W), 1)
     i2 = jax.lax.broadcasted_iota(xp.int32, (L, H, W), 2)
     mask = ((i1 >= s1) & (i1 < s1 + h) & (i2 >= s2) & (i2 < s2 + w))
     return xp.where(mask, full, a)
+
+
+def place(xp, v, shape, starts):
+    """Zero-embed v into a zeros(shape) block at `starts`
+    (layout-normalize + pad). Disjoint placements compose by addition —
+    the kernel window builders use sums of place() instead of
+    concatenation."""
+    pads = tuple((s, d - s - vs)
+                 for s, d, vs in zip(starts, shape, v.shape))
+    return xp.pad(norm_layout(xp, v), pads)
 
 
 def upd(a, v, starts, xp):
@@ -472,8 +502,14 @@ def intra_luma_compute(Ty, P, has_i8, xp, consts=None):
     return tile, (kind >= 1) & (kind <= 3)
 
 
-def intra_chroma_compute(Tcb, Tcr, P, xp):
-    """Chroma half of the intra mode math -> (cb, cr) [L,8,8]."""
+def intra_chroma_compute(Tcb, Tcr, P, xp, kernel=False):
+    """Chroma half of the intra mode math -> (cb, cr) [L,8,8].
+
+    kernel=True extracts the top/left neighbour lines with circular
+    rolls instead of offset slices: a [:, 0, 1:9]-style slice tags the
+    value with a nonzero vpad offset and the concat inside
+    intra_chroma_modes (topx = corner|top) then mixes offsets, which
+    Mosaic refuses."""
     from .reconstruct import intra_chroma_modes
 
     res_c = P["res_c"]
@@ -481,8 +517,18 @@ def intra_chroma_compute(Tcb, Tcr, P, xp):
     cmode = P["chroma_mode"]
     outs = []
     for ci, Tc in enumerate((Tcb, Tcr)):
-        t8 = Tc[:, 0, 1:9]
-        l8 = Tc[:, 1:9, 0]
+        if kernel:
+            from .pallas_wavefront import _rows_from
+            from jax.experimental.pallas import tpu as pltpu
+
+            L = Tc.shape[0]
+            t8 = _rows_from(xp, pltpu, Tc[:, 0:1, :], 1, 8,
+                            axis=2).reshape(L, 8)
+            l8 = _rows_from(xp, pltpu, Tc[:, :, 0:1], 1, 8,
+                            axis=1).reshape(L, 8)
+        else:
+            t8 = Tc[:, 0, 1:9]
+            l8 = Tc[:, 1:9, 0]
         cc = Tc[:, 0, 0]
         outs.append(xp.clip(
             intra_chroma_modes(l8, t8, cc, mb_avail, cmode, xp)
@@ -499,9 +545,10 @@ def deblock_compute(Wy, Wcb, Wcr, P, xp, tabs):
     return Wy, Wcb, Wcr
 
 
-def deblock_luma_compute(Wy, P, xp, tabs):
+def deblock_luma_compute(Wy, P, xp, tabs, kernel=False):
     from .reconstruct import _edge_params, _filter_lines_luma
 
+    _upd = upd_roll if kernel else upd
     alpha_t, beta_t, tc0_t = tabs
     dstr = P["deb_str"]
     dab = P["deb_ab"]
@@ -518,18 +565,19 @@ def deblock_luma_compute(Wy, P, xp, tabs):
             c0 = 4 * e
             if axis == 0:
                 cols = Wy[:, 4:20, c0 : c0 + 8]
-                Wy = upd(Wy, _filter_lines_luma(cols, s, al, be, tc0,
-                                                xp), (0, 4, c0), xp)
+                Wy = _upd(Wy, _filter_lines_luma(cols, s, al, be, tc0,
+                                                 xp), (0, 4, c0), xp)
             else:
                 rows = xp.swapaxes(Wy[:, c0 : c0 + 8, 4:20], 1, 2)
                 out = _filter_lines_luma(rows, s, al, be, tc0, xp)
-                Wy = upd(Wy, xp.swapaxes(out, 1, 2), (0, c0, 4), xp)
+                Wy = _upd(Wy, xp.swapaxes(out, 1, 2), (0, c0, 4), xp)
     return Wy
 
 
-def deblock_chroma_compute(Wcb, Wcr, P, xp, tabs):
+def deblock_chroma_compute(Wcb, Wcr, P, xp, tabs, kernel=False):
     from .reconstruct import _edge_params, _filter_lines_chroma
 
+    _upd = upd_roll if kernel else upd
     alpha_t, beta_t, tc0_t = tabs
     dstr = P["deb_str"]
     dab = P["deb_ab"]
@@ -549,14 +597,14 @@ def deblock_chroma_compute(Wcb, Wcr, P, xp, tabs):
                 cc0 = 2 + 4 * (e >> 1)
                 if axis == 0:
                     cols = Wc[:, 4:12, cc0 : cc0 + 4]
-                    Wc = upd(Wc, _filter_lines_chroma(
+                    Wc = _upd(Wc, _filter_lines_chroma(
                         cols, s, al, be, tc0, xp), (0, 4, cc0), xp)
                 else:
                     rows = xp.swapaxes(Wc[:, cc0 : cc0 + 4, 4:12],
                                        1, 2)
                     out = _filter_lines_chroma(rows, s, al, be, tc0,
                                                xp)
-                    Wc = upd(Wc, xp.swapaxes(out, 1, 2),
+                    Wc = _upd(Wc, xp.swapaxes(out, 1, 2),
                              (0, cc0, 4), xp)
                 if ci == 0:
                     Wcb = Wc
