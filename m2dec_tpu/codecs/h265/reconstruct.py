@@ -920,7 +920,24 @@ def _schedule_levels(flat_ops, chg, cwg, stray):
       by the block below): strictly increasing levels.
 
     flat_ops [n, 7] int32 rows (used, y0, x0, sl2, mode, vx, vy) in
-    decode order; returns per-op levels [n] int32 (0 = inactive)."""
+    decode order; returns per-op levels [n] int32 (0 = inactive).
+
+    The native scheduler (native/oplevel.cpp, identical algorithm) runs
+    when available — the Python loop costs ~700 ms per 1080p I-picture;
+    it remains as the executable spec / fallback."""
+    import ctypes
+
+    from m2dec_tpu.native import load_oplevel
+
+    lib = load_oplevel()
+    if lib is not None and len(flat_ops):
+        ops = np.ascontiguousarray(flat_ops, np.int32)
+        lv = np.zeros(len(ops), np.int32)
+        lib.h265_schedule_levels(
+            ops.ctypes.data_as(ctypes.c_void_p), len(ops),
+            np.int32(chg), np.int32(cwg), np.int32(bool(stray)),
+            lv.ctypes.data_as(ctypes.c_void_p))
+        return lv
     lw = np.zeros((chg, cwg), np.int32)  # last writer's level per cell
     lr = np.zeros((chg, cwg), np.int32)  # latest reader's level
     lv = np.zeros(len(flat_ops), np.int32)
@@ -961,14 +978,40 @@ def _schedule_levels(flat_ops, chg, cwg, stray):
     return lv
 
 
-def _level_pack(flat_ops, lv, D, L):
-    """[D, L, 7] lane-packed ops: row d holds every op of level d+1."""
-    out = np.zeros((D, L, 7), np.int32)
-    cnt = np.zeros(max(D, 1), np.int32)
-    for i in np.flatnonzero(lv):
-        d = lv[i] - 1
-        out[d, cnt[d]] = flat_ops[i]
-        cnt[d] += 1
+#: max ops per wavefront step row.  A level with more ops than this is
+#: split into consecutive rows (decode order preserved inside the
+#: level, which keeps write-after-read anti-dependencies correct: the
+#: earlier-decode-order reader runs in an earlier-or-equal row than the
+#: later writer).  Without the cap, one wide level (e.g. the first
+#: level of an inter-heavy picture: thousands of independent ops)
+#: multiplied by a deep picture's level count when batch-padding —
+#: a [2048, 2048, 7] per-plane tensor that OOM-crashed the TPU worker.
+_LANE_CAP = 128
+
+
+def _level_pack(flat_ops, lv):
+    """Row-pack decode-ordered ops by level with _LANE_CAP lanes per
+    row -> [rows, lanes, 7] int32 (lanes = pow2-padded max row
+    width)."""
+    idx = np.flatnonzero(lv)  # decode order within equal levels
+    if len(idx) == 0:
+        return np.zeros((1, 1, 7), np.int32)
+    order = idx[np.argsort(lv[idx], kind="stable")]
+    levels = lv[order]
+    rows = []
+    i = 0
+    n = len(order)
+    while i < n:
+        j = i
+        cur = levels[i]
+        while j < n and levels[j] == cur and j - i < _LANE_CAP:
+            j += 1
+        rows.append(order[i:j])
+        i = j
+    L = _ceil_pow2(max(len(r) for r in rows))
+    out = np.zeros((len(rows), L, 7), np.int32)
+    for d, r in enumerate(rows):
+        out[d, : len(r)] = flat_ops[r]
     return out
 
 
@@ -982,13 +1025,7 @@ def _plan_levels(plan):
     flat_c = np.asarray(plan.ops_c, np.int32).reshape(-1, 7)
     lvl = _schedule_levels(flat_l, plan.H >> 2, plan.W >> 2, True)
     lvc = _schedule_levels(flat_c, plan.H >> 3, plan.W >> 3, False)
-    Dl = int(lvl.max(initial=0))
-    Dc = int(lvc.max(initial=0))
-    Ll = int(np.bincount(lvl, minlength=2)[1:].max(initial=0))
-    Lc = int(np.bincount(lvc, minlength=2)[1:].max(initial=0))
-    pk_l = _level_pack(flat_l, lvl, max(Dl, 1), max(Ll, 1))
-    pk_c = _level_pack(flat_c, lvc, max(Dc, 1), max(Lc, 1))
-    plan._levels = (pk_l, pk_c)
+    plan._levels = (_level_pack(flat_l, lvl), _level_pack(flat_c, lvc))
     return plan._levels
 
 

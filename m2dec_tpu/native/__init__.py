@@ -274,3 +274,39 @@ def load_h265():
     except Exception:
         _h265_lib = None
     return _h265_lib
+
+
+_oplevel_lib = None
+_oplevel_tried = False
+
+
+def _build_oplevel():
+    _BUILD.mkdir(parents=True, exist_ok=True)
+    src = _HERE / "oplevel.cpp"
+    out = _BUILD / "liboplevel.so"
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                    "-o", str(out), str(src)],
+                   check=True, capture_output=True)
+    return out
+
+
+def load_oplevel():
+    """H.265 intra-op level scheduler (oplevel.cpp), or None."""
+    global _oplevel_lib, _oplevel_tried
+    if _oplevel_tried:
+        return _oplevel_lib
+    _oplevel_tried = True
+    if os.environ.get("M2DEC_TPU_NO_NATIVE"):
+        return None
+    try:
+        lib = ctypes.CDLL(str(_build_oplevel()))
+        fn = lib.h265_schedule_levels
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                       ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+        _oplevel_lib = lib
+    except Exception:
+        _oplevel_lib = None
+    return _oplevel_lib
