@@ -295,13 +295,25 @@ def _deblock_chroma_kernel(*refs, L, Hc):
 # ---------------------------------------------------------------------
 
 
+def _lanes8(mb_h):
+    """Kernel lane count: mb_h padded up to a multiple of 8.  A lane
+    count that is not a sublane multiple gives every [L, ...] vector an
+    implicitly-padded layout whose offsets poison concat/pad lowering
+    (mb_h=6 failed where mb_h=8 compiled); the extra lanes carry zero
+    metadata (kind 0) and write their rows back unchanged."""
+    return max(8, -(-mb_h // 8) * 8)
+
+
 def _plane_shapes_T(mb_w, mb_h):
     g = WF.get_geom(mb_w, mb_h)
     nd = g["nd"]
+    L8 = _lanes8(mb_h)
     H = mb_h * 16
     W = nd * 16 + WF.ML + WF.MR
-    return ((W, H + WF.MT + WF.MB_),
-            (W, (H >> 1) + WF.MTC + WF.MBC))
+    extraY = 16 * (L8 - mb_h)
+    extraC = 8 * (L8 - mb_h)
+    return ((W, H + WF.MT + WF.MB_ + extraY),
+            (W, (H >> 1) + WF.MTC + WF.MBC + extraC))
 
 
 def _build(kernel, keys, cargs, plane_shape, nd, lmax, interpret, **kw):
@@ -340,8 +352,8 @@ def _build_all(mb_w, mb_h, has_i8, deblock, interpret):
     from .reconstruct import _I4_MAT, _I8_MAT
 
     g = WF.get_geom(mb_w, mb_h)
-    nd, L = g["nd"], g["mb_h"]
-    H, Hc = mb_h * 16, mb_h * 8
+    nd, L = g["nd"], _lanes8(mb_h)
+    H, Hc = L * 16, L * 8
     shY, shC = _plane_shapes_T(mb_w, mb_h)
     il_keys = _IL_BLOCKS + (WF._I8_KEYS if has_i8 else ())
     cargs_l = [_I4_MAT[0], np.stack(_I4_MAT[1:])]
@@ -378,11 +390,21 @@ def run_wavefronts(y_plane, cb_plane, cr_plane, Pd, g, has_i8, deblock,
     unskewed pictures; Pd = diag_gather(..., full=True). Returns
     updated (y, cb, cr) planes."""
     kers = _build_all(mb_w, mb_h, has_i8, deblock, bool(interpret))
+    L8 = _lanes8(mb_h)
+    extraY, extraC = 16 * (L8 - mb_h), 8 * (L8 - mb_h)
+    if L8 != mb_h:
+        Pd = {k: xp.pad(v, ((0, 0), (0, L8 - mb_h))
+                        + ((0, 0),) * (v.ndim - 2))
+              for k, v in Pd.items()}
     skyT = xp.swapaxes(
         WF.skew_luma(y_plane, g, xp).astype(xp.int16), 0, 1)
     skcT = xp.swapaxes(
         WF.skew_chroma_ilv(cb_plane, cr_plane, g, xp).astype(xp.int16),
         0, 1)
+    HskY, HskC = skyT.shape[1], skcT.shape[1]
+    if extraY:
+        skyT = xp.pad(skyT, ((0, 0), (0, extraY)))
+        skcT = xp.pad(skcT, ((0, 0), (0, extraC)))
     call, keys, cargs = kers["il"]
     skyT = call(*_args(Pd, keys, cargs), skyT)
     call, keys, cargs = kers["ic"]
@@ -392,6 +414,9 @@ def run_wavefronts(y_plane, cb_plane, cr_plane, Pd, g, has_i8, deblock,
         skyT = call(*_args(Pd, keys, cargs), skyT)
         call, keys, cargs = kers["dc"]
         skcT = call(*_args(Pd, keys, cargs), skcT)
+    if extraY:
+        skyT = skyT[:, :HskY]
+        skcT = skcT[:, :HskC]
     y = WF.unskew_luma(
         xp.swapaxes(skyT, 0, 1).astype(xp.int32), g, xp)
     cb, cr = WF.unskew_chroma_ilv(
@@ -463,14 +488,16 @@ def pallas_available():
     return works
 
 
-def _probe_real_kernels(mb_w=8, mb_h=8):
+def _probe_real_kernels(mb_w=8, mb_h=6):
     """Compile-and-run all four wavefront kernels at a tiny geometry;
-    True only if every one executes."""
+    True only if every one executes.  mb_h=6 deliberately exercises the
+    padded-lane path (lane counts that are not sublane multiples hit
+    different Mosaic layout inference than aligned ones)."""
     import jax
     import jax.numpy as jnp
 
     g = WF.get_geom(mb_w, mb_h)
-    nd, L = g["nd"], mb_h
+    nd, L = g["nd"], _lanes8(mb_h)
     kers = _build_all(mb_w, mb_h, True, True, False)
     shY, shC = _plane_shapes_T(mb_w, mb_h)
     shapes = {"kind": (), "res_y": (16, 16), "res_c": (2, 8, 8),
