@@ -375,13 +375,23 @@ def _combine_wp(p0, p1, both, w0, w1, o, s, xp):
 
 
 def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
-               mb_w, mb_h, xp, y_off=0):
+               mb_w, mb_h, xp, y_off=0, used=None, bi_idx=None):
     """Predict every 4x4 block of the picture from the ref stacks.
 
     Returns pred_y [n,16,16], pred_cb/cr [n,8,8] int32 (garbage for
     intra MBs; selected out later). y_off: pixel-row offset of this MB
     block within the full picture (tile-band sharding: MVs address the
-    replicated reference frames in global coordinates)."""
+    replicated reference frames in global coordinates).
+
+    used: optional [K] compact list of pool slots this picture actually
+    references (host-derived; plan slots pre-remapped to 0..K-1) — the
+    half-pel plane stack and padded ref copies then cover K planes
+    instead of the whole pool.
+    bi_idx: optional [Bb] compacted cell indices of bi-predicted cells
+    (padded with B).  The second prediction is fetched ONLY for those
+    rows — the gather unit is issue-rate-bound per element, and uni
+    cells previously fetched their windows twice (avg(a, a)); typical
+    P-heavy content drops ~45% of the MC gather traffic."""
     n = mb_w * mb_h
     B = n * 16
     mb = xp.arange(n, dtype=xp.int32)
@@ -404,37 +414,68 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
     p0_mv = xp.where((s0 >= 0)[:, None], mv[:, 0], mv[:, 1])
 
     H, W = refs_y.shape[1], refs_y.shape[2]
+    if used is not None:
+        refs_y, refs_cb, refs_cr = _fuse_break(
+            refs_y[used], refs_cb[used], refs_cr[used])
     refs_y_p = _pad_refs_edge(refs_y, xp)
     refs_c_p = _interleave_chroma(_pad_refs_edge(refs_cb, xp),
                                   _pad_refs_edge(refs_cr, xp), xp)
     planes4 = _halfpel_planes(refs_y_p, xp)
 
-    def pred_one(sl, mvv):
+    def pred_one(sl, mvv, bxv, byv):
         mvx, mvy = mvv[:, 0], mvv[:, 1]
-        py = _luma_mc_hp(planes4, sl, bx + (mvx >> 2), by + (mvy >> 2),
-                         mvx & 3, mvy & 3, xp, H, W)
-        cxp = (bx >> 1) + (mvx >> 3)
-        cyp = (by >> 1) + (mvy >> 3)
+        py = _luma_mc_hp(planes4, sl, bxv + (mvx >> 2),
+                         byv + (mvy >> 2), mvx & 3, mvy & 3, xp, H, W)
+        cxp = (bxv >> 1) + (mvx >> 3)
+        cyp = (byv >> 1) + (mvy >> 3)
         pcb, pcr = _chroma_mc_ilv(refs_c_p, sl, cxp, cyp, mvx & 7,
                                   mvy & 7, xp, H >> 1, W >> 1)
         return py, pcb, pcr
 
-    p0y, p0cb, p0cr = pred_one(p0_slot, p0_mv)
-    p1y, p1cb, p1cr = pred_one(xp.where(both, s1, p0_slot),
-                               xp.where(both[:, None], mv[:, 1], p0_mv))
+    p0y, p0cb, p0cr = pred_one(p0_slot, p0_mv, bx, by)
 
-    both3 = both[:, None, None]
-
-    def comb(pi, pa, pb):
+    def comb_all(pi, pa, pb, mask3):
         w0 = wp[:, pi, 0][:, None, None]
         w1 = wp[:, pi, 1][:, None, None]
         o = wp[:, pi, 2][:, None, None]
         s = wp[:, pi, 3][:, None, None]
-        return _combine_wp(pa, pb, both3, w0, w1, o, s, xp)
+        return _combine_wp(pa, pb, mask3, w0, w1, o, s, xp)
 
-    out_y = comb(0, p0y, p1y)       # [B,4,4]
-    out_cb = comb(1, p0cb, p1cb)    # [B,2,2]
-    out_cr = comb(2, p0cr, p1cr)
+    if bi_idx is None:
+        p1y, p1cb, p1cr = pred_one(
+            xp.where(both, s1, p0_slot),
+            xp.where(both[:, None], mv[:, 1], p0_mv), bx, by)
+        both3 = both[:, None, None]
+        out_y = comb_all(0, p0y, p1y, both3)     # [B,4,4]
+        out_cb = comb_all(1, p0cb, p1cb, both3)  # [B,2,2]
+        out_cr = comb_all(2, p0cr, p1cr, both3)
+    else:
+        # uni combine everywhere, then the compacted bi rows overwrite
+        pad = bi_idx >= B
+        bidx = xp.clip(bi_idx, 0, B - 1)
+        (s1c, mv1c, bxc, byc, wpc, p0yc, p0cbc,
+         p0crc) = _fuse_break(s1[bidx], mv[bidx, 1], bx[bidx], by[bidx],
+                              wp[bidx], p0y[bidx], p0cb[bidx],
+                              p0cr[bidx])
+        p1y, p1cb, p1cr = pred_one(s1c, mv1c, bxc, byc)
+        out_y = comb_all(0, p0y, p0y, False)
+        out_cb = comb_all(1, p0cb, p0cb, False)
+        out_cr = comb_all(2, p0cr, p0cr, False)
+
+        def comb_bi(pi, pa, pb):
+            w0 = wpc[:, pi, 0][:, None, None]
+            w1 = wpc[:, pi, 1][:, None, None]
+            o = wpc[:, pi, 2][:, None, None]
+            s = wpc[:, pi, 3][:, None, None]
+            return _combine_wp(pa, pb, True, w0, w1, o, s, xp)
+
+        sidx = xp.where(pad, B + 16, bidx)  # dropped rows
+        out_y = _fuse_break(out_y.at[sidx].set(
+            comb_bi(0, p0yc, p1y), mode="drop"))
+        out_cb = _fuse_break(out_cb.at[sidx].set(
+            comb_bi(1, p0cbc, p1cb), mode="drop"))
+        out_cr = _fuse_break(out_cr.at[sidx].set(
+            comb_bi(2, p0crc, p1cr), mode="drop"))
 
     pred_y = (out_y.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
               .reshape(n, 16, 16))
@@ -1261,7 +1302,7 @@ def _recon_core(P, refs_y, refs_cb, refs_cr, diag, pcm_y, pcm_cb,
     P["res_c"] = res_c
     pred_y, pred_cb, pred_cr = inter_pass(
         P["mv"], P["slot"], P["wp"], refs_y, refs_cb, refs_cr, mb_w, mb_h,
-        xp)
+        xp, used=P.get("mc_used"), bi_idx=P.get("mc_bi"))
     is_inter = (kind == 0)[:, None, None]
     inter_y = xp.where(is_inter, xp.clip(pred_y + res_y, 0, 255), 0)
     inter_cb = xp.where(is_inter, xp.clip(pred_cb + res_c[:, 0], 0, 255), 0)
@@ -1596,6 +1637,56 @@ class _DevSlotMap:
         return tr, self.map[plan.cur_idx]
 
 
+#: 4x4 cell -> 8x8 quadrant within an MB (cell index = mb*16 + blk)
+_CELL_QUAD = (np.array([((b >> 3) * 2 + ((b >> 1) & 1))
+                        for b in range(16)], np.int32))
+
+
+def _derive_mc_aux(slot_fields, pool_size):
+    """Host MC-compaction prep, run AFTER the device-slot remap.
+
+    For each batch's [N, n, 4, 2] slot grid (mutated IN PLACE):
+    * collects the compact used-slot list per picture and remaps the
+      grid to 0..K-1 (the half-pel planes then cover K planes, not the
+      whole pool);
+    * collects the bi-predicted 4x4 cell indices (the second MC fetch
+      runs only for those rows).
+    Shapes are pow2-bucketed across every batch in `slot_fields` so
+    batches of one stream reuse executables. Returns a list of
+    (used [N, K] int32, bi [N, Bb] int32, padded with n*16)."""
+    cols = []
+    for sf in slot_fields:
+        useds, bis = [], []
+        for b in range(sf.shape[0]):
+            v = sf[b]
+            used = np.unique(v[v >= 0]).astype(np.int32)
+            if used.size == 0:
+                used = np.zeros(1, np.int32)
+            remap = np.zeros(pool_size, np.int32)
+            remap[used] = np.arange(len(used), dtype=np.int32)
+            np.copyto(v, np.where(
+                v >= 0, remap[np.clip(v, 0, pool_size - 1)]
+                .astype(v.dtype), v))
+            useds.append(used)
+            both = (v[:, :, 0] >= 0) & (v[:, :, 1] >= 0)  # [n, 4]
+            cellboth = both[:, _CELL_QUAD].reshape(-1)
+            bis.append(np.flatnonzero(cellboth).astype(np.int32))
+        cols.append((useds, bis))
+    K = _next_pow2(max(len(u) for us, _ in cols for u in us))
+    Bb = _next_pow2(max(1, max(len(x) for _, bs in cols for x in bs)))
+    out = []
+    for sf, (useds, bis) in zip(slot_fields, cols):
+        N = sf.shape[0]
+        B = sf.shape[1] * 16
+        used_arr = np.zeros((N, K), np.int32)
+        bi_arr = np.full((N, Bb), B, np.int32)
+        for b in range(N):
+            used_arr[b, : len(useds[b])] = useds[b]
+            bi_arr[b, : len(bis[b])] = bis[b]
+        out.append((used_arr, bi_arr))
+    return out
+
+
 def _remap_batch(slot_field, cur_idx, plans, smap):
     """Apply a _DevSlotMap to a batch IN PLACE: slot_field [B, n, 4, 2]
     (any int dtype, -1 preserved) and cur_idx [B] int32."""
@@ -1663,6 +1754,9 @@ class BatchedPhaseB:
                                 deblock, has_pcm)
         fields = _wire_views(blob, layout)
         _remap_batch(fields["slot"], cur_idx, plans, self.smap)
+        fields = dict(fields)
+        ((fields["mc_used"], fields["mc_bi"]),) = _derive_mc_aux(
+            [fields["slot"]], self.pool[0].shape[0])
         args = (self.pool[0], self.pool[1], self.pool[2],
                 fields, pals, cur_idx, self.diag)
         if has_pcm:
@@ -1857,7 +1951,8 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, stacked, pals,
             P["res_c"] = residual_chroma(P["coef_chroma"], jnp)
             pred_y, pred_cb, pred_cr = inter_pass(
                 P["mv"], P["slot"], P["wp"], py[s], pcb[s], pcr[s],
-                mb_w, mb_h, jnp)
+                mb_w, mb_h, jnp, used=P.get("mc_used"),
+                bi_idx=P.get("mc_bi"))
             is_inter = (P["kind"] == 0)[:, None, None]
             iy = jnp.where(is_inter,
                            jnp.clip(pred_y + P["res_y"], 0, 255), 0)
@@ -2110,10 +2205,15 @@ class MultiStreamPhaseB:
         has_pcm = any(p.pcm for plans in plans_per_stream
                       for p in plans)
         nmb = self.mb_w * self.mb_h
-        fields = [_wire_views(b, layout0) for b in blobs]
+        fields = [dict(_wire_views(b, layout0)) for b in blobs]
         for s, plans in enumerate(plans_per_stream):
             _remap_batch(fields[s]["slot"], curs[s], plans,
                          self.smaps[s])
+        pool_r = (self.pool[0].shape[1] if self.stacked
+                  else self.pools[0][0].shape[0])
+        auxs = _derive_mc_aux([fd["slot"] for fd in fields], pool_r)
+        for f, aux in zip(fields, auxs):
+            f["mc_used"], f["mc_bi"] = aux
         if self.stacked:
             fn = _jitted_recon_stacked(layout0, self.n, self.mb_w,
                                        self.mb_h, has_i8, deblock,

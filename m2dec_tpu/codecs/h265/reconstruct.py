@@ -658,14 +658,19 @@ def _extra_vals(RAW, pos, omin, valid, kind, NV, xp):
 
 
 def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
-                    consts, xp):
+                    consts, xp, ybase=None):
     """Apply one z-order intra op slot across all wavefront lanes.
 
     plane/resid: padded int32 planes (content at [0:H, 0:W], pad >=
     S+1 below/right); op [L, 7] = (used, y0, x0, sl2, mode, vx, vy).
     Evaluates planar/DC/H/V/angular exactly as intra.py /
     intra_angular.py and writes the masked (size x size [+ DC stray
-    pixel]) region fused with the residual plane."""
+    pixel]) region fused with the residual plane.
+
+    ybase: vertical-stacking support (the cb and cr planes ride ONE
+    stacked plane so each wavefront step runs a single chroma apply):
+    lanes with y0 >= ybase belong to the second segment and clip their
+    neighbour reads to [ybase, ybase+H-1] instead of [0, H-1]."""
     (SEL, POSA, FIXON, FIXIDX, FIXPOS, ROWST, COEFC1, FILTK,
      TRANSP) = consts
     used = op[:, 0]
@@ -678,10 +683,15 @@ def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
     two_sz = xp.left_shift(2, sl2)
     NV = 2 * S + 2
     ar = xp.arange(-1, NV + 1)
-    ly = xp.clip(y0[:, None] + ar[None, :], 0, H - 1)
+    if ybase is None:
+        ylo = xp.zeros_like(y0)
+    else:
+        ylo = xp.where(y0 >= ybase, ybase, 0)
+    yhi = ylo + (H - 1)
+    ly = xp.clip(y0[:, None] + ar[None, :], ylo[:, None], yhi[:, None])
     lxc = xp.clip(x0 - 1, 0, W - 1)
     RAWL = plane[ly, lxc[:, None]]                       # src_L[-1..NV]
-    tyc = xp.clip(y0 - 1, 0, H - 1)
+    tyc = xp.clip(y0 - 1, ylo, yhi)
     tx = xp.clip(x0[:, None] + ar[None, :], 0, W - 1)
     RAWT = plane[tyc[:, None], tx]                       # src_T[-1..NV]
     corner = RAWT[:, 0]
@@ -1025,7 +1035,13 @@ def _plan_levels(plan):
     flat_c = np.asarray(plan.ops_c, np.int32).reshape(-1, 7)
     lvl = _schedule_levels(flat_l, plan.H >> 2, plan.W >> 2, True)
     lvc = _schedule_levels(flat_c, plan.H >> 3, plan.W >> 3, False)
-    plan._levels = (_level_pack(flat_l, lvl), _level_pack(flat_c, lvc))
+    pk_c = _level_pack(flat_c, lvc)
+    # double the chroma lanes: the second copy targets the cr segment
+    # of the stacked chroma plane (see _wavefront)
+    cr_ops = pk_c.copy()
+    cr_ops[:, :, 1] += _CR0(plan.H >> 1)
+    pk_c = np.concatenate([pk_c, cr_ops], axis=1)
+    plan._levels = (_level_pack(flat_l, lvl), pk_c)
     return plan._levels
 
 
@@ -1043,12 +1059,14 @@ def _pad_levels(lv_l, lv_c, Db=None, Llb=None, Lcb=None):
     return out_l, out_c, np.int32(D)
 
 
-def _wavefront(y, cb, cr, res_y, res_cb, res_cr, lv_l, lv_c, n_lvl,
+def _wavefront(y, cbcr, res_y, res_cbcr, lv_l, lv_c, n_lvl,
                strong_en, H, W):
     """Intra reconstruction as a while_loop over dependency levels:
-    every iteration applies ONE level's lane-batched luma + chroma ops
-    (disjoint delta-add writes), running only the picture's true depth
-    (n_lvl) — inter-heavy pictures cost a handful of steps."""
+    every iteration applies ONE level's lane-batched luma ops plus one
+    chroma apply covering BOTH components (cb and cr ride one
+    vertically stacked plane; the packer doubles the chroma lanes with
+    cr-segment offsets), running only the picture's true depth (n_lvl)
+    — inter-heavy pictures cost a handful of steps."""
     import jax
     import jax.numpy as jnp
 
@@ -1061,22 +1079,26 @@ def _wavefront(y, cb, cr, res_y, res_cb, res_cr, lv_l, lv_c, n_lvl,
     Hc, Wc = H >> 1, W >> 1
 
     def body(state):
-        i, (y_, cb_, cr_) = state
+        i, (y_, c_) = state
         opl = jax.lax.dynamic_slice(
             lv_l, (i, 0, 0), (1,) + lv_l.shape[1:])[0]
         opc = jax.lax.dynamic_slice(
             lv_c, (i, 0, 0), (1,) + lv_c.shape[1:])[0]
         y_ = _apply_intra_op(y_, res_y, opl, 32, True, strong_en,
                              H, W, consts, jnp)
-        cb_ = _apply_intra_op(cb_, res_cb, opc, 16, False, False,
-                              Hc, Wc, consts, jnp)
-        cr_ = _apply_intra_op(cr_, res_cr, opc, 16, False, False,
-                              Hc, Wc, consts, jnp)
-        return i + 1, (y_, cb_, cr_)
+        c_ = _apply_intra_op(c_, res_cbcr, opc, 16, False, False,
+                             Hc, Wc, consts, jnp, ybase=_CR0(Hc))
+        return i + 1, (y_, c_)
 
-    _, (y, cb, cr) = jax.lax.while_loop(
-        lambda s: s[0] < n_lvl, body, (jnp.int32(0), (y, cb, cr)))
-    return y, cb, cr
+    _, (y, cbcr) = jax.lax.while_loop(
+        lambda s: s[0] < n_lvl, body, (jnp.int32(0), (y, cbcr)))
+    return y, cbcr
+
+
+def _CR0(Hc):
+    """Row base of the cr segment in the stacked chroma plane (cb
+    content + its 17-row write pad)."""
+    return Hc + 17
 
 
 def _pad_plane(p, pad, xp):
@@ -1118,18 +1140,20 @@ def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
     mpc = xp.repeat(xp.repeat(mask, 2, 0), 2, 1)
     cb = xp.where(mpc, _clip255(mc_cb + res_cb, xp), prior_cb)
     cr = xp.where(mpc, _clip255(mc_cr + res_cr, xp), prior_cr)
-    # intra wavefront over padded planes
+    # intra wavefront over padded planes; cb/cr vertically stacked so
+    # each step runs ONE chroma apply for both components
+    Hc = H >> 1
     yp = _pad_plane(y, 33, xp)
-    cbp = _pad_plane(cb, 17, xp)
-    crp = _pad_plane(cr, 17, xp)
+    cbcrp = xp.concatenate([_pad_plane(cb, 17, xp),
+                            _pad_plane(cr, 17, xp)], axis=0)
     ryp = _pad_plane(res_y, 33, xp)
-    rcbp = _pad_plane(res_cb, 17, xp)
-    rcrp = _pad_plane(res_cr, 17, xp)
-    yp, cbp, crp = _wavefront(yp, cbp, crp, ryp, rcbp, rcrp, lv_l,
-                              lv_c, n_lvl, strong_en, H, W)
+    rcp = xp.concatenate([_pad_plane(res_cb, 17, xp),
+                          _pad_plane(res_cr, 17, xp)], axis=0)
+    yp, cbcrp = _wavefront(yp, cbcrp, ryp, rcp, lv_l,
+                           lv_c, n_lvl, strong_en, H, W)
     y = yp[:H, :W]
-    cb = cbp[: H >> 1, : W >> 1]
-    cr = crp[: H >> 1, : W >> 1]
+    cb = cbcrp[:Hc, : W >> 1]
+    cr = cbcrp[_CR0(Hc) : _CR0(Hc) + Hc, : W >> 1]
     if slices is None:
         if deblock:
             y, cb, cr = deblock_frame(y, cb, cr, dbv, dbh, dbcv, dbch, xp)

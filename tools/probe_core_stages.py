@@ -35,7 +35,7 @@ def main():
         WF.deblock_scan = lambda a, b, c, *r, **k: (a, b, c)
     if "nointer" in off:
         def fake_inter(mv, slot, wp, ry, rcb, rcr, mbw, mbh, xp,
-                       y_off=0):
+                       y_off=0, used=None, bi_idx=None):
             n = mbw * mbh
             return (xp.zeros((n, 16, 16), xp.int32),
                     xp.zeros((n, 8, 8), xp.int32),
