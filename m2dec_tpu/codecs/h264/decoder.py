@@ -146,6 +146,7 @@ class H264Decoder:
         self.sps_store: dict = {}
         self.pps_store: dict = {}
         self.hdr = SliceHeader()
+        self.dpb_max_cfg = dpb_max
         self.dpb = Dpb(dpb_max)
         self.num_frames_cfg = num_frames
         self.frames: list[Frame] = []
@@ -157,6 +158,9 @@ class H264Decoder:
         self.nal_i = 0
         self.inited = False
         self.nal_id = 0
+        #: DPB entries voided by a mid-stream pool reallocation (they
+        #: drain as zero-byte frames; see _sps_update)
+        self._void_pending = 0
         self.cb = AE.CabacEngine()
         self.is_cabac = False
         self.tc = None  # optional CAVLC->CABAC transcode sink (tests)
@@ -186,6 +190,9 @@ class H264Decoder:
         n = self.num_frames_cfg or (sps.num_ref_frames + 1 + 2)
         n = min(n + 16, 64) if self.num_frames_cfg is None else n
         self.frames = [Frame(sps.pic_width, sps.pic_height) for _ in range(n)]
+        #: pool buffer capacity for the SetFrames sufficiency check
+        #: (frames.h sufficient(): the ORIGINAL allocation size)
+        self._pool_luma_cap = sps.pic_width * sps.pic_height
         self.lru = [0] * n
         self.max_x = sps.pic_width >> 4
         self.max_y = sps.pic_height >> 4
@@ -204,6 +211,49 @@ class H264Decoder:
             self.native_session = NativeH264Session(
                 self.max_x, self.max_y, plan_alloc=self.plan_alloc)
         self.inited = True
+
+    def _sps_update(self, sps):
+        """Mid-stream SPS: the reference's header-callback reallocation
+        (SPS dispatch h264.cpp:885-891 -> M2Decoder::SetFrames,
+        m2decoder.h:54-80).  A pool that stays sufficient is kept
+        untouched (parameter-only SPS updates); a geometry change
+        replaces the pool and re-inits the frame bookkeeping
+        (frames_init, h264.cpp:637-643 — fresh buffers, LRU zeroed;
+        the typical conforming switch is a drained DPB followed by an
+        IDR at the new geometry, which this reproduces byte-exactly).
+        A switch to a geometry the pool still covers (e.g. a smaller
+        resolution) keeps the pool AND its content: pending DPB frames
+        drain normally at their own dimensions while new pictures
+        decode into lazily re-shaped slots (_find_empty_frame)."""
+        n_needed = self.num_frames_cfg or min(
+            sps.num_ref_frames + 1 + 2 + 16, 64)
+        sufficient = (n_needed <= len(self.frames)
+                      and sps.pic_width * sps.pic_height
+                      <= self._pool_luma_cap)
+        if sufficient:
+            if (sps.pic_width, sps.pic_height) != (
+                    self.max_x << 4, self.max_y << 4):
+                # set_mb_size (h264.cpp:548-552): geometry switches now;
+                # per-geometry scratch rebuilds, pool/DPB/refs stay
+                self.max_x = sps.pic_width >> 4
+                self.max_y = sps.pic_height >> 4
+                nmb = self.max_x * self.max_y
+                self.deblock = [DeblockInfo() for _ in range(nmb)]
+                self.curr_col = self._new_col_page(nmb)
+                if self.native:
+                    from .native_session import NativeH264Session
+
+                    self.native_session = NativeH264Session(
+                        self.max_x, self.max_y,
+                        plan_alloc=self.plan_alloc)
+            return
+        # frames still pending in the DPB reference the REPLACED pool:
+        # the reference then emits zero bytes for each of them (observed:
+        # empty-md5 golden lines / no raw bytes) — modelled as void
+        # frames drained ahead of the new segment's output
+        self._void_pending += len(self.dpb.data)
+        self.refs = [[RefFrame() for _ in range(16)] for _ in range(2)]
+        self._alloc(sps)  # fresh pool + col pages onto the new refs
 
     @staticmethod
     def _new_col_page(nmb):
@@ -238,6 +288,8 @@ class H264Decoder:
                     sid = parse_sps(r, self.sps_store)
                     if not self.inited:
                         self._alloc(self.sps_store[sid])
+                    else:
+                        self._sps_update(self.sps_store[sid])
                 elif nal_type == PPS_NAL:
                     parse_pps(r, self.pps_store)
                 # SEI / AUD / others skipped
@@ -349,6 +401,15 @@ class H264Decoder:
         max_idx = int(np.argmax(self.lru))
         self.lru[max_idx] = 0
         self.cur_idx = max_idx
+        # lazily re-create the claimed slot at the active geometry: a
+        # sufficient-pool SPS change (m2decoder.h SetFrames early-out)
+        # keeps the pool, and the reference then decodes new-geometry
+        # pictures into the reused buffers; pending DPB frames keep
+        # their own dimensions
+        f = self.frames[max_idx]
+        if f.y.shape != (self.max_y << 4, self.max_x << 4):
+            self.frames[max_idx] = Frame(self.max_x << 4,
+                                         self.max_y << 4)
 
     # -------------------------------------------------------- slice hdr --
     def _read_slice(self, r):
@@ -370,6 +431,11 @@ class H264Decoder:
         self.is_cabac = bool(pps.entropy_coding_mode_flag)
         if new_picture:
             self._find_empty_frame()
+            # output geometry travels with the frame: after a
+            # mid-stream SPS switch, frames pending in the DPB emit at
+            # THEIR decode-time dimensions, not the active SPS's
+            self.frames[self.cur_idx].out_geom = (
+                sps.pic_width, sps.pic_height, tuple(sps.frame_crop))
             if not self.native:
                 # python MB loop state only; the native session keeps
                 # deblock records in its own C arrays (resetting 8160
@@ -1392,6 +1458,10 @@ class H264Decoder:
         )
 
     # ---------------------------------------------------------- output ---
+    #: pool-index sentinel for voided (zero-byte) frames: non-negative
+    #: so drain loops continue, out of any plan/slot-map range
+    _VOID_IDX = 1 << 20
+
     def peek_decoded_frame(self, bypass_dpb=False):
         frm = None
         if not bypass_dpb and not self.dpb.is_ready:
@@ -1400,6 +1470,8 @@ class H264Decoder:
             idx = self.dpb.force_peek()
         if idx < 0:
             return 0, None
+        if self._void_pending > 0:
+            return 1, self._void_frame()
         return 1, self._frame_out(idx)
 
     def get_decoded_frame(self, bypass_dpb=False):
@@ -1417,19 +1489,36 @@ class H264Decoder:
             idx = self.dpb.force_pop()
         if idx < 0:
             return -1, None
+        if self._void_pending > 0:
+            self._void_pending -= 1
+            return self._VOID_IDX, self._void_frame()
         return idx, self._frame_out(idx)
+
+    def _void_frame(self):
+        """Zero-byte output frame for DPB entries orphaned by a
+        mid-stream pool reallocation (_sps_update): the reference's
+        writer produces no bytes for them (empty-md5 golden lines)."""
+        from m2dec_tpu.codecs.mpeg2.decoder import DecodedFrame
+
+        z = np.zeros((0, 0), np.uint8)
+        return DecodedFrame(y=z, cb=z, cr=z, width=0, height=0,
+                            crop=(0, 0, 0, 0), cnt=0)
 
     def _frame_out(self, idx):
         from m2dec_tpu.codecs.mpeg2.decoder import DecodedFrame
 
         f = self.frames[idx]
-        sps = self.sps_store[
-            self.pps_store[self.hdr.pps_id].seq_parameter_set_id
-        ]
-        crop = sps.frame_crop  # (left, right, top, bottom)
+        geom = getattr(f, "out_geom", None)
+        if geom is None:
+            sps = self.sps_store[
+                self.pps_store[self.hdr.pps_id].seq_parameter_set_id
+            ]
+            geom = (sps.pic_width, sps.pic_height,
+                    tuple(sps.frame_crop))
+        w, h, crop = geom
         return DecodedFrame(
             y=f.y, cb=f.cb, cr=f.cr,
-            width=sps.pic_width, height=sps.pic_height,
+            width=w, height=h,
             crop=(crop[0], crop[1], crop[2], crop[3]),
             cnt=f.cnt,
         )
