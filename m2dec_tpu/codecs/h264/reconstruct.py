@@ -244,9 +244,18 @@ _HP_TAB = np.array([
 ], np.int32)
 
 
-def _luma_mc_hp(planes4, slot, posx, posy, fracx, fracy, xp, H, W):
-    """Quarter-pel 4x4 luma via the half-pel plane stack: two 4x4
-    window fetches + one average, bit-exact with _luma_mc."""
+def _luma_mc_hp(planes4, slot, posx, posy, fracx, fracy, xp, H, W,
+                size=4):
+    """Quarter-pel luma via the half-pel plane stack: two size x size
+    window fetches + one average, bit-exact with _luma_mc.
+
+    size=4 is the per-4x4-cell path; size=16 serves a whole
+    uniform-MV macroblock with ONE pair of 16x16 window fetches
+    (5 words/row instead of 2 words per 4-px cell row — ~38% fewer
+    gathered words; the gather unit is issue-rate-bound per element).
+    Callers of size=16 must guarantee the clips below never engage
+    (host-side exclusion: base in [-9, dim-11]) — a clipped base
+    breaks the contiguity of the per-cell windows."""
     posy_c = xp.clip(posy, -9, H + 1)
     posx_c = xp.clip(posx, -9, W + 1)
     nplanes, R, Hp, Wp = planes4.shape
@@ -258,7 +267,7 @@ def _luma_mc_hp(planes4, slot, posx, posy, fracx, fracy, xp, H, W):
         return _flat_windows32(
             flat, tab[:, pcol] * R + sl,
             posy_c + tab[:, dycol] + _MC_PAD,
-            posx_c + tab[:, dxcol] + _MC_PAD, 4, 4, xp)
+            posx_c + tab[:, dxcol] + _MC_PAD, size, size, xp)
 
     w1 = fetch(0, 1, 2)
     w2 = fetch(3, 4, 5)
@@ -337,26 +346,33 @@ def _chroma_mc(refs_p, slot, posx, posy, fracx, fracy, xp, H, W):
             + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
 
 
-def _chroma_mc_ilv(refs_ilv_p, slot, posx, posy, fracx, fracy, xp, H, W):
-    """Bilinear 2x2 chroma from a column-INTERLEAVED CbCr plane
+def _chroma_mc_ilv(refs_ilv_p, slot, posx, posy, fracx, fracy, xp, H, W,
+                   size=2):
+    """Bilinear chroma from a column-INTERLEAVED CbCr plane
     [R, Hc+2p, 2*(Wc+2p)] (NV12 row layout, frames.h interleaved
     chroma): cb and cr windows share coordinates, so ONE word-gather
     per prediction serves both components — half the fetches and ~25%
     fewer gathered words than per-plane fetching (the gather unit is
-    issue-rate-bound per element). Returns (pcb, pcr) [B,2,2]."""
+    issue-rate-bound per element). Returns (pcb, pcr) [B,size,size].
+
+    size=2 is the per-cell path; size=8 serves a uniform-MV MB's whole
+    chroma with one 9-row interleaved fetch (~60% fewer words than 16
+    per-cell 3x3 windows). size=8 callers must guarantee the clips
+    never engage (host exclusion: base in [-3, dim-7])."""
     posy_c = xp.clip(posy, -3, H - 1)
     posx_c = xp.clip(posx, -3, W - 1)
+    t = size + 1  # texel rows needed for size bilinear outputs
     g = _flat_windows32(refs_ilv_p, slot, posy_c + _MC_PAD,
-                        2 * (posx_c + _MC_PAD), 3, 6, xp)  # [B,3,6]
+                        2 * (posx_c + _MC_PAD), t, 2 * t, xp)
     # interleaved bilinear: the +1-texel taps are +2 byte-columns
-    a = g[:, 0:2, 0:4]
-    b = g[:, 0:2, 2:6]
-    c = g[:, 1:3, 0:4]
-    d = g[:, 1:3, 2:6]
+    a = g[:, 0:size, 0 : 2 * size]
+    b = g[:, 0:size, 2 : 2 * size + 2]
+    c = g[:, 1 : size + 1, 0 : 2 * size]
+    d = g[:, 1 : size + 1, 2 : 2 * size + 2]
     fx = fracx[:, None, None]
     fy = fracy[:, None, None]
     out = ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
-           + (8 - fx) * fy * c + fx * fy * d + 32) >> 6  # [B,2,4] ilv
+           + (8 - fx) * fy * c + fx * fy * d + 32) >> 6  # ilv
     return out[:, :, 0::2], out[:, :, 1::2]
 
 
@@ -375,7 +391,8 @@ def _combine_wp(p0, p1, both, w0, w1, o, s, xp):
 
 
 def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
-               mb_w, mb_h, xp, y_off=0, used=None, bi_idx=None):
+               mb_w, mb_h, xp, y_off=0, used=None, bi_idx=None,
+               nu=None, uni=None, ubi=None):
     """Predict every 4x4 block of the picture from the ref stacks.
 
     Returns pred_y [n,16,16], pred_cb/cr [n,8,8] int32 (garbage for
@@ -387,31 +404,18 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
     references (host-derived; plan slots pre-remapped to 0..K-1) — the
     half-pel plane stack and padded ref copies then cover K planes
     instead of the whole pool.
-    bi_idx: optional [Bb] compacted cell indices of bi-predicted cells
-    (padded with B).  The second prediction is fetched ONLY for those
-    rows — the gather unit is issue-rate-bound per element, and uni
-    cells previously fetched their windows twice (avg(a, a)); typical
-    P-heavy content drops ~45% of the MC gather traffic."""
+    bi_idx: optional [Bb] compacted bi-predicted cell rows (absolute
+    cell indices padded with B when nu is None; positions into `nu`
+    padded with its capacity otherwise). The second prediction is
+    fetched ONLY for those rows.
+    nu/uni/ubi: host MC compaction (see _derive_mc_aux) — `uni` [U]
+    lists uniform-MV inter MBs served by ONE 16x16/9-row-chroma fetch
+    pair each, `nu` [Bn] the remaining inter cells (intra cells fetch
+    NOTHING), `ubi` [Ub] positions into `uni` needing a second
+    prediction. Together they cut the gathered-word count ~2-3x on
+    skip/16x16-partition-heavy content."""
     n = mb_w * mb_h
     B = n * 16
-    mb = xp.arange(n, dtype=xp.int32)
-    x0 = (mb % mb_w) * 16
-    y0 = (mb // mb_w) * 16 + y_off
-    blk = xp.arange(16, dtype=xp.int32)
-    bx = (x0[:, None] + (blk[None, :] & 3) * 4).reshape(B)
-    by = (y0[:, None] + (blk[None, :] >> 2) * 4).reshape(B)
-    quad = ((blk >> 3) * 2 + ((blk >> 1) & 1))[None, :]  # [1,16]
-    quad = xp.broadcast_to(quad, (n, 16)).reshape(B)
-    slot = plan_slot.reshape(n, 4, 2)[
-        xp.repeat(mb, 16), quad]  # [B,2]
-    wp = plan_wp.reshape(n, 4, 3, 4)[xp.repeat(mb, 16), quad]  # [B,3,4]
-    mv = plan_mv.reshape(B, 2, 2)
-
-    s0, s1 = slot[:, 0], slot[:, 1]
-    both = (s0 >= 0) & (s1 >= 0)
-    # single-list predictions route through p0 (recorder convention)
-    p0_slot = xp.where(s0 >= 0, s0, s1)
-    p0_mv = xp.where((s0 >= 0)[:, None], mv[:, 0], mv[:, 1])
 
     H, W = refs_y.shape[1], refs_y.shape[2]
     if used is not None:
@@ -422,60 +426,170 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
                                   _pad_refs_edge(refs_cr, xp), xp)
     planes4 = _halfpel_planes(refs_y_p, xp)
 
-    def pred_one(sl, mvv, bxv, byv):
+    def pred_one(sl, mvv, bxv, byv, size=4):
         mvx, mvy = mvv[:, 0], mvv[:, 1]
         py = _luma_mc_hp(planes4, sl, bxv + (mvx >> 2),
-                         byv + (mvy >> 2), mvx & 3, mvy & 3, xp, H, W)
+                         byv + (mvy >> 2), mvx & 3, mvy & 3, xp, H, W,
+                         size=size)
         cxp = (bxv >> 1) + (mvx >> 3)
         cyp = (byv >> 1) + (mvy >> 3)
         pcb, pcr = _chroma_mc_ilv(refs_c_p, sl, cxp, cyp, mvx & 7,
-                                  mvy & 7, xp, H >> 1, W >> 1)
+                                  mvy & 7, xp, H >> 1, W >> 1,
+                                  size=size >> 1)
         return py, pcb, pcr
 
-    p0y, p0cb, p0cr = pred_one(p0_slot, p0_mv, bx, by)
-
-    def comb_all(pi, pa, pb, mask3):
-        w0 = wp[:, pi, 0][:, None, None]
-        w1 = wp[:, pi, 1][:, None, None]
-        o = wp[:, pi, 2][:, None, None]
-        s = wp[:, pi, 3][:, None, None]
+    def comb(wpa, pi, pa, pb, mask3):
+        w0 = wpa[:, pi, 0][:, None, None]
+        w1 = wpa[:, pi, 1][:, None, None]
+        o = wpa[:, pi, 2][:, None, None]
+        s = wpa[:, pi, 3][:, None, None]
         return _combine_wp(pa, pb, mask3, w0, w1, o, s, xp)
 
-    if bi_idx is None:
-        p1y, p1cb, p1cr = pred_one(
-            xp.where(both, s1, p0_slot),
-            xp.where(both[:, None], mv[:, 1], p0_mv), bx, by)
-        both3 = both[:, None, None]
-        out_y = comb_all(0, p0y, p1y, both3)     # [B,4,4]
-        out_cb = comb_all(1, p0cb, p1cb, both3)  # [B,2,2]
-        out_cr = comb_all(2, p0cr, p1cr, both3)
+    if nu is None:
+        # dense path: every cell (incl. intra garbage rows) fetches
+        mb = xp.arange(n, dtype=xp.int32)
+        x0 = (mb % mb_w) * 16
+        y0 = (mb // mb_w) * 16 + y_off
+        blk = xp.arange(16, dtype=xp.int32)
+        bx = (x0[:, None] + (blk[None, :] & 3) * 4).reshape(B)
+        by = (y0[:, None] + (blk[None, :] >> 2) * 4).reshape(B)
+        quad = ((blk >> 3) * 2 + ((blk >> 1) & 1))[None, :]  # [1,16]
+        quad = xp.broadcast_to(quad, (n, 16)).reshape(B)
+        slot = plan_slot.reshape(n, 4, 2)[
+            xp.repeat(mb, 16), quad]  # [B,2]
+        wp = plan_wp.reshape(n, 4, 3, 4)[xp.repeat(mb, 16), quad]
+        mv = plan_mv.reshape(B, 2, 2)
+
+        s0, s1 = slot[:, 0], slot[:, 1]
+        both = (s0 >= 0) & (s1 >= 0)
+        # single-list predictions route through p0 (recorder convention)
+        p0_slot = xp.where(s0 >= 0, s0, s1)
+        p0_mv = xp.where((s0 >= 0)[:, None], mv[:, 0], mv[:, 1])
+        p0y, p0cb, p0cr = pred_one(p0_slot, p0_mv, bx, by)
+
+        if bi_idx is None:
+            p1y, p1cb, p1cr = pred_one(
+                xp.where(both, s1, p0_slot),
+                xp.where(both[:, None], mv[:, 1], p0_mv), bx, by)
+            both3 = both[:, None, None]
+            out_y = comb(wp, 0, p0y, p1y, both3)     # [B,4,4]
+            out_cb = comb(wp, 1, p0cb, p1cb, both3)  # [B,2,2]
+            out_cr = comb(wp, 2, p0cr, p1cr, both3)
+        else:
+            # uni combine everywhere, compacted bi rows overwrite
+            pad = bi_idx >= B
+            bidx = xp.clip(bi_idx, 0, B - 1)
+            (s1c, mv1c, bxc, byc, wpc, p0yc, p0cbc,
+             p0crc) = _fuse_break(s1[bidx], mv[bidx, 1], bx[bidx],
+                                  by[bidx], wp[bidx], p0y[bidx],
+                                  p0cb[bidx], p0cr[bidx])
+            p1y, p1cb, p1cr = pred_one(s1c, mv1c, bxc, byc)
+            out_y = comb(wp, 0, p0y, p0y, False)
+            out_cb = comb(wp, 1, p0cb, p0cb, False)
+            out_cr = comb(wp, 2, p0cr, p0cr, False)
+            sidx = xp.where(pad, B + 16, bidx)  # dropped rows
+            out_y = _fuse_break(out_y.at[sidx].set(
+                comb(wpc, 0, p0yc, p1y, True), mode="drop"))
+            out_cb = _fuse_break(out_cb.at[sidx].set(
+                comb(wpc, 1, p0cbc, p1cb, True), mode="drop"))
+            out_cr = _fuse_break(out_cr.at[sidx].set(
+                comb(wpc, 2, p0crc, p1cr, True), mode="drop"))
     else:
-        # uni combine everywhere, then the compacted bi rows overwrite
-        pad = bi_idx >= B
-        bidx = xp.clip(bi_idx, 0, B - 1)
-        (s1c, mv1c, bxc, byc, wpc, p0yc, p0cbc,
-         p0crc) = _fuse_break(s1[bidx], mv[bidx, 1], bx[bidx], by[bidx],
-                              wp[bidx], p0y[bidx], p0cb[bidx],
-                              p0cr[bidx])
-        p1y, p1cb, p1cr = pred_one(s1c, mv1c, bxc, byc)
-        out_y = comb_all(0, p0y, p0y, False)
-        out_cb = comb_all(1, p0cb, p0cb, False)
-        out_cr = comb_all(2, p0cr, p0cr, False)
+        # compacted path: fetch only real inter work
+        out_y = xp.zeros((B, 4, 4), xp.int32)
+        out_cb = xp.zeros((B, 2, 2), xp.int32)
+        out_cr = xp.zeros((B, 2, 2), xp.int32)
 
-        def comb_bi(pi, pa, pb):
-            w0 = wpc[:, pi, 0][:, None, None]
-            w1 = wpc[:, pi, 1][:, None, None]
-            o = wpc[:, pi, 2][:, None, None]
-            s = wpc[:, pi, 3][:, None, None]
-            return _combine_wp(pa, pb, True, w0, w1, o, s, xp)
+        # --- non-uniform inter cells ---------------------------------
+        Bn = nu.shape[0]
+        nupad = nu >= B
+        nuc = xp.clip(nu, 0, B - 1)
+        mbn = nuc >> 4
+        blkn = nuc & 15
+        qn = (blkn >> 3) * 2 + ((blkn >> 1) & 1)
+        slotn = plan_slot.reshape(n, 4, 2)[mbn, qn]      # [Bn,2]
+        wpn = plan_wp.reshape(n, 4, 3, 4)[mbn, qn]       # [Bn,3,4]
+        mvn = plan_mv.reshape(B, 2, 2)[nuc]              # [Bn,2,2]
+        bxn = (mbn % mb_w) * 16 + (blkn & 3) * 4
+        byn = (mbn // mb_w) * 16 + (blkn >> 2) * 4 + y_off
+        (slotn, wpn, mvn, bxn, byn) = _fuse_break(slotn, wpn, mvn,
+                                                  bxn, byn)
+        s0, s1 = slotn[:, 0], slotn[:, 1]
+        p0_slot = xp.where(s0 >= 0, s0, s1)
+        p0_mv = xp.where((s0 >= 0)[:, None], mvn[:, 0], mvn[:, 1])
+        p0y, p0cb, p0cr = pred_one(p0_slot, p0_mv, bxn, byn)
+        r_y = comb(wpn, 0, p0y, p0y, False)
+        r_cb = comb(wpn, 1, p0cb, p0cb, False)
+        r_cr = comb(wpn, 2, p0cr, p0cr, False)
+        sidx_n = xp.where(nupad, B + 16, nuc)
+        out_y = _fuse_break(out_y.at[sidx_n].set(r_y, mode="drop"))
+        out_cb = _fuse_break(out_cb.at[sidx_n].set(r_cb, mode="drop"))
+        out_cr = _fuse_break(out_cr.at[sidx_n].set(r_cr, mode="drop"))
 
-        sidx = xp.where(pad, B + 16, bidx)  # dropped rows
-        out_y = _fuse_break(out_y.at[sidx].set(
-            comb_bi(0, p0yc, p1y), mode="drop"))
-        out_cb = _fuse_break(out_cb.at[sidx].set(
-            comb_bi(1, p0cbc, p1cb), mode="drop"))
-        out_cr = _fuse_break(out_cr.at[sidx].set(
-            comb_bi(2, p0crc, p1cr), mode="drop"))
+        # bi rows among nu (bi_idx holds positions INTO nu)
+        if bi_idx is not None:
+            bipad = bi_idx >= Bn
+            bidx = xp.clip(bi_idx, 0, Bn - 1)
+            (s1c, mv1c, bxc, byc, wpc, p0yc, p0cbc,
+             p0crc) = _fuse_break(s1[bidx], mvn[bidx, 1], bxn[bidx],
+                                  byn[bidx], wpn[bidx], p0y[bidx],
+                                  p0cb[bidx], p0cr[bidx])
+            p1y, p1cb, p1cr = pred_one(s1c, mv1c, bxc, byc)
+            sidx_b = xp.where(bipad | nupad[bidx], B + 16, nuc[bidx])
+            out_y = _fuse_break(out_y.at[sidx_b].set(
+                comb(wpc, 0, p0yc, p1y, True), mode="drop"))
+            out_cb = _fuse_break(out_cb.at[sidx_b].set(
+                comb(wpc, 1, p0cbc, p1cb, True), mode="drop"))
+            out_cr = _fuse_break(out_cr.at[sidx_b].set(
+                comb(wpc, 2, p0crc, p1cr, True), mode="drop"))
+
+        # --- uniform-MV macroblocks: one wide fetch per MB -----------
+        if uni is not None:
+            U = uni.shape[0]
+            upad = uni >= n
+            um = xp.clip(uni, 0, n - 1)
+            slotm = plan_slot.reshape(n, 4, 2)[um, 0]     # [U,2]
+            wpm = plan_wp.reshape(n, 4, 3, 4)[um, 0]      # [U,3,4]
+            mvm = plan_mv.reshape(n, 16, 2, 2)[um, 0]     # [U,2,2]
+            x0m = (um % mb_w) * 16
+            y0m = (um // mb_w) * 16 + y_off
+            (slotm, wpm, mvm, x0m, y0m) = _fuse_break(slotm, wpm, mvm,
+                                                      x0m, y0m)
+            s0m, s1m = slotm[:, 0], slotm[:, 1]
+            p0s = xp.where(s0m >= 0, s0m, s1m)
+            p0mv = xp.where((s0m >= 0)[:, None], mvm[:, 0], mvm[:, 1])
+            puy, pucb, pucr = pred_one(p0s, p0mv, x0m, y0m, size=16)
+            uy = comb(wpm, 0, puy, puy, False)     # [U,16,16]
+            ucb = comb(wpm, 1, pucb, pucb, False)  # [U,8,8]
+            ucr = comb(wpm, 2, pucr, pucr, False)
+            if ubi is not None:
+                ubpad = ubi >= U
+                ubc = xp.clip(ubi, 0, U - 1)
+                (s1u, mv1u, x0u, y0u, wpu, puyc, pucbc,
+                 pucrc) = _fuse_break(s1m[ubc], mvm[ubc, 1], x0m[ubc],
+                                      y0m[ubc], wpm[ubc], puy[ubc],
+                                      pucb[ubc], pucr[ubc])
+                p1y, p1cb, p1cr = pred_one(s1u, mv1u, x0u, y0u, size=16)
+                sidx_ub = xp.where(ubpad, U + 1, ubc)
+                uy = _fuse_break(uy.at[sidx_ub].set(
+                    comb(wpu, 0, puyc, p1y, True), mode="drop"))
+                ucb = _fuse_break(ucb.at[sidx_ub].set(
+                    comb(wpu, 1, pucbc, p1cb, True), mode="drop"))
+                ucr = _fuse_break(ucr.at[sidx_ub].set(
+                    comb(wpu, 2, pucrc, p1cr, True), mode="drop"))
+            cells = um[:, None] * 16 + xp.arange(16, dtype=xp.int32)
+            sidx_u = xp.where(upad[:, None], B + 16, cells)  # [U,16]
+            uy_c = (uy.reshape(U, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
+                    .reshape(U, 16, 4, 4))
+            ucb_c = (ucb.reshape(U, 4, 2, 4, 2).transpose(0, 1, 3, 2, 4)
+                     .reshape(U, 16, 2, 2))
+            ucr_c = (ucr.reshape(U, 4, 2, 4, 2).transpose(0, 1, 3, 2, 4)
+                     .reshape(U, 16, 2, 2))
+            out_y = _fuse_break(out_y.at[sidx_u].set(uy_c, mode="drop"))
+            out_cb = _fuse_break(out_cb.at[sidx_u].set(ucb_c,
+                                                       mode="drop"))
+            out_cr = _fuse_break(out_cr.at[sidx_u].set(ucr_c,
+                                                       mode="drop"))
 
     pred_y = (out_y.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
               .reshape(n, 16, 16))
@@ -1302,7 +1416,8 @@ def _recon_core(P, refs_y, refs_cb, refs_cr, diag, pcm_y, pcm_cb,
     P["res_c"] = res_c
     pred_y, pred_cb, pred_cr = inter_pass(
         P["mv"], P["slot"], P["wp"], refs_y, refs_cb, refs_cr, mb_w, mb_h,
-        xp, used=P.get("mc_used"), bi_idx=P.get("mc_bi"))
+        xp, used=P.get("mc_used"), bi_idx=P.get("mc_bi"),
+        nu=P.get("mc_nu"), uni=P.get("mc_uni"), ubi=P.get("mc_ubi"))
     is_inter = (kind == 0)[:, None, None]
     inter_y = xp.where(is_inter, xp.clip(pred_y + res_y, 0, 255), 0)
     inter_cb = xp.where(is_inter, xp.clip(pred_cb + res_c[:, 0], 0, 255), 0)
@@ -1642,21 +1757,51 @@ _CELL_QUAD = (np.array([((b >> 3) * 2 + ((b >> 1) & 1))
                         for b in range(16)], np.int32))
 
 
-def _derive_mc_aux(slot_fields, pool_size):
+def _mv_keys(mv_field, pal, n):
+    """[n,16,R] per-cell comparison keys + [n,2,2] dense cell-0 MVs."""
+    if isinstance(mv_field, dict):
+        idx = np.asarray(mv_field["idx"]).reshape(n, 16)
+        dense0 = np.asarray(pal)[idx[:, 0]].reshape(n, 2, 2)
+        return idx[:, :, None], dense0
+    d = np.asarray(mv_field).reshape(n, 16, 4)
+    return d, d[:, 0].reshape(n, 2, 2).astype(np.int32)
+
+
+def _wp_keys(wp_field, n):
+    """[n,4,R] per-quad comparison keys."""
+    if isinstance(wp_field, dict):
+        return np.asarray(wp_field["idx"]).reshape(n, 4)[:, :, None]
+    return np.asarray(wp_field).reshape(n, 4, 12)
+
+
+def _derive_mc_aux(slot_fields, pool_size, mv_fields, wp_fields,
+                   pals_list, mb_w, mb_h):
     """Host MC-compaction prep, run AFTER the device-slot remap.
 
     For each batch's [N, n, 4, 2] slot grid (mutated IN PLACE):
     * collects the compact used-slot list per picture and remaps the
       grid to 0..K-1 (the half-pel planes then cover K planes, not the
       whole pool);
-    * collects the bi-predicted 4x4 cell indices (the second MC fetch
-      runs only for those rows).
+    * partitions the picture's MC work for inter_pass's compacted path:
+      `uni` — inter MBs whose 16 cells share slot/mv/wp (16x16
+      partitions, P/B-skip, uniform direct) AND whose windows provably
+      never hit the per-cell UMV clips: one 16x16 luma + one 9-row
+      chroma fetch pair serves the whole MB;
+      `nu` — the remaining inter cells (intra cells fetch nothing);
+      `bi` — positions into `nu` needing the second prediction;
+      `ubi` — positions into `uni` needing it.
     Shapes are pow2-bucketed across every batch in `slot_fields` so
     batches of one stream reuse executables. Returns a list of
-    (used [N, K] int32, bi [N, Bb] int32, padded with n*16)."""
+    (used [N,K], bi [N,Bb], nu [N,Bn], uni [N,U], ubi [N,Ub])."""
+    n = mb_w * mb_h
+    H, W = mb_h * 16, mb_w * 16
+    mbi = np.arange(n, dtype=np.int32)
+    x0 = (mbi % mb_w) * 16
+    y0 = (mbi // mb_w) * 16
     cols = []
-    for sf in slot_fields:
-        useds, bis = [], []
+    for sf, mvf, wpf, pals in zip(slot_fields, mv_fields, wp_fields,
+                                  pals_list):
+        useds, bis, nus, unis, ubis = [], [], [], [], []
         for b in range(sf.shape[0]):
             v = sf[b]
             used = np.unique(v[v >= 0]).astype(np.int32)
@@ -1668,22 +1813,68 @@ def _derive_mc_aux(slot_fields, pool_size):
                 v >= 0, remap[np.clip(v, 0, pool_size - 1)]
                 .astype(v.dtype), v))
             useds.append(used)
-            both = (v[:, :, 0] >= 0) & (v[:, :, 1] >= 0)  # [n, 4]
-            cellboth = both[:, _CELL_QUAD].reshape(-1)
-            bis.append(np.flatnonzero(cellboth).astype(np.int32))
-        cols.append((useds, bis))
-    K = _next_pow2(max(len(u) for us, _ in cols for u in us))
-    Bb = _next_pow2(max(1, max(len(x) for _, bs in cols for x in bs)))
+
+            quad_has = (v[:, :, 0] >= 0) | (v[:, :, 1] >= 0)  # [n,4]
+            both_q = (v[:, :, 0] >= 0) & (v[:, :, 1] >= 0)
+            is_inter = quad_has[:, 0]  # inter MBs predict all quads
+            mvk, mv0 = _mv_keys(
+                {k: a[b] for k, a in mvf.items()}
+                if isinstance(mvf, dict) else mvf[b],
+                pals.get("mv") if pals else None, n)
+            wpk = _wp_keys(
+                {k: a[b] for k, a in wpf.items()}
+                if isinstance(wpf, dict) else wpf[b], n)
+            uniform = ((v == v[:, :1, :]).all(axis=(1, 2))
+                       & (mvk == mvk[:, :1]).all(axis=(1, 2))
+                       & (wpk == wpk[:, :1]).all(axis=(1, 2))
+                       & is_inter)
+            # wide fetches need every per-cell clip to be a no-op
+            s0 = v[:, 0, 0].astype(np.int32)
+            p0mv = np.where((s0 >= 0)[:, None], mv0[:, 0], mv0[:, 1])
+
+            def _ok(mv2, m=None):
+                ty = y0 + (mv2[:, 1] >> 2)
+                tx = x0 + (mv2[:, 0] >> 2)
+                cy = (y0 >> 1) + (mv2[:, 1] >> 3)
+                cx = (x0 >> 1) + (mv2[:, 0] >> 3)
+                r = ((ty >= -9) & (ty <= H - 11)
+                     & (tx >= -9) & (tx <= W - 11)
+                     & (cy >= -3) & (cy <= (H >> 1) - 7)
+                     & (cx >= -3) & (cx <= (W >> 1) - 7))
+                return r if m is None else (r | ~m)
+
+            uniform &= _ok(p0mv)
+            uniform &= _ok(mv0[:, 1], both_q[:, 0])
+            unis.append(np.flatnonzero(uniform).astype(np.int32))
+            ubis.append(np.flatnonzero(
+                both_q[uniform, 0]).astype(np.int32))
+            cellmask = quad_has[:, _CELL_QUAD] & ~uniform[:, None]
+            nu_b = np.flatnonzero(cellmask.reshape(-1)).astype(np.int32)
+            nus.append(nu_b)
+            cellboth = both_q[:, _CELL_QUAD].reshape(-1)
+            bis.append(np.flatnonzero(cellboth[nu_b]).astype(np.int32))
+        cols.append((useds, bis, nus, unis, ubis))
+    K = _next_pow2(max(len(u) for c in cols for u in c[0]))
+    Bb = _next_pow2(max(1, max(len(x) for c in cols for x in c[1])))
+    Bn = _next_pow2(max(1, max(len(x) for c in cols for x in c[2])))
+    U = _next_pow2(max(1, max(len(x) for c in cols for x in c[3])))
+    Ub = _next_pow2(max(1, max(len(x) for c in cols for x in c[4])))
     out = []
-    for sf, (useds, bis) in zip(slot_fields, cols):
+    for sf, (useds, bis, nus, unis, ubis) in zip(slot_fields, cols):
         N = sf.shape[0]
         B = sf.shape[1] * 16
         used_arr = np.zeros((N, K), np.int32)
-        bi_arr = np.full((N, Bb), B, np.int32)
+        bi_arr = np.full((N, Bb), Bn, np.int32)
+        nu_arr = np.full((N, Bn), B, np.int32)
+        uni_arr = np.full((N, U), sf.shape[1], np.int32)
+        ubi_arr = np.full((N, Ub), U, np.int32)
         for b in range(N):
             used_arr[b, : len(useds[b])] = useds[b]
             bi_arr[b, : len(bis[b])] = bis[b]
-        out.append((used_arr, bi_arr))
+            nu_arr[b, : len(nus[b])] = nus[b]
+            uni_arr[b, : len(unis[b])] = unis[b]
+            ubi_arr[b, : len(ubis[b])] = ubis[b]
+        out.append((used_arr, bi_arr, nu_arr, uni_arr, ubi_arr))
     return out
 
 
@@ -1755,8 +1946,10 @@ class BatchedPhaseB:
         fields = _wire_views(blob, layout)
         _remap_batch(fields["slot"], cur_idx, plans, self.smap)
         fields = dict(fields)
-        ((fields["mc_used"], fields["mc_bi"]),) = _derive_mc_aux(
-            [fields["slot"]], self.pool[0].shape[0])
+        ((fields["mc_used"], fields["mc_bi"], fields["mc_nu"],
+          fields["mc_uni"], fields["mc_ubi"]),) = _derive_mc_aux(
+            [fields["slot"]], self.pool[0].shape[0], [fields["mv"]],
+            [fields["wp"]], [pals], self.mb_w, self.mb_h)
         args = (self.pool[0], self.pool[1], self.pool[2],
                 fields, pals, cur_idx, self.diag)
         if has_pcm:
@@ -1952,7 +2145,8 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, stacked, pals,
             pred_y, pred_cb, pred_cr = inter_pass(
                 P["mv"], P["slot"], P["wp"], py[s], pcb[s], pcr[s],
                 mb_w, mb_h, jnp, used=P.get("mc_used"),
-                bi_idx=P.get("mc_bi"))
+                bi_idx=P.get("mc_bi"), nu=P.get("mc_nu"),
+                uni=P.get("mc_uni"), ubi=P.get("mc_ubi"))
             is_inter = (P["kind"] == 0)[:, None, None]
             iy = jnp.where(is_inter,
                            jnp.clip(pred_y + P["res_y"], 0, 255), 0)
@@ -2211,9 +2405,13 @@ class MultiStreamPhaseB:
                          self.smaps[s])
         pool_r = (self.pool[0].shape[1] if self.stacked
                   else self.pools[0][0].shape[0])
-        auxs = _derive_mc_aux([fd["slot"] for fd in fields], pool_r)
+        auxs = _derive_mc_aux(
+            [fd["slot"] for fd in fields], pool_r,
+            [fd["mv"] for fd in fields], [fd["wp"] for fd in fields],
+            pals_list, self.mb_w, self.mb_h)
         for f, aux in zip(fields, auxs):
-            f["mc_used"], f["mc_bi"] = aux
+            (f["mc_used"], f["mc_bi"], f["mc_nu"], f["mc_uni"],
+             f["mc_ubi"]) = aux
         if self.stacked:
             fn = _jitted_recon_stacked(layout0, self.n, self.mb_w,
                                        self.mb_h, has_i8, deblock,

@@ -172,6 +172,19 @@ class TurboH265Decoder:
         self.error = 0
 
     def frames(self):
+        """Yield materialized DecodedFrames in output (DPB) order."""
+        for frm, outs, i in self.device_frames():
+            if outs is None:
+                yield frm
+                continue
+            yield replace(frm, y=np.asarray(outs[0][i]),
+                          cb=np.asarray(outs[1][i]),
+                          cr=np.asarray(outs[2][i]))
+
+    def device_frames(self):
+        """Yield (frame-meta, outs, row) with planes DEVICE-RESIDENT
+        (same contract as TurboH264Decoder.device_frames); rows with
+        outs=None carry their (zero) planes on the meta itself."""
         dec = self.dec
         batcher = None
         undisp: list = []
@@ -240,15 +253,13 @@ class TurboH265Decoder:
                         z = np.zeros((frm.height, frm.width), np.uint8)
                         zc = np.zeros((frm.height >> 1, frm.width >> 1),
                                       np.uint8)
-                        yield replace(frm, y=z, cb=zc, cr=zc)
+                        yield replace(frm, y=z, cb=zc, cr=zc), None, None
                         continue
                     break
                 events.popleft()
                 outs, i = ent
                 del stores[id(plan)]  # free batch outs once consumed
-                yield replace(frm, y=np.asarray(outs[0][i]),
-                              cb=np.asarray(outs[1][i]),
-                              cr=np.asarray(outs[2][i]))
+                yield frm, outs, i
 
         while True:
             err = dec.decode_picture()
