@@ -32,6 +32,7 @@ remaps reference slots.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -495,10 +496,18 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
             out_cr = _fuse_break(out_cr.at[sidx].set(
                 comb(wpc, 2, p0crc, p1cr, True), mode="drop"))
     else:
-        # compacted path: fetch only real inter work
+        # compacted path: fetch only real inter work; scatters are as
+        # expensive as gathers on this backend, so results assemble
+        # fully inside the compact domain (bi overwrites, interleaved
+        # cb|cr) and ride exactly ONE luma + ONE chroma scatter per
+        # partition (nu cells, uniform MBs)
         out_y = xp.zeros((B, 4, 4), xp.int32)
-        out_cb = xp.zeros((B, 2, 2), xp.int32)
-        out_cr = xp.zeros((B, 2, 2), xp.int32)
+        out_c = xp.zeros((B, 2, 4), xp.int32)  # cb|cr interleaved
+
+        def ilv(cb, cr):
+            s = cb.shape
+            return xp.stack([cb, cr], axis=-1).reshape(s[:-1]
+                                                       + (2 * s[-1],))
 
         # --- non-uniform inter cells ---------------------------------
         Bn = nu.shape[0]
@@ -521,12 +530,9 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
         r_y = comb(wpn, 0, p0y, p0y, False)
         r_cb = comb(wpn, 1, p0cb, p0cb, False)
         r_cr = comb(wpn, 2, p0cr, p0cr, False)
-        sidx_n = xp.where(nupad, B + 16, nuc)
-        out_y = _fuse_break(out_y.at[sidx_n].set(r_y, mode="drop"))
-        out_cb = _fuse_break(out_cb.at[sidx_n].set(r_cb, mode="drop"))
-        out_cr = _fuse_break(out_cr.at[sidx_n].set(r_cr, mode="drop"))
 
-        # bi rows among nu (bi_idx holds positions INTO nu)
+        # bi rows among nu (bi_idx holds positions INTO nu): overwrite
+        # within the compact domain, before the single scatter out
         if bi_idx is not None:
             bipad = bi_idx >= Bn
             bidx = xp.clip(bi_idx, 0, Bn - 1)
@@ -535,13 +541,17 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
                                   byn[bidx], wpn[bidx], p0y[bidx],
                                   p0cb[bidx], p0cr[bidx])
             p1y, p1cb, p1cr = pred_one(s1c, mv1c, bxc, byc)
-            sidx_b = xp.where(bipad | nupad[bidx], B + 16, nuc[bidx])
-            out_y = _fuse_break(out_y.at[sidx_b].set(
-                comb(wpc, 0, p0yc, p1y, True), mode="drop"))
-            out_cb = _fuse_break(out_cb.at[sidx_b].set(
-                comb(wpc, 1, p0cbc, p1cb, True), mode="drop"))
-            out_cr = _fuse_break(out_cr.at[sidx_b].set(
-                comb(wpc, 2, p0crc, p1cr, True), mode="drop"))
+            sidx_b = xp.where(bipad, Bn + 1, bidx)
+            r_y = r_y.at[sidx_b].set(
+                comb(wpc, 0, p0yc, p1y, True), mode="drop")
+            r_cb = r_cb.at[sidx_b].set(
+                comb(wpc, 1, p0cbc, p1cb, True), mode="drop")
+            r_cr = r_cr.at[sidx_b].set(
+                comb(wpc, 2, p0crc, p1cr, True), mode="drop")
+        sidx_n = xp.where(nupad, B + 16, nuc)
+        out_y = _fuse_break(out_y.at[sidx_n].set(r_y, mode="drop"))
+        out_c = _fuse_break(out_c.at[sidx_n].set(ilv(r_cb, r_cr),
+                                                 mode="drop"))
 
         # --- uniform-MV macroblocks: one wide fetch per MB -----------
         if uni is not None:
@@ -571,25 +581,23 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
                                       pucb[ubc], pucr[ubc])
                 p1y, p1cb, p1cr = pred_one(s1u, mv1u, x0u, y0u, size=16)
                 sidx_ub = xp.where(ubpad, U + 1, ubc)
-                uy = _fuse_break(uy.at[sidx_ub].set(
-                    comb(wpu, 0, puyc, p1y, True), mode="drop"))
-                ucb = _fuse_break(ucb.at[sidx_ub].set(
-                    comb(wpu, 1, pucbc, p1cb, True), mode="drop"))
-                ucr = _fuse_break(ucr.at[sidx_ub].set(
-                    comb(wpu, 2, pucrc, p1cr, True), mode="drop"))
+                uy = uy.at[sidx_ub].set(
+                    comb(wpu, 0, puyc, p1y, True), mode="drop")
+                ucb = ucb.at[sidx_ub].set(
+                    comb(wpu, 1, pucbc, p1cb, True), mode="drop")
+                ucr = ucr.at[sidx_ub].set(
+                    comb(wpu, 2, pucrc, p1cr, True), mode="drop")
             cells = um[:, None] * 16 + xp.arange(16, dtype=xp.int32)
             sidx_u = xp.where(upad[:, None], B + 16, cells)  # [U,16]
             uy_c = (uy.reshape(U, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
                     .reshape(U, 16, 4, 4))
-            ucb_c = (ucb.reshape(U, 4, 2, 4, 2).transpose(0, 1, 3, 2, 4)
-                     .reshape(U, 16, 2, 2))
-            ucr_c = (ucr.reshape(U, 4, 2, 4, 2).transpose(0, 1, 3, 2, 4)
-                     .reshape(U, 16, 2, 2))
+            uc = ilv(ucb, ucr)  # [U,8,16] cb|cr interleaved columns
+            uc_c = (uc.reshape(U, 4, 2, 4, 4).transpose(0, 1, 3, 2, 4)
+                    .reshape(U, 16, 2, 4))
             out_y = _fuse_break(out_y.at[sidx_u].set(uy_c, mode="drop"))
-            out_cb = _fuse_break(out_cb.at[sidx_u].set(ucb_c,
-                                                       mode="drop"))
-            out_cr = _fuse_break(out_cr.at[sidx_u].set(ucr_c,
-                                                       mode="drop"))
+            out_c = _fuse_break(out_c.at[sidx_u].set(uc_c, mode="drop"))
+        out_cb = out_c[:, :, 0::2]
+        out_cr = out_c[:, :, 1::2]
 
     pred_y = (out_y.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
               .reshape(n, 16, 16))
@@ -1775,7 +1783,7 @@ def _wp_keys(wp_field, n):
 
 
 def _derive_mc_aux(slot_fields, pool_size, mv_fields, wp_fields,
-                   pals_list, mb_w, mb_h):
+                   pals_list, mb_w, mb_h, compact=None):
     """Host MC-compaction prep, run AFTER the device-slot remap.
 
     For each batch's [N, n, 4, 2] slot grid (mutated IN PLACE):
@@ -1792,7 +1800,50 @@ def _derive_mc_aux(slot_fields, pool_size, mv_fields, wp_fields,
       `ubi` — positions into `uni` needing it.
     Shapes are pow2-bucketed across every batch in `slot_fields` so
     batches of one stream reuse executables. Returns a list of
-    (used [N,K], bi [N,Bb], nu [N,Bn], uni [N,U], ubi [N,Ub])."""
+    (used [N,K], bi [N,Bb], nu [N,Bn], uni [N,U], ubi [N,Ub]).
+
+    compact=False (M2DEC_TPU_MC=dense) derives only (used,
+    bi-with-ABSOLUTE-cell-indices, None, None, None) for inter_pass's
+    dense path. Same-session A/B/A at 1080p on the tunneled v5e share:
+    compact 281-300 ms/pic vs dense 312-316 — the wide uniform-MB
+    fetches beat the dense path's redundant intra/uniform-cell gathers
+    by ~8% even paying for the result scatters (scatter issue rate ~=
+    gather issue rate on this backend), so compact is the default."""
+    if compact is None:
+        compact = os.environ.get("M2DEC_TPU_MC", "compact") != "dense"
+    if not compact:
+        cols2 = []
+        for sf in slot_fields:
+            useds, bis = [], []
+            for b in range(sf.shape[0]):
+                v = sf[b]
+                used = np.unique(v[v >= 0]).astype(np.int32)
+                if used.size == 0:
+                    used = np.zeros(1, np.int32)
+                remap = np.zeros(pool_size, np.int32)
+                remap[used] = np.arange(len(used), dtype=np.int32)
+                np.copyto(v, np.where(
+                    v >= 0, remap[np.clip(v, 0, pool_size - 1)]
+                    .astype(v.dtype), v))
+                useds.append(used)
+                both = (v[:, :, 0] >= 0) & (v[:, :, 1] >= 0)  # [n,4]
+                cellboth = both[:, _CELL_QUAD].reshape(-1)
+                bis.append(np.flatnonzero(cellboth).astype(np.int32))
+            cols2.append((useds, bis))
+        K = _next_pow2(max(len(u) for us, _ in cols2 for u in us))
+        Bb = _next_pow2(max(1, max(len(x) for _, bs in cols2
+                                   for x in bs)))
+        out = []
+        for sf, (useds, bis) in zip(slot_fields, cols2):
+            N = sf.shape[0]
+            B = sf.shape[1] * 16
+            used_arr = np.zeros((N, K), np.int32)
+            bi_arr = np.full((N, Bb), B, np.int32)
+            for b in range(N):
+                used_arr[b, : len(useds[b])] = useds[b]
+                bi_arr[b, : len(bis[b])] = bis[b]
+            out.append((used_arr, bi_arr, None, None, None))
+        return out
     n = mb_w * mb_h
     H, W = mb_h * 16, mb_w * 16
     mbi = np.arange(n, dtype=np.int32)
@@ -1946,10 +1997,13 @@ class BatchedPhaseB:
         fields = _wire_views(blob, layout)
         _remap_batch(fields["slot"], cur_idx, plans, self.smap)
         fields = dict(fields)
-        ((fields["mc_used"], fields["mc_bi"], fields["mc_nu"],
-          fields["mc_uni"], fields["mc_ubi"]),) = _derive_mc_aux(
+        (aux,) = _derive_mc_aux(
             [fields["slot"]], self.pool[0].shape[0], [fields["mv"]],
             [fields["wp"]], [pals], self.mb_w, self.mb_h)
+        for k, a in zip(("mc_used", "mc_bi", "mc_nu", "mc_uni",
+                         "mc_ubi"), aux):
+            if a is not None:
+                fields[k] = a
         args = (self.pool[0], self.pool[1], self.pool[2],
                 fields, pals, cur_idx, self.diag)
         if has_pcm:
@@ -2410,8 +2464,10 @@ class MultiStreamPhaseB:
             [fd["mv"] for fd in fields], [fd["wp"] for fd in fields],
             pals_list, self.mb_w, self.mb_h)
         for f, aux in zip(fields, auxs):
-            (f["mc_used"], f["mc_bi"], f["mc_nu"], f["mc_uni"],
-             f["mc_ubi"]) = aux
+            for k, a in zip(("mc_used", "mc_bi", "mc_nu", "mc_uni",
+                             "mc_ubi"), aux):
+                if a is not None:
+                    f[k] = a
         if self.stacked:
             fn = _jitted_recon_stacked(layout0, self.n, self.mb_w,
                                        self.mb_h, has_i8, deblock,
