@@ -1423,7 +1423,7 @@ class H265SeqPhaseB:
     def run_async(self, plans):
         if any(p.multi_slice for p in plans):
             raise NotImplementedError(
-                "multi-slice pictures: serial Phase B only")
+                "multi-slice pictures dispatch via run_async_one")
         xs = stack_plans(plans)
         deblock = bool(xs["dbv"][..., 0].any() or xs["dbh"][..., 0].any()
                        or (xs["dbcv"] >= 0).any()
@@ -1436,3 +1436,68 @@ class H265SeqPhaseB:
         self.pool, outs = fn(self.pool[0], self.pool[1], self.pool[2],
                              xs)
         return outs
+
+    def run_async_one(self, plan):
+        """One MULTI-SLICE picture against the device pool (the per-
+        segment deblock+SAO replay is jit-keyed on the slice-row
+        tuple, so it cannot ride the batched scan; the reference
+        replays the whole-frame SAO pass once per slice segment,
+        h265.cpp:4849-4866). Returns outs shaped like a batch of 1."""
+        multi = plan.multi_slice and len(plan.slice_rows) > 1
+        if plan.multi_slice and (not plan.slice_aligned or not multi):
+            raise NotImplementedError(
+                "mid-row slice-segment starts keep the Python path "
+                "(reference chroma-base domain)")
+        lv_l, lv_c, n_lvl = _pad_levels(*_plan_levels(plan))
+        (dbv, dbh, dbcv, dbch, sao_idx, sao_opt,
+         sao_off) = _slice_masked_maps(plan)
+        slices = tuple(zip(plan.slice_rows,
+                           list(plan.slice_rows[1:]) + [plan.rows]))
+        deblock = bool(dbv[..., 0].any() or dbh[..., 0].any()
+                       or (dbcv >= 0).any() or (dbch >= 0).any())
+        fn = _jitted_recon_one(self.H, self.W, bool(plan.strong_intra),
+                               bool(plan.has_sao), deblock,
+                               self.ctb_log2, self.pic_w, self.pic_h,
+                               slices)
+        self.pool, outs = fn(
+            self.pool[0], self.pool[1], self.pool[2], plan.coef_y,
+            plan.tu_y, plan.coef_cb, plan.tu_cb, plan.coef_cr,
+            plan.tu_cr, plan.slot.astype(np.int32),
+            plan.mv.astype(np.int32), lv_l, lv_c, n_lvl,
+            dbv.astype(np.int32), dbh.astype(np.int32),
+            dbcv.astype(np.int32), dbch.astype(np.int32), sao_idx,
+            sao_opt, sao_off, np.int32(plan.cur_idx))
+        return outs
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_recon_one(H, W, strong_en, has_sao, deblock, ctb_log2,
+                      pic_w, pic_h, slices):
+    """Single-picture Phase B against the DEVICE pool (multi-slice
+    pictures inside a turbo stream; jit-keyed on the slice-row
+    tuple)."""
+    import jax
+
+    def fn(pool_y, pool_cb, pool_cr, coef_y, tu_y, coef_cb, tu_cb,
+           coef_cr, tu_cr, slot, mv, lv_l, lv_c, n_lvl, dbv, dbh,
+           dbcv, dbch, sao_idx, sao_opt, sao_off, cur_idx):
+        import jax.numpy as jnp
+
+        from m2dec_tpu.codecs.h264.reconstruct import (
+            _fuse_break,
+            _pool_write,
+        )
+
+        y, cb, cr = _recon_picture(
+            coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot, mv,
+            lv_l, lv_c, n_lvl, dbv, dbh, dbcv, dbch, sao_idx, sao_opt,
+            sao_off, pool_y, pool_cb, pool_cr, cur_idx, H=H, W=W,
+            strong_en=strong_en, has_sao=has_sao, deblock=deblock,
+            ctb_log2=ctb_log2, pic_w=pic_w, pic_h=pic_h, slices=slices)
+        y, cb, cr = _fuse_break(y, cb, cr)
+        py = _pool_write(pool_y, y, cur_idx, jnp)
+        pcb = _pool_write(pool_cb, cb, cur_idx, jnp)
+        pcr = _pool_write(pool_cr, cr, cur_idx, jnp)
+        return (py, pcb, pcr), (y[None], cb[None], cr[None])
+
+    return jax.jit(fn, donate_argnums=(0, 1, 2))

@@ -393,10 +393,6 @@ class Mpeg2Decoder:
         if self.defer_recon:
             if self.fast:
                 raise NotImplementedError("defer_recon: full decode only")
-            if self.pic.picture_structure != 3:
-                raise NotImplementedError(
-                    "defer_recon: frame pictures only (field pictures "
-                    "keep the serial path)")
             self.plans.append((plan, pool.index, pool.idx_of_ref[0],
                                pool.idx_of_ref[1]))
             self.ent = None

@@ -159,8 +159,11 @@ class TurboH265Decoder:
     outs. Output frames and order are identical to the serial
     decode_all(backend="native") path.
 
-    Single-slice pictures only (multi-slice keeps the serial path, as
-    the reference replays whole-frame SAO per segment)."""
+    Row-aligned multi-slice pictures dispatch as single-picture graphs
+    against the same device pool (the per-segment deblock+SAO replay is
+    jit-keyed on the slice-row tuple, so it cannot ride the batched
+    scan); mid-row slice starts keep the serial Python path, a
+    reference-bug domain (chroma base derived as luma_offset>>1)."""
 
     def __init__(self, data: bytes, batch: int = 8):
         from m2dec_tpu.codecs.h265.headers import H265Decoder
@@ -195,13 +198,10 @@ class TurboH265Decoder:
 
         batcher_geom = None
 
-        def dispatch():
+        def ensure_batcher(p0):
             nonlocal batcher, batcher_geom
-            if not undisp:
-                return
             from m2dec_tpu.codecs.h265.reconstruct import H265SeqPhaseB
 
-            p0 = undisp[0]
             geom = (p0.H, p0.W, p0.size_log2, p0.pic_width,
                     p0.pic_height)
             if batcher is None or batcher_geom != geom:
@@ -209,7 +209,12 @@ class TurboH265Decoder:
                     p0.H, p0.W, len(dec.pool), p0.size_log2,
                     p0.pic_width, p0.pic_height)
                 batcher_geom = geom
-            outs = batcher.run_async(undisp)
+            return batcher
+
+        def dispatch():
+            if not undisp:
+                return
+            outs = ensure_batcher(undisp[0]).run_async(undisp)
             for i, p in enumerate(undisp):
                 stores[id(p)] = (outs, i)
             undisp.clear()
@@ -225,16 +230,32 @@ class TurboH265Decoder:
                 # before mixing shapes (mirrors the H.264 driver)
                 if undisp and (undisp[0].H, undisp[0].W) != (p.H, p.W):
                     dispatch()
+                if p.multi_slice:
+                    # pool-order dependency: flush pending singles,
+                    # then run this picture's own slice-replay graph
+                    dispatch()
+                    outs = ensure_batcher(p).run_async_one(p)
+                    stores[id(p)] = (outs, 0)
+                    continue
                 undisp.append(p)
                 if len(undisp) >= self.batch:
                     dispatch()
+
+        # a multi-slice picture is inserted into the DPB once per slice
+        # segment (reference slice_layer parity, h265.cpp:4849-4866) so
+        # the SAME plan backs several output events; its batch store
+        # entry must survive until the last one materializes
+        refcnt: dict = {}  # id(plan) -> pending event count
 
         def capture(is_end=False):
             # bind the plan at event time: the pool slot may be reused
             # by a later picture before this event materializes
             idx, frm = dec.pop_decoded_index(is_end)
             while idx >= 0:
-                events.append((frm, last_plan.get(idx)))
+                plan = last_plan.get(idx)
+                if plan is not None:
+                    refcnt[id(plan)] = refcnt.get(id(plan), 0) + 1
+                events.append((frm, plan))
                 idx, frm = dec.pop_decoded_index(is_end)
 
         def emit_ready(flush=False):
@@ -258,7 +279,10 @@ class TurboH265Decoder:
                     break
                 events.popleft()
                 outs, i = ent
-                del stores[id(plan)]  # free batch outs once consumed
+                refcnt[id(plan)] -= 1
+                if refcnt[id(plan)] <= 0:  # free outs once consumed
+                    del stores[id(plan)]
+                    del refcnt[id(plan)]
                 yield frm, outs, i
 
         while True:
@@ -287,7 +311,8 @@ class TurboMpeg2Decoder:
     triples (decoder defer mode), whole-GOP batches dispatch as ONE
     lax.scan graph each (Mpeg2SeqPhaseB, 4-slot pool device-resident),
     out_state-ordered output events materialize lazily from batch outs.
-    Frame pictures only (field pictures keep the serial path)."""
+    Field pictures ride the same batched graph (the plan tensors
+    capture the reference field decode model)."""
 
     def __init__(self, data: bytes, batch: int = 12, num_frames=4):
         from m2dec_tpu.codecs.mpeg2.decoder import Mpeg2Decoder

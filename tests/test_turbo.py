@@ -154,6 +154,40 @@ def test_h265_turbo_nonaligned_crop():
     _h265_assert_equiv(data, 3)
 
 
+@pytest.mark.parametrize("nsl", [2, 3])
+def test_h265_turbo_multi_slice(nsl):
+    """Row-aligned multi-slice pictures dispatch through the device
+    pool as single-picture slice-replay graphs (VERDICT r3 #6)."""
+    from streamgen.h265_enc import ALL_MODES, H265StreamGen
+
+    class _MS(H265StreamGen):
+        pass
+
+    gen = _MS(64, 96, seed=200 + nsl, qp=30, cbf_prob=0.5,
+              modes=ALL_MODES, tmvp=1, deblock=1, sao=1, max_level=1)
+    gen.slices_per_pic = nsl
+    data = gen.generate("IPBP")
+    _h265_assert_equiv(data, 2)
+
+
+def test_h265_turbo_multi_slice_mixed_batch():
+    """Single- and multi-slice pictures interleave in one stream: the
+    driver must flush pending batches around each slice-replay
+    dispatch to keep pool order."""
+    from streamgen.h265_enc import ALL_MODES, H265StreamGen
+
+    gen = H265StreamGen(64, 96, seed=77, qp=31, cbf_prob=0.4,
+                        modes=ALL_MODES, tmvp=1, deblock=1, sao=1,
+                        max_level=1)
+    one = gen.generate("IPP")
+    gen2 = H265StreamGen(64, 96, seed=78, qp=31, cbf_prob=0.4,
+                         modes=ALL_MODES, tmvp=1, deblock=1, sao=1,
+                         max_level=1)
+    gen2.slices_per_pic = 3
+    two = gen2.generate("IPB")
+    _h265_assert_equiv(one + two, 4)
+
+
 def test_h265_turbo_truncated_drains():
     from streamgen.h265_enc import H265StreamGen
     from m2dec_tpu.native import load_h265
@@ -224,12 +258,12 @@ def test_mpeg2_turbo_fieldmc_frame_pictures():
     _m2_assert_equiv(data, 3)
 
 
-def test_mpeg2_turbo_field_pictures_refuse():
-    """Field PICTURES (structure 1/2) keep the serial path: the
-    defer-mode decoder must refuse loudly."""
+@pytest.mark.parametrize("pat", ["IIPP", "IIPPBBPP"])
+def test_mpeg2_turbo_field_pictures(pat):
+    """Field PICTURES (structure 1/2) ride the batched graph: the plan
+    tensors fully capture the reference's frame_mode=0 field decode
+    model (VERDICT r3 #6 — exclusion removed)."""
     from streamgen.mpeg2_enc import Mpeg2FieldPicGen
-    from m2dec_tpu.runtime.turbo import TurboMpeg2Decoder
 
-    data = Mpeg2FieldPicGen(80, 48, seed=9).generate("IIPP")
-    with pytest.raises(NotImplementedError):
-        TurboMpeg2Decoder(data, batch=2).decode_all()
+    data = Mpeg2FieldPicGen(80, 48, seed=9).generate(pat)
+    _m2_assert_equiv(data, 3)
