@@ -52,35 +52,77 @@ def reconstruct_arrays(
     mbx = idx % mb_w
     mby = idx // mb_w
 
-    def pad1(p):
-        return xp.pad(p.astype(i32), ((0, 1), (0, 1)), mode="edge")
-
-    r0y, r0cb, r0cr = pad1(ref0_y), pad1(ref0_cb), pad1(ref0_cr)
-    r1y, r1cb, r1cr = pad1(ref1_y), pad1(ref1_cb), pad1(ref1_cr)
-
     fwd3 = fwd[:, None, None]
     bwd3 = bwd[:, None, None]
 
     has_field = fieldmc is not None
 
-    def pred_plane(rf, rb, predfn, fieldfn):
-        pf = predfn(rf, mvf[:, 0], mvf[:, 1], mbx, mby, xp)
-        pb = predfn(rb, mvb[:, 0], mvb[:, 1], mbx, mby, xp)
-        if has_field:
-            # field MC in frame pictures (motion_type=1): replace per-MB
-            pf_f = fieldfn(rf, mvf, mvf2, fsel & 3, mbx, mby, xp)
-            pb_f = fieldfn(rb, mvb, mvb2, (fsel >> 2) & 3, mbx, mby, xp)
-            fm3 = fieldmc[:, None, None]
-            pf = xp.where(fm3, pf_f, pf)
-            pb = xp.where(fm3, pb_f, pb)
+    def combine(pf, pb):
         both = mc.combine_bidir(pf, pb)
-        return xp.where(
-            fwd3 & bwd3, both, xp.where(bwd3, pb, pf)
-        )
+        return xp.where(fwd3 & bwd3, both, xp.where(bwd3, pb, pf))
 
-    pred_y = pred_plane(r0y, r1y, mc.luma_pred, mc.luma_pred_field)
-    pred_cb = pred_plane(r0cb, r1cb, mc.chroma_pred, mc.chroma_pred_field)
-    pred_cr = pred_plane(r0cr, r1cr, mc.chroma_pred, mc.chroma_pred_field)
+    if xp is np:
+        # per-pixel gather path: the executable spec
+        def pad1(p):
+            return xp.pad(p.astype(i32), ((0, 1), (0, 1)), mode="edge")
+
+        r0y, r0cb, r0cr = pad1(ref0_y), pad1(ref0_cb), pad1(ref0_cr)
+        r1y, r1cb, r1cr = pad1(ref1_y), pad1(ref1_cb), pad1(ref1_cr)
+
+        def pred_plane(rf, rb, predfn, fieldfn):
+            pf = predfn(rf, mvf[:, 0], mvf[:, 1], mbx, mby, xp)
+            pb = predfn(rb, mvb[:, 0], mvb[:, 1], mbx, mby, xp)
+            if has_field:
+                # field MC in frame pictures (motion_type=1)
+                pf_f = fieldfn(rf, mvf, mvf2, fsel & 3, mbx, mby, xp)
+                pb_f = fieldfn(rb, mvb, mvb2, (fsel >> 2) & 3, mbx,
+                               mby, xp)
+                fm3 = fieldmc[:, None, None]
+                pf = xp.where(fm3, pf_f, pf)
+                pb = xp.where(fm3, pb_f, pb)
+            return combine(pf, pb)
+
+        pred_y = pred_plane(r0y, r1y, mc.luma_pred, mc.luma_pred_field)
+        pred_cb = pred_plane(r0cb, r1cb, mc.chroma_pred,
+                             mc.chroma_pred_field)
+        pred_cr = pred_plane(r0cr, r1cr, mc.chroma_pred,
+                             mc.chroma_pred_field)
+    else:
+        # TPU path: one uint32-word window per (MB, ref) — the
+        # per-pixel gathers cost 4 elements/px (~25M/pic at 1080p on
+        # the issue-rate-bound gather unit); windows cost ~12x less
+        from m2dec_tpu.codecs.h264.reconstruct import _fuse_break
+
+        def padw(p):
+            H, W = p.shape
+            pr = ((W + 17 + 3) // 4) * 4 - W
+            return xp.pad(p, ((0, 17), (0, pr)), mode="edge")[None]
+
+        (r0y, r0cb, r0cr, r1y, r1cb, r1cr) = _fuse_break(
+            padw(ref0_y), padw(ref0_cb), padw(ref0_cr),
+            padw(ref1_y), padw(ref1_cb), padw(ref1_cr))
+
+        def pred_plane_w(rf, rb, H, W, predfn, fieldfn):
+            pf = predfn(rf, H, W, mvf[:, 0], mvf[:, 1], mbx, mby, xp)
+            pb = predfn(rb, H, W, mvb[:, 0], mvb[:, 1], mbx, mby, xp)
+            if has_field:
+                pf_f = fieldfn(rf, H, W, mvf, mvf2, fsel & 3, mbx,
+                               mby, xp)
+                pb_f = fieldfn(rb, H, W, mvb, mvb2, (fsel >> 2) & 3,
+                               mbx, mby, xp)
+                fm3 = fieldmc[:, None, None]
+                pf = xp.where(fm3, pf_f, pf)
+                pb = xp.where(fm3, pb_f, pb)
+            return combine(pf, pb)
+
+        Hy, Wy = ref0_y.shape
+        Hc, Wc = ref0_cb.shape
+        pred_y = pred_plane_w(r0y, r1y, Hy, Wy, mc.luma_pred_win,
+                              mc.luma_pred_field_win)
+        pred_cb = pred_plane_w(r0cb, r1cb, Hc, Wc, mc.chroma_pred_win,
+                               mc.chroma_pred_field_win)
+        pred_cr = pred_plane_w(r0cr, r1cr, Hc, Wc, mc.chroma_pred_win,
+                               mc.chroma_pred_field_win)
 
     # --- residuals ---------------------------------------------------------
     if xp is not np and _use_pallas():

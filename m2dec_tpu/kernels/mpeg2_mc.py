@@ -124,6 +124,87 @@ def mc_gather_field(ref, py, px, hx, hy, bh, bw, xp):
     return _halfpel_blend(a, b, c, d, hx, hy, xp)
 
 
+# ---------------------------------------------------------------------
+# word-window variants (TPU): the per-pixel fancy-index gathers above
+# issue 4 gather elements PER PIXEL (~25M elements per 1080p picture —
+# the gather unit is issue-rate-bound per element, measured ~89M/s on
+# the tunneled share). One (bh+1)x(bw+1) uint32-word window per
+# (MB, ref) — 85 words for a 16x16 luma block vs 1024 elements — and
+# the a/b/c/d taps become in-window slices. The per-pixel path above
+# remains the numpy executable spec.
+# ---------------------------------------------------------------------
+
+
+def _win(ref_p, py, px, rows, cols, xp):
+    from m2dec_tpu.codecs.h264.reconstruct import _flat_windows32
+
+    slot = xp.zeros_like(py)
+    return _flat_windows32(ref_p, slot, py, px, rows, cols, xp)
+
+
+def _mc_win(ref_p, py, px, hx, hy, bh, bw, xp):
+    g = _win(ref_p, py, px, bh + 1, bw + 1, xp)
+    a = g[:, :bh, :bw]
+    b = g[:, :bh, 1 : bw + 1]
+    c = g[:, 1 : bh + 1, :bw]
+    d = g[:, 1 : bh + 1, 1 : bw + 1]
+    return _halfpel_blend(a, b, c, d, hx, hy, xp)
+
+
+def _mc_win_field(ref_p, py, px, hx, hy, bh, bw, xp):
+    g = _win(ref_p, py, px, 2 * bh + 1, bw + 1, xp)
+    a = g[:, 0 : 2 * bh - 1 : 2, :bw]
+    b = g[:, 0 : 2 * bh - 1 : 2, 1 : bw + 1]
+    c = g[:, 2 : 2 * bh + 1 : 2, :bw]
+    d = g[:, 2 : 2 * bh + 1 : 2, 1 : bw + 1]
+    return _halfpel_blend(a, b, c, d, hx, hy, xp)
+
+
+def luma_pred_win(ref_p, H, W, mvx, mvy, mbx, mby, xp):
+    """Window-gather twin of luma_pred; ref_p [1,Hp,Wp] uint8 with >=
+    bh+1 edge pad bottom/right (valid windows are bit-identical; MVs
+    of unselected modes clamp to valid garbage that the caller's
+    where() discards)."""
+    px = mbx * 16 + (mvx >> 1)
+    py = mby * 16 + (mvy >> 1)
+    return _mc_win(ref_p, xp.clip(py, 0, H - 1), xp.clip(px, 0, W - 1),
+                   mvx & 1, mvy & 1, 16, 16, xp)
+
+
+def chroma_pred_win(ref_p, H, W, mvx, mvy, mbx, mby, xp):
+    mvx_c = _ctrunc2(mvx, xp)
+    mvy_c = _ctrunc2(mvy, xp)
+    px = mbx * 8 + (mvx_c >> 1)
+    py = mby * 8 + (mvy_c >> 1)
+    return _mc_win(ref_p, xp.clip(py, 0, H - 1), xp.clip(px, 0, W - 1),
+                   mvx_c & 1, mvy_c & 1, 8, 8, xp)
+
+
+def luma_pred_field_win(ref_p, H, W, mv1, mv2, sel, mbx, mby, xp):
+    outs = []
+    for f, mv in ((0, mv1), (1, mv2)):
+        mvx, mvy = mv[:, 0], mv[:, 1]
+        px = mbx * 16 + (mvx >> 1)
+        py = mby * 16 + 2 * (mvy >> 1) + ((sel >> f) & 1)
+        outs.append(_mc_win_field(
+            ref_p, xp.clip(py, 0, H - 2), xp.clip(px, 0, W - 1),
+            mvx & 1, mvy & 1, 8, 16, xp))
+    return xp.stack(outs, axis=2).reshape(outs[0].shape[0], 16, 16)
+
+
+def chroma_pred_field_win(ref_p, H, W, mv1, mv2, sel, mbx, mby, xp):
+    outs = []
+    for f, mv in ((0, mv1), (1, mv2)):
+        cmvx = _ctrunc2(mv[:, 0], xp)
+        cmvy = _ctrunc2(mv[:, 1], xp)
+        px = mbx * 8 + (cmvx >> 1)
+        py = mby * 8 + 2 * (cmvy >> 1) + ((sel >> f) & 1)
+        outs.append(_mc_win_field(
+            ref_p, xp.clip(py, 0, H - 2), xp.clip(px, 0, W - 1),
+            cmvx & 1, cmvy & 1, 4, 8, xp))
+    return xp.stack(outs, axis=2).reshape(outs[0].shape[0], 8, 8)
+
+
 def luma_pred_field(ref, mv1, mv2, sel, mbx, mby, xp):
     """16x16 luma from two per-field predictions (motion_type=1 in frame
     pictures). mv1/mv2: [N,2] field-unit MVs; sel: [N] 2-bit field
