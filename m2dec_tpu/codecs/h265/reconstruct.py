@@ -906,7 +906,14 @@ def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
 # =====================================================================
 
 
-def _schedule_levels(flat_ops, chg, cwg, stray):
+#: lane-capacity cap for the level schedule: bounds the packed lane
+#: count (the per-step tensor width of the device wavefront) at the
+#: price of a few extra levels on capacity-bound pictures. Same-session
+#: A/B on the tunneled share picked 32 (see STATUS.md r4).
+_LEVEL_CAP = 32
+
+
+def _schedule_levels(flat_ops, chg, cwg, stray, cap=_LEVEL_CAP):
     """Dependency-level schedule for decode-ordered intra ops.
 
     Replaces the per-CTU-diagonal z-order replay (the reference's CTU
@@ -946,11 +953,12 @@ def _schedule_levels(flat_ops, chg, cwg, stray):
         lib.h265_schedule_levels(
             ops.ctypes.data_as(ctypes.c_void_p), len(ops),
             np.int32(chg), np.int32(cwg), np.int32(bool(stray)),
-            lv.ctypes.data_as(ctypes.c_void_p))
+            np.int32(cap), lv.ctypes.data_as(ctypes.c_void_p))
         return lv
     lw = np.zeros((chg, cwg), np.int32)  # last writer's level per cell
     lr = np.zeros((chg, cwg), np.int32)  # latest reader's level
     lv = np.zeros(len(flat_ops), np.int32)
+    occ: dict = {}  # per-level occupancy (capacity cap)
     for i, op in enumerate(flat_ops):
         used = int(op[0])
         if not (used & 1):
@@ -974,6 +982,12 @@ def _schedule_levels(flat_ops, chg, cwg, stray):
             m = max(m, int(lw[sy, c0]))
             a = max(a, int(lr[sy, c0]))
         level = max(m + 1, a)
+        if cap > 0:
+            # see oplevel.cpp: delaying past the minimum level is safe
+            # because later ops' constraints read the ASSIGNED levels
+            while occ.get(level, 0) >= cap:
+                level += 1
+            occ[level] = occ.get(level, 0) + 1
         lv[i] = level
         np.maximum(lr[rr0 : rr1 + 1, rc0], level,
                    out=lr[rr0 : rr1 + 1, rc0])
@@ -1047,7 +1061,8 @@ def _plan_levels(plan):
 
 def _pad_levels(lv_l, lv_c, Db=None, Llb=None, Lcb=None):
     """Pad level tensors to shared pow2-bucketed shapes; returns
-    (lv_l, lv_c, n_lvl) where n_lvl = the true level count."""
+    (lv_l, lv_c, n_lvl [2]) where n_lvl holds the true luma and chroma
+    level counts (the wavefront runs separate luma/chroma loops)."""
     D = max(lv_l.shape[0], lv_c.shape[0])
     Db = Db or _ceil_pow2(D)
     Llb = Llb or _ceil_pow2(lv_l.shape[1])
@@ -1056,7 +1071,8 @@ def _pad_levels(lv_l, lv_c, Db=None, Llb=None, Lcb=None):
     out_l[: lv_l.shape[0], : lv_l.shape[1]] = lv_l
     out_c = np.zeros((Db, Lcb, 7), np.int32)
     out_c[: lv_c.shape[0], : lv_c.shape[1]] = lv_c
-    return out_l, out_c, np.int32(D)
+    return out_l, out_c, np.array([lv_l.shape[0], lv_c.shape[0]],
+                                  np.int32)
 
 
 def _wavefront(y, cbcr, res_y, res_cbcr, lv_l, lv_c, n_lvl,
@@ -1078,20 +1094,30 @@ def _wavefront(y, cbcr, res_y, res_cbcr, lv_l, lv_c, n_lvl,
         for i, t in enumerate(_ANG))
     Hc, Wc = H >> 1, W >> 1
 
-    def body(state):
-        i, (y_, c_) = state
+    # separate luma and chroma loops: the planes are independent (DM
+    # chroma inherits the luma MODE, never luma pixels), their depths
+    # differ (chroma trees are shallower), and a fused step would pay
+    # both applies for max(depth) iterations
+    def body_l(state):
+        i, y_ = state
         opl = jax.lax.dynamic_slice(
             lv_l, (i, 0, 0), (1,) + lv_l.shape[1:])[0]
-        opc = jax.lax.dynamic_slice(
-            lv_c, (i, 0, 0), (1,) + lv_c.shape[1:])[0]
         y_ = _apply_intra_op(y_, res_y, opl, 32, True, strong_en,
                              H, W, consts, jnp)
+        return i + 1, y_
+
+    def body_c(state):
+        i, c_ = state
+        opc = jax.lax.dynamic_slice(
+            lv_c, (i, 0, 0), (1,) + lv_c.shape[1:])[0]
         c_ = _apply_intra_op(c_, res_cbcr, opc, 16, False, False,
                              Hc, Wc, consts, jnp, ybase=_CR0(Hc))
-        return i + 1, (y_, c_)
+        return i + 1, c_
 
-    _, (y, cbcr) = jax.lax.while_loop(
-        lambda s: s[0] < n_lvl, body, (jnp.int32(0), (y, cbcr)))
+    _, y = jax.lax.while_loop(
+        lambda s: s[0] < n_lvl[0], body_l, (jnp.int32(0), y))
+    _, cbcr = jax.lax.while_loop(
+        lambda s: s[0] < n_lvl[1], body_c, (jnp.int32(0), cbcr))
     return y, cbcr
 
 

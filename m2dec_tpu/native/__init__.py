@@ -305,7 +305,8 @@ def load_oplevel():
         fn = lib.h265_schedule_levels
         fn.restype = ctypes.c_int
         fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
-                       ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+                       ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                       ctypes.c_void_p]
         _oplevel_lib = lib
     except Exception:
         _oplevel_lib = None

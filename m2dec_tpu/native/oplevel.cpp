@@ -13,9 +13,11 @@
 
 extern "C" int h265_schedule_levels(const int32_t *ops, int64_t n,
                                     int32_t chg, int32_t cwg,
-                                    int32_t stray, int32_t *lv_out) {
+                                    int32_t stray, int32_t cap,
+                                    int32_t *lv_out) {
     std::vector<int32_t> lw((size_t)chg * cwg, 0);  // last writer level
     std::vector<int32_t> lr((size_t)chg * cwg, 0);  // latest reader
+    std::vector<int32_t> occ;  // per-level occupancy (capacity cap)
     for (int64_t i = 0; i < n; i++) {
         const int32_t *op = ops + i * 7;
         lv_out[i] = 0;
@@ -47,6 +49,21 @@ extern "C" int h265_schedule_levels(const int32_t *ops, int64_t n,
             a = std::max(a, lr[(size_t)sy * cwg + c0]);
         }
         int level = std::max(m + 1, a);
+        if (cap > 0) {
+            // lane-capacity cap: delaying an op past its minimum level
+            // is safe — every later op's constraints read the ASSIGNED
+            // levels below, so anti/flow deps propagate through the
+            // bumped value.  Keeps the packed lane count (hence the
+            // per-step tensor width of the device wavefront) bounded.
+            if ((size_t)level >= occ.size())
+                occ.resize(level + 64, 0);
+            while (occ[level] >= cap) {
+                level++;
+                if ((size_t)level >= occ.size())
+                    occ.resize(level + 64, 0);
+            }
+            occ[level]++;
+        }
         lv_out[i] = level;
         for (int r = rr0; r <= rr1; r++) {
             int32_t &v = lr[(size_t)r * cwg + rc0];
