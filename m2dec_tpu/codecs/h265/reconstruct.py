@@ -658,8 +658,13 @@ def _extra_vals(RAW, pos, omin, valid, kind, NV, xp):
 
 
 def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
-                    consts, xp, ybase=None):
+                    consts, xp, ybase=None, write_plane=None):
     """Apply one z-order intra op slot across all wavefront lanes.
+
+    write_plane: optional accumulation target — all READS (neighbour
+    lines, region, residual) come from `plane` while the delta scatters
+    into `write_plane`, letting several size-class banks of ONE level
+    read the same pre-level state and accumulate disjoint writes.
 
     plane/resid: padded int32 planes (content at [0:H, 0:W], pad >=
     S+1 below/right); op [L, 7] = (used, y0, x0, sl2, mode, vx, vy).
@@ -898,7 +903,8 @@ def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
     BIG = plane.shape[0] + plane.shape[1]
     sy = xp.where(act, y0, BIG)
     wy = (sy[:, None] + arS1)[:, :, None]
-    return plane.at[wy, rx].add(delta, mode="drop")
+    tgt = plane if write_plane is None else write_plane
+    return tgt.at[wy, rx].add(delta, mode="drop")
 
 
 # =====================================================================
@@ -911,9 +917,13 @@ def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
 #: price of a few extra levels on capacity-bound pictures. Same-session
 #: A/B on the tunneled share picked 32 (see STATUS.md r4).
 _LEVEL_CAP = 32
+#: big-TU (sl2>=4) lane cap: one big lane costs ~16 small ones on the
+#: S=32 apply, so the big bank stays narrow
+_LEVEL_CAP_BIG = 4
 
 
-def _schedule_levels(flat_ops, chg, cwg, stray, cap=_LEVEL_CAP):
+def _schedule_levels(flat_ops, chg, cwg, stray, cap=_LEVEL_CAP,
+                     cap_big=_LEVEL_CAP_BIG):
     """Dependency-level schedule for decode-ordered intra ops.
 
     Replaces the per-CTU-diagonal z-order replay (the reference's CTU
@@ -953,12 +963,14 @@ def _schedule_levels(flat_ops, chg, cwg, stray, cap=_LEVEL_CAP):
         lib.h265_schedule_levels(
             ops.ctypes.data_as(ctypes.c_void_p), len(ops),
             np.int32(chg), np.int32(cwg), np.int32(bool(stray)),
-            np.int32(cap), lv.ctypes.data_as(ctypes.c_void_p))
+            np.int32(cap), np.int32(cap_big),
+            lv.ctypes.data_as(ctypes.c_void_p))
         return lv
     lw = np.zeros((chg, cwg), np.int32)  # last writer's level per cell
     lr = np.zeros((chg, cwg), np.int32)  # latest reader's level
     lv = np.zeros(len(flat_ops), np.int32)
-    occ: dict = {}  # per-level occupancy (capacity cap)
+    occ: dict = {}   # small-bank per-level occupancy
+    occb: dict = {}  # big-bank (sl2>=4) occupancy
     for i, op in enumerate(flat_ops):
         used = int(op[0])
         if not (used & 1):
@@ -985,9 +997,10 @@ def _schedule_levels(flat_ops, chg, cwg, stray, cap=_LEVEL_CAP):
         if cap > 0:
             # see oplevel.cpp: delaying past the minimum level is safe
             # because later ops' constraints read the ASSIGNED levels
-            while occ.get(level, 0) >= cap:
+            o, c = (occb, cap_big) if sl2 >= 4 else (occ, cap)
+            while o.get(level, 0) >= c:
                 level += 1
-            occ[level] = occ.get(level, 0) + 1
+            o[level] = o.get(level, 0) + 1
         lv[i] = level
         np.maximum(lr[rr0 : rr1 + 1, rc0], level,
                    out=lr[rr0 : rr1 + 1, rc0])
@@ -1014,12 +1027,19 @@ _LANE_CAP = 128
 
 
 def _level_pack(flat_ops, lv):
-    """Row-pack decode-ordered ops by level with _LANE_CAP lanes per
-    row -> [rows, lanes, 7] int32 (lanes = pow2-padded max row
-    width)."""
+    """Row-pack decode-ordered ops by level, split per row into SIZE
+    BANKS -> (small [rows, Ls, 7], big [rows, Lb, 7]) int32.
+
+    A row's small (sl2<=3) and big (sl2>=4) ops apply as two separate
+    device passes whose tensor extents match their block sizes (8 vs
+    32/16) — the apply cost scales with lanes x S^2, and big TUs are
+    rare. Safe because both passes READ the pre-level plane state
+    (write_plane accumulation in _apply_intra_op) and a level's writes
+    are disjoint by construction."""
     idx = np.flatnonzero(lv)  # decode order within equal levels
     if len(idx) == 0:
-        return np.zeros((1, 1, 7), np.int32)
+        z = np.zeros((1, 1, 7), np.int32)
+        return z, z.copy()
     order = idx[np.argsort(lv[idx], kind="stable")]
     levels = lv[order]
     rows = []
@@ -1030,18 +1050,23 @@ def _level_pack(flat_ops, lv):
         cur = levels[i]
         while j < n and levels[j] == cur and j - i < _LANE_CAP:
             j += 1
-        rows.append(order[i:j])
+        r = order[i:j]
+        big = flat_ops[r][:, 3] >= 4
+        rows.append((r[~big], r[big]))
         i = j
-    L = _ceil_pow2(max(len(r) for r in rows))
-    out = np.zeros((len(rows), L, 7), np.int32)
-    for d, r in enumerate(rows):
-        out[d, : len(r)] = flat_ops[r]
-    return out
+    Ls = _ceil_pow2(max(1, max(len(s) for s, _ in rows)))
+    Lb = _ceil_pow2(max(1, max(len(b) for _, b in rows)))
+    out_s = np.zeros((len(rows), Ls, 7), np.int32)
+    out_b = np.zeros((len(rows), Lb, 7), np.int32)
+    for d, (s, b) in enumerate(rows):
+        out_s[d, : len(s)] = flat_ops[s]
+        out_b[d, : len(b)] = flat_ops[b]
+    return out_s, out_b
 
 
 def _plan_levels(plan):
     """Level-packed intra op tensors for one plan (cached on the plan):
-    (lv_l [Dl, Ll, 7], lv_c [Dc, Lc, 7])."""
+    (lv_ls, lv_lb, lv_cs, lv_cb) size-bank tensors [D, L, 7]."""
     cached = getattr(plan, "_levels", None)
     if cached is not None:
         return cached
@@ -1049,40 +1074,52 @@ def _plan_levels(plan):
     flat_c = np.asarray(plan.ops_c, np.int32).reshape(-1, 7)
     lvl = _schedule_levels(flat_l, plan.H >> 2, plan.W >> 2, True)
     lvc = _schedule_levels(flat_c, plan.H >> 3, plan.W >> 3, False)
-    pk_c = _level_pack(flat_c, lvc)
+    pk_cs, pk_cb = _level_pack(flat_c, lvc)
+
     # double the chroma lanes: the second copy targets the cr segment
     # of the stacked chroma plane (see _wavefront)
-    cr_ops = pk_c.copy()
-    cr_ops[:, :, 1] += _CR0(plan.H >> 1)
-    pk_c = np.concatenate([pk_c, cr_ops], axis=1)
-    plan._levels = (_level_pack(flat_l, lvl), pk_c)
+    def dbl(pk):
+        cr_ops = pk.copy()
+        cr_ops[:, :, 1] += _CR0(plan.H >> 1)
+        return np.concatenate([pk, cr_ops], axis=1)
+
+    pk_ls, pk_lb = _level_pack(flat_l, lvl)
+    plan._levels = (pk_ls, pk_lb, dbl(pk_cs), dbl(pk_cb))
     return plan._levels
 
 
-def _pad_levels(lv_l, lv_c, Db=None, Llb=None, Lcb=None):
-    """Pad level tensors to shared pow2-bucketed shapes; returns
-    (lv_l, lv_c, n_lvl [2]) where n_lvl holds the true luma and chroma
-    level counts (the wavefront runs separate luma/chroma loops)."""
-    D = max(lv_l.shape[0], lv_c.shape[0])
-    Db = Db or _ceil_pow2(D)
-    Llb = Llb or _ceil_pow2(lv_l.shape[1])
-    Lcb = Lcb or _ceil_pow2(lv_c.shape[1])
-    out_l = np.zeros((Db, Llb, 7), np.int32)
-    out_l[: lv_l.shape[0], : lv_l.shape[1]] = lv_l
-    out_c = np.zeros((Db, Lcb, 7), np.int32)
-    out_c[: lv_c.shape[0], : lv_c.shape[1]] = lv_c
-    return out_l, out_c, np.array([lv_l.shape[0], lv_c.shape[0]],
-                                  np.int32)
+def _pad_levels(lv_ls, lv_lb, lv_cs, lv_cb, buckets=None):
+    """Pad the four level bank tensors to shared pow2-bucketed shapes;
+    returns (ls, lb, cs, cb, n_lvl [2]) where n_lvl holds the true luma
+    and chroma level counts (the wavefront runs separate luma/chroma
+    loops)."""
+    if buckets is None:
+        buckets = (_ceil_pow2(max(lv_ls.shape[0], lv_cs.shape[0])),
+                   _ceil_pow2(lv_ls.shape[1]), _ceil_pow2(lv_lb.shape[1]),
+                   _ceil_pow2(lv_cs.shape[1]), _ceil_pow2(lv_cb.shape[1]))
+    Db, Lsb, Lbb, Csb, Cbb = buckets
+
+    def pad(t, L):
+        out = np.zeros((Db, L, 7), np.int32)
+        out[: t.shape[0], : t.shape[1]] = t
+        return out
+
+    return (pad(lv_ls, Lsb), pad(lv_lb, Lbb), pad(lv_cs, Csb),
+            pad(lv_cb, Cbb),
+            np.array([lv_ls.shape[0], lv_cs.shape[0]], np.int32))
 
 
-def _wavefront(y, cbcr, res_y, res_cbcr, lv_l, lv_c, n_lvl,
-               strong_en, H, W):
-    """Intra reconstruction as a while_loop over dependency levels:
-    every iteration applies ONE level's lane-batched luma ops plus one
-    chroma apply covering BOTH components (cb and cr ride one
-    vertically stacked plane; the packer doubles the chroma lanes with
-    cr-segment offsets), running only the picture's true depth (n_lvl)
-    — inter-heavy pictures cost a handful of steps."""
+def _wavefront(y, cbcr, res_y, res_cbcr, lv_ls, lv_lb, lv_cs, lv_cb,
+               n_lvl, strong_en, H, W):
+    """Intra reconstruction as while_loops over dependency levels.
+
+    Separate luma and chroma loops (the planes are independent — DM
+    chroma inherits the luma MODE, never luma pixels — and chroma trees
+    are ~half as deep), each running only its picture's true depth
+    (n_lvl). Every level applies as two SIZE BANKS — small (<=8, the
+    common case, S=8 tensors) and big (16/32, rare, their own narrow
+    lane bank) — both reading the pre-level plane and accumulating
+    disjoint writes via _apply_intra_op's write_plane."""
     import jax
     import jax.numpy as jnp
 
@@ -1094,25 +1131,29 @@ def _wavefront(y, cbcr, res_y, res_cbcr, lv_l, lv_c, n_lvl,
         for i, t in enumerate(_ANG))
     Hc, Wc = H >> 1, W >> 1
 
-    # separate luma and chroma loops: the planes are independent (DM
-    # chroma inherits the luma MODE, never luma pixels), their depths
-    # differ (chroma trees are shallower), and a fused step would pay
-    # both applies for max(depth) iterations
+    def row(t, i):
+        return jax.lax.dynamic_slice(t, (i, 0, 0),
+                                     (1,) + t.shape[1:])[0]
+
     def body_l(state):
         i, y_ = state
-        opl = jax.lax.dynamic_slice(
-            lv_l, (i, 0, 0), (1,) + lv_l.shape[1:])[0]
-        y_ = _apply_intra_op(y_, res_y, opl, 32, True, strong_en,
+        # strong smoothing exists only for 32x32 TUs -> big bank
+        y1 = _apply_intra_op(y_, res_y, row(lv_ls, i), 8, True, False,
                              H, W, consts, jnp)
-        return i + 1, y_
+        y1 = _apply_intra_op(y_, res_y, row(lv_lb, i), 32, True,
+                             strong_en, H, W, consts, jnp,
+                             write_plane=y1)
+        return i + 1, y1
 
     def body_c(state):
         i, c_ = state
-        opc = jax.lax.dynamic_slice(
-            lv_c, (i, 0, 0), (1,) + lv_c.shape[1:])[0]
-        c_ = _apply_intra_op(c_, res_cbcr, opc, 16, False, False,
-                             Hc, Wc, consts, jnp, ybase=_CR0(Hc))
-        return i + 1, c_
+        c1 = _apply_intra_op(c_, res_cbcr, row(lv_cs, i), 8, False,
+                             False, Hc, Wc, consts, jnp,
+                             ybase=_CR0(Hc))
+        c1 = _apply_intra_op(c_, res_cbcr, row(lv_cb, i), 16, False,
+                             False, Hc, Wc, consts, jnp,
+                             ybase=_CR0(Hc), write_plane=c1)
+        return i + 1, c1
 
     _, y = jax.lax.while_loop(
         lambda s: s[0] < n_lvl[0], body_l, (jnp.int32(0), y))
@@ -1142,7 +1183,8 @@ def _np_pad(p, pad):
 
 
 def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
-                   mv, lv_l, lv_c, n_lvl, dbv, dbh, dbcv, dbch, sao_idx,
+                   mv, lv_ls, lv_lb, lv_cs, lv_cb, n_lvl, dbv, dbh,
+                   dbcv, dbch, sao_idx,
                    sao_opt, sao_off, pool_y, pool_cb, pool_cr, cur_idx,
                    *, H, W, strong_en, has_sao, deblock, ctb_log2,
                    pic_w, pic_h, slices=None):
@@ -1175,8 +1217,8 @@ def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
     ryp = _pad_plane(res_y, 33, xp)
     rcp = xp.concatenate([_pad_plane(res_cb, 17, xp),
                           _pad_plane(res_cr, 17, xp)], axis=0)
-    yp, cbcrp = _wavefront(yp, cbcrp, ryp, rcp, lv_l,
-                           lv_c, n_lvl, strong_en, H, W)
+    yp, cbcrp = _wavefront(yp, cbcrp, ryp, rcp, lv_ls, lv_lb,
+                           lv_cs, lv_cb, n_lvl, strong_en, H, W)
     y = yp[:H, :W]
     cb = cbcrp[:Hc, : W >> 1]
     cr = cbcrp[_CR0(Hc) : _CR0(Hc) + Hc, : W >> 1]
@@ -1293,7 +1335,7 @@ def recon_plan(plan, pool_y, pool_cb, pool_cr):
         raise NotImplementedError(
             "mid-row slice-segment starts keep the Python path "
             "(reference chroma-base domain)")
-    lv_l, lv_c, n_lvl = _pad_levels(*_plan_levels(plan))
+    lv_ls, lv_lb, lv_cs, lv_cb, n_lvl = _pad_levels(*_plan_levels(plan))
     deblock = bool(plan.dbv[..., 0].any() or plan.dbh[..., 0].any()
                    or (plan.dbcv >= 0).any() or (plan.dbch >= 0).any())
     if multi:
@@ -1316,7 +1358,8 @@ def recon_plan(plan, pool_y, pool_cb, pool_cr):
     return fn(plan.coef_y, plan.tu_y, plan.coef_cb, plan.tu_cb,
               plan.coef_cr, plan.tu_cr,
               plan.slot.astype(np.int32), plan.mv.astype(np.int32),
-              lv_l, lv_c, n_lvl, dbv, dbh, dbcv, dbch, sao_idx, sao_opt,
+              lv_ls, lv_lb, lv_cs, lv_cb, n_lvl, dbv, dbh, dbcv, dbch,
+              sao_idx, sao_opt,
               sao_off, pool_y, pool_cb, pool_cr,
               np.int32(plan.cur_idx))
 
@@ -1353,8 +1396,9 @@ def _recon_seq(pool_y, pool_cb, pool_cr, xs, *, H, W, strong_en,
         py, pcb, pcr = pool
         y, cb, cr = _recon_picture(
             x["coef_y"], x["tu_y"], x["coef_cb"], x["tu_cb"],
-            x["coef_cr"], x["tu_cr"], x["slot"], x["mv"], x["lv_l"],
-            x["lv_c"], x["n_lvl"], x["dbv"], x["dbh"], x["dbcv"],
+            x["coef_cr"], x["tu_cr"], x["slot"], x["mv"], x["lv_ls"],
+            x["lv_lb"], x["lv_cs"], x["lv_cb"], x["n_lvl"],
+            x["dbv"], x["dbh"], x["dbcv"],
             x["dbch"],
             x["sao_idx"], x["sao_opt"], x["sao_off"], py, pcb, pcr,
             x["cur_idx"], H=H, W=W, strong_en=strong_en,
@@ -1397,13 +1441,19 @@ def stack_plans(plans):
         xs[k] = np.stack([np.asarray(getattr(p, k), np.int32)
                           for p in plans])
     lvs = [_plan_levels(p) for p in plans]
-    Db = _ceil_pow2(max(max(a.shape[0], c.shape[0]) for a, c in lvs))
-    Llb = _ceil_pow2(max(a.shape[1] for a, _ in lvs))
-    Lcb = _ceil_pow2(max(c.shape[1] for _, c in lvs))
-    padded = [_pad_levels(a, c, Db, Llb, Lcb) for a, c in lvs]
-    xs["lv_l"] = np.stack([p[0] for p in padded])
-    xs["lv_c"] = np.stack([p[1] for p in padded])
-    xs["n_lvl"] = np.array([p[2] for p in padded], np.int32)
+    buckets = (
+        _ceil_pow2(max(max(t[0].shape[0], t[2].shape[0]) for t in lvs)),
+        _ceil_pow2(max(t[0].shape[1] for t in lvs)),
+        _ceil_pow2(max(t[1].shape[1] for t in lvs)),
+        _ceil_pow2(max(t[2].shape[1] for t in lvs)),
+        _ceil_pow2(max(t[3].shape[1] for t in lvs)),
+    )
+    padded = [_pad_levels(*t, buckets=buckets) for t in lvs]
+    xs["lv_ls"] = np.stack([p[0] for p in padded])
+    xs["lv_lb"] = np.stack([p[1] for p in padded])
+    xs["lv_cs"] = np.stack([p[2] for p in padded])
+    xs["lv_cb"] = np.stack([p[3] for p in padded])
+    xs["n_lvl"] = np.array([p[4] for p in padded], np.int32)
     xs["cur_idx"] = np.array([p.cur_idx for p in plans], np.int32)
     return xs
 
@@ -1474,7 +1524,8 @@ class H265SeqPhaseB:
             raise NotImplementedError(
                 "mid-row slice-segment starts keep the Python path "
                 "(reference chroma-base domain)")
-        lv_l, lv_c, n_lvl = _pad_levels(*_plan_levels(plan))
+        (lv_ls, lv_lb, lv_cs,
+         lv_cb, n_lvl) = _pad_levels(*_plan_levels(plan))
         (dbv, dbh, dbcv, dbch, sao_idx, sao_opt,
          sao_off) = _slice_masked_maps(plan)
         slices = tuple(zip(plan.slice_rows,
@@ -1489,7 +1540,8 @@ class H265SeqPhaseB:
             self.pool[0], self.pool[1], self.pool[2], plan.coef_y,
             plan.tu_y, plan.coef_cb, plan.tu_cb, plan.coef_cr,
             plan.tu_cr, plan.slot.astype(np.int32),
-            plan.mv.astype(np.int32), lv_l, lv_c, n_lvl,
+            plan.mv.astype(np.int32), lv_ls, lv_lb, lv_cs, lv_cb,
+            n_lvl,
             dbv.astype(np.int32), dbh.astype(np.int32),
             dbcv.astype(np.int32), dbch.astype(np.int32), sao_idx,
             sao_opt, sao_off, np.int32(plan.cur_idx))
@@ -1505,7 +1557,8 @@ def _jitted_recon_one(H, W, strong_en, has_sao, deblock, ctb_log2,
     import jax
 
     def fn(pool_y, pool_cb, pool_cr, coef_y, tu_y, coef_cb, tu_cb,
-           coef_cr, tu_cr, slot, mv, lv_l, lv_c, n_lvl, dbv, dbh,
+           coef_cr, tu_cr, slot, mv, lv_ls, lv_lb, lv_cs, lv_cb,
+           n_lvl, dbv, dbh,
            dbcv, dbch, sao_idx, sao_opt, sao_off, cur_idx):
         import jax.numpy as jnp
 
@@ -1516,7 +1569,8 @@ def _jitted_recon_one(H, W, strong_en, has_sao, deblock, ctb_log2,
 
         y, cb, cr = _recon_picture(
             coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot, mv,
-            lv_l, lv_c, n_lvl, dbv, dbh, dbcv, dbch, sao_idx, sao_opt,
+            lv_ls, lv_lb, lv_cs, lv_cb, n_lvl, dbv, dbh, dbcv, dbch,
+            sao_idx, sao_opt,
             sao_off, pool_y, pool_cb, pool_cr, cur_idx, H=H, W=W,
             strong_en=strong_en, has_sao=has_sao, deblock=deblock,
             ctb_log2=ctb_log2, pic_w=pic_w, pic_h=pic_h, slices=slices)

@@ -306,7 +306,7 @@ def load_oplevel():
         fn.restype = ctypes.c_int
         fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
                        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-                       ctypes.c_void_p]
+                       ctypes.c_int32, ctypes.c_void_p]
         _oplevel_lib = lib
     except Exception:
         _oplevel_lib = None

@@ -14,10 +14,11 @@
 extern "C" int h265_schedule_levels(const int32_t *ops, int64_t n,
                                     int32_t chg, int32_t cwg,
                                     int32_t stray, int32_t cap,
-                                    int32_t *lv_out) {
+                                    int32_t cap_big, int32_t *lv_out) {
     std::vector<int32_t> lw((size_t)chg * cwg, 0);  // last writer level
     std::vector<int32_t> lr((size_t)chg * cwg, 0);  // latest reader
-    std::vector<int32_t> occ;  // per-level occupancy (capacity cap)
+    std::vector<int32_t> occ;   // small-bank occupancy per level
+    std::vector<int32_t> occb;  // big-bank (sl2>=4) occupancy
     for (int64_t i = 0; i < n; i++) {
         const int32_t *op = ops + i * 7;
         lv_out[i] = 0;
@@ -55,14 +56,20 @@ extern "C" int h265_schedule_levels(const int32_t *ops, int64_t n,
             // levels below, so anti/flow deps propagate through the
             // bumped value.  Keeps the packed lane count (hence the
             // per-step tensor width of the device wavefront) bounded.
-            if ((size_t)level >= occ.size())
-                occ.resize(level + 64, 0);
-            while (occ[level] >= cap) {
+            // Big TUs (sl2>=4) have their own (tighter) cap: their
+            // apply tensors are S=32-sized, so one big lane costs
+            // ~16 small ones.
+            bool big = sl2 >= 4;
+            std::vector<int32_t> &o = big ? occb : occ;
+            int c = big ? cap_big : cap;
+            if ((size_t)level >= o.size())
+                o.resize(level + 64, 0);
+            while (o[level] >= c) {
                 level++;
-                if ((size_t)level >= occ.size())
-                    occ.resize(level + 64, 0);
+                if ((size_t)level >= o.size())
+                    o.resize(level + 64, 0);
             }
-            occ[level]++;
+            o[level]++;
         }
         lv_out[i] = level;
         for (int r = rr0; r <= rr1; r++) {

@@ -46,12 +46,12 @@ def main():
         RC._plan_levels(p)
     tsched = time.perf_counter() - t0
     for p in plans:
-        lvl, lvc = p._levels
+        ls, lb, cs, cb = p._levels
         nops = int((np.asarray(p.ops_l)[:, :, 0] & 1).sum())
         ncops = int((np.asarray(p.ops_c)[:, :, 0] & 1).sum())
-        print(f"  pic: luma ops {nops} -> {lvl.shape[0]} levels x "
-              f"{lvl.shape[1]} lanes; chroma {ncops} -> {lvc.shape[0]}x"
-              f"{lvc.shape[1]}")
+        print(f"  pic: luma ops {nops} -> {ls.shape[0]} levels x "
+              f"{ls.shape[1]}+{lb.shape[1]} lanes; chroma {ncops} -> "
+              f"{cs.shape[0]}x{cs.shape[1]}+{cb.shape[1]}")
     print(f"level scheduling: {tsched/len(plans)*1000:.0f} ms/pic host")
 
     from m2dec_tpu.codecs.h265.reconstruct import H265SeqPhaseB
