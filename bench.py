@@ -506,8 +506,9 @@ def main():
 
     # H.265 e2e through the turbo driver (VERDICT r3 #2: an h265_fps
     # field must exist — the level-scheduled wavefront replaced the
-    # 17.7 s/pic z-order op loop this round)
-    if stage_ok("h265 e2e", 110):
+    # 17.7 s/pic z-order op loop this round). Warm-cache cost is
+    # ~50 s (cached executable load + 2 six-picture runs)
+    if stage_ok("h265 e2e", 70):
         try:
             hdata = (CACHE / "h265_1920x1088_v1.265").read_bytes()
             from m2dec_tpu.runtime.turbo import TurboH265Decoder

@@ -1397,13 +1397,11 @@ def wavefront_mode(mb_w, mb_h):
     mode = os.environ.get("M2DEC_TPU_WF", "auto")
     if mode != "auto":
         return mode
-    import jax
-
-    from . import pallas_wavefront as PW
-
-    if (jax.default_backend() == "tpu" and PW.vmem_fits(mb_w, mb_h)
-            and PW.pallas_available()):
-        return "pallas"
+    # The Mosaic kernels compile AND run at 1080p on this backend
+    # (round 4) but measure SLOWER than the XLA scan path (427 vs
+    # 287 ms/pic same-session) and cost a ~16-minute cold compile
+    # through the tunnel, so auto stays on the scans; M2DEC_TPU_WF=
+    # pallas opts in explicitly (STATUS.md r4).
     return "xla"
 
 
