@@ -1800,15 +1800,25 @@ def _derive_mc_aux(slot_fields, pool_size, mv_fields, wp_fields,
     batches of one stream reuse executables. Returns a list of
     (used [N,K], bi [N,Bb], nu [N,Bn], uni [N,U], ubi [N,Ub]).
 
-    compact=False (M2DEC_TPU_MC=dense) derives only (used,
-    bi-with-ABSOLUTE-cell-indices, None, None, None) for inter_pass's
-    dense path. Same-session A/B/A at 1080p on the tunneled v5e share:
-    compact 281-300 ms/pic vs dense 312-316 — the wide uniform-MB
-    fetches beat the dense path's redundant intra/uniform-cell gathers
-    by ~8% even paying for the result scatters (scatter issue rate ~=
-    gather issue rate on this backend), so compact is the default."""
+    compact=False derives only (used, bi-with-ABSOLUTE-cell-indices,
+    None, None, None) for inter_pass's dense path. Same-session A/B/A
+    at 1080p on the tunneled v5e share: compact 281-300 ms/pic vs dense
+    312-316 — the wide uniform-MB fetches beat the dense path's
+    redundant intra/uniform-cell gathers by ~8% even paying for the
+    result scatters (scatter issue rate ~= gather issue rate there).
+    Default: compact ON TPU, dense elsewhere — the compacted aux
+    shapes (pow2 Bn/U/Ub buckets) multiply distinct executables per
+    stream, which XLA:CPU's JIT tolerates poorly across a long test
+    session (a reproducible compiler segfault after ~300 suite
+    compilations). Override with M2DEC_TPU_MC=compact|dense."""
     if compact is None:
-        compact = os.environ.get("M2DEC_TPU_MC", "compact") != "dense"
+        env = os.environ.get("M2DEC_TPU_MC")
+        if env is not None:
+            compact = env != "dense"
+        else:
+            import jax
+
+            compact = jax.default_backend() == "tpu"
     if not compact:
         cols2 = []
         for sf in slot_fields:

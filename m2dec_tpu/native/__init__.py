@@ -52,8 +52,8 @@ def _build_m2v():
             ["python3", str(_REPO / "tools" / "gen_mpeg2_tables_c.py")],
             check=True,
         )
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(out), str(src)]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-std=c++17", "-o", str(out), str(src)]
     subprocess.run(cmd, check=True, capture_output=True)
     return out
 
@@ -241,7 +241,8 @@ def _build_h265():
     if out.exists() and out.stat().st_mtime >= max(
             src.stat().st_mtime, inc.stat().st_mtime):
         return out
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-std=c++17",
            "-o", str(out), str(src)]
     subprocess.run(cmd, check=True, capture_output=True)
     return out

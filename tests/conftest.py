@@ -32,6 +32,20 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 REF_BUILD = REPO / "build" / "ref"
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_executables():
+    """Free compiled XLA:CPU executables between test modules.
+
+    The full suite compiles 300+ distinct graphs; keeping them all
+    loaded reproducibly SEGFAULTS XLA:CPU's JIT inside
+    backend_compile_and_load on a late compilation (same site every
+    run, plenty of free RAM — JIT code-arena exhaustion). Dropping the
+    jit caches per module releases the executables; our lru-cached
+    jit wrappers transparently recompile on next use."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def reference_bins():
     """Build (if needed) and return paths of the reference oracle binaries."""

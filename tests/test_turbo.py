@@ -50,6 +50,17 @@ def test_b_reordered_stream(batch):
     assert_equiv(gen.generate("IPBBPBBPB"), batch)
 
 
+def test_compact_mc_path(monkeypatch):
+    """The TPU-default compacted MC path (uniform-MB wide fetches +
+    inter-only cell gathers) stays bit-equal to the serial decode;
+    off-TPU it is opt-in (see _derive_mc_aux)."""
+    monkeypatch.setenv("M2DEC_TPU_MC", "compact")
+    gen = H264BGen(64, 48, seed=11, skip_prob=0.5, intra_prob=0.1,
+                   num_ref_frames=2, b_direct_prob=0.3, qp=30,
+                   disable_deblock=False)
+    assert_equiv(gen.generate("IPPBBP"), 6)
+
+
 def test_multi_gop_idr():
     gen = H264HighGen(48, 32, seed=4, skip_prob=0.25, intra_prob=0.15,
                       qp=27, disable_deblock=False)
