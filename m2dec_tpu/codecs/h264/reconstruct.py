@@ -415,6 +415,14 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
     NOTHING), `ubi` [Ub] positions into `uni` needing a second
     prediction. Together they cut the gathered-word count ~2-3x on
     skip/16x16-partition-heavy content."""
+    # _derive_mc_aux's clip-exclusion proof computes block bases with
+    # y_off=0; the compacted aux is invalid for band-sharded tiles
+    # (advisor r4) — the mesh tile path must pass nu=uni=None.
+    # (y_off is a tracer under the tile-band pjit, so only check when
+    # compaction aux is actually supplied.)
+    if nu is not None or uni is not None:
+        assert isinstance(y_off, int) and y_off == 0, \
+            "MC compaction aux is derived for y_off=0 only"
     n = mb_w * mb_h
     B = n * 16
 
@@ -1388,10 +1396,12 @@ def _stack_diag_lanes(mb_w, mb_h, n_streams, H, W):
 
 
 def wavefront_mode(mb_w, mb_h):
-    """How the intra/deblock wavefronts run: 'pallas' (one sequential-
-    grid kernel per pass, planes VMEM-resident — the default on TPU
-    when the geometry fits), 'pallas_interpret' (CPU-debuggable), or
-    'xla' (the lax.scan fallback). Override with M2DEC_TPU_WF."""
+    """How the intra/deblock wavefronts run: 'xla' (the lax.scan
+    path — the default everywhere: on this backend the Mosaic kernels
+    measure slower than XLA's fused scans, see STATUS.md r4),
+    'pallas' (one sequential-grid kernel per pass, planes
+    VMEM-resident; opt-in via M2DEC_TPU_WF=pallas), or
+    'pallas_interpret' (CPU-debuggable)."""
     import os
 
     mode = os.environ.get("M2DEC_TPU_WF", "auto")

@@ -598,6 +598,44 @@ def _build_ang_tables():
 _ANG = _build_ang_tables()
 
 
+def _build_ang_fused():
+    """All per-(mode,size) angular tables fused into ONE [132, K] int32
+    row table so the core does a single constant-table gather per op
+    slot instead of nine (each gather is a separate kernel on the
+    dispatch-bound backend).  Column layout (RC = _REFCAP):
+    [0:RC) SEL | [RC:2RC) POSA | [2RC:2RC+32) ROWST |
+    [2RC+32:2RC+64) COEFC1 | then FIXON, FIXIDX, FIXPOS, FILTK,
+    TRANSP."""
+    (SEL, POSA, FIXON, FIXIDX, FIXPOS, ROWST, COEFC1, FILTK,
+     TRANSP) = _ANG
+    RC = _REFCAP
+    n = 33 * 4
+    tbl = np.zeros((n, 2 * RC + 64 + 5), np.int32)
+    fl = np.arange(n)
+    mm = fl >> 2
+    tbl[:, 0:RC] = SEL.reshape(n, RC)
+    tbl[:, RC : 2 * RC] = POSA.reshape(n, RC)
+    tbl[:, 2 * RC : 2 * RC + 32] = ROWST.reshape(n, 32)
+    tbl[:, 2 * RC + 32 : 2 * RC + 64] = COEFC1[mm]
+    base = 2 * RC + 64
+    tbl[:, base + 0] = FIXON.reshape(n)
+    tbl[:, base + 1] = FIXIDX.reshape(n)
+    tbl[:, base + 2] = FIXPOS.reshape(n)
+    tbl[:, base + 3] = FILTK.reshape(n)
+    tbl[:, base + 4] = TRANSP[mm]
+    return tbl
+
+
+_ANG_FUSED = _build_ang_fused()
+
+
+def _sel_at(arr, idx, xp):
+    """arr[l, idx[l]] as a masked reduce (one fused kernel instead of a
+    gather kernel); idx must be in-range."""
+    iota = xp.arange(arr.shape[1])
+    return xp.sum(arr * (iota[None, :] == idx[:, None]), axis=1)
+
+
 # =====================================================================
 # intra: per-op neighbour pipelines + mode families
 # =====================================================================
@@ -608,24 +646,32 @@ def _side_arrays(RAW, omin, om, corner_param, NV, xp):
     p = -1..NV-1 from an unclamped source vector RAW [L, NV+2]
     (RAW[:, i] = src[i-1]).  omin in {-1,0}, om = clamped offset_max.
     corner_param patches the filtered run's E[-2] (the reference's
-    get_ref corner quirk, h265.cpp:2590)."""
+    get_ref corner quirk, h265.cpp:2590).
+
+    Gather-free: the index-clamped reads collapse to elementwise
+    selects (below omin -> the value AT omin; above hi -> the value AT
+    hi, one masked reduce) and the +/-1 shifted reads to edge-dup
+    shifts of the clamped vector — bit-identical to take_along with
+    clipped indices, at a fraction of the kernel count."""
     P = np.arange(-1, NV)  # NV+1 positions
     Pj = xp.asarray(P)
     hi = xp.maximum(om - 1, omin)
-
-    def clamp_at(p):
-        idx = xp.clip(p[None, :], omin[:, None], hi[:, None]) + 1
-        return xp.take_along_axis(RAW, idx, axis=1)
-
-    rawc = clamp_at(Pj)
-    e_prev = clamp_at(Pj - 1)
+    lo_v = xp.where(omin == -1, RAW[:, 0], RAW[:, 1])  # value at omin
+    hi_v = _sel_at(RAW, hi + 1, xp)                    # value at hi
+    base = RAW[:, : NV + 1]                            # p = -1..NV-1
+    rawc = xp.where(Pj[None, :] < omin[:, None], lo_v[:, None],
+                    xp.where(Pj[None, :] > hi[:, None], hi_v[:, None],
+                             base))
+    # clamp_at(P-1): rawc shifted right one, edge-dup (clamping at both
+    # ends makes the shifted-clamped read equal the clamped-shifted one)
+    e_prev = xp.concatenate([rawc[:, :1], rawc[:, :-1]], axis=1)
     use_cp = (Pj[None, :] == -1) & (omin[:, None] == -1)
     e_prev = xp.where(use_cp, corner_param[:, None], e_prev)
-    e_next = clamp_at(Pj + 1)
+    e_next = xp.concatenate([rawc[:, 1:], rawc[:, -1:]], axis=1)
     filt = (e_prev + 2 * rawc + e_next + 2) >> 2
-    c0s = xp.where(omin == -1, RAW[:, 0], RAW[:, 1])
+    c0s = lo_v
     c1i = xp.minimum(63, hi) + 1
-    c1s = xp.take_along_axis(RAW, c1i[:, None], axis=1)[:, 0]
+    c1s = _sel_at(RAW, c1i, xp)
     strong = ((63 - Pj[None, :]) * c0s[:, None]
               + (Pj[None, :] + 1) * c1s[:, None] + 32) >> 6
     return rawc, filt, strong
@@ -633,72 +679,65 @@ def _side_arrays(RAW, omin, om, corner_param, NV, xp):
 
 def _extra_vals(RAW, pos, omin, valid, kind, NV, xp):
     """Pointwise get_pix_{raw,filtered,strong} at extras positions
-    (intra_angular.py:25-45); pos [L, K] >= 0; kind [L] 0/1/2."""
+    (intra_angular.py:25-45); pos [L, K] >= 0; kind [L] 0/1/2.
+
+    Gather-free: one onehot mask over RAW's index space serves the
+    pos/pos-1/pos+1 reads (via edge-dup shifted copies of RAW — table
+    positions satisfy pos+1 <= cap-1, so index arithmetic before/after
+    the clip agrees); the per-lane scalar reads are masked reduces."""
     cap = RAW.shape[1] - 1
+    iota = xp.arange(RAW.shape[1])
+    M = iota[None, None, :] == xp.clip(pos + 1, 0, cap)[:, :, None]
 
-    def s_at(p):
-        return xp.take_along_axis(RAW, xp.clip(p + 1, 0, cap), axis=1)
+    def msel(src):
+        return xp.sum(src[:, None, :] * M, axis=2)
 
-    c1 = s_at(pos)
-    prev = s_at(pos - 1)
-    nxt = s_at(pos + 1)
+    RAW_m1 = xp.concatenate([RAW[:, :1], RAW[:, :-1]], axis=1)
+    RAW_p1 = xp.concatenate([RAW[:, 1:], RAW[:, -1:]], axis=1)
+    c1 = msel(RAW)
+    prev = msel(RAW_m1)
+    nxt = msel(RAW_p1)
     fir = (prev + 2 * c1 + nxt + 2) >> 2
     tail = (prev + 3 * c1 + 2) >> 2
     head = (3 * c1 + nxt + 2) >> 2
     filt = xp.where(pos <= omin[:, None], head,
                     xp.where(pos >= (valid - 1)[:, None], tail, fir))
-    raw = s_at(xp.clip(pos, omin[:, None],
-                       xp.maximum(valid - 1, omin)[:, None]))
+    ridx = xp.clip(xp.clip(pos, omin[:, None],
+                           xp.maximum(valid - 1, omin)[:, None]) + 1,
+                   0, cap)
+    Mr = iota[None, None, :] == ridx[:, :, None]
+    raw = xp.sum(RAW[:, None, :] * Mr, axis=2)
     c0 = xp.where(omin == -1, RAW[:, 0], RAW[:, 1])[:, None]
-    c1s = s_at(xp.broadcast_to(
-        xp.minimum(63, xp.maximum(valid - 1, 0))[:, None], pos.shape))
-    strg = ((63 - pos) * c0 + (pos + 1) * c1s + 32) >> 6
+    c1v = _sel_at(RAW, xp.clip(
+        xp.minimum(63, xp.maximum(valid - 1, 0)) + 1, 0, cap), xp)
+    strg = ((63 - pos) * c0 + (pos + 1) * c1v[:, None] + 32) >> 6
     return xp.where((kind == 0)[:, None], raw,
                     xp.where((kind == 1)[:, None], filt, strg))
 
 
-def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
-                    consts, xp, ybase=None, write_plane=None):
-    """Apply one z-order intra op slot across all wavefront lanes.
+def _intra_core(RAWL, RAWT, sl2, mode, vx, vy, S, is_luma, strong_en,
+                consts, xp):
+    """Mode math for one intra op across lanes, fetch-agnostic.
 
-    write_plane: optional accumulation target — all READS (neighbour
-    lines, region, residual) come from `plane` while the delta scatters
-    into `write_plane`, letting several size-class banks of ONE level
-    read the same pre-level state and accumulate disjoint writes.
+    RAWL/RAWT [L, NV+2] are the unclamped left/top source vectors
+    (RAW[:, i] = src[i-1], NV = 2*S+2) — fetched by the caller either
+    from the padded plane (level path, _apply_intra_op) or as static
+    slices of a CTU tile (tile path, _apply_slot).  Evaluates
+    planar/DC/H/V/angular exactly as intra.py / intra_angular.py;
+    positions beyond the per-lane valid counts (vx/vy) are never read
+    (all accesses clamp to [omin, om-1]), so don't-care values in RAW
+    beyond the valid region cannot propagate.  Returns
+    (grid [L, S, S], dc1v [L] — the DC stray-pixel value).
 
-    plane/resid: padded int32 planes (content at [0:H, 0:W], pad >=
-    S+1 below/right); op [L, 7] = (used, y0, x0, sl2, mode, vx, vy).
-    Evaluates planar/DC/H/V/angular exactly as intra.py /
-    intra_angular.py and writes the masked (size x size [+ DC stray
-    pixel]) region fused with the residual plane.
-
-    ybase: vertical-stacking support (the cb and cr planes ride ONE
-    stacked plane so each wavefront step runs a single chroma apply):
-    lanes with y0 >= ybase belong to the second segment and clip their
-    neighbour reads to [ybase, ybase+H-1] instead of [0, H-1]."""
-    (SEL, POSA, FIXON, FIXIDX, FIXPOS, ROWST, COEFC1, FILTK,
-     TRANSP) = consts
-    used = op[:, 0]
-    y0, x0 = op[:, 1], op[:, 2]
-    sl2 = xp.clip(op[:, 3], 2, 5)
-    mode = op[:, 4]
-    vx, vy = op[:, 5], op[:, 6]
-    Lb = op.shape[0]
+    consts: the fused angular table (_ANG_FUSED as a device array) —
+    ONE constant-table gather per call; every other indexed read is a
+    masked reduce or an edge-dup shift (see _side_arrays), keeping the
+    per-op kernel count low on the dispatch-bound backend."""
+    TBL = consts
+    Lb = sl2.shape[0]
     size = xp.left_shift(1, sl2)
     two_sz = xp.left_shift(2, sl2)
     NV = 2 * S + 2
-    ar = xp.arange(-1, NV + 1)
-    if ybase is None:
-        ylo = xp.zeros_like(y0)
-    else:
-        ylo = xp.where(y0 >= ybase, ybase, 0)
-    yhi = ylo + (H - 1)
-    ly = xp.clip(y0[:, None] + ar[None, :], ylo[:, None], yhi[:, None])
-    lxc = xp.clip(x0 - 1, 0, W - 1)
-    RAWL = plane[ly, lxc[:, None]]                       # src_L[-1..NV]
-    tyc = xp.clip(y0 - 1, ylo, yhi)
-    tx = xp.clip(x0[:, None] + ar[None, :], 0, W - 1)
-    RAWT = plane[tyc[:, None], tx]                       # src_T[-1..NV]
     corner = RAWT[:, 0]
     L0 = RAWL[:, 1]
     T0 = RAWT[:, 1]
@@ -746,8 +785,8 @@ def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
                        T0[:, None])
     top_bn = xp.where((vx > 0)[:, None], lineT[:, 1 : S + 2],
                       L0[:, None])
-    lb = xp.take_along_axis(left_bn, size[:, None], 1)[:, 0]
-    rt = xp.take_along_axis(top_bn, size[:, None], 1)[:, 0]
+    lb = _sel_at(left_bn, size, xp)
+    rt = _sel_at(top_bn, size, xp)
     lv = left_bn[:, :S]
     tbn = top_bn[:, :S]
     planar = ((xp.left_shift(lv, sl2[:, None])[:, :, None]
@@ -767,8 +806,7 @@ def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
     def edge_sum(vec, vm, vs, fb):
         msk = idxS[None, :] < xp.minimum(size, xp.maximum(vm, 0))[:, None]
         sfull = xp.sum(vec * msk, axis=1)
-        lastv = xp.take_along_axis(
-            vec, xp.clip(vm - 1, 0, S - 1)[:, None], 1)[:, 0]
+        lastv = _sel_at(vec, xp.clip(vm - 1, 0, S - 1), xp)
         return xp.where(size <= vm, sfull,
                         xp.where(vm > 0, sfull + lastv * (size - vm),
                                  xp.where(vs > 0, fb * size, 128 * size)))
@@ -823,10 +861,17 @@ def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
     # ---- angular (h265.cpp:2663-2812) ----
     mm = xp.clip(mode - 2, 0, 32)
     flat = mm * 4 + (sl2 - 2)
-    selr = SEL[flat]
-    posr = POSA[flat]
+    RC = _REFCAP
+    B0 = 2 * RC + 64
+    # the assembled ref vector only needs indices 0..2S-1 (max table
+    # idxa = 2S-2, max populated SEL/POSA entry = 2S-1 — verified from
+    # _build_ang_tables), so all angular work runs at width RCW
+    RCW = min(2 * S, RC)
+    row = TBL[flat]                       # ONE fused-table gather
+    selr = row[:, :RCW]
+    posr = row[:, RC : RC + RCW]
     if is_luma:
-        kf = FILTK[flat]
+        kf = row[:, B0 + 3]
         kind = xp.where(kf == 0, 0, xp.where(dflag, 2, 1))
     else:
         kind = xp.zeros((Lb,), xp.int32)
@@ -843,13 +888,13 @@ def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
                         xp.where((kind == 1)[:, None], mainF, mainS))
     subRAW = xp.where(h3, RAWT, RAWL)
     sub_single = xp.where(horiz, L0, T0)
-    mainvals = xp.take_along_axis(main_arr,
-                                  xp.clip(posr + 1, 0, NV), axis=1)
-    fixval = xp.take_along_axis(
-        mainRAWC, xp.clip(FIXPOS[flat] + 1, 0, NV)[:, None], 1)[:, 0]
-    karr = xp.arange(_REFCAP)
-    fixmask = (karr[None, :] == FIXIDX[flat][:, None]) \
-        & ((FIXON[flat] == 1) & (vmain >= two_sz))[:, None]
+    iota_nv = xp.arange(main_arr.shape[1])
+    Mp = iota_nv[None, None, :] == xp.clip(posr + 1, 0, NV)[:, :, None]
+    mainvals = xp.sum(main_arr[:, None, :] * Mp, axis=2)
+    fixval = _sel_at(mainRAWC, xp.clip(row[:, B0 + 2] + 1, 0, NV), xp)
+    karr = xp.arange(RCW)
+    fixmask = (karr[None, :] == row[:, B0 + 1][:, None]) \
+        & ((row[:, B0 + 0] == 1) & (vmain >= two_sz))[:, None]
     mainvals = xp.where(fixmask, fixval[:, None], mainvals)
     mainvals = xp.where((vmain > 0)[:, None], mainvals,
                         xp.where((vsub > 0)[:, None],
@@ -859,24 +904,74 @@ def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
                   xp.where((vmain > 0)[:, None], sub_single[:, None],
                            128))
     ref = xp.where(selr == 1, ev, xp.where(selr == 0, mainvals, 0))
-    r0 = ROWST[flat][:, :S]
-    c1 = COEFC1[mm][:, :S]
-    idxa = xp.clip(r0[:, :, None] + xs[None, None, :], 0, _REFCAP - 2)
-    a = xp.take_along_axis(ref, idxa.reshape(Lb, -1), 1).reshape(
-        Lb, S, S)
-    b = xp.take_along_axis(ref, (idxa + 1).reshape(Lb, -1), 1).reshape(
-        Lb, S, S)
+    r0 = row[:, 2 * RC : 2 * RC + S]
+    c1 = row[:, 2 * RC + 32 : 2 * RC + 32 + S]
+    # a = ref[r0[y] + x], b = ref[r0[y] + x + 1] as ONE shared onehot
+    # masked reduce (a take_along here is a separate gather kernel,
+    # ~0.35 ms/step at S=16 on the dispatch-bound backend; the reduce
+    # fuses). idxa <= 2S-2 = RCW-2 keeps both in range.
+    idxa = r0[:, :, None] + xs[None, None, :]
+    Mab = karr[None, None, None, :] == idxa[:, :, :, None]
+    refs1 = xp.concatenate([ref[:, 1:], ref[:, -1:]], axis=1)
+    a = xp.sum(ref[:, None, None, :] * Mab, axis=3)
+    b = xp.sum(refs1[:, None, None, :] * Mab, axis=3)
     c13 = c1[:, :, None]
     ang = (a * (32 - c13) + b * c13 + 16) >> 5
-    tr = (TRANSP[mm] == 1)[:, None, None]
+    tr = (row[:, B0 + 4] == 1)[:, None, None]
     ang = xp.where(tr, xp.swapaxes(ang, 1, 2), ang)
 
-    # ---- select + residual + masked write ----
+    # ---- select ----
     m3 = mode[:, None, None]
     grid = xp.where(m3 == 0, planar,
                     xp.where(m3 == 1, dcg,
                              xp.where(m3 == 10, hg,
                                       xp.where(m3 == 26, vg, ang))))
+    return grid, dc1v
+
+
+def _apply_intra_op(plane, resid, op, S, is_luma, strong_en, H, W,
+                    consts, xp, ybase=None, write_plane=None):
+    """Apply one z-order intra op slot across all wavefront lanes.
+
+    write_plane: optional accumulation target — all READS (neighbour
+    lines, region, residual) come from `plane` while the delta scatters
+    into `write_plane`, letting several size-class banks of ONE level
+    read the same pre-level state and accumulate disjoint writes.
+
+    plane/resid: padded int32 planes (content at [0:H, 0:W], pad >=
+    S+1 below/right); op [L, 7] = (used, y0, x0, sl2, mode, vx, vy).
+    Evaluates planar/DC/H/V/angular exactly as intra.py /
+    intra_angular.py (via _intra_core) and writes the masked
+    (size x size [+ DC stray pixel]) region fused with the residual
+    plane.
+
+    ybase: vertical-stacking support (the cb and cr planes ride ONE
+    stacked plane so each wavefront step runs a single chroma apply):
+    lanes with y0 >= ybase belong to the second segment and clip their
+    neighbour reads to [ybase, ybase+H-1] instead of [0, H-1]."""
+    used = op[:, 0]
+    y0, x0 = op[:, 1], op[:, 2]
+    sl2 = xp.clip(op[:, 3], 2, 5)
+    mode = op[:, 4]
+    vx, vy = op[:, 5], op[:, 6]
+    Lb = op.shape[0]
+    size = xp.left_shift(1, sl2)
+    NV = 2 * S + 2
+    ar = xp.arange(-1, NV + 1)
+    if ybase is None:
+        ylo = xp.zeros_like(y0)
+    else:
+        ylo = xp.where(y0 >= ybase, ybase, 0)
+    yhi = ylo + (H - 1)
+    ly = xp.clip(y0[:, None] + ar[None, :], ylo[:, None], yhi[:, None])
+    lxc = xp.clip(x0 - 1, 0, W - 1)
+    RAWL = plane[ly, lxc[:, None]]                       # src_L[-1..NV]
+    tyc = xp.clip(y0 - 1, ylo, yhi)
+    tx = xp.clip(x0[:, None] + ar[None, :], 0, W - 1)
+    RAWT = plane[tyc[:, None], tx]                       # src_T[-1..NV]
+    grid, dc1v = _intra_core(RAWL, RAWT, sl2, mode, vx, vy, S,
+                             is_luma, strong_en, consts, xp)
+    sz3 = size[:, None, None]
     arS1 = xp.arange(S + 1)
     ry = (y0[:, None] + arS1)[:, :, None]
     rx = (x0[:, None] + arS1)[:, None, :]
@@ -1123,12 +1218,7 @@ def _wavefront(y, cbcr, res_y, res_cbcr, lv_ls, lv_lb, lv_cs, lv_cb,
     import jax
     import jax.numpy as jnp
 
-    # flatten the (m, s) leading dims so flat = m*4 + (sl2-2) indexes
-    # directly; COEFC1 (idx 6) / TRANSP (idx 8) stay m-indexed
-    consts = tuple(
-        jnp.asarray(t if i in (6, 8)
-                    else t.reshape((-1,) + t.shape[2:]))
-        for i, t in enumerate(_ANG))
+    consts = jnp.asarray(_ANG_FUSED)
     Hc, Wc = H >> 1, W >> 1
 
     def row(t, i):
@@ -1168,6 +1258,330 @@ def _CR0(Hc):
     return Hc + 17
 
 
+# =====================================================================
+# CTU-tile wavefront (the H.264 slab design at CTU granularity)
+# =====================================================================
+#
+# Instead of ~O(picture-depth) dependency levels each touching the full
+# plane (_wavefront above), run one step per CTU anti-diagonal
+# d = cx + 2*cy (the reference's own CTU wavefront order,
+# h265.cpp:4752-4799) and STATICALLY UNROLL the CTU-local z-order as
+# slots over the 4x4 cell grid: the op whose top-left cell is z-cell j
+# applies at unroll position j.  Each slot reads its neighbour lines as
+# STATIC slices of a small gathered CTU tile and writes a STATIC
+# (S+1)x(S+1) region — no per-op plane gathers/scatters — so the whole
+# chain fuses; the plane is touched twice per diagonal (tile gather +
+# write-back).  k = 2 in d = cx + k*cy is sufficient because valid
+# neighbour reads reach at most C+S-1 < 2C pixels right of the CTU
+# origin (top lines clamp at om-1 <= 2*size-1 with x0 <= C-size) and
+# never below the CTU row (left-column validity ends at the CTU
+# bottom), i.e. only CTUs on strictly earlier diagonals.
+
+#: packed z-slot op fields: used(2) | (sl2-2)(2) | mode(6) | vx(7) | vy(7)
+_ZF_USED, _ZF_SL2, _ZF_MODE, _ZF_VX, _ZF_VY = 0, 2, 4, 10, 17
+
+
+@functools.lru_cache(maxsize=16)
+def _zslot_table(cb_log2):
+    """Z-ordered (oy, ox, Smax) slots over a CTB's 4x4 cell grid.
+    Smax = the largest block size a slot's alignment admits (an op's
+    top-left cell determines its slot; quad-tree alignment makes the
+    mapping unique and z-monotonic)."""
+    n = 1 << (cb_log2 - 2)
+    out = []
+    for z in range(n * n):
+        r = c = 0
+        for k in range(cb_log2 - 2):
+            c |= ((z >> (2 * k)) & 1) << k
+            r |= ((z >> (2 * k + 1)) & 1) << k
+        oy, ox = r << 2, c << 2
+        smax = 4
+        while (smax < 32 and smax < (1 << cb_log2)
+               and oy % (smax * 2) == 0 and ox % (smax * 2) == 0):
+            smax *= 2
+        out.append((oy, ox, smax))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=16)
+def _tile_lanes_band(cols, rows):
+    """Band-indexed lane table: ctu_of [D, rows] int32 — the CTU of
+    band (CTU row) cy on diagonal d, or -1 (band idle on d)."""
+    D = cols + 2 * (rows - 1)
+    out = np.full((D, rows), -1, np.int32)
+    for d in range(D):
+        for cy in range(rows):
+            cx = d - 2 * cy
+            if 0 <= cx < cols:
+                out[d, cy] = cy * cols + cx
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def _tile_lanes(cols, rows):
+    """Lane table of the CTU diagonal schedule: ctu_of [D, L] int32
+    (-1 = pad lane), D = cols + 2*(rows-1)."""
+    D = cols + 2 * (rows - 1)
+    lanes = [[cy * cols + (d - 2 * cy)
+              for cy in range(rows) if 0 <= d - 2 * cy < cols]
+             for d in range(D)]
+    L = max(len(x) for x in lanes)
+    out = np.full((D, L), -1, np.int32)
+    for d, x in enumerate(lanes):
+        out[d, : len(x)] = x
+    return out
+
+
+def _pack_zslots(ops, n_slots, cb_log2):
+    """Pack a per-CTU op array [n_ctu, CAP, 7] into z-slot field words
+    [n_ctu, n_slots] int32 (0 = no op)."""
+    flat = np.asarray(ops, np.int32)
+    n_ctu = flat.shape[0]
+    zl = np.zeros((n_ctu, n_slots), np.int32)
+    ic, io = np.nonzero((flat[..., 0] & 1) == 1)
+    if len(ic) == 0:
+        return zl, ic
+    y0, x0 = flat[ic, io, 1], flat[ic, io, 2]
+    cb = 1 << cb_log2
+    r, c = (y0 % cb) >> 2, (x0 % cb) >> 2
+    slot = np.zeros(len(ic), np.int64)
+    for k in range(cb_log2 - 2):
+        slot |= ((c >> k) & 1) << (2 * k)
+        slot |= ((r >> k) & 1) << (2 * k + 1)
+    packed = ((flat[ic, io, 0] & 3)
+              | ((flat[ic, io, 3] - 2) << _ZF_SL2)
+              | (flat[ic, io, 4] << _ZF_MODE)
+              | (np.clip(flat[ic, io, 5], 0, 127) << _ZF_VX)
+              | (np.clip(flat[ic, io, 6], 0, 127) << _ZF_VY))
+    zl[ic, slot] = packed
+    return zl, ic
+
+
+def _plan_zslots(plan):
+    """Tile-wavefront tensors for one plan (cached):
+    (fzl [D, rows, SL], fzc [D, rows, SC], actm [D, 2]) — per-diagonal
+    per-band packed z-slot words (0 for idle bands) plus the
+    per-diagonal any-luma-op / any-chroma-op flags (the scan body
+    cond-skips the unrolled slot chain on op-free diagonals — P/B
+    pictures have few)."""
+    cached = getattr(plan, "_zslots", None)
+    if cached is not None:
+        return cached
+    cl2 = plan.size_log2
+    cols, rows = plan.columns, plan.rows
+    nsl = 1 << (2 * (cl2 - 2))
+    nsc = 1 << (2 * (cl2 - 3))
+    zl, icl = _pack_zslots(plan.ops_l, nsl, cl2)
+    zc, icc = _pack_zslots(plan.ops_c, nsc, cl2 - 1)
+    lanes = _tile_lanes_band(cols, rows)          # [D, rows]
+    safe = np.maximum(lanes, 0)
+    live = (lanes >= 0)[:, :, None]
+    fzl = np.where(live, zl[safe], 0).astype(np.int32)
+    fzc = np.where(live, zc[safe], 0).astype(np.int32)
+    actm = np.stack([(fzl & 1).any(axis=(1, 2)),
+                     (fzc & 1).any(axis=(1, 2))], 1)
+    plan._zslots = (fzl, fzc, actm)
+    return plan._zslots
+
+
+def _apply_slot(T, R, f, oy, ox, S, is_luma, strong_en, consts, xp):
+    """Apply the op at z-cell slot (oy, ox) of every lane's CTU tile.
+
+    T: [L, C+2, TC] int32 recon band-slab tiles (tile index dy+1 <->
+    CTU-local row dy; index 0 = the -1 halo row/col; row C+1 = the
+    stray row).  R: [L, C+2, C+2] residual tiles, same row convention.
+    f [L]: packed op field words; S = the slot's max block size.
+    Neighbour lines are STATIC tile slices and the update a STATIC
+    region write, so the unrolled z-chain fuses without
+    gathers/scatters; values past the per-lane valid counts are never
+    read (_intra_core clamps) — including the zero-padded tail of the
+    left line where it would extend below the band (valid left reads
+    end at the CTU bottom row)."""
+    used = f & 3
+    sl2 = xp.clip(((f >> _ZF_SL2) & 3) + 2, 2, 5)
+    mode = (f >> _ZF_MODE) & 63
+    vx = (f >> _ZF_VX) & 127
+    vy = (f >> _ZF_VY) & 127
+    NV = 2 * S + 2
+    take = min(NV + 2, T.shape[1] - oy)
+    RAWL = T[:, oy : oy + take, ox]
+    if take < NV + 2:
+        RAWL = xp.concatenate(
+            [RAWL, xp.zeros((T.shape[0], NV + 2 - take), xp.int32)], 1)
+    RAWT = T[:, oy, ox : ox + NV + 2]
+    grid, dc1v = _intra_core(RAWL, RAWT, sl2, mode, vx, vy, S,
+                             is_luma, strong_en, consts, xp)
+    size = xp.left_shift(1, sl2)
+    sz3 = size[:, None, None]
+    arS1 = xp.arange(S + 1)
+    Lb = f.shape[0]
+    rgn = T[:, oy + 1 : oy + S + 2, ox + 1 : ox + S + 2]
+    rres = R[:, oy + 1 : oy + S + 2, ox + 1 : ox + S + 2]
+    gpad = xp.concatenate(
+        [xp.concatenate([grid, xp.zeros((Lb, S, 1), xp.int32)], 2),
+         xp.zeros((Lb, 1, S + 1), xp.int32)], 1)
+    gy1 = arS1[None, :, None]
+    gx1 = arS1[None, None, :]
+    inb = (gy1 < sz3) & (gx1 < sz3)
+    newv = _clip255(gpad + rres, xp)
+    out = xp.where(inb, newv, rgn)
+    if is_luma:
+        stray = (gy1 == sz3) & (gx1 == 0) \
+            & (((used >> 1) & 1) == 1)[:, None, None]
+        out = xp.where(stray, dc1v[:, None, None], out)
+    out = xp.where((((used & 1) == 1))[:, None, None], out, rgn)
+    return T.at[:, oy + 1 : oy + S + 2, ox + 1 : ox + S + 2].set(out)
+
+
+def _skew_bands(plane, nb, row0s, C, SW, width, xp):
+    """Skewed band-slab storage: band b holds `plane` rows
+    [row0s[b]-1, row0s[b]+C] (C+2 rows: top halo, C content, stray
+    row) placed at column offset 2*(b % R)*C + 1 — so every CTU
+    anti-diagonal d's tiles are ONE contiguous slab at column d*C.
+    All offsets are static per band (cheap pads + stack)."""
+    bands = []
+    nbands = len(row0s)
+    for b in range(nbands):
+        r0 = row0s[b] - 1
+        if r0 < 0:
+            rows_ = xp.concatenate([plane[0:1, :width],
+                                    plane[0 : C + 1, :width]], 0)
+        else:
+            rows_ = plane[r0 : r0 + C + 2, :width]
+        off = 2 * (b % nb) * C + 1
+        bands.append(xp.pad(rows_, ((0, 0), (off, SW - off - width))))
+    return xp.stack(bands)
+
+
+def _unskew_bands(sk, nb, C, width, xp):
+    """Inverse of _skew_bands for the content rows: [nbands*C, width]."""
+    outs = []
+    for b in range(sk.shape[0]):
+        off = 2 * (b % nb) * C + 1
+        outs.append(sk[b, 1 : C + 1, off : off + width])
+    return xp.concatenate(outs, 0)
+
+
+def _win_step(Tw, R, fz, C, TC, slots, is_luma, strong_en, consts,
+              xp, seg, anyop):
+    """One diagonal step on the rolling window: unrolled z-slots on the
+    leading TC columns, then two STATIC write-backs — U1 (content +
+    stray rows at cols [1, C+1)) and U2 (the duplicate halo/stray rows
+    of the band below at cols [2C+1, 3C+1); every plane row near a
+    band boundary has two copies and U2 keeps the second consistent).
+    seg = bands per segment: each segment's first band has no band
+    above, so its duplicate rows are preserved.  anyop cond-skips the
+    whole chain on op-free diagonals (cheap for P/B pictures)."""
+    import jax
+
+    nb = Tw.shape[0]
+
+    def go(Tw):
+        T = Tw[:, :, :TC]
+        for j, (oy, ox, sm) in enumerate(slots):
+            T = _apply_slot(T, R, fz[:, j], oy, ox, sm, is_luma,
+                            strong_en, consts, xp)
+        Tw = Tw.at[:, 1 : C + 2, 1 : C + 1].set(T[:, 1 : C + 2,
+                                                  1 : C + 1])
+        old2 = Tw[:, 0:2, 2 * C + 1 : 3 * C + 1]
+        dup = xp.concatenate([old2[:1], T[:-1, C : C + 2, 1 : C + 1]],
+                             0)
+        if nb != seg:
+            keep = np.zeros(nb, bool)
+            keep[::seg] = True
+            dup = xp.where(xp.asarray(keep)[:, None, None], old2, dup)
+        return Tw.at[:, 0:2, 2 * C + 1 : 3 * C + 1].set(dup)
+
+    return jax.lax.cond(anyop, go, lambda t: t, Tw)
+
+
+def _win_streams(plane, nb, row0s, C, D, width, xp):
+    """Rolling-window streams from a plane: returns (init window
+    [nbands, C+2, 4C], xs cols [D, nbands, C+2, C], xs residual
+    windows [D, nbands, C+2, C+2]) — all built with static band
+    slices + reshapes (no gathers).  The skewed slab (band b at column
+    offset 2*(b%nb)*C+1) is never materialized per step: the scan
+    carries only the window and streams the rest."""
+    SW = (D + 4) * C
+    sk = _skew_bands(plane, nb, row0s, C, SW, width, xp)
+    nbands = sk.shape[0]
+    blk = sk.reshape(nbands, C + 2, D + 4, C).transpose(2, 0, 1, 3)
+    init = sk[:, :, : 4 * C]
+    xs_cols = blk[4 : 4 + D]
+    xs_res = xp.concatenate([blk[:D], blk[1 : D + 1][..., :2]], -1)
+    return init, xs_cols, xs_res
+
+
+def _wavefront_tile(y, cbcr, res_y, res_cbcr, fzl, fzc, actm,
+                    strong_en, H, W, ctb_log2):
+    """Intra reconstruction as ONE lax.scan over CTU anti-diagonals
+    with the CTU-local z-order statically unrolled on a ROLLING
+    WINDOW of skewed band slabs.
+
+    Why a rolling window: any per-step update of a large while-loop
+    carry copies the whole buffer on this backend (measured 4.7 ms
+    per dynamic_update_slice on a 20 MB carry — r5 micro-probe), so
+    the carry holds only the active 4C columns (~300 KB); baseline
+    columns stream in as scan xs (pure reshapes of the skewed planes)
+    and finalized columns stream out as scan ys (stacked in place by
+    the scan).  All slices are static.  Chroma bands are doubled
+    (cb then cr segments of the stacked plane; one op word per CTU
+    serves both — HEVC has a single chroma mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    consts = jnp.asarray(_ANG_FUSED)
+    C = 1 << ctb_log2
+    Cc = C >> 1
+    cols, rows = W >> ctb_log2, H >> ctb_log2
+    Hc = H >> 1
+    D = cols + 2 * (rows - 1)
+    slots_l = _zslot_table(ctb_log2)
+    slots_c = _zslot_table(ctb_log2 - 1)
+    TCl = C + min(C, 32) + 5
+    TCc = Cc + min(Cc, 16) + 5
+    Wp = y.shape[1]
+    Wcp = cbcr.shape[1]
+    lrow0 = [cy * C for cy in range(rows)]
+    crow0 = ([cy * Cc for cy in range(rows)]
+             + [_CR0(Hc) + cy * Cc for cy in range(rows)])
+    il, cl_, rl = _win_streams(y, rows, lrow0, C, D, Wp, jnp)
+    _, _, rlr = _win_streams(res_y, rows, lrow0, C, D, Wp, jnp)
+    ic, cc_, rc2 = _win_streams(cbcr, rows, crow0, Cc, D, Wcp, jnp)
+    _, _, rcr = _win_streams(res_cbcr, rows, crow0, Cc, D, Wcp, jnp)
+
+    def step(carry, x):
+        Twl, Twc = carry
+        Twl = _win_step(Twl, x["rl"], x["fl"], C, TCl, slots_l, True,
+                        strong_en, consts, jnp, rows, x["a"][0])
+        f2 = jnp.concatenate([x["fc"], x["fc"]], 0)
+        Twc = _win_step(Twc, x["rc"], f2, Cc, TCc, slots_c, False,
+                        False, consts, jnp, rows, x["a"][1])
+        outl, outc = Twl[:, :, :C], Twc[:, :, :Cc]
+        Twl = jnp.concatenate([Twl[:, :, C:], x["cl"]], 2)
+        Twc = jnp.concatenate([Twc[:, :, Cc:], x["cc"]], 2)
+        return (Twl, Twc), (outl, outc)
+
+    xs = {"fl": fzl, "fc": fzc, "a": actm, "cl": cl_, "cc": cc_,
+          "rl": rlr, "rc": rcr}
+    del rl, rc2
+    (Twl, Twc), (ysl, ysc) = jax.lax.scan(step, (il, ic), xs)
+    # finalized slab = streamed-out columns + the final window tail
+    slab_l = jnp.concatenate(
+        [ysl.transpose(1, 2, 0, 3).reshape(rows, C + 2, D * C), Twl],
+        2)
+    slab_c = jnp.concatenate(
+        [ysc.transpose(1, 2, 0, 3).reshape(2 * rows, Cc + 2, D * Cc),
+         Twc], 2)
+    y = y.at[: rows * C, :].set(
+        _unskew_bands(slab_l, rows, C, Wp, jnp))
+    cb_cr = _unskew_bands(slab_c, rows, Cc, Wcp, jnp)
+    Hcb = rows * Cc
+    cbcr = cbcr.at[:Hcb].set(cb_cr[:Hcb])
+    cbcr = cbcr.at[_CR0(Hc) : _CR0(Hc) + Hcb].set(cb_cr[Hcb:])
+    return y, cbcr
+
+
 def _pad_plane(p, pad, xp):
     H, W = p.shape
     out = xp.zeros((H + pad, W + pad), xp.int32)
@@ -1182,12 +1596,49 @@ def _np_pad(p, pad):
     return out
 
 
+def wf_mode_for(ctb_log2):
+    """Intra-wavefront backend for a geometry: 'tile' (CTU-diagonal
+    scan with statically-unrolled z-slots — the fast path) or 'level'
+    (dependency-level schedule — the general fallback). Auto picks
+    tile for CTB 16 (16-slot unrolled body); CTB 32's 64+16-slot body
+    is byte-exact too (env-forced test) but costs ~150 s of XLA:CPU
+    compile per geometry, so the CPU suite keeps level there.
+    M2DEC_TPU_H265_WF overrides."""
+    import os
+
+    m = os.environ.get("M2DEC_TPU_H265_WF", "auto")
+    if m in ("tile", "level"):
+        return m
+    return "tile" if ctb_log2 <= 4 else "level"
+
+
+def plan_wf(plan, mode):
+    """The plan's wavefront tensors for the given mode (dict)."""
+    if mode == "tile":
+        fzl, fzc, actm = _plan_zslots(plan)
+        return {"fzl": fzl, "fzc": fzc, "actm": actm}
+    lv_ls, lv_lb, lv_cs, lv_cb, n_lvl = _pad_levels(*_plan_levels(plan))
+    return {"lv_ls": lv_ls, "lv_lb": lv_lb, "lv_cs": lv_cs,
+            "lv_cb": lv_cb, "n_lvl": n_lvl}
+
+
+def _run_wavefront(wf, wf_mode, yp, cbcrp, ryp, rcp, strong_en, H, W,
+                   ctb_log2):
+    if wf_mode == "tile":
+        return _wavefront_tile(yp, cbcrp, ryp, rcp, wf["fzl"],
+                               wf["fzc"], wf["actm"],
+                               strong_en, H, W, ctb_log2)
+    return _wavefront(yp, cbcrp, ryp, rcp, wf["lv_ls"], wf["lv_lb"],
+                      wf["lv_cs"], wf["lv_cb"], wf["n_lvl"], strong_en,
+                      H, W)
+
+
 def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
-                   mv, lv_ls, lv_lb, lv_cs, lv_cb, n_lvl, dbv, dbh,
+                   mv, wf, dbv, dbh,
                    dbcv, dbch, sao_idx,
                    sao_opt, sao_off, pool_y, pool_cb, pool_cr, cur_idx,
                    *, H, W, strong_en, has_sao, deblock, ctb_log2,
-                   pic_w, pic_h, slices=None):
+                   pic_w, pic_h, slices=None, wf_mode="level"):
     """One picture's Phase-B graph (jit-keyed on geometry + op caps)."""
     import jax.numpy as jnp
 
@@ -1217,8 +1668,8 @@ def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
     ryp = _pad_plane(res_y, 33, xp)
     rcp = xp.concatenate([_pad_plane(res_cb, 17, xp),
                           _pad_plane(res_cr, 17, xp)], axis=0)
-    yp, cbcrp = _wavefront(yp, cbcrp, ryp, rcp, lv_ls, lv_lb,
-                           lv_cs, lv_cb, n_lvl, strong_en, H, W)
+    yp, cbcrp = _run_wavefront(wf, wf_mode, yp, cbcrp, ryp, rcp,
+                               strong_en, H, W, ctb_log2)
     y = yp[:H, :W]
     cb = cbcrp[:Hc, : W >> 1]
     cr = cbcrp[_CR0(Hc) : _CR0(Hc) + Hc, : W >> 1]
@@ -1271,13 +1722,15 @@ def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
 
 @functools.lru_cache(maxsize=64)
 def _jitted_recon(H, W, strong_en, has_sao, deblock,
-                  ctb_log2, pic_w, pic_h, slices=None):
+                  ctb_log2, pic_w, pic_h, slices=None,
+                  wf_mode="level"):
     import jax
 
     fn = functools.partial(_recon_picture, H=H, W=W,
                            strong_en=strong_en, has_sao=has_sao,
                            deblock=deblock, ctb_log2=ctb_log2,
-                           pic_w=pic_w, pic_h=pic_h, slices=slices)
+                           pic_w=pic_w, pic_h=pic_h, slices=slices,
+                           wf_mode=wf_mode)
     return jax.jit(fn)
 
 
@@ -1335,7 +1788,8 @@ def recon_plan(plan, pool_y, pool_cb, pool_cr):
         raise NotImplementedError(
             "mid-row slice-segment starts keep the Python path "
             "(reference chroma-base domain)")
-    lv_ls, lv_lb, lv_cs, lv_cb, n_lvl = _pad_levels(*_plan_levels(plan))
+    wf_mode = wf_mode_for(plan.size_log2)
+    wf = plan_wf(plan, wf_mode)
     deblock = bool(plan.dbv[..., 0].any() or plan.dbh[..., 0].any()
                    or (plan.dbcv >= 0).any() or (plan.dbch >= 0).any())
     if multi:
@@ -1354,11 +1808,11 @@ def recon_plan(plan, pool_y, pool_cb, pool_cr):
     fn = _jitted_recon(plan.H, plan.W,
                        bool(plan.strong_intra), bool(plan.has_sao),
                        deblock, plan.size_log2, plan.pic_width,
-                       plan.pic_height, slices)
+                       plan.pic_height, slices, wf_mode)
     return fn(plan.coef_y, plan.tu_y, plan.coef_cb, plan.tu_cb,
               plan.coef_cr, plan.tu_cr,
               plan.slot.astype(np.int32), plan.mv.astype(np.int32),
-              lv_ls, lv_lb, lv_cs, lv_cb, n_lvl, dbv, dbh, dbcv, dbch,
+              wf, dbv, dbh, dbcv, dbch,
               sao_idx, sao_opt,
               sao_off, pool_y, pool_cb, pool_cr,
               np.int32(plan.cur_idx))
@@ -1386,24 +1840,29 @@ def replay_plans(plans, pool_size=8):
 
 
 def _recon_seq(pool_y, pool_cb, pool_cr, xs, *, H, W, strong_en,
-               has_sao, deblock, ctb_log2, pic_w, pic_h):
+               has_sao, deblock, ctb_log2, pic_w, pic_h,
+               wf_mode="level"):
     """A picture sequence (GOP) as ONE graph: lax.scan over pictures
     with the frame pool carried device-resident; each step runs the
     whole-picture Phase-B graph and writes its pool slot."""
     import jax
 
+    wf_keys = (("fzl", "fzc", "actm")
+               if wf_mode == "tile"
+               else ("lv_ls", "lv_lb", "lv_cs", "lv_cb", "n_lvl"))
+
     def step(pool, x):
         py, pcb, pcr = pool
         y, cb, cr = _recon_picture(
             x["coef_y"], x["tu_y"], x["coef_cb"], x["tu_cb"],
-            x["coef_cr"], x["tu_cr"], x["slot"], x["mv"], x["lv_ls"],
-            x["lv_lb"], x["lv_cs"], x["lv_cb"], x["n_lvl"],
+            x["coef_cr"], x["tu_cr"], x["slot"], x["mv"],
+            {k: x[k] for k in wf_keys},
             x["dbv"], x["dbh"], x["dbcv"],
             x["dbch"],
             x["sao_idx"], x["sao_opt"], x["sao_off"], py, pcb, pcr,
             x["cur_idx"], H=H, W=W, strong_en=strong_en,
             has_sao=has_sao, deblock=deblock, ctb_log2=ctb_log2,
-            pic_w=pic_w, pic_h=pic_h)
+            pic_w=pic_w, pic_h=pic_h, wf_mode=wf_mode)
         idx = x["cur_idx"]
         # masked-select pool write: a dynamic_update_slice at a runtime
         # slot index costs ~22 MB of TPU machine code per plane on this
@@ -1429,31 +1888,41 @@ _SEQ_KEYS = ("coef_y", "tu_y", "coef_cb", "tu_cb", "coef_cr", "tu_cr",
              "sao_opt", "sao_off")
 
 
-def stack_plans(plans):
+def stack_plans(plans, wf_mode=None):
     """Host prep: stacked per-picture tensors [N, ...] for _recon_seq.
 
-    Per-picture level-tensor shapes are unified to the batch max,
-    rounded up to a power of two so successive batches of the same
-    stream reuse one executable; n_lvl keeps each picture's true depth
-    so the wavefront while_loop never runs padded levels."""
+    Tile-mode wavefront tensors have geometry-fixed shapes, so batches
+    stack directly.  Level-mode per-picture tensor shapes are unified
+    to the batch max, rounded up to a power of two so successive
+    batches of the same stream reuse one executable; n_lvl keeps each
+    picture's true depth so the wavefront while_loop never runs padded
+    levels."""
     xs = {}
     for k in _SEQ_KEYS:
         xs[k] = np.stack([np.asarray(getattr(p, k), np.int32)
                           for p in plans])
-    lvs = [_plan_levels(p) for p in plans]
-    buckets = (
-        _ceil_pow2(max(max(t[0].shape[0], t[2].shape[0]) for t in lvs)),
-        _ceil_pow2(max(t[0].shape[1] for t in lvs)),
-        _ceil_pow2(max(t[1].shape[1] for t in lvs)),
-        _ceil_pow2(max(t[2].shape[1] for t in lvs)),
-        _ceil_pow2(max(t[3].shape[1] for t in lvs)),
-    )
-    padded = [_pad_levels(*t, buckets=buckets) for t in lvs]
-    xs["lv_ls"] = np.stack([p[0] for p in padded])
-    xs["lv_lb"] = np.stack([p[1] for p in padded])
-    xs["lv_cs"] = np.stack([p[2] for p in padded])
-    xs["lv_cb"] = np.stack([p[3] for p in padded])
-    xs["n_lvl"] = np.array([p[4] for p in padded], np.int32)
+    if wf_mode is None:
+        wf_mode = wf_mode_for(plans[0].size_log2)
+    if wf_mode == "tile":
+        wfs = [_plan_zslots(p) for p in plans]
+        for i, k in enumerate(("fzl", "fzc", "actm")):
+            xs[k] = np.stack([t[i] for t in wfs])
+    else:
+        lvs = [_plan_levels(p) for p in plans]
+        buckets = (
+            _ceil_pow2(max(max(t[0].shape[0], t[2].shape[0])
+                           for t in lvs)),
+            _ceil_pow2(max(t[0].shape[1] for t in lvs)),
+            _ceil_pow2(max(t[1].shape[1] for t in lvs)),
+            _ceil_pow2(max(t[2].shape[1] for t in lvs)),
+            _ceil_pow2(max(t[3].shape[1] for t in lvs)),
+        )
+        padded = [_pad_levels(*t, buckets=buckets) for t in lvs]
+        xs["lv_ls"] = np.stack([p[0] for p in padded])
+        xs["lv_lb"] = np.stack([p[1] for p in padded])
+        xs["lv_cs"] = np.stack([p[2] for p in padded])
+        xs["lv_cb"] = np.stack([p[3] for p in padded])
+        xs["n_lvl"] = np.array([p[4] for p in padded], np.int32)
     xs["cur_idx"] = np.array([p.cur_idx for p in plans], np.int32)
     return xs
 
@@ -1467,12 +1936,13 @@ def _ceil_pow2(v):
 
 @functools.lru_cache(maxsize=16)
 def _jitted_recon_seq(H, W, strong_en, has_sao, deblock, ctb_log2,
-                      pic_w, pic_h):
+                      pic_w, pic_h, wf_mode="level"):
     import jax
 
     fn = functools.partial(_recon_seq, H=H, W=W, strong_en=strong_en,
                            has_sao=has_sao, deblock=deblock,
-                           ctb_log2=ctb_log2, pic_w=pic_w, pic_h=pic_h)
+                           ctb_log2=ctb_log2, pic_w=pic_w, pic_h=pic_h,
+                           wf_mode=wf_mode)
     return jax.jit(fn, donate_argnums=(0, 1, 2))
 
 
@@ -1500,7 +1970,8 @@ class H265SeqPhaseB:
         if any(p.multi_slice for p in plans):
             raise NotImplementedError(
                 "multi-slice pictures dispatch via run_async_one")
-        xs = stack_plans(plans)
+        wf_mode = wf_mode_for(self.ctb_log2)
+        xs = stack_plans(plans, wf_mode)
         deblock = bool(xs["dbv"][..., 0].any() or xs["dbh"][..., 0].any()
                        or (xs["dbcv"] >= 0).any()
                        or (xs["dbch"] >= 0).any())
@@ -1508,7 +1979,7 @@ class H265SeqPhaseB:
         has_sao = any(bool(p.has_sao) for p in plans)
         fn = _jitted_recon_seq(self.H, self.W, strong_en, has_sao,
                                deblock, self.ctb_log2, self.pic_w,
-                               self.pic_h)
+                               self.pic_h, wf_mode)
         self.pool, outs = fn(self.pool[0], self.pool[1], self.pool[2],
                              xs)
         return outs
@@ -1524,8 +1995,8 @@ class H265SeqPhaseB:
             raise NotImplementedError(
                 "mid-row slice-segment starts keep the Python path "
                 "(reference chroma-base domain)")
-        (lv_ls, lv_lb, lv_cs,
-         lv_cb, n_lvl) = _pad_levels(*_plan_levels(plan))
+        wf_mode = wf_mode_for(self.ctb_log2)
+        wf = plan_wf(plan, wf_mode)
         (dbv, dbh, dbcv, dbch, sao_idx, sao_opt,
          sao_off) = _slice_masked_maps(plan)
         slices = tuple(zip(plan.slice_rows,
@@ -1535,13 +2006,12 @@ class H265SeqPhaseB:
         fn = _jitted_recon_one(self.H, self.W, bool(plan.strong_intra),
                                bool(plan.has_sao), deblock,
                                self.ctb_log2, self.pic_w, self.pic_h,
-                               slices)
+                               slices, wf_mode)
         self.pool, outs = fn(
             self.pool[0], self.pool[1], self.pool[2], plan.coef_y,
             plan.tu_y, plan.coef_cb, plan.tu_cb, plan.coef_cr,
             plan.tu_cr, plan.slot.astype(np.int32),
-            plan.mv.astype(np.int32), lv_ls, lv_lb, lv_cs, lv_cb,
-            n_lvl,
+            plan.mv.astype(np.int32), wf,
             dbv.astype(np.int32), dbh.astype(np.int32),
             dbcv.astype(np.int32), dbch.astype(np.int32), sao_idx,
             sao_opt, sao_off, np.int32(plan.cur_idx))
@@ -1550,15 +2020,14 @@ class H265SeqPhaseB:
 
 @functools.lru_cache(maxsize=32)
 def _jitted_recon_one(H, W, strong_en, has_sao, deblock, ctb_log2,
-                      pic_w, pic_h, slices):
+                      pic_w, pic_h, slices, wf_mode="level"):
     """Single-picture Phase B against the DEVICE pool (multi-slice
     pictures inside a turbo stream; jit-keyed on the slice-row
     tuple)."""
     import jax
 
     def fn(pool_y, pool_cb, pool_cr, coef_y, tu_y, coef_cb, tu_cb,
-           coef_cr, tu_cr, slot, mv, lv_ls, lv_lb, lv_cs, lv_cb,
-           n_lvl, dbv, dbh,
+           coef_cr, tu_cr, slot, mv, wf, dbv, dbh,
            dbcv, dbch, sao_idx, sao_opt, sao_off, cur_idx):
         import jax.numpy as jnp
 
@@ -1569,11 +2038,12 @@ def _jitted_recon_one(H, W, strong_en, has_sao, deblock, ctb_log2,
 
         y, cb, cr = _recon_picture(
             coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot, mv,
-            lv_ls, lv_lb, lv_cs, lv_cb, n_lvl, dbv, dbh, dbcv, dbch,
+            wf, dbv, dbh, dbcv, dbch,
             sao_idx, sao_opt,
             sao_off, pool_y, pool_cb, pool_cr, cur_idx, H=H, W=W,
             strong_en=strong_en, has_sao=has_sao, deblock=deblock,
-            ctb_log2=ctb_log2, pic_w=pic_w, pic_h=pic_h, slices=slices)
+            ctb_log2=ctb_log2, pic_w=pic_w, pic_h=pic_h, slices=slices,
+            wf_mode=wf_mode)
         y, cb, cr = _fuse_break(y, cb, cr)
         py = _pool_write(pool_y, y, cur_idx, jnp)
         pcb = _pool_write(pool_cb, cb, cur_idx, jnp)

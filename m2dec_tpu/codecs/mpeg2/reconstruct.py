@@ -90,7 +90,13 @@ def reconstruct_arrays(
     else:
         # TPU path: one uint32-word window per (MB, ref) — the
         # per-pixel gathers cost 4 elements/px (~25M/pic at 1080p on
-        # the issue-rate-bound gather unit); windows cost ~12x less
+        # the issue-rate-bound gather unit); windows cost ~12x less.
+        # Conformant-MV assumption (advisor r4): the window path clamps
+        # only the window BASE to the picture, whereas the numpy spec
+        # path clamps per pixel — MVs referencing outside the picture
+        # (non-conformant per ISO 13818-2 7.6.3.8, and UB in the
+        # reference, which reads out of its frame heap) may diverge
+        # from the spec path here; in-picture MVs are bit-identical
         from m2dec_tpu.codecs.h264.reconstruct import _fuse_break
 
         def padw(p):
@@ -102,27 +108,57 @@ def reconstruct_arrays(
             padw(ref0_y), padw(ref0_cb), padw(ref0_cr),
             padw(ref1_y), padw(ref1_cb), padw(ref1_cr))
 
-        def pred_plane_w(rf, rb, H, W, predfn, fieldfn):
-            pf = predfn(rf, H, W, mvf[:, 0], mvf[:, 1], mbx, mby, xp)
-            pb = predfn(rb, H, W, mvb[:, 0], mvb[:, 1], mbx, mby, xp)
-            if has_field:
-                pf_f = fieldfn(rf, H, W, mvf, mvf2, fsel & 3, mbx,
-                               mby, xp)
-                pb_f = fieldfn(rb, H, W, mvb, mvb2, (fsel >> 2) & 3,
-                               mbx, mby, xp)
-                fm3 = fieldmc[:, None, None]
-                pf = xp.where(fm3, pf_f, pf)
-                pb = xp.where(fm3, pb_f, pb)
-            return combine(pf, pb)
+        import jax
 
         Hy, Wy = ref0_y.shape
         Hc, Wc = ref0_cb.shape
-        pred_y = pred_plane_w(r0y, r1y, Hy, Wy, mc.luma_pred_win,
-                              mc.luma_pred_field_win)
-        pred_cb = pred_plane_w(r0cb, r1cb, Hc, Wc, mc.chroma_pred_win,
-                               mc.chroma_pred_field_win)
-        pred_cr = pred_plane_w(r0cr, r1cr, Hc, Wc, mc.chroma_pred_win,
-                               mc.chroma_pred_field_win)
+
+        # Direction gating (r5): the window gathers are the dominant
+        # per-picture device cost (gather-unit issue-rate bound), and a
+        # GOP-batched scan would pay both directions + the field
+        # variants on EVERY picture — cond-skip whole prediction
+        # directions (I/P pictures have no backward MVs) and the field
+        # variants (rare) at run time instead.
+        def mk_dir(ry, rcb, rcr, mvd, mvd2, selb, dmask):
+            def plain(_):
+                return (mc.luma_pred_win(ry, Hy, Wy, mvd[:, 0],
+                                         mvd[:, 1], mbx, mby, xp),
+                        mc.chroma_pred_win(rcb, Hc, Wc, mvd[:, 0],
+                                           mvd[:, 1], mbx, mby, xp),
+                        mc.chroma_pred_win(rcr, Hc, Wc, mvd[:, 0],
+                                           mvd[:, 1], mbx, mby, xp))
+
+            def with_field(_):
+                p = plain(None)
+                fv = (mc.luma_pred_field_win(ry, Hy, Wy, mvd, mvd2,
+                                             selb, mbx, mby, xp),
+                      mc.chroma_pred_field_win(rcb, Hc, Wc, mvd, mvd2,
+                                               selb, mbx, mby, xp),
+                      mc.chroma_pred_field_win(rcr, Hc, Wc, mvd, mvd2,
+                                               selb, mbx, mby, xp))
+                fm3 = fieldmc[:, None, None]
+                return tuple(xp.where(fm3, a, b)
+                             for a, b in zip(fv, p))
+
+            def body(_):
+                if not has_field:
+                    return plain(None)
+                return jax.lax.cond((fieldmc & dmask).any(),
+                                    with_field, plain, None)
+
+            z = (xp.zeros((n, 16, 16), i32), xp.zeros((n, 8, 8), i32),
+                 xp.zeros((n, 8, 8), i32))
+            return jax.lax.cond(dmask.any(), body, lambda _: z, None)
+
+        pfy, pfcb, pfcr = mk_dir(r0y, r0cb, r0cr, mvf, mvf2,
+                                 (fsel & 3) if has_field else None,
+                                 fwd)
+        pby, pbcb, pbcr = mk_dir(r1y, r1cb, r1cr, mvb, mvb2,
+                                 ((fsel >> 2) & 3) if has_field
+                                 else None, bwd)
+        pred_y = combine(pfy, pby)
+        pred_cb = combine(pfcb, pbcb)
+        pred_cr = combine(pfcr, pbcr)
 
     # --- residuals ---------------------------------------------------------
     if xp is not np and _use_pallas():

@@ -15,7 +15,29 @@ import subprocess
 
 _HERE = pathlib.Path(__file__).resolve().parent
 _REPO = _HERE.parent.parent
-_BUILD = _REPO / "build" / "native"
+
+
+def _cpu_tag():
+    """Host-CPU cache key: -march=native binaries built on one host
+    can SIGILL on another ISA if the build dir is shared/copied
+    (advisor r4) — key the cache directory on the CPU identity."""
+    import hashlib
+    import platform
+
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                if ln.startswith(("model name", "flags")):
+                    tag += ln
+                    if ln.startswith("flags"):
+                        break
+    except OSError:
+        pass
+    return hashlib.sha1(tag.encode()).hexdigest()[:8]
+
+
+_BUILD = _REPO / "build" / "native" / _cpu_tag()
 
 _m2v_lib = None
 _m2v_tried = False

@@ -22,13 +22,20 @@
 #include <x86intrin.h>
 
 static uint64_t g_prof[8];
+/* rdtsc scopes are opt-in (M2DEC_TPU_PROF=1): the always-on pair of
+ * rdtscs per residual block measured ~10-15% of the whole slice decode
+ * (r5) — the profiler must not be the profile */
+static const bool g_prof_on = [] {
+    const char *e = getenv("M2DEC_TPU_PROF");
+    return e && e[0] && e[0] != '0';
+}();
 
 namespace {
 struct ProfScope {
     int slot;
     uint64_t t0;
-    ProfScope(int k) : slot(k), t0(__rdtsc()) {}
-    ~ProfScope() { g_prof[slot] += __rdtsc() - t0; }
+    ProfScope(int k) : slot(k), t0(g_prof_on ? __rdtsc() : 0) {}
+    ~ProfScope() { if (g_prof_on) g_prof[slot] += __rdtsc() - t0; }
 };
 
 // ---------------------------------------------------------------------

@@ -155,12 +155,12 @@ def h265_gop_step(mesh, H, W, ctb_log2, axis="frame"):
     same shape as h264_gop_step). The whole-picture Phase-B graph —
     residual matmuls, dense MC, intra wavefront, deblock, SAO — runs
     per shard under one pjit."""
-    from m2dec_tpu.codecs.h265.reconstruct import _recon_seq
+    from m2dec_tpu.codecs.h265.reconstruct import _recon_seq, wf_mode_for
 
     def fn(py, pcb, pcr, xs):
         return _recon_seq(py, pcb, pcr, xs, H=H, W=W, strong_en=False,
                           has_sao=True, deblock=True, ctb_log2=ctb_log2,
-                          pic_w=W, pic_h=H)
+                          pic_w=W, pic_h=H, wf_mode=wf_mode_for(ctb_log2))
 
     vf = jax.vmap(fn, in_axes=(0, 0, 0, 0))
     shard = NamedSharding(mesh, P(axis))

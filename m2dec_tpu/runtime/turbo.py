@@ -226,6 +226,13 @@ class TurboH265Decoder:
                 dec.plans[plans_seen] = None  # consumed: let it free
                 plans_seen += 1
                 last_plan[p.cur_idx] = p
+                # seed the expected event count up front: the DPB
+                # inserts a picture once per slice segment, and the
+                # pops may land in different capture rounds — a lazy
+                # per-capture increment would free the batch store
+                # after the first pop (advisor r4)
+                refcnt[id(p)] = (len(p.slice_rows)
+                                 if p.multi_slice else 1)
                 # mid-stream geometry change: dispatch the pending batch
                 # before mixing shapes (mirrors the H.264 driver)
                 if undisp and (undisp[0].H, undisp[0].W) != (p.H, p.W):
@@ -252,10 +259,7 @@ class TurboH265Decoder:
             # by a later picture before this event materializes
             idx, frm = dec.pop_decoded_index(is_end)
             while idx >= 0:
-                plan = last_plan.get(idx)
-                if plan is not None:
-                    refcnt[id(plan)] = refcnt.get(id(plan), 0) + 1
-                events.append((frm, plan))
+                events.append((frm, last_plan.get(idx)))
                 idx, frm = dec.pop_decoded_index(is_end)
 
         def emit_ready(flush=False):

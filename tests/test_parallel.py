@@ -42,13 +42,14 @@ def test_h265_gop_step_sharded():
     spec = outs[0].sharding.spec
     assert tuple(spec) and tuple(spec)[0] == "frame"
     # cross-check one shard against the unsharded sequence runner
-    from m2dec_tpu.codecs.h265.reconstruct import _recon_seq
+    from m2dec_tpu.codecs.h265.reconstruct import _recon_seq, wf_mode_for
 
     g = 2
     xs_g = {k: v[g] for k, v in xs.items()}
     _, ref = _recon_seq(pools[0][g], pools[1][g], pools[2][g], xs_g,
                         H=H, W=W, strong_en=False, has_sao=True,
-                        deblock=True, ctb_log2=4, pic_w=W, pic_h=H)
+                        deblock=True, ctb_log2=4, pic_w=W, pic_h=H,
+                        wf_mode=wf_mode_for(4))
     for a, b in zip(ref, outs):
         assert np.array_equal(np.asarray(a), np.asarray(b)[g])
 

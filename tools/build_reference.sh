@@ -18,7 +18,14 @@ CORE="$LIB/bitio.c $LIB/m2d.cpp $LIB/mpeg2.cpp $LIB/idct.cpp $LIB/motioncomp.cpp
 g++ -O2 -w -DNDEBUG -DUNIT_TEST -I. -I"$LIB" -o h264dec h264dec.cpp md5.c \
     $CORE "$LIB/h264.cpp" "$LIB/h265.cpp" "$LIB/h265_x86.cpp"
 g++ -O2 -w -DNDEBUG -DUNIT_TEST -I. -I"$LIB" -o m2dec m2dec.cpp display.cpp md5.c $CORE
-echo "built: $OUT/h264dec $OUT/m2dec"
+# HD-capacity variant for the 1080p MPEG-2 bench denominator: the stock
+# m2dec app statically sizes its frame heap for 720x576 (m2dec.cpp
+# WIDTH/HEIGHT) and SEGFAULTS on 1080p input (VERDICT r4 weak #7) —
+# patch only the capacity constants (decode logic identical).
+sed 's/const int WIDTH = 720;/const int WIDTH = 1920;/; s/const int HEIGHT = 576;/const int HEIGHT = 1088;/; s/1920 \* 1080/1920 * 1088/' \
+    m2dec.cpp > m2dec_hd.cpp
+g++ -O2 -w -DNDEBUG -DUNIT_TEST -I. -I"$LIB" -o m2dec_hd m2dec_hd.cpp display.cpp md5.c $CORE
+echo "built: $OUT/h264dec $OUT/m2dec $OUT/m2dec_hd"
 # FAST_DECODE (--enable-fastdec) variant: DC-only 1/8-scale decode oracle.
 g++ -O2 -w -DNDEBUG -DUNIT_TEST -DFAST_DECODE '-Dsint16_t=int16_t' -I. -I"$LIB" -o h264dec_fast \
     h264dec.cpp md5.c $CORE "$LIB/h264.cpp" "$LIB/h265.cpp" "$LIB/h265_x86.cpp"
