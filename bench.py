@@ -48,9 +48,12 @@ N_STREAMS = int(_env.get("M2DEC_TPU_BENCH_STREAMS", "4"))
 #: stream counts for the saturation sweep (VERDICT r4 #2); the first
 #: entry is the compile-cache-warm default, later entries run
 #: budget-permitting (their executables are pre-warmed in
-#: build/jax_cache by the in-session sweep)
+#: build/jax_cache by the in-session sweep). The r5 in-session sweep
+#: measured the knee at 4 streams (3.89 fps) with 8 already WORSE
+#: (3.45 fps) — the share's gather/HBM capacity saturates, so the
+#: default sweep stays {4, 8} as the saturation proof.
 SWEEP_STREAMS = [int(v) for v in _env.get(
-    "M2DEC_TPU_BENCH_SWEEP", "4,8,16").split(",") if v]
+    "M2DEC_TPU_BENCH_SWEEP", "4,8").split(",") if v]
 PHASE_A_THREADS = int(_env.get("M2DEC_TPU_BENCH_THREADS",
                                str(min(4, os.cpu_count()))))
 

@@ -152,6 +152,61 @@ _LTAP = np.array([
 ], np.int32)
 
 
+def _luma_phase_planes(refs_used, xp):
+    """Full-precision quarter-pel phase planes for the used ref slots:
+    [K, 16, H+16, W+16] int32, plane (fy*4+fx) holding the 2-pass
+    8-tap FIR value (scale 2^12, h265.cpp:3386-3474) at every integer
+    base position in [-8, H+8) x [-8, W+8) over the EDGE-REPLICATED
+    source.  Per-tap coordinate clamping (the executable-spec
+    _luma_cell_mc) equals FIR on the edge-replicated extension, and
+    the FIR is constant once its window is fully clamped, so clipping
+    gather coordinates into the 8-pad domain is exact for arbitrary
+    MVs.  The dense build costs ~200 MB*K of bandwidth; each cell then
+    gathers 16 output pixels instead of 121 window elements — the
+    gather unit is issue-rate-bound per element (the H.264 half-pel
+    planes idea generalized to all 16 phases)."""
+    K, H, W = refs_used.shape
+    r = xp.pad(refs_used, ((0, 0), (12, 12), (12, 12)),
+               mode="edge").astype(xp.int16)
+    hv = []
+    for fx in range(4):
+        acc = None
+        for j in range(8):
+            t = int(_LTAP[fx, j])
+            if t == 0:
+                continue
+            term = r[:, :, 1 + j : 1 + j + W + 16] * np.int16(t)
+            acc = term if acc is None else acc + term
+        hv.append(acc.astype(xp.int32))  # [K, H+24, W+16], |v| <= 22440
+    planes = []
+    for fy in range(4):
+        for fx in range(4):
+            acc = None
+            for j in range(8):
+                t = int(_LTAP[fy, j])
+                if t == 0:
+                    continue
+                term = hv[fx][:, 1 + j : 1 + j + H + 16] * t
+                acc = term if acc is None else acc + term
+            planes.append(acc)
+    return xp.stack(planes, 1)  # [K, 16, H+16, W+16]
+
+
+def _luma_cell_mc_pp(planes, remap, slot, x0, y0, mvx, mvy, pic_w,
+                     pic_h, xp):
+    """Phase-plane twin of _luma_cell_mc: one 16-element gather per
+    cell (exact — see _luma_phase_planes)."""
+    xpos = x0 + (mvx >> 2)
+    ypos = y0 + (mvy >> 2)
+    ph = (mvy & 3) * 4 + (mvx & 3)
+    s = remap[xp.clip(slot, 0, remap.shape[0] - 1)]
+    ar4 = xp.arange(4)
+    ys = xp.clip(ypos[:, None] + ar4[None, :] + 8, 0, pic_h + 15)
+    xs_ = xp.clip(xpos[:, None] + ar4[None, :] + 8, 0, pic_w + 15)
+    return planes[s[:, None, None], ph[:, None, None],
+                  ys[:, :, None], xs_[:, None, :]]
+
+
 def _luma_cell_mc(refs, slot, x0, y0, mvx, mvy, pic_w, pic_h, xp):
     """[B] cells -> [B,4,4] full-precision 2-pass FIR values (scale
     2^12; uni store = (v+2048)>>12 clip, bidir lane = v>>6)."""
@@ -264,12 +319,18 @@ def _clip255(v, xp):
     return xp.clip(v, 0, 255)
 
 
-def inter_pass(slot, mv, pool_y, pool_cb, pool_cr, pic_w, pic_h, xp):
+def inter_pass(slot, mv, pool_y, pool_cb, pool_cr, pic_w, pic_h, xp,
+               mc_used=None, mc_remap=None):
     """Dense whole-picture MC from the plan's per-cell slot/mv tensors.
 
     Returns (mask_cell [ch,cw] bool, mc_y [H,W], mc_cb/[Hc,Wc], mc_cr)
     with mc values already store-rounded+clipped (store_pix semantics,
-    h265.cpp:3161-3178)."""
+    h265.cpp:3161-3178).
+
+    mc_used/mc_remap (host-derived per picture): the used ref slot
+    list + slot->index remap — luma prediction then rides dense
+    quarter-pel PHASE PLANES built for just those slots
+    (_luma_phase_planes) instead of per-cell 11x11 window gathers."""
     ch, cw = slot.shape[:2]
     B = ch * cw
     cell = xp.arange(B, dtype=xp.int32)
@@ -284,9 +345,20 @@ def inter_pass(slot, mv, pool_y, pool_cb, pool_cr, pic_w, pic_h, xp):
     p1s = xp.where(both, s1, p0s)
     p1mv = xp.where(both[:, None], mvf[:, 1], p0mv)
 
+    planes = None
+    if mc_used is not None:
+        from m2dec_tpu.codecs.h264.reconstruct import _fuse_break
+        refs_u = _fuse_break(pool_y[mc_used, :pic_h, :pic_w])
+        planes = _fuse_break(_luma_phase_planes(refs_u, xp))
+
     def one(sl, mvv):
-        ly = _luma_cell_mc(pool_y, sl, x0, y0, mvv[:, 0], mvv[:, 1],
-                           pic_w, pic_h, xp)
+        if planes is not None:
+            ly = _luma_cell_mc_pp(planes, mc_remap, sl, x0, y0,
+                                  mvv[:, 0], mvv[:, 1], pic_w, pic_h,
+                                  xp)
+        else:
+            ly = _luma_cell_mc(pool_y, sl, x0, y0, mvv[:, 0],
+                               mvv[:, 1], pic_w, pic_h, xp)
         cb, cr = _chroma_cell_mc(pool_cb, pool_cr, sl, x0 >> 1, y0 >> 1,
                                  mvv[:, 0], mvv[:, 1], pic_w >> 1,
                                  pic_h >> 1, xp)
@@ -1633,8 +1705,23 @@ def _run_wavefront(wf, wf_mode, yp, cbcrp, ryp, rcp, strong_en, H, W,
                       H, W)
 
 
+def _plan_mcu(plan, K=None):
+    """Host-derived MC aux for one plan: (mc_used [K] — the picture's
+    used ref slots, padded; mc_remap [16] — slot value -> used index).
+    K pads to a shared bucket for batch stacking."""
+    used = plan.used_slots()
+    if K is None:
+        K = max(1, len(used))
+    u = np.zeros(K, np.int32)
+    remap = np.zeros(16, np.int32)
+    for i, s in enumerate(used[:K]):
+        u[i] = s
+        remap[s] = i
+    return u, remap
+
+
 def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
-                   mv, wf, dbv, dbh,
+                   mv, mc_used, mc_remap, wf, dbv, dbh,
                    dbcv, dbch, sao_idx,
                    sao_opt, sao_off, pool_y, pool_cb, pool_cr, cur_idx,
                    *, H, W, strong_en, has_sao, deblock, ctb_log2,
@@ -1652,8 +1739,24 @@ def _recon_picture(coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot,
     prior_y = pool_y[cur_idx].astype(xp.int32)
     prior_cb = pool_cb[cur_idx].astype(xp.int32)
     prior_cr = pool_cr[cur_idx].astype(xp.int32)
-    mask, mc_y, mc_cb, mc_cr = inter_pass(slot, mv, pool_y, pool_cb,
-                                          pool_cr, pic_w, pic_h, xp)
+    # cond-gate the dense MC pass: intra pictures have no inter cells
+    # and the window gathers are the dominant per-picture device cost
+    # (r5; same gating as the MPEG-2 engine)
+    import jax
+
+    def _mc(_):
+        return inter_pass(slot, mv, pool_y, pool_cb, pool_cr, pic_w,
+                          pic_h, xp, mc_used=mc_used,
+                          mc_remap=mc_remap)
+
+    def _no_mc(_):
+        ch, cw = H >> 2, W >> 2
+        return (xp.zeros((ch, cw), bool), xp.zeros((H, W), xp.int32),
+                xp.zeros((H >> 1, W >> 1), xp.int32),
+                xp.zeros((H >> 1, W >> 1), xp.int32))
+
+    mask, mc_y, mc_cb, mc_cr = jax.lax.cond(
+        (slot >= 0).any(), _mc, _no_mc, None)
     mp = xp.repeat(xp.repeat(mask, 4, 0), 4, 1)
     y = xp.where(mp, _clip255(mc_y + res_y, xp), prior_y)
     mpc = xp.repeat(xp.repeat(mask, 2, 0), 2, 1)
@@ -1809,10 +1912,11 @@ def recon_plan(plan, pool_y, pool_cb, pool_cr):
                        bool(plan.strong_intra), bool(plan.has_sao),
                        deblock, plan.size_log2, plan.pic_width,
                        plan.pic_height, slices, wf_mode)
+    mcu, mcr = _plan_mcu(plan)
     return fn(plan.coef_y, plan.tu_y, plan.coef_cb, plan.tu_cb,
               plan.coef_cr, plan.tu_cr,
               plan.slot.astype(np.int32), plan.mv.astype(np.int32),
-              wf, dbv, dbh, dbcv, dbch,
+              mcu, mcr, wf, dbv, dbh, dbcv, dbch,
               sao_idx, sao_opt,
               sao_off, pool_y, pool_cb, pool_cr,
               np.int32(plan.cur_idx))
@@ -1856,6 +1960,7 @@ def _recon_seq(pool_y, pool_cb, pool_cr, xs, *, H, W, strong_en,
         y, cb, cr = _recon_picture(
             x["coef_y"], x["tu_y"], x["coef_cb"], x["tu_cb"],
             x["coef_cr"], x["tu_cr"], x["slot"], x["mv"],
+            x["mc_used"], x["mc_remap"],
             {k: x[k] for k in wf_keys},
             x["dbv"], x["dbh"], x["dbcv"],
             x["dbch"],
@@ -1923,6 +2028,10 @@ def stack_plans(plans, wf_mode=None):
         xs["lv_cs"] = np.stack([p[2] for p in padded])
         xs["lv_cb"] = np.stack([p[3] for p in padded])
         xs["n_lvl"] = np.array([p[4] for p in padded], np.int32)
+    K = _ceil_pow2(max(1, max(len(p.used_slots()) for p in plans)))
+    mcu = [_plan_mcu(p, K) for p in plans]
+    xs["mc_used"] = np.stack([t[0] for t in mcu])
+    xs["mc_remap"] = np.stack([t[1] for t in mcu])
     xs["cur_idx"] = np.array([p.cur_idx for p in plans], np.int32)
     return xs
 
@@ -2007,11 +2116,12 @@ class H265SeqPhaseB:
                                bool(plan.has_sao), deblock,
                                self.ctb_log2, self.pic_w, self.pic_h,
                                slices, wf_mode)
+        mcu, mcr = _plan_mcu(plan)
         self.pool, outs = fn(
             self.pool[0], self.pool[1], self.pool[2], plan.coef_y,
             plan.tu_y, plan.coef_cb, plan.tu_cb, plan.coef_cr,
             plan.tu_cr, plan.slot.astype(np.int32),
-            plan.mv.astype(np.int32), wf,
+            plan.mv.astype(np.int32), mcu, mcr, wf,
             dbv.astype(np.int32), dbh.astype(np.int32),
             dbcv.astype(np.int32), dbch.astype(np.int32), sao_idx,
             sao_opt, sao_off, np.int32(plan.cur_idx))
@@ -2027,7 +2137,7 @@ def _jitted_recon_one(H, W, strong_en, has_sao, deblock, ctb_log2,
     import jax
 
     def fn(pool_y, pool_cb, pool_cr, coef_y, tu_y, coef_cb, tu_cb,
-           coef_cr, tu_cr, slot, mv, wf, dbv, dbh,
+           coef_cr, tu_cr, slot, mv, mc_used, mc_remap, wf, dbv, dbh,
            dbcv, dbch, sao_idx, sao_opt, sao_off, cur_idx):
         import jax.numpy as jnp
 
@@ -2038,7 +2148,7 @@ def _jitted_recon_one(H, W, strong_en, has_sao, deblock, ctb_log2,
 
         y, cb, cr = _recon_picture(
             coef_y, tu_y, coef_cb, tu_cb, coef_cr, tu_cr, slot, mv,
-            wf, dbv, dbh, dbcv, dbch,
+            mc_used, mc_remap, wf, dbv, dbh, dbcv, dbch,
             sao_idx, sao_opt,
             sao_off, pool_y, pool_cb, pool_cr, cur_idx, H=H, W=W,
             strong_en=strong_en, has_sao=has_sao, deblock=deblock,
