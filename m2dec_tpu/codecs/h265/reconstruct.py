@@ -554,11 +554,13 @@ def _signe(a, b, xp):
 
 def _shift2d(plane, dy, dx, xp):
     """plane shifted so out[y,x] = plane[y+dy, x+dx] (edge-replicated;
-    boundary pixels are masked out before use)."""
+    boundary pixels are masked out before use).  Static pad+slice —
+    the previous clipped-index double gather cost two full-plane
+    gather kernels per call on the element-rate-bound backend (x16
+    calls per SAO pass, the dominant SAO cost — r5)."""
     H, W = plane.shape
-    ys = xp.clip(xp.arange(H) + dy, 0, H - 1)
-    xs = xp.clip(xp.arange(W) + dx, 0, W - 1)
-    return plane[ys][:, xs]
+    p = xp.pad(plane, ((1, 1), (1, 1)), mode="edge")
+    return p[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
 
 
 def sao_plane(plane, idx_c, opt_c, off_c, csl2, pic_w, pic_h, xp):
@@ -573,8 +575,15 @@ def sao_plane(plane, idx_c, opt_c, off_c, csl2, pic_w, pic_h, xp):
 
     idx = up(idx_c.astype(xp.int32))
     opt = up(opt_c.astype(xp.int32))
-    offs = xp.stack([up(off_c[:, :, k].astype(xp.int32))
-                     for k in range(4)], axis=-1)  # [H,W,4]
+    offs = [up(off_c[:, :, k].astype(xp.int32)) for k in range(4)]
+
+    def sel4(code):
+        # value select instead of a full-plane take_along gather
+        v = offs[0]
+        for k in (1, 2, 3):
+            v = xp.where(code == k, offs[k], v)
+        return v
+
     yy = xp.arange(H, dtype=xp.int32)[:, None]
     xx = xp.arange(W, dtype=xp.int32)[None, :]
     inpic = (yy < pic_h) & (xx < pic_w)
@@ -582,8 +591,7 @@ def sao_plane(plane, idx_c, opt_c, off_c, csl2, pic_w, pic_h, xp):
     # band offset
     dif = d - (opt << 3)
     bmask = (idx == 1) & (0 <= dif) & (dif < 32) & inpic
-    bval = xp.take_along_axis(offs, xp.clip(dif >> 3, 0, 3)[..., None],
-                              axis=-1)[..., 0]
+    bval = sel4(xp.clip(dif >> 3, 0, 3))
     # edge offset
     nbr = xp.asarray(_EO_NBR)
     s0 = xp.zeros((H, W), xp.int32)
@@ -597,14 +605,20 @@ def sao_plane(plane, idx_c, opt_c, off_c, csl2, pic_w, pic_h, xp):
         s0 = xp.where(m, _signe(d, n0, xp), s0)
         s2 = xp.where(m, _signe(d, n1, xp), s2)
     del nbr
-    eidx = xp.asarray(_EO_IDX_T)[s2 * 4 + s0]
+    # 16-entry class table as a select chain (a [H,W]-indexed table
+    # lookup is a full-plane gather kernel)
+    code = s2 * 4 + s0
+    eidx = xp.full((H, W), -1, xp.int32)
+    for v in range(16):
+        t = int(_EO_IDX_T[v])
+        if t != -1:
+            eidx = xp.where(code == v, t, eidx)
     xtrim = (opt == 0) | (opt == 2) | (opt == 3)
     ytrim = (opt == 1) | (opt == 2) | (opt == 3)
     etrim = (~xtrim | ((1 <= xx) & (xx <= pic_w - 2))) \
         & (~ytrim | ((1 <= yy) & (yy <= pic_h - 2)))
     emask = (idx == 2) & (eidx >= 0) & etrim & inpic
-    eval_ = xp.take_along_axis(offs, xp.clip(eidx, 0, 3)[..., None],
-                               axis=-1)[..., 0]
+    eval_ = sel4(xp.clip(eidx, 0, 3))
     out = xp.where(bmask, _clip255(d + bval, xp),
                    xp.where(emask, _clip255(d + eval_, xp), d))
     return out

@@ -46,6 +46,22 @@ def _release_jax_executables():
     jax.clear_caches()
 
 
+#: modules whose tests each compile large distinct graphs (whole-GOP
+#: turbo scans, the unrolled H.265 tile wavefront): r5's bigger
+#: executables re-triggered the arena segfault WITHIN one module, so
+#: these release per test (their graphs rarely share a geometry —
+#: the recompile cost is near zero)
+_HEAVY_MODULES = {"test_turbo", "test_resolution_switch",
+                  "test_h265_tile"}
+
+
+@pytest.fixture(autouse=True)
+def _release_heavy_executables(request):
+    yield
+    if request.module.__name__ in _HEAVY_MODULES:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def reference_bins():
     """Build (if needed) and return paths of the reference oracle binaries."""
