@@ -260,10 +260,15 @@ def _chroma_cell_mc(refs_cb, refs_cr, slot, cx0, cy0, mvx, mvy, cw, ch,
     ys = xp.clip(by[:, None] + ar5[None, :], 0, ch - 1)
     xs = xp.clip(bx[:, None] + ar5[None, :], 0, cw - 1)
     s = xp.clip(slot, 0, refs_cb.shape[0] - 1)
-    hi = refs_cb[s[:, None, None], ys[:, :, None], xs[:, None, :]]
-    lo = refs_cr[s[:, None, None], ys[:, :, None], xs[:, None, :]]
-    hi = hi.astype(u32)  # [B,5,5] cb lane
-    lo = lo.astype(u32)  # cr lane
+    # ONE packed gather serves both components (the gather unit is
+    # issue-rate-bound per ELEMENT; two byte gathers cost 2x)
+    ilv = (refs_cb.astype(xp.uint16) << 8) | refs_cr.astype(xp.uint16)
+    if xp is not np:
+        from m2dec_tpu.codecs.h264.reconstruct import _fuse_break
+        ilv = _fuse_break(ilv)
+    g = ilv[s[:, None, None], ys[:, :, None], xs[:, None, :]]
+    hi = (g >> 8).astype(u32)   # [B,5,5] cb lane
+    lo = (g & 0xFF).astype(u32)  # cr lane
     bias = xp.asarray(np.uint32(0x80000000))
     lomask = xp.asarray(np.uint32(0x07FFFFFF))
 
