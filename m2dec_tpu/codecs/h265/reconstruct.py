@@ -1408,21 +1408,6 @@ def _tile_lanes_band(cols, rows):
     return out
 
 
-@functools.lru_cache(maxsize=16)
-def _tile_lanes(cols, rows):
-    """Lane table of the CTU diagonal schedule: ctu_of [D, L] int32
-    (-1 = pad lane), D = cols + 2*(rows-1)."""
-    D = cols + 2 * (rows - 1)
-    lanes = [[cy * cols + (d - 2 * cy)
-              for cy in range(rows) if 0 <= d - 2 * cy < cols]
-             for d in range(D)]
-    L = max(len(x) for x in lanes)
-    out = np.full((D, L), -1, np.int32)
-    for d, x in enumerate(lanes):
-        out[d, : len(x)] = x
-    return out
-
-
 def _pack_zslots(ops, n_slots, cb_log2):
     """Pack a per-CTU op array [n_ctu, CAP, 7] into z-slot field words
     [n_ctu, n_slots] int32 (0 = no op)."""
@@ -1636,9 +1621,9 @@ def _wavefront_tile(y, cbcr, res_y, res_cbcr, fzl, fzc, actm,
     lrow0 = [cy * C for cy in range(rows)]
     crow0 = ([cy * Cc for cy in range(rows)]
              + [_CR0(Hc) + cy * Cc for cy in range(rows)])
-    il, cl_, rl = _win_streams(y, rows, lrow0, C, D, Wp, jnp)
+    il, cl_, _ = _win_streams(y, rows, lrow0, C, D, Wp, jnp)
     _, _, rlr = _win_streams(res_y, rows, lrow0, C, D, Wp, jnp)
-    ic, cc_, rc2 = _win_streams(cbcr, rows, crow0, Cc, D, Wcp, jnp)
+    ic, cc_, _ = _win_streams(cbcr, rows, crow0, Cc, D, Wcp, jnp)
     _, _, rcr = _win_streams(res_cbcr, rows, crow0, Cc, D, Wcp, jnp)
 
     def step(carry, x):
@@ -1655,7 +1640,6 @@ def _wavefront_tile(y, cbcr, res_y, res_cbcr, fzl, fzc, actm,
 
     xs = {"fl": fzl, "fc": fzc, "a": actm, "cl": cl_, "cc": cc_,
           "rl": rlr, "rc": rcr}
-    del rl, rc2
     (Twl, Twc), (ysl, ysc) = jax.lax.scan(step, (il, ic), xs)
     # finalized slab = streamed-out columns + the final window tail
     slab_l = jnp.concatenate(

@@ -1,10 +1,8 @@
-"""Probe the H.265 CTU-tile wavefront cost structure on the TPU.
+"""Time the production H.265 CTU-tile wavefront (rolling-window
+lax.scan) on the real 1080p bench plan's tensors — compile + warm
+ms/pic with a true 1-element device-side pull.
 
-Isolates: (a) the tile gather + write-back floor (zero slots),
-(b) per-slot cost scaling (subset of slots), (c) the full luma loop,
-(d) the chroma loop — on the real 1080p bench plan's tensors.
-
-Usage: python tools/probe_h265_tile.py [nslots ...]
+Usage: python tools/probe_h265_tile.py
 """
 
 import pathlib
