@@ -93,12 +93,19 @@ def idct8_batch(coef, xp):
     return xp.swapaxes(g, -1, -2) >> 6
 
 
-def residual_mb(plan_coef_luma, t8x8, xp):
-    """[n,256] + flag -> assembled [n,16,16] luma residual."""
+def residual_mb(plan_coef_luma, t8x8, xp, has_i8=True):
+    """[n,256] + flag -> assembled [n,16,16] luma residual.
+
+    has_i8=False (static): the batch provably has no 8x8-transform
+    MBs (neither intra8x8 nor inter t8x8 — see _recon_core's has_i8
+    derivation), so the idct8 arm is skipped entirely instead of
+    computed-and-discarded by the where()."""
     n = plan_coef_luma.shape[0]
     r4 = idct4_batch(plan_coef_luma.reshape(n, 16, 16), xp)  # [n,16,4,4]
     a4 = (r4.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
           .reshape(n, 16, 16))
+    if not has_i8:
+        return a4
     r8 = idct8_batch(plan_coef_luma.reshape(n, 4, 64), xp)  # [n,4,8,8]
     a8 = (r8.reshape(n, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4)
           .reshape(n, 16, 16))
@@ -243,6 +250,57 @@ _HP_TAB = np.array([
     (0, 1, 0, 2, 0, 0), (1, 1, 0, 2, 0, 0),   # (fy3) fx 0,1
     (3, 0, 0, 1, 1, 0), (1, 1, 0, 2, 0, 1),   #       fx 2,3
 ], np.int32)
+
+
+def _qpel_planes(planes4, xp):
+    """[4,R,Hp,Wp] half-pel stack -> [16,R,Hp,Wp] dense quarter-pel
+    planes: plane f = fy*4+fx holds avg(P1[.+o1], P2[.+o2]) per
+    _HP_TAB, so every quarter-pel prediction becomes ONE window fetch
+    (vs two + avg in _luma_mc_hp) — half the gathered words and one
+    byte-unpack chain instead of two per cell. Exact: the averaging
+    is positionally invariant, and the +1-shifted reads stay inside
+    the _MC_PAD margins for every clamped window start (max sampled
+    row/col H+21 < Hp-1; the zero fill introduced at the last row/col
+    is never sampled). The four exact-phase planes reuse the half-pel
+    stack directly (avg(a,a) == a)."""
+    P4 = planes4.astype(xp.int32)
+    R = planes4.shape[1]
+
+    def shifted(p, dy, dx):
+        a = P4[p]
+        if dy:
+            a = xp.concatenate(
+                [a[:, 1:, :], xp.zeros_like(a[:, :1, :])], axis=1)
+        if dx:
+            a = xp.concatenate(
+                [a[:, :, 1:], xp.zeros_like(a[:, :, :1])], axis=2)
+        return a
+
+    outs = []
+    for f in range(16):
+        p1, dy1, dx1, p2, dy2, dx2 = (int(v) for v in _HP_TAB[f])
+        if (p1, dy1, dx1) == (p2, dy2, dx2):
+            outs.append(planes4[p1])
+            continue
+        a = shifted(p1, dy1, dx1)
+        b = shifted(p2, dy2, dx2)
+        outs.append(((a + b + 1) >> 1).astype(xp.uint8))
+    return xp.stack(outs)
+
+
+def _luma_mc_qp(planes16, slot, posx, posy, fracx, fracy, xp, H, W,
+                size=4):
+    """Quarter-pel luma via the dense 16-phase plane stack: ONE
+    size x size window fetch per prediction (see _qpel_planes).
+    Bit-exact with _luma_mc_hp / _luma_mc."""
+    posy_c = xp.clip(posy, -9, H + 1)
+    posx_c = xp.clip(posx, -9, W + 1)
+    nplanes, R, Hp, Wp = planes16.shape
+    flat = planes16.reshape(nplanes * R, Hp, Wp)
+    sl = xp.clip(slot, 0, R - 1)
+    return _flat_windows32(
+        flat, (fracy * 4 + fracx) * R + sl,
+        posy_c + _MC_PAD, posx_c + _MC_PAD, size, size, xp)
 
 
 def _luma_mc_hp(planes4, slot, posx, posy, fracx, fracy, xp, H, W,
@@ -433,11 +491,11 @@ def inter_pass(plan_mv, plan_slot, plan_wp, refs_y, refs_cb, refs_cr,
     refs_y_p = _pad_refs_edge(refs_y, xp)
     refs_c_p = _interleave_chroma(_pad_refs_edge(refs_cb, xp),
                                   _pad_refs_edge(refs_cr, xp), xp)
-    planes4 = _halfpel_planes(refs_y_p, xp)
+    planes16 = _qpel_planes(_halfpel_planes(refs_y_p, xp), xp)
 
     def pred_one(sl, mvv, bxv, byv, size=4):
         mvx, mvy = mvv[:, 0], mvv[:, 1]
-        py = _luma_mc_hp(planes4, sl, bxv + (mvx >> 2),
+        py = _luma_mc_qp(planes16, sl, bxv + (mvx >> 2),
                          byv + (mvy >> 2), mvx & 3, mvy & 3, xp, H, W,
                          size=size)
         cxp = (bxv >> 1) + (mvx >> 3)
@@ -1425,7 +1483,7 @@ def _recon_core(P, refs_y, refs_cb, refs_cr, diag, pcm_y, pcm_cb,
     H, W = mb_h * 16, mb_w * 16
     Hc, Wc = H >> 1, W >> 1
     kind = P["kind"]
-    res_y = residual_mb(P["coef_luma"], P["t8x8"], xp)
+    res_y = residual_mb(P["coef_luma"], P["t8x8"], xp, has_i8=has_i8)
     res_c = residual_chroma(P["coef_chroma"], xp)
     P = dict(P)
     P["res_y"] = res_y
@@ -1924,10 +1982,10 @@ def _derive_mc_aux(slot_fields, pool_size, mv_fields, wp_fields,
             bis.append(np.flatnonzero(cellboth[nu_b]).astype(np.int32))
         cols.append((useds, bis, nus, unis, ubis))
     K = _next_pow2(max(len(u) for c in cols for u in c[0]))
-    Bb = _next_pow2(max(1, max(len(x) for c in cols for x in c[1])))
-    Bn = _next_pow2(max(1, max(len(x) for c in cols for x in c[2])))
-    U = _next_pow2(max(1, max(len(x) for c in cols for x in c[3])))
-    Ub = _next_pow2(max(1, max(len(x) for c in cols for x in c[4])))
+    Bb = _bucket_q(max(1, max(len(x) for c in cols for x in c[1])))
+    Bn = _bucket_q(max(1, max(len(x) for c in cols for x in c[2])))
+    U = _bucket_q(max(1, max(len(x) for c in cols for x in c[3])))
+    Ub = _bucket_q(max(1, max(len(x) for c in cols for x in c[4])))
     out = []
     for sf, (useds, bis, nus, unis, ubis) in zip(slot_fields, cols):
         N = sf.shape[0]
@@ -2054,6 +2112,19 @@ def _next_pow2(v):
     while r < v:
         r *= 2
     return r
+
+
+def _bucket_q(v):
+    """Eighth-pow2 capacity bucket: pow2 bucketing wastes up to 50% of
+    every MC-compaction domain (measured 50k nu cells padded to 64k);
+    rounding up to the next multiple of pow2(v)/8 caps the padding
+    waste at ~12.5% while keeping the distinct-executable count
+    bounded (<=8 buckets per octave)."""
+    p = _next_pow2(max(1, v))
+    if p <= 64:
+        return p
+    q = p // 8
+    return ((v + q - 1) // q) * q
 
 
 def reconstruct_plan_jax(plan, frames):
@@ -2212,7 +2283,8 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, stacked, pals,
         Pds, skys, skcbs, skcrs = [], [], [], []
         for s in range(S):
             P = _unpack_wire(xs["plan"][s], jnp, pals[s])
-            P["res_y"] = residual_mb(P["coef_luma"], P["t8x8"], jnp)
+            P["res_y"] = residual_mb(P["coef_luma"], P["t8x8"], jnp,
+                                     has_i8=has_i8)
             P["res_c"] = residual_chroma(P["coef_chroma"], jnp)
             pred_y, pred_cb, pred_cr = inter_pass(
                 P["mv"], P["slot"], P["wp"], py[s], pcb[s], pcr[s],
