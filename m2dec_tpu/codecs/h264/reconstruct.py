@@ -1524,9 +1524,12 @@ def _recon_core(P, refs_y, refs_cb, refs_cr, diag, pcm_y, pcm_cb,
                 cr_plane.astype(xp.uint8))
     else:
         Pd = WF.diag_gather(P, g, has_i8, deblock, xp)
-        sky = WF.skew_luma(y_plane, g, xp)
-        skcb = WF.skew_chroma(cb_plane, g, xp)
-        skcr = WF.skew_chroma(cr_plane, g, xp)
+        # skewed slab planes ride the scans as uint8 (values are
+        # clipped pixels): quarter the per-step slab traffic; the
+        # step bodies upcast their windows to int32 locally
+        sky = WF.skew_luma(y_plane.astype(xp.uint8), g, xp)
+        skcb = WF.skew_chroma(cb_plane.astype(xp.uint8), g, xp)
+        skcr = WF.skew_chroma(cr_plane.astype(xp.uint8), g, xp)
         sky, skcb, skcr = WF.intra_scan(
             sky, skcb, skcr, {k: Pd[k] for k in ikeys}, g, has_i8, xp)
         if deblock:
@@ -2314,9 +2317,11 @@ def _recon_batch_stacked_blob(pool_y, pool_cb, pool_cr, stacked, pals,
                                  cbpl)
                 crpl = jnp.where(kpixc == 4, pccr.astype(jnp.int32),
                                  crpl)
-            skys.append(WF.skew_luma(ypl, g, jnp))
-            skcbs.append(WF.skew_chroma(cbpl, g, jnp))
-            skcrs.append(WF.skew_chroma(crpl, g, jnp))
+            skys.append(WF.skew_luma(ypl.astype(jnp.uint8), g, jnp))
+            skcbs.append(WF.skew_chroma(cbpl.astype(jnp.uint8), g,
+                                        jnp))
+            skcrs.append(WF.skew_chroma(crpl.astype(jnp.uint8), g,
+                                        jnp))
             Pds.append(WF.diag_gather(P, g, has_i8, deblock, jnp))
         Pst = {k: jnp.concatenate([Pd[k] for Pd in Pds], axis=1)
                for k in Pds[0]}

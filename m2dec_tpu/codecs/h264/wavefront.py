@@ -299,14 +299,19 @@ def _intra_step_skewed(carry, xs, lmax, has_i8, xp, P_const=None,
     y, cb, cr = carry
     P = xs["P"] if P_const is None else P_const
     S = len(stream_offs)
+    # slab planes may be carried as uint8 (quarter the scan's
+    # read/write traffic); window math runs in int32 locally
     slabs_y, slabs_c = [], []
     for oy, oc in stream_offs:
         slabs_y.append(jax.lax.dynamic_slice(
-            y, (xs["irY"] + oy, xs["icY"]), (lmax * 16 + 1, 57)))
+            y, (xs["irY"] + oy, xs["icY"]),
+            (lmax * 16 + 1, 57)).astype(xp.int32))
         slabs_c.append((jax.lax.dynamic_slice(
-            cb, (xs["irC"] + oc, xs["icC"]), (lmax * 8 + 1, 25)),
+            cb, (xs["irC"] + oc, xs["icC"]),
+            (lmax * 8 + 1, 25)).astype(xp.int32),
             jax.lax.dynamic_slice(
-                cr, (xs["irC"] + oc, xs["icC"]), (lmax * 8 + 1, 25))))
+                cr, (xs["irC"] + oc, xs["icC"]),
+                (lmax * 8 + 1, 25)).astype(xp.int32)))
     Ty = xp.concatenate(
         [intra_windows_luma(s, lmax, xp) for s in slabs_y], axis=0)
     Tcb = xp.concatenate(
@@ -325,13 +330,15 @@ def _intra_step_skewed(carry, xs, lmax, has_i8, xp, P_const=None,
     for s, (oy, oc) in enumerate(stream_offs):
         ty = tile[s * L : (s + 1) * L].reshape(L * 16, 16)
         y = jax.lax.dynamic_update_slice(
-            y, ty, (xs["irY"] + oy + 1, xs["icY"] + 33))
+            y, ty.astype(y.dtype), (xs["irY"] + oy + 1, xs["icY"] + 33))
         tb = out_cb[s * L : (s + 1) * L].reshape(L * 8, 8)
         cb = jax.lax.dynamic_update_slice(
-            cb, tb, (xs["irC"] + oc + 1, xs["icC"] + 17))
+            cb, tb.astype(cb.dtype), (xs["irC"] + oc + 1,
+                                      xs["icC"] + 17))
         tr = out_cr[s * L : (s + 1) * L].reshape(L * 8, 8)
         cr = jax.lax.dynamic_update_slice(
-            cr, tr, (xs["irC"] + oc + 1, xs["icC"] + 17))
+            cr, tr.astype(cr.dtype), (xs["irC"] + oc + 1,
+                                      xs["icC"] + 17))
     return (y, cb, cr), None
 
 
@@ -629,17 +636,23 @@ def _deblock_step_skewed(carry, xs, lmax, xp, tabs, P_const=None,
     owns, tops, ownsc, topsc = [], [], [], []
     for oy, oc in stream_offs:
         owns.append(jax.lax.dynamic_slice(
-            y, (xs["orY"] + oy, xs["ocY"]), (L * 16, 20)))
+            y, (xs["orY"] + oy, xs["ocY"]), (L * 16, 20))
+            .astype(xp.int32))
         tops.append(jax.lax.dynamic_slice(
-            y, (xs["trY"] + oy, xs["tcY"]), (L * 16, 16)))
+            y, (xs["trY"] + oy, xs["tcY"]), (L * 16, 16))
+            .astype(xp.int32))
         ownsc.append((jax.lax.dynamic_slice(
-            cb, (xs["orC"] + oc, xs["occ"]), (L * 8, 10)),
+            cb, (xs["orC"] + oc, xs["occ"]), (L * 8, 10))
+            .astype(xp.int32),
             jax.lax.dynamic_slice(
-                cr, (xs["orC"] + oc, xs["occ"]), (L * 8, 10))))
+                cr, (xs["orC"] + oc, xs["occ"]), (L * 8, 10))
+            .astype(xp.int32)))
         topsc.append((jax.lax.dynamic_slice(
-            cb, (xs["trC"] + oc, xs["tcC"]), (L * 8, 8)),
+            cb, (xs["trC"] + oc, xs["tcC"]), (L * 8, 8))
+            .astype(xp.int32),
             jax.lax.dynamic_slice(
-                cr, (xs["trC"] + oc, xs["tcC"]), (L * 8, 8))))
+                cr, (xs["trC"] + oc, xs["tcC"]), (L * 8, 8))
+            .astype(xp.int32)))
 
     def luma_window(own, top):
         ownr = own.reshape(L, 16, 20)
@@ -679,20 +692,22 @@ def _deblock_step_skewed(carry, xs, lmax, xp, tabs, P_const=None,
     for s, (oy, oc) in enumerate(stream_offs):
         wy = Wy[s * L : (s + 1) * L]
         y = jax.lax.dynamic_update_slice(
-            y, wy[:, 4:20].reshape(L * 16, 20), (xs["orY"] + oy,
-                                                 xs["ocY"]))
+            y, wy[:, 4:20].reshape(L * 16, 20).astype(y.dtype),
+            (xs["orY"] + oy, xs["ocY"]))
         ty = upd(typs[s], wy[:, 0:4, 4:20], (0, 12, 0), xp)
         y = jax.lax.dynamic_update_slice(
-            y, ty.reshape(L * 16, 16), (xs["trY"] + oy, xs["tcY"]))
+            y, ty.reshape(L * 16, 16).astype(y.dtype),
+            (xs["trY"] + oy, xs["tcY"]))
         for ci, (pl, tp) in enumerate(((Wcb, tcbs), (Wcr, tcrs))):
             wc = pl[s * L : (s + 1) * L]
             tgt = cb if ci == 0 else cr
             tgt = jax.lax.dynamic_update_slice(
-                tgt, wc[:, 4:12, 2:12].reshape(L * 8, 10),
-                (xs["orC"] + oc, xs["occ"]))
+                tgt, wc[:, 4:12, 2:12].reshape(L * 8, 10)
+                .astype(tgt.dtype), (xs["orC"] + oc, xs["occ"]))
             tc = upd(tp[s], wc[:, 2:4, 4:12], (0, 6, 0), xp)
             tgt = jax.lax.dynamic_update_slice(
-                tgt, tc.reshape(L * 8, 8), (xs["trC"] + oc, xs["tcC"]))
+                tgt, tc.reshape(L * 8, 8).astype(tgt.dtype),
+                (xs["trC"] + oc, xs["tcC"]))
             if ci == 0:
                 cb = tgt
             else:
