@@ -66,7 +66,7 @@ def main():
         if var == "nointer":
             R.inter_pass = fake_inter
         if var == "nores":
-            R.residual_mb = lambda c, t, xp: xp.zeros(
+            R.residual_mb = lambda c, t, xp, has_i8=True: xp.zeros(
                 (c.shape[0], 16, 16), xp.int32)
             R.residual_chroma = lambda c, xp: xp.zeros(
                 (c.shape[0], 2, 8, 8), xp.int32)
