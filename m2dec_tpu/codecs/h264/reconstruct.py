@@ -175,17 +175,24 @@ def _flat_windows(refs_p, slot, sy, sx, win, xp):
     return _fuse_break(xp.take(flat, idx))
 
 
-def _flat_windows32(refs_p, slot, sy, sx, rows, cols, xp):
+def _flat_windows32(refs_p, slot, sy, sx, rows, cols, xp,
+                    even_x=False):
     """Gather [B,rows,cols] byte windows by fetching whole uint32 words:
     the gather unit is issue-rate-bound per ELEMENT, so fetching
     ceil((cols+3)/4) words per row instead of cols bytes cuts the
     gathered element count ~3x. The byte re-alignment (window start mod
     4) is plain vector arithmetic. Requires (cols + 3) <= 4*nwords and
-    Wp % 4 == 0 (guaranteed by _MC_PAD=16 on 16-aligned planes)."""
+    Wp % 4 == 0 (guaranteed by _MC_PAD=16 on 16-aligned planes).
+
+    even_x=True: caller guarantees sx is always even (the interleaved
+    chroma plane doubles its x coordinates), so only word phases
+    {0, 2} can occur — one fewer gathered word per row and half the
+    phase-select chain."""
     import jax
 
     R, Hp, Wp = refs_p.shape
-    nw = (cols + 3 + 3) // 4  # words covering cols bytes at any phase
+    maxph = 2 if even_x else 3
+    nw = (cols + maxph + 3) // 4  # words covering cols at any phase
     words = jax.lax.bitcast_convert_type(
         refs_p.reshape(R, Hp, Wp // 4, 4), xp.uint32)
     arr = xp.arange(rows)
@@ -197,13 +204,13 @@ def _flat_windows32(refs_p, slot, sy, sx, rows, cols, xp):
            + (w0[:, None] + arw[None, :])[:, None, :])
     wflat, idx = _fuse_break(words.reshape(-1), idx)
     g = _fuse_break(xp.take(wflat, idx))  # [B, rows, nw] uint32
-    # little-endian unpack to 4*nw bytes, then 4-phase static select
+    # little-endian unpack to 4*nw bytes, then static phase select
     # (a per-column word/shift select was measured SLOWER here)
     sh = (xp.arange(4, dtype=xp.uint32) * 8)[None, None, None, :]
     byts = ((g[..., None] >> sh) & 0xFF).astype(xp.int32)
     byts = byts.reshape(byts.shape[0], rows, nw * 4)
     out = byts[:, :, 0:cols]
-    for a in (1, 2, 3):
+    for a in ((2,) if even_x else (1, 2, 3)):
         out = xp.where((phase == a)[:, None, None],
                        byts[:, :, a : a + cols], out)
     return out
@@ -422,7 +429,8 @@ def _chroma_mc_ilv(refs_ilv_p, slot, posx, posy, fracx, fracy, xp, H, W,
     posx_c = xp.clip(posx, -3, W - 1)
     t = size + 1  # texel rows needed for size bilinear outputs
     g = _flat_windows32(refs_ilv_p, slot, posy_c + _MC_PAD,
-                        2 * (posx_c + _MC_PAD), t, 2 * t, xp)
+                        2 * (posx_c + _MC_PAD), t, 2 * t, xp,
+                        even_x=True)
     # interleaved bilinear: the +1-texel taps are +2 byte-columns
     a = g[:, 0:size, 0 : 2 * size]
     b = g[:, 0:size, 2 : 2 * size + 2]
